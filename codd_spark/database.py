@@ -1,0 +1,207 @@
+"""Database — the catalog: named relations, inserts, evaluation, views.
+
+Reference: core/src/database.rs:162-363. The reference stores relations as
+sorted/deduplicated tuple vectors with a stable/recent/to_add ratchet
+(core/src/database/instance.rs:97-113) and maintains views by semi-naive
+delta propagation. Here relations are immutable DataFrames (inserts build a
+union lineage), views are derived DataFrames recomputed-on-read with a cache
+that is invalidated when a dependency changes — observationally identical to
+the reference (always-current views, set semantics, snapshot clone) while
+letting Catalyst own the physical plan. The genuinely incremental
+delta-propagation path lives in codd_spark.streaming.incremental.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, Row, SparkSession
+
+from codd_spark.errors import InstanceExistsError, InstanceNotFoundError
+from codd_spark.plans import ast
+from codd_spark.plans.compile import to_df
+from codd_spark.plans.validate import assert_view_safe, dependencies
+
+
+@dataclass(frozen=True)
+class ViewRef:
+    """Handle to a stored view (reference: core/src/expression/view.rs:7)."""
+
+    id: int
+
+    def scan(self) -> ast.ViewScan:
+        """Use this view as a scannable relation in a larger expression."""
+        return ast.ViewScan(self)
+
+
+class _ViewEntry:
+    """Reference: core/src/database.rs:70-91 — view + dependency DAG edges."""
+
+    __slots__ = ("expr", "dep_rels", "dep_views", "dependents", "cached")
+
+    def __init__(self, expr: ast.Expression, dep_rels: set[str], dep_views: set[int]):
+        self.expr = expr
+        self.dep_rels = dep_rels
+        self.dep_views = dep_views
+        self.dependents: set[int] = set()
+        self.cached: DataFrame | None = None
+
+
+class _RelationEntry:
+    """Reference: core/src/database.rs:26-36."""
+
+    __slots__ = ("df", "dependents", "insert_count")
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+        self.dependents: set[int] = set()
+        self.insert_count = 0
+
+
+# Cut the union lineage with a localCheckpoint every N inserts so repeated
+# small inserts don't grow the logical plan unboundedly (the reference's
+# geometric batch merging, core/src/database/instance.rs:174-188, solves the
+# same problem for sorted runs).
+_COMPACT_EVERY = 64
+
+
+class Database:
+    """A catalog of named relations + materialized views over a SparkSession.
+
+    Reference API parity (core/src/database.rs:170-266): ``add_relation``,
+    ``insert``, ``evaluate``, ``store_view``, plus ``clone`` for snapshot
+    isolation (core/src/database.rs:345-363).
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._relations: dict[str, _RelationEntry] = {}
+        self._views: dict[int, _ViewEntry] = {}
+        self._view_counter = 0
+
+    # -- relations -------------------------------------------------------
+    def add_relation(self, name: str, schema: Any) -> None:
+        """Create an empty relation with the given schema (DDL string or
+        StructType). Reference: core/src/database.rs:189-200."""
+        if name in self._relations:
+            raise InstanceExistsError(f"relation {name!r} already exists")
+        self._relations[name] = _RelationEntry(self.spark.createDataFrame([], schema=schema))
+
+    def register(self, name: str, df: DataFrame, replace: bool = False) -> None:
+        """Bind an existing DataFrame (e.g. a parquet scan) as a relation."""
+        if name in self._relations and not replace:
+            raise InstanceExistsError(f"relation {name!r} already exists")
+        self._relations[name] = _RelationEntry(df)
+        self._invalidate_relation(name)
+
+    def register_parquet(self, name: str, path: str, replace: bool = False) -> None:
+        self.register(name, self.spark.read.parquet(path), replace=replace)
+
+    def relation(self, name: str) -> DataFrame:
+        try:
+            return self._relations[name].df
+        except KeyError:
+            raise InstanceNotFoundError(f"relation {name!r} not found") from None
+
+    def relations(self) -> list[str]:
+        return sorted(self._relations)
+
+    def insert(self, name: str, rows: DataFrame | Iterable[Any]) -> None:
+        """Append rows (positional union against the relation schema);
+        set-semantics dedup happens at evaluation. Reference:
+        core/src/database.rs:203-210 (also lazy: work deferred)."""
+        entry = self._relations.get(name)
+        if entry is None:
+            raise InstanceNotFoundError(f"relation {name!r} not found")
+        if isinstance(rows, DataFrame):
+            new_df = rows
+        else:
+            rows = list(rows)
+            if not rows:
+                return
+            new_df = self.spark.createDataFrame(rows, schema=entry.df.schema)
+        entry.df = entry.df.union(new_df)
+        entry.insert_count += 1
+        if entry.insert_count % _COMPACT_EVERY == 0:
+            entry.df = entry.df.localCheckpoint(eager=False)
+        self._invalidate_relation(name)
+
+    # -- evaluation ------------------------------------------------------
+    def df(self, expr: ast.Expression | DataFrame, distinct: bool = True) -> DataFrame:
+        """Compile an expression to a DataFrame; ``distinct=True`` applies
+        the reference's set semantics once at this boundary."""
+        out = expr if isinstance(expr, DataFrame) else to_df(expr, self)
+        return out.distinct() if distinct else out
+
+    def evaluate(self, expr: ast.Expression | DataFrame) -> list[Row]:
+        """Materialize as the reference does: sorted, deduplicated tuples
+        (core/src/database/instance.rs:21-28; results are canonical-order
+        vectors). Sorting happens only here, at collect time."""
+        out = self.df(expr, distinct=True)
+        return out.orderBy(*out.columns).collect()
+
+    # -- views -----------------------------------------------------------
+    def store_view(self, expr: ast.Expression) -> ViewRef:
+        """Materialize a view; it stays consistent as base relations grow.
+        Reference: core/src/database.rs:229-266."""
+        assert_view_safe(expr)
+        dep_rels, dep_views = dependencies(expr)
+        for rel in dep_rels:
+            if rel not in self._relations:
+                raise InstanceNotFoundError(f"relation {rel!r} not found")
+        for vid in dep_views:
+            if vid not in self._views:
+                raise InstanceNotFoundError(f"view #{vid} not found")
+        ref = ViewRef(self._view_counter)
+        self._view_counter += 1
+        entry = _ViewEntry(expr, dep_rels, dep_views)
+        self._views[ref.id] = entry
+        for rel in dep_rels:
+            self._relations[rel].dependents.add(ref.id)
+        for vid in dep_views:
+            self._views[vid].dependents.add(ref.id)
+        return ref
+
+    def view_df(self, ref: ViewRef | int) -> DataFrame:
+        vid = ref.id if isinstance(ref, ViewRef) else ref
+        entry = self._views.get(vid)
+        if entry is None:
+            raise InstanceNotFoundError(f"view #{vid} not found")
+        if entry.cached is None:
+            entry.cached = to_df(entry.expr, self).distinct()
+        return entry.cached
+
+    def _invalidate_relation(self, name: str) -> None:
+        entry = self._relations.get(name)
+        if entry is None:
+            return
+        seen: set[int] = set()
+        stack = list(entry.dependents)
+        while stack:
+            vid = stack.pop()
+            if vid in seen:
+                continue
+            seen.add(vid)
+            view = self._views[vid]
+            view.cached = None
+            stack.extend(view.dependents)
+
+    # -- snapshots -------------------------------------------------------
+    def clone(self) -> "Database":
+        """Snapshot copy with isolation: later inserts into either copy do
+        not affect the other (reference: core/src/database.rs:345-363,
+        test 410-441). Cheap here — DataFrames are immutable."""
+        other = Database(self.spark)
+        for name, entry in self._relations.items():
+            clone_entry = _RelationEntry(entry.df)
+            clone_entry.dependents = set(entry.dependents)
+            clone_entry.insert_count = entry.insert_count
+            other._relations[name] = clone_entry
+        for vid, view in self._views.items():
+            clone_view = _ViewEntry(view.expr, set(view.dep_rels), set(view.dep_views))
+            clone_view.dependents = set(view.dependents)
+            clone_view.cached = view.cached
+            other._views[vid] = clone_view
+        other._view_counter = self._view_counter
+        return other
