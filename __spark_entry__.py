@@ -1,38 +1,421 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (revenue by nation) on sf0.001.
+``queries()`` — one entry per implemented operator from SURVEY.md §2 (plus
+engine extensions); each callable takes (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — DuckDB-equivalent SQL per query.
+
+Correctness discipline for hash-matching against DuckDB:
+- every computed column aliased identically on both sides;
+- aggregate sums go through exact DECIMAL arithmetic (order-insensitive)
+  and are cast to DOUBLE only at the end;
+- timestamps are reduced to epoch BIGINT (timezone-proof);
+- any top-k uses a strict total order (unique key tiebreak).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
+from codd_spark import Database, Empty, Relation, Singleton
+from codd_spark.functions.text import fingerprint_md5, token_count
+from codd_spark.functions.vector import cosine_similarity
+from codd_spark.sources.readers import read_table
+
+
+def _db(spark: SparkSession, sf_dir: str, tables: tuple[str, ...]) -> Database:
+    db = Database(spark)
+    for t in tables:
+        db.register(t, read_table(spark, sf_dir, t))
+    return db
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Revenue by nation over sf0.001 — scan→join⨝join⨝join→agg with the
+    dimension side broadcast; Catalyst handles pushdown + AQE."""
+    sf_dir = "/root/testdata/sf0.001"
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
 
+
+# ---------------------------------------------------------------------------
+# core algebra queries (SURVEY.md §2 #1-#13)
+# ---------------------------------------------------------------------------
+
+def q_scan_nation(spark, sf_dir):
+    db = _db(spark, sf_dir, ("nation",))
+    return db.df(Relation("nation"))
+
+
+def q_select_lineitem(spark, sf_dir):
+    db = _db(spark, sf_dir, ("lineitem",))
+    e = (
+        Relation("lineitem")
+        .select("l_quantity > 45 AND l_returnflag = 'R'")
+        .project("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+    return db.df(e)
+
+
+def q_project_disc_price(spark, sf_dir):
+    db = _db(spark, sf_dir, ("lineitem",))
+    e = Relation("lineitem").project(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice * (1 - l_discount) AS disc_price",
+    )
+    return db.df(e)
+
+
+def q_union_nation_keys(spark, sf_dir):
+    db = _db(spark, sf_dir, ("customer", "supplier"))
+    e = Relation("customer").project("c_nationkey AS nk").union(
+        Relation("supplier").project("s_nationkey AS nk")
+    )
+    return db.df(e)
+
+
+def q_intersect_nation_keys(spark, sf_dir):
+    db = _db(spark, sf_dir, ("customer", "supplier"))
+    e = Relation("customer").project("c_nationkey AS nk").intersect(
+        Relation("supplier").project("s_nationkey AS nk")
+    )
+    return db.df(e)
+
+
+def q_difference_nation_keys(spark, sf_dir):
+    db = _db(spark, sf_dir, ("customer", "supplier"))
+    e = Relation("customer").project("c_nationkey AS nk").difference(
+        Relation("supplier").project("s_nationkey AS nk")
+    )
+    return db.df(e)
+
+
+def q_product_region_nation(spark, sf_dir):
+    db = _db(spark, sf_dir, ("region", "nation"))
+    e = Relation("region").product(
+        Relation("nation"),
+        mapper=lambda l, r: [l["r_name"].alias("r_name"), r["n_name"].alias("n_name")],
+    )
+    return db.df(e)
+
+
+def q_join_orders_customer_nation(spark, sf_dir):
+    db = _db(spark, sf_dir, ("orders", "customer", "nation"))
+    e = (
+        Relation("orders")
+        .select("o_orderstatus = 'F'")
+        .join(Relation("customer"), left_key=["o_custkey"], right_key=["c_custkey"])
+        .join(
+            Relation("nation"),
+            left_key=["c_nationkey"],
+            right_key=["n_nationkey"],
+            mapper=lambda l, r: [
+                l["o_orderkey"].alias("o_orderkey"),
+                l["o_totalprice"].alias("o_totalprice"),
+                l["c_name"].alias("c_name"),
+                r["n_name"].alias("n_name"),
+            ],
+        )
+    )
+    return db.df(e)
+
+
+def q_singleton(spark, sf_dir):
+    db = Database(spark)
+    return db.df(Singleton({"n": 42}, schema="n BIGINT"))
+
+
+def q_empty(spark, sf_dir):
+    db = Database(spark)
+    return db.df(Empty("n BIGINT"))
+
+
+def q_semi_join(spark, sf_dir):
+    db = _db(spark, sf_dir, ("customer", "orders"))
+    e = (
+        Relation("customer")
+        .join(Relation("orders"), left_key=["c_custkey"], right_key=["o_custkey"], how="semi")
+        .project("c_custkey", "c_name")
+    )
+    return db.df(e)
+
+
+def q_anti_join(spark, sf_dir):
+    db = _db(spark, sf_dir, ("customer", "orders"))
+    e = (
+        Relation("customer")
+        .join(Relation("orders"), left_key=["c_custkey"], right_key=["o_custkey"], how="anti")
+        .project("c_custkey", "c_name")
+    )
+    return db.df(e)
+
+
+def q_view_over_select(spark, sf_dir):
+    # store_view -> scan the stored view (reference: view.rs:48-96)
+    db = _db(spark, sf_dir, ("part",))
+    v = db.store_view(
+        Relation("part").select("p_size >= 25").project("p_partkey", "p_brand", "p_size")
+    )
+    return db.df(v.scan())
+
+
+# ---------------------------------------------------------------------------
+# extensions: aggregation / window / top-k / event-time
+# ---------------------------------------------------------------------------
+
+def q_agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped rollup. DECIMAL sums (order-insensitive, exact),
+    DOUBLE only at the boundary."""
+    li = read_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+        )
+    )
+
+
+def q_window_top3_orders_per_cust(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_topk_orders(spark, sf_dir):
+    # TakeOrderedAndProject — no global sort materialization at scale
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    events = read_table(spark, sf_dir, "events")
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("bigint").alias("hour_epoch")
+    return (
+        events.groupBy(hour, "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(25,10)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# extensions: LLM-pipeline — dedup / text analysis / similarity
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_documents(spark, sf_dir):
+    """Exact content dedup: group on normalized-text fingerprint, keep the
+    smallest doc_id (deterministic keeper)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", fingerprint_md5(F.col("text")))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+def q_text_stats(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+def q_similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for query vectors (vec_id < 5)
+    over all other vectors — broadcast the small query side; scores rounded
+    to 6dp with a strict (score desc, id) total order."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine_similarity(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter("rank <= 5")
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "scan_nation": q_scan_nation,
+        "select_lineitem": q_select_lineitem,
+        "project_disc_price": q_project_disc_price,
+        "union_nation_keys": q_union_nation_keys,
+        "intersect_nation_keys": q_intersect_nation_keys,
+        "difference_nation_keys": q_difference_nation_keys,
+        "product_region_nation": q_product_region_nation,
+        "join_orders_customer_nation": q_join_orders_customer_nation,
+        "singleton": q_singleton,
+        "empty": q_empty,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "view_over_select": q_view_over_select,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "window_top3_orders_per_cust": q_window_top3_orders_per_cust,
+        "topk_orders": q_topk_orders,
+        "events_hourly": q_events_hourly,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "text_stats": q_text_stats,
+        "similarity_topk": q_similarity_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "scan_nation": "SELECT DISTINCT n_nationkey, n_name, n_regionkey FROM nation",
+        "select_lineitem": """
+            SELECT DISTINCT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+        """,
+        "project_disc_price": """
+            SELECT DISTINCT l_orderkey, l_linenumber,
+                   l_extendedprice * (1 - l_discount) AS disc_price
+            FROM lineitem
+        """,
+        "union_nation_keys": """
+            SELECT c_nationkey AS nk FROM customer
+            UNION
+            SELECT s_nationkey AS nk FROM supplier
+        """,
+        "intersect_nation_keys": """
+            SELECT c_nationkey AS nk FROM customer
+            INTERSECT
+            SELECT s_nationkey AS nk FROM supplier
+        """,
+        "difference_nation_keys": """
+            SELECT c_nationkey AS nk FROM customer
+            EXCEPT
+            SELECT s_nationkey AS nk FROM supplier
+        """,
+        "product_region_nation": """
+            SELECT DISTINCT r_name, n_name FROM region CROSS JOIN nation
+        """,
+        "join_orders_customer_nation": """
+            SELECT DISTINCT o_orderkey, o_totalprice, c_name, n_name
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderstatus = 'F'
+        """,
+        "singleton": "SELECT CAST(42 AS BIGINT) AS n",
+        "empty": "SELECT CAST(NULL AS BIGINT) AS n WHERE 1 = 0",
+        "semi_join": """
+            SELECT DISTINCT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "anti_join": """
+            SELECT DISTINCT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "view_over_select": """
+            SELECT DISTINCT p_partkey, p_brand, p_size FROM part WHERE p_size >= 25
+        """,
+        "agg_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                   COUNT(*) AS count_order,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "window_top3_orders_per_cust": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_epoch,
+                   event_type,
+                   COUNT(*) AS cnt,
+                   CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "dedup_exact_documents": """
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                   MIN(doc_id) AS keeper,
+                   COUNT(*) AS n_copies
+            FROM documents
+            GROUP BY 1
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   length(text) AS n_chars_actual,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+            FROM documents
+        """,
+        "similarity_topk": """
+            WITH queries AS (
+                SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       ROUND(
+                           list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                           / (sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])))
+                              * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))),
+                           6) AS cos_sim
+                FROM embeddings e CROSS JOIN queries q
+                WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, cos_sim, rank FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+    }

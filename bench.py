@@ -1,0 +1,100 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Queries execute against the noop sink — full execution, no driver collect
+bottleneck — so the numbers measure the engine, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from codd_spark.session import get_spark
+from codd_spark.sources.readers import read_table
+
+BENCH_QUERIES = [
+    "project_disc_price",       # scan + compute (codegen path)
+    "select_lineitem",          # filter pushdown
+    "agg_pricing_summary",      # hash aggregate w/ partial agg
+    "join_orders_customer_nation",  # multi-join, broadcast dims
+    "window_top3_orders_per_cust",  # window function
+    "topk_orders",              # TakeOrderedAndProject
+    "events_hourly",            # event-time bucketing
+    "dedup_exact_documents",    # exact dedup
+    "text_stats",               # text functions
+    "similarity_topk",          # vector brute-force + window
+]
+
+
+def run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def flagship(spark, sf_dir):
+    """Same shape as entry() but parameterized on sf_dir."""
+    from pyspark.sql import functions as F
+
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark(app_name="codd-spark-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM + parquet footer cache with one cheap action
+    read_table(spark, sf_dir, "nation").count()
+
+    t0 = time.time()
+    run_noop(flagship(spark, sf_dir))
+    timings["flagship_revenue_by_nation"] = round(time.time() - t0, 3)
+
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        run_noop(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,19 @@
+from codd_spark.functions.vector import cosine_similarity, dot, l2_norm
+from codd_spark.functions.text import (
+    fingerprint_md5,
+    normalize_ws,
+    punct_ratio,
+    token_count,
+    tokens,
+)
+
+__all__ = [
+    "cosine_similarity",
+    "dot",
+    "fingerprint_md5",
+    "l2_norm",
+    "normalize_ws",
+    "punct_ratio",
+    "token_count",
+    "tokens",
+]

@@ -1,0 +1,73 @@
+"""Sources: file readers + testdata catalog loader.
+
+The reference is in-memory only (no formats/sinks; SURVEY.md §2.2), so this
+module is pure engine extension. Readers go through ``spark.read`` so the
+DataSource V2 machinery gives vectorized scans, predicate pushdown, column
+pruning and partition pruning for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table (parquet).
+
+    The ``events`` table is written with nanosecond parquet timestamps,
+    which Spark's vectorized reader rejects; read them as raw nanos
+    (legacy conf, runtime-settable) and convert to a proper timestamp at
+    microsecond precision.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_testdata(spark: SparkSession, sf_dir: str, database=None) -> dict[str, DataFrame]:
+    """Load all testdata tables; optionally register them in a Database
+    and as temp views (for spark.sql use)."""
+    out: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        df = read_table(spark, sf_dir, name)
+        out[name] = df
+        df.createOrReplaceTempView(name)
+        if database is not None:
+            database.register(name, df, replace=True)
+    return out
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    opts = {"header": "true", **options}
+    reader = spark.read.options(**opts)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
