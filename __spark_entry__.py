@@ -276,6 +276,92 @@ def q_similarity_topk(spark, sf_dir):
     return scored.withColumn("rank", F.row_number().over(w)).filter("rank <= 5")
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard pairs on a bounded subset (the LSH-free
+    verification primitive; corpus-scale path is minhash_near_dups)."""
+    from codd_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents").filter("doc_id < 200")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+
+
+def q_minhash_near_dups(spark, sf_dir):
+    """MinHash+LSH near-duplicate pairs (char-5 shingles, 120 hashes,
+    20 bands x 6 rows, exact-Jaccard verified >= 0.5)."""
+    from codd_spark.operators.dedup import minhash_near_duplicates
+
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-duplicate pairs (hamming <= 7 of 64 bits, 8-chunk
+    pigeonhole candidates)."""
+    from codd_spark.operators.dedup import simhash_near_duplicates
+
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(
+        docs, "doc_id", "text", max_hamming=7, n_chunks=8
+    )
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs on a bounded subset."""
+    from codd_spark.operators.similarity import embedding_near_duplicates
+
+    emb = read_table(spark, sf_dir, "embeddings").filter("vec_id < 300")
+    return embedding_near_duplicates(
+        emb, dim=64, threshold=0.4, exact=True
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate top-5 neighbors via multi-probe hyperplane LSH."""
+    from pyspark.sql import functions as F2
+    from codd_spark.operators.similarity import lsh_top_k
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter("vec_id < 5").select(
+        F2.col("vec_id").alias("query_id"), F2.col("embedding").alias("q_emb")
+    )
+    return lsh_top_k(emb, queries_df, dim=64, k=5, n_planes=8, probe_hamming=1)
+
+
+def q_text_features(spark, sf_dir):
+    """Full text-analysis feature set incl. heuristic language ID."""
+    from codd_spark.operators.text import add_text_features
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return add_text_features(docs).drop("text")
+
+
+def q_text_quality(spark, sf_dir):
+    """Oracle-checkable slice of the text features (no lang argmax)."""
+    from codd_spark.functions.text import punct_ratio
+    from codd_spark.operators.text import quality_score, stopword_ratio
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(F.col("text")), 6).alias("stopword_ratio_en"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_winnowing(spark, sf_dir):
+    """Winnowing fingerprint sketch sizes (position-robust overlap keys)."""
+    from codd_spark.operators.text import winnowing_fingerprint
+
+    docs = read_table(spark, sf_dir, "documents")
+    fp = winnowing_fingerprint(F.col("text"), k=8, w=4)
+    return docs.select(
+        "doc_id",
+        F.size(fp).alias("n_fingerprints"),
+        F.element_at(fp, 1).alias("min_fingerprint"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -302,6 +388,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_stats": q_text_stats,
         "similarity_topk": q_similarity_topk,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "text_features": q_text_features,
+        "text_quality": q_text_quality,
+        "winnowing": q_winnowing,
     }
 
 
@@ -398,6 +492,59 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS n_chars_actual,
                    len(string_split_regex(trim(text), '\\s+')) AS n_tokens
             FROM documents
+        """,
+        "ngram_jaccard": """
+            WITH g AS (
+              SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(s)-1, 2)),
+                     i -> array_to_string(list_slice(s, i, i+2), ' '))) AS ng
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS s
+                    FROM documents WHERE doc_id < 200)
+            )
+            SELECT id_a, id_b, jaccard FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     ROUND(len(list_intersect(a.ng, b.ng))::DOUBLE
+                           / len(list_distinct(list_concat(a.ng, b.ng))), 6) AS jaccard
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+            ) WHERE jaccard >= 0.3
+        """,
+        "embedding_near_dups": """
+            WITH s AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id < 300
+            )
+            SELECT id_a, id_b, cos_sim FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     ROUND(list_dot_product(a.e, b.e)
+                           / (sqrt(list_dot_product(a.e, a.e))
+                              * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+              FROM s a JOIN s b ON a.vec_id < b.vec_id
+            ) WHERE cos_sim >= 0.4
+        """,
+        "text_quality": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     length(text) AS n_char,
+                     len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+                     CASE WHEN length(text) > 0
+                          THEN length(regexp_replace(text, '[\\w\\s]', '', 'g'))::DOUBLE / length(text)
+                          ELSE 0.0 END AS p_ratio,
+                     CASE WHEN length(text) > 0
+                          THEN length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE / length(text)
+                          ELSE 0.0 END AS caps_ratio,
+                     len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> list_contains(['the','a','of','and','to','in','is','that','it','for','on','with','as','was','at'], lower(x)))) AS sw_hits
+              FROM documents
+            )
+            SELECT doc_id,
+                   ROUND(p_ratio, 6) AS punct_ratio,
+                   ROUND(CASE WHEN n_tok > 0 THEN sw_hits::DOUBLE / n_tok ELSE 0.0 END, 6) AS stopword_ratio_en,
+                   CAST(ROUND(
+                     (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.4
+                     + (CASE WHEN n_tok > 0 AND (n_char::DOUBLE / n_tok) BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.25
+                     + (CASE WHEN p_ratio <= 0.25 THEN 1.0 ELSE 0.5 END) * 0.2
+                     + (CASE WHEN caps_ratio <= 0.3 THEN 1.0 ELSE 0.6 END) * 0.15,
+                   6) AS DOUBLE) AS quality
+            FROM t
         """,
         "similarity_topk": """
             WITH queries AS (

@@ -1,0 +1,45 @@
+"""Aggregation / ordering operators the reference lacks (SURVEY.md §2.2).
+
+Everything is built-in DataFrame API so Catalyst keeps partial aggregation
+(map-side combine), TakeOrderedAndProject for top-k, and window-function
+codegen."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def top_k(df: DataFrame, order_by: list[Column | str], k: int) -> DataFrame:
+    """Global top-k. Compiles to TakeOrderedAndProject: each partition keeps
+    a k-heap, the driver merges — no global sort materialization, safe at
+    any scale for small k. ``order_by`` should end with a unique tiebreak
+    column for determinism."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def grouped_top_k(
+    df: DataFrame, partition_by: list[str], order_by: list[Column | str], k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k per group via row_number window — one shuffle on the group key.
+    Skewed groups are handled by AQE; for pathological skew pre-aggregate or
+    salt the partition key."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def approx_distinct(df: DataFrame, cols: list[str], rsd: float = 0.05) -> DataFrame:
+    """HyperLogLog++ distinct counts — the scale path when exact distinct
+    (a full shuffle) isn't required."""
+    return df.agg(
+        *[F.approx_count_distinct(c, rsd).alias(f"approx_distinct_{c}") for c in cols]
+    )
+
+
+def tumbling_window_agg(
+    df: DataFrame, ts_col: str, duration: str, keys: list[str], aggs: list[Column]
+) -> DataFrame:
+    """Event-time tumbling window aggregation (works identically on batch
+    and streaming DataFrames)."""
+    return df.groupBy(F.window(ts_col, duration).alias("window"), *keys).agg(*aggs)

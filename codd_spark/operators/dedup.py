@@ -1,0 +1,345 @@
+"""Deduplication operators for large text corpora.
+
+Four families, all expressed with JVM-side higher-order functions (no
+Python in the hot path), so every stage stays in whole-stage codegen and
+scales with executor count:
+
+- exact:       hash-groupBy on a normalized-content fingerprint
+- MinHash+LSH: shingles -> minhash signature -> banded buckets ->
+               candidate bucket-join -> exact-Jaccard verification
+- SimHash:     64-bit token-vote signature; near-dups = small Hamming
+               distance; candidates via 16-bit chunk pigeonholing
+- n-gram Jaccard: exact pairwise Jaccard on word n-grams (verification
+               primitive / small-subset brute force)
+
+Scale notes: the LSH candidate join shuffles on (band, bucket-hash) — bound
+the blowup with ``max_bucket_size`` (degenerate buckets = boilerplate text;
+at 100 TB you drop or special-case them, you don't join them). Signatures
+are computed in one projection pass per document.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from codd_spark.functions.text import normalize_ws, tokens
+
+# Modulus prime for the minhash universal-hash family (fits in 31 bits so
+# a*h+b stays overflow-free in a 64-bit long).
+_P = 2038074743
+
+
+def _coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+def char_shingles(c: Column, k: int = 5) -> Column:
+    """Distinct k-character shingles of whitespace-normalized text."""
+    norm = normalize_ws(c)
+    n = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
+    )
+
+
+def word_ngrams(c: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) of the text."""
+    toks = tokens(c)
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), cnt), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+        )
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two array-set columns."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(0.0)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact content dedup: one row per normalized-content fingerprint,
+    keeping the minimum id (deterministic keeper). One partial-aggregated
+    shuffle on the fingerprint."""
+    from codd_spark.functions.text import fingerprint_md5
+
+    return (
+        df.withColumn("fp", fingerprint_md5(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def shingle_hashes(shingles: Column) -> Column:
+    """Base hashes of a shingle set: one xxhash64 per shingle, folded into
+    [0, P). Materialize this as a real column ONCE — the per-function
+    signature min then works on longs, never re-hashing strings."""
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+
+
+def minhash_signature_from_hashes(
+    hashes: Column, num_hashes: int = 128, seed: int = 42
+) -> Column:
+    """Minhash signature (array<long> of length num_hashes) from
+    pre-computed base hashes: min over the universal-hash family
+    h_i(x) = (a_i*x + b_i) mod P."""
+    sigs = [
+        F.array_min(F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_P)))
+        for a, b in _coeffs(num_hashes, seed)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 128, seed: int = 42
+) -> Column:
+    """Convenience composition — prefer materializing shingle_hashes()
+    in its own projection first (see minhash_near_duplicates)."""
+    return minhash_signature_from_hashes(shingle_hashes(shingles), num_hashes, seed)
+
+
+def _band_structs(sig_col: Column, bands: int, rows_per_band: int) -> Column:
+    """array<struct<band:int, h:long>> — one bucket hash per band."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(F.slice(sig_col, i * rows_per_band + 1, rows_per_band)).alias("h"),
+            )
+            for i in range(bands)
+        ]
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 120,
+    bands: int = 20,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, exact jaccard >= threshold).
+
+    Pipeline: shingle -> signature -> banded buckets -> bucket self-join for
+    candidates -> exact-Jaccard verification on the shingle sets. The
+    default 20 bands x 6 rows puts the S-curve midpoint at
+    (1/20)^(1/6) ≈ 0.61: pairs with J >= 0.8 are found with probability
+    ~1, J ≈ 0.5 at ~25%, and the sub-0.3 noise floor of boilerplate-heavy
+    corpora generates almost no candidates (which is what keeps the
+    candidate join bounded at scale). Raise ``bands`` (e.g. 30x4) for
+    higher recall near the threshold at the cost of more candidates; every
+    candidate is verified with exact Jaccard, so precision is always exact.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+
+    # Scalable signature computation: explode the per-doc shingle hashes to
+    # (id, h) rows, then take 128 plain MIN aggregates (one per hash
+    # function). Catalyst does partial aggregation map-side, so the shuffle
+    # carries only num_hashes longs per document — and unlike the
+    # array-expression formulation (which CollapseProject inlines into one
+    # giant tree that re-hashes every shingle per function), each shingle is
+    # hashed exactly once.
+    # Repartition up front: corpora often arrive as few large files, and
+    # every stage below is CPU-bound — without this the string-heavy
+    # shingling runs at the input's (possibly single-file) parallelism.
+    shingled = df.repartition(parallelism, F.col(id_col)).select(
+        F.col(id_col).alias("id"),
+        char_shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
+    exploded = shingled.select("id", F.explode(shingle_hashes(F.col("sh"))).alias("h"))
+    coeffs = _coeffs(num_hashes, seed)
+    sig_df = exploded.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"_s{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    docs = sig_df.select(
+        "id", F.array(*[F.col(f"_s{i}") for i in range(num_hashes)]).alias("sig")
+    ).join(shingled, on="id")
+
+    buckets = docs.select(
+        "id", F.explode(_band_structs(F.col("sig"), bands, r)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.h").alias("h"))
+
+    # Degenerate-bucket guard: giant buckets are boilerplate/empty docs; a
+    # self-join there is O(n^2). Count and drop oversized buckets.
+    sized = buckets.withColumn(
+        "bsz", F.count("*").over(Window.partitionBy("band", "h"))
+    ).filter(F.col("bsz") <= max_bucket_size)
+
+    a = sized.select(F.col("band"), F.col("h"), F.col("id").alias("id_a"))
+    b = sized.select(F.col("band"), F.col("h"), F.col("id").alias("id_b"))
+    cand = (
+        a.join(b, on=["band", "h"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sh = docs.select("id", "sh")
+    verified = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), on="id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), on="id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text_col: Column) -> Column:
+    """64-bit SimHash over whitespace tokens (token multiplicity counts).
+
+    One aggregate pass: each token's xxhash64 votes +1/-1 per bit; the
+    signature sets bit b iff the vote is positive. Pure expression tree —
+    runs in codegen, no UDF."""
+    masks = [1 << b for b in range(63)] + [-(1 << 63)]  # bit 63 as signed long
+
+    def bits_of(h: Column) -> Column:
+        return F.array(
+            *[
+                F.when(h.bitwiseAND(F.lit(m)) != 0, F.lit(1)).otherwise(F.lit(-1))
+                for m in masks
+            ]
+        )
+
+    votes = F.aggregate(
+        F.transform(tokens(text_col), lambda t: F.xxhash64(t)),
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(acc, bits_of(h), lambda a, v: a + v),
+    )
+    # fold positive votes into a long via bitwise OR of the bit masks
+    pairs = F.zip_with(
+        votes,
+        F.array(*[F.lit(m) for m in masks]),
+        lambda v, m: F.when(v > 0, m).otherwise(F.lit(0)),
+    )
+    return F.aggregate(
+        pairs, F.lit(0).cast("long"), lambda acc, m: acc.bitwiseOR(m)
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= max_hamming.
+
+    Candidates by pigeonhole: split the 64-bit signature into ``n_chunks``
+    equal chunks; any pair within Hamming <= n_chunks-1 must agree on at
+    least one chunk, so a bucket-join per chunk finds all of them. Choose
+    n_chunks > max_hamming for an exact result (the default 4/3 suits long
+    documents where near-dups flip few bits; short docs need more chunks).
+    """
+    from pyspark.sql.window import Window
+
+    if 64 % n_chunks != 0:
+        raise ValueError("n_chunks must divide 64")
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_chunks>={max_hamming + 1} for exactness"
+        )
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    sigs = df.repartition(parallelism, F.col(id_col)).select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig")
+    )
+
+    chunks = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("sig", i * width).bitwiseAND(F.lit(mask)).alias("v"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "sig", F.col("ck.chunk").alias("chunk"), F.col("ck.v").alias("v"))
+
+    sized = chunks.withColumn(
+        "bsz", F.count("*").over(Window.partitionBy("chunk", "v"))
+    ).filter(F.col("bsz") <= max_bucket_size)
+
+    a = sized.select("chunk", "v", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sized.select("chunk", "v", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        a.join(b, on=["chunk", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for verification / bounded subsets)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact pairwise Jaccard on word n-grams. O(n^2) cross join — meant
+    for bounded subsets or as the verification stage after LSH candidate
+    generation (use minhash_near_duplicates for corpus-scale)."""
+    g = df.select(F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("ng"))
+    a = g.select(F.col("id").alias("id_a"), F.col("ng").alias("ng_a"))
+    b = g.select(F.col("id").alias("id_b"), F.col("ng").alias("ng_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jaccard(F.col("ng_a"), F.col("ng_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- brute_force_top_k: exact cosine top-k — the baseline. Broadcast the
+  (small) query side; scoring is a JVM expression, ranking is a window.
+- lsh_top_k: random-hyperplane LSH buckets + multi-probe — the scale path.
+  Buckets co-locate candidates so the join touches a small fraction of the
+  corpus; recall is tuned by n_planes / probe radius.
+
+Plus embedding_near_duplicates: cosine>=threshold pair mining via the same
+buckets (embedding near-dup dedup for training corpora).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from codd_spark.functions.vector import cosine_similarity
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _lit_vec(v: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def _plane_dot(emb: Column, plane: list[float]) -> Column:
+    return F.aggregate(
+        F.zip_with(emb, _lit_vec(plane), lambda x, p: x.cast("double") * p),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def hyperplane_bucket(emb: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-projection bit bucket: int in [0, 2^n_planes)."""
+    bits = [
+        F.when(_plane_dot(emb, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def brute_force_top_k(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_emb_col: str = "q_emb",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k per query. Query side is broadcast (no shuffle of
+    the corpus); one window per query partition ranks candidates."""
+    pairs = df.join(F.broadcast(queries), F.col(id_col) != F.col(query_id_col))
+    scored = pairs.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine_similarity(F.col(query_emb_col), F.col(emb_col)), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_top_k(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_emb_col: str = "q_emb",
+    k: int = 10,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: bucket corpus and queries by hyperplane
+    signs, probe the query's bucket plus all buckets within Hamming distance
+    ``probe_hamming`` (multi-probe LSH — recovers most of the recall lost to
+    boundary effects), then exact-rerank within the probed buckets.
+
+    At 100 TB the corpus side is bucketed once (can be persisted bucketed by
+    ``bucket``), and each query joins only ~(1+n_planes) buckets instead of
+    the full corpus."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("_emb"),
+        hyperplane_bucket(F.col(emb_col), planes).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(query_id_col),
+        F.col(query_emb_col).alias("_qemb"),
+        hyperplane_bucket(F.col(query_emb_col), planes).alias("qbucket"),
+    )
+    # multi-probe: expand each query to its bucket + hamming-<=r neighbors
+    probes = [F.col("qbucket")]
+    if probe_hamming >= 1:
+        probes += [F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    if probe_hamming >= 2:
+        probes += [
+            F.col("qbucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    qx = qb.select(
+        query_id_col, "_qemb", F.explode(F.array(*probes)).alias("bucket")
+    )
+    joined = corpus.join(F.broadcast(qx), on="bucket").filter(
+        F.col("neighbor_id") != F.col(query_id_col)
+    )
+    scored = joined.select(
+        F.col(query_id_col),
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("_qemb"), F.col("_emb")), 6).alias("cos_sim"),
+    ).distinct()
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine >= threshold.
+
+    ``exact=False`` (default, the scale path): hyperplane-bucket self-join —
+    high-cosine pairs land in the same bucket with probability
+    (1 - theta/pi)^n_planes; misses are boundary pairs. ``exact=True``:
+    full O(n^2) cross join for bounded subsets / verification."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"))
+    if exact:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        planes = _hyperplanes(dim, n_planes, seed)
+        ab = df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(emb_col).alias("emb_a"),
+            hyperplane_bucket(F.col(emb_col), planes).alias("bucket"),
+        )
+        bb = df.select(
+            F.col(id_col).alias("id_b"),
+            F.col(emb_col).alias("emb_b"),
+            hyperplane_bucket(F.col(emb_col), planes).alias("bucket"),
+        )
+        pairs = ab.join(bb, on="bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "cos_sim", F.round(cosine_similarity(F.col("emb_a"), F.col("emb_b")), 6)
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+        .distinct()
+    )

@@ -1,0 +1,100 @@
+"""Text-analysis operators: language ID, quality scoring, token stats,
+winnowing fingerprints. All pure column expressions (codegen path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from codd_spark.functions.text import punct_ratio, token_count, tokens
+
+# Tiny high-frequency stopword sets per language — the classic cheap
+# lang-id heuristic: score = fraction of tokens that are stopwords of L.
+_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for", "on", "with", "as", "was", "at"),
+    "de": ("der", "die", "das", "und", "ist", "ich", "nicht", "ein", "eine", "zu", "den", "mit", "von", "auf", "für"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "de", "des", "que", "pour", "dans", "qui", "pas", "sur"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "de", "que", "en", "por", "con", "para", "no"),
+    "it": ("il", "la", "le", "e", "è", "un", "una", "di", "che", "per", "non", "con", "sono", "del", "si"),
+}
+
+
+def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.array_intersect(F.transform(toks, F.lower), F.array(*[F.lit(w) for w in words])))
+
+
+def lang_id(text_col: Column, langs: dict[str, tuple[str, ...]] | None = None) -> Column:
+    """Best-guess language code by stopword-hit score; 'und' (undetermined)
+    when no stopword of any language appears. Ties break lexicographically
+    larger-lang-wins via struct max — deterministic."""
+    langs = langs or _STOPWORDS
+    toks = tokens(text_col)
+    scored = F.array(
+        *[
+            F.struct(_stopword_hits(toks, words).alias("score"), F.lit(code).alias("lang"))
+            for code, words in sorted(langs.items())
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def stopword_ratio(text_col: Column, words: tuple[str, ...] | None = None) -> Column:
+    words = words or _STOPWORDS["en"]
+    toks = tokens(text_col)
+    return F.when(
+        F.size(toks) > 0,
+        F.size(F.filter(F.transform(toks, F.lower), lambda t: t.isin(*words))).cast("double")
+        / F.size(toks).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(text_col: Column) -> Column:
+    """Heuristic document quality in [0,1] from cheap surface statistics:
+    length band, mean token length band, punctuation ratio, all-caps ratio.
+    The shape (not the exact weights) mirrors standard pretraining-corpus
+    quality filters (C4/Gopher-style rules)."""
+    n_tok = token_count(text_col)
+    n_char = F.length(text_col)
+    mean_tok_len = F.when(n_tok > 0, n_char.cast("double") / n_tok.cast("double")).otherwise(0.0)
+    p_ratio = punct_ratio(text_col)
+
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.3)
+    tok_len_ok = F.when((mean_tok_len >= 2.5) & (mean_tok_len <= 12.0), 1.0).otherwise(0.4)
+    punct_ok = F.when(p_ratio <= 0.25, 1.0).otherwise(0.5)
+    caps = F.length(F.regexp_replace(text_col, r"[^A-Z]", ""))
+    caps_ratio = F.when(n_char > 0, caps.cast("double") / n_char.cast("double")).otherwise(0.0)
+    caps_ok = F.when(caps_ratio <= 0.3, 1.0).otherwise(0.6)
+
+    return F.round(len_ok * 0.4 + tok_len_ok * 0.25 + punct_ok * 0.2 + caps_ok * 0.15, 6)
+
+
+def winnowing_fingerprint(text_col: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03): hash
+    every k-gram, slide a window of w hashes, keep each window's minimum —
+    a position-robust sketch for plagiarism-style overlap detection.
+    Returns sorted array<long> of selected hashes."""
+    from codd_spark.functions.text import normalize_ws
+
+    norm = normalize_ws(text_col)
+    n = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    kh = F.transform(F.sequence(F.lit(1), n), lambda i: F.xxhash64(norm.substr(i, F.lit(k))))
+    n_win = F.greatest(F.size(kh) - (w - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_win), lambda i: F.array_min(F.slice(kh, i, w))
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
+def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard text-analysis feature columns in one projection."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_chars_actual": F.length(c),
+            "n_tokens": token_count(c),
+            "punct_ratio": F.round(punct_ratio(c), 6),
+            "stopword_ratio_en": F.round(stopword_ratio(c), 6),
+            "lang_guess": lang_id(c),
+            "quality": quality_score(c),
+        }
+    )

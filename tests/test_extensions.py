@@ -1,0 +1,223 @@
+"""Tests for the LLM-pipeline operators: dedup families, similarity search,
+text analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from codd_spark.operators.dedup import (
+    dedup_exact,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_duplicates,
+)
+from codd_spark.operators.similarity import (
+    brute_force_top_k,
+    embedding_near_duplicates,
+    lsh_top_k,
+)
+from codd_spark.operators.text import add_text_features, lang_id, quality_score
+from codd_spark.operators.aggregates import grouped_top_k, top_k
+
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+
+
+@pytest.fixture()
+def docs(spark):
+    near_dup = BASE.replace("green", "dark")  # one-word change of 17 tokens
+    distinct_1 = "completely different content about database engines and query optimizers"
+    distinct_2 = "spark streaming with watermarks handles late arriving events gracefully"
+    return spark.createDataFrame(
+        [
+            (0, BASE),
+            (1, near_dup),
+            (2, BASE),  # exact dup of 0
+            (3, distinct_1),
+            (4, distinct_2),
+        ],
+        "doc_id LONG, text STRING",
+    )
+
+
+def test_dedup_exact(docs):
+    out = dedup_exact(docs, "text", "doc_id").collect()
+    assert len(out) == 4  # 5 docs, one exact dup
+    by_keeper = {r.keeper: r.n_copies for r in out}
+    assert by_keeper[0] == 2
+
+
+def test_minhash_finds_near_and_exact_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_near_duplicates(
+            docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0  # exact dup
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.5  # near dup
+    assert (1, 2) in pairs
+    assert not any({3, 4} & {a, b} for a, b in pairs)  # distinct docs excluded
+
+
+def test_minhash_deterministic(docs):
+    a = sorted(map(tuple, minhash_near_duplicates(docs, "doc_id", "text").collect()))
+    b = sorted(map(tuple, minhash_near_duplicates(docs, "doc_id", "text").collect()))
+    assert a == b
+
+
+def test_simhash_near_duplicates(spark):
+    # short docs flip many bits per edit (small vote margins), so use long
+    # repetitive docs — simhash's intended regime — plus 16-chunk candidates
+    long = (BASE + " ") * 5
+    near = long.replace("green", "dark", 1)  # 1 of ~90 tokens changed
+    df = spark.createDataFrame(
+        [
+            (0, long),
+            (1, near),
+            (2, long),  # exact dup
+            (3, "completely different content about database engines and query optimizers"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    sigs = df.select(simhash64(F.col("text")).alias("s")).collect()
+    assert all(isinstance(r.s, int) for r in sigs)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_duplicates(
+            df, "doc_id", "text", max_hamming=8, n_chunks=16
+        ).collect()
+    }
+    assert pairs.get((0, 2)) == 0  # identical text -> identical sig
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 8  # near dup
+    assert not any(3 in (a, b) for a, b in pairs)
+
+
+def test_simhash_chunk_validation(docs):
+    with pytest.raises(ValueError, match="n_chunks"):
+        simhash_near_duplicates(docs, "doc_id", "text", max_hamming=5, n_chunks=4)
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3).collect()
+    }
+    assert pairs[(0, 2)] == 1.0
+    assert 0.5 < pairs[(0, 1)] < 1.0
+
+
+@pytest.fixture()
+def embeddings(spark):
+    import random
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    near = [x + rng.gauss(0, 0.01) for x in base]
+    rows = [(0, [float(x) for x in base]), (1, [float(x) for x in near])]
+    for i in range(2, 30):
+        rows.append((i, [float(rng.gauss(0, 1)) for _ in range(16)]))
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+
+def test_brute_force_top_k(embeddings):
+    queries = embeddings.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    out = brute_force_top_k(embeddings, queries, k=3).collect()
+    assert len(out) == 3
+    assert out[0].neighbor_id == 1 or any(r.neighbor_id == 1 and r.rank == 1 for r in out)
+
+
+def test_lsh_top_k_finds_close_neighbor(embeddings):
+    queries = embeddings.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    out = lsh_top_k(embeddings, queries, dim=16, k=3, n_planes=6).collect()
+    # vec 1 is nearly identical to the query: same bucket (or 1-bit probe)
+    assert any(r.neighbor_id == 1 and r.rank == 1 for r in out)
+
+
+def test_embedding_near_duplicates(embeddings):
+    exact = embedding_near_duplicates(
+        embeddings, dim=16, threshold=0.99, exact=True
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in exact] == [(0, 1)]
+    approx = embedding_near_duplicates(
+        embeddings, dim=16, threshold=0.99, n_planes=6
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in approx] == [(0, 1)]
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was happy"),
+            (2, "der Hund ist nicht mit der Katze auf dem Sofa"),
+            (3, "le chat est dans la maison et il dort pour le moment"),
+            (4, "el perro es un animal que vive en la casa"),
+            (5, "xyzzy qwerty zzz"),
+        ],
+        "id LONG, text STRING",
+    )
+    out = {r.id: r.lang for r in df.select("id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_quality_score_ranges(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "A reasonable paragraph of english text that goes on long enough to be a real document with structure."),
+            (2, "x"),
+            (3, "!!! ??? *** $$$ %%% ### @@@ &&& ((( )))"),
+        ],
+        "id LONG, text STRING",
+    )
+    out = {r.id: r.q for r in df.select("id", quality_score(F.col("text")).alias("q")).collect()}
+    assert out[1] == 1.0
+    assert out[2] < 1.0 and out[3] < 1.0
+    assert all(0.0 <= v <= 1.0 for v in out.values())
+
+
+def test_add_text_features_columns(docs):
+    out = add_text_features(docs)
+    expected = {"n_chars_actual", "n_tokens", "punct_ratio", "stopword_ratio_en", "lang_guess", "quality"}
+    assert expected <= set(out.columns)
+    assert out.count() == 5
+
+
+def test_top_k_and_grouped_top_k(spark):
+    df = spark.createDataFrame(
+        [(g, i, g * 10 + i) for g in range(3) for i in range(5)], "g LONG, i LONG, v LONG"
+    )
+    got = top_k(df, [F.desc("v")], 3).collect()
+    assert [r.v for r in got] == [24, 23, 22]
+    gg = grouped_top_k(df, ["g"], [F.desc("v")], 2)
+    assert gg.count() == 6
+    assert {(r.g, r.v) for r in gg.collect() if r.g == 0} == {(0, 4), (0, 3)}
+
+
+def test_multimodal_plumbing(spark):
+    from codd_spark.operators.multimodal import (
+        decode_image_features,
+        frame_sample,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=20)
+    feats = decode_image_features(media).collect()
+    assert len(feats) == 20
+    assert all(16 <= r.width <= 1040 and r.n_bytes == 128 for r in feats)
+    # deterministic across runs
+    feats2 = decode_image_features(media).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, feats2))
+
+    frames = frame_sample(synthetic_media(spark, n=5, kind="video"), every_n=10)
+    rows = frames.collect()
+    assert len(rows) >= 5
+    assert all(r.frame_idx % 10 == 0 for r in rows)
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        decode_image_features(media, decode="real").collect()
