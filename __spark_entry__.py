@@ -276,6 +276,23 @@ def q_similarity_topk(spark, sf_dir):
     return scored.withColumn("rank", F.row_number().over(w)).filter("rank <= 5")
 
 
+def q_incremental_view(spark, sf_dir):
+    """Semi-naive incrementally-maintained view (the reference's signature
+    feature): load customers in two insert batches around view creation;
+    the delta-propagated view must equal the full-recompute answer."""
+    from codd_spark.streaming.incremental import IncrementalDatabase
+
+    customer = read_table(spark, sf_dir, "customer")
+    idb = IncrementalDatabase(spark)
+    idb.add_relation("customer", customer.schema)
+    idb.insert("customer", customer.filter("c_custkey % 2 = 0"))
+    v = idb.store_view(
+        Relation("customer").select("c_acctbal > 0").project("c_custkey", "c_nationkey")
+    )
+    idb.insert("customer", customer.filter("c_custkey % 2 = 1"))
+    return idb.df(v.scan())
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard pairs on a bounded subset (the LSH-free
     verification primitive; corpus-scale path is minhash_near_dups)."""
@@ -381,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "view_over_select": q_view_over_select,
+        "incremental_view": q_incremental_view,
         "agg_pricing_summary": q_agg_pricing_summary,
         "window_top3_orders_per_cust": q_window_top3_orders_per_cust,
         "topk_orders": q_topk_orders,
@@ -448,6 +466,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "view_over_select": """
             SELECT DISTINCT p_partkey, p_brand, p_size FROM part WHERE p_size >= 25
+        """,
+        "incremental_view": """
+            SELECT DISTINCT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 0
         """,
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,151 @@
+"""Structured Streaming operators: the stream-shaped counterpart of the
+engine (the reference's insert-only monotone regime is exactly Spark's
+streaming-friendly case — SURVEY.md §7 step 6).
+
+Everything is the standard readStream -> transform -> writeStream shape:
+- event-time tumbling/sliding windows with watermarks (late-data bound)
+- session windows
+- streaming dedup (state-bounded via watermark)
+- a custom stateful operator via applyInPandasWithState (running per-key
+  aggregation with explicit GroupState), for semantics the built-in
+  stateful ops can't express
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def stream_from_directory(
+    spark: SparkSession,
+    path: str,
+    schema,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """File-source stream: each new file in ``path`` becomes (part of) a
+    micro-batch — the streaming analogue of the reference's insert batches."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.format(fmt).load(path)
+
+
+def windowed_counts(
+    sdf: DataFrame,
+    ts_col: str,
+    window: str,
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    keys: Iterable[str] = (),
+    aggs: list | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding) event-time aggregation with a watermark: state
+    for windows older than the watermark is dropped, which is what bounds
+    memory on an unbounded stream."""
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    aggs = aggs or [F.count("*").alias("cnt")]
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("window"), *keys)
+        .agg(*aggs)
+    )
+
+
+def session_windows(
+    sdf: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Iterable[str],
+    watermark: str = "10 minutes",
+    aggs: list | None = None,
+) -> DataFrame:
+    """Session windows: events within ``gap`` of each other merge into one
+    session per key."""
+    aggs = aggs or [F.count("*").alias("cnt")]
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("session"), *keys)
+        .agg(*aggs)
+    )
+
+
+def streaming_dedup(
+    sdf: DataFrame, keys: list[str], ts_col: str | None = None, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Exactly-once keys on a stream. With a watermark the dedup state is
+    bounded (keys older than the watermark are forgotten) — without one,
+    state grows without bound; always pass ts_col in production."""
+    if ts_col:
+        return sdf.withWatermark(ts_col, watermark).dropDuplicates(keys + [ts_col])
+    return sdf.dropDuplicates(keys)
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+_RUNNING_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", StringType()),  # decimal-as-string (exact)
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total_micros", LongType())]
+)
+
+
+def running_user_totals(sdf: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Per-user running (count, exact total) maintained across micro-batches
+    with explicit GroupState — the canonical custom stateful operator shape
+    for semantics the built-ins can't express (exact incremental totals in
+    integer micros, emitted once per batch per active key)."""
+
+    def update(key, pdfs, state: GroupState):
+        n, total_micros = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total_micros += int(round(pdf["value"].sum() * 1_000_000))
+        state.update((n, total_micros))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [f"{total_micros / 1_000_000:.6f}"],
+            }
+        )
+
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# test/debug sinks
+# ---------------------------------------------------------------------------
+
+def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "update"):
+    """Start the stream into an in-memory table (tests/debug only — memory
+    sink collects to the driver; production sinks are files/Kafka)."""
+    return (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )

@@ -1,0 +1,134 @@
+"""Incremental view maintenance tests — parity with the reference's IVM
+tests (core/src/database/evaluate.rs:1363-1604, database.rs:365-533,
+macros.rs:366-380) plus an equivalence check against the recompute engine.
+"""
+
+import random
+
+import pytest
+
+from codd_spark import Database, Relation, UnsupportedExpressionError
+from codd_spark.streaming.incremental import IncrementalDatabase
+
+
+def vals(rows):
+    out = [tuple(r) for r in rows]
+    if out and len(out[0]) == 1:
+        return [t[0] for t in out]
+    return out
+
+
+@pytest.fixture()
+def idb(spark):
+    return IncrementalDatabase(spark)
+
+
+def test_view_updates_incrementally(idb):
+    idb.add_relation("nums", "n LONG")
+    idb.insert("nums", [(1,), (2,), (3,)])
+    v = idb.store_view(Relation("nums").select("n % 2 = 1"))
+    assert vals(idb.view_rows(v)) == [1, 3]
+    idb.insert("nums", [(4,), (5,), (5,), (1,)])  # dups must be ignored
+    assert vals(idb.view_rows(v)) == [1, 3, 5]
+
+
+def test_views_three_deep_cascade(idb):
+    # reference: evaluate.rs:1374-1391
+    idb.add_relation("nums", "n LONG")
+    idb.insert("nums", [(1,), (2,), (3,)])
+    v1 = idb.store_view(Relation("nums").project("n * 10 AS n"))
+    v2 = idb.store_view(v1.scan().select("n >= 20"))
+    v3 = idb.store_view(v2.scan().project("n + 1 AS n"))
+    assert vals(idb.view_rows(v3)) == [21, 31]
+    idb.insert("nums", [(4,)])
+    assert vals(idb.view_rows(v3)) == [21, 31, 41]
+    # insert a duplicate: no change anywhere
+    idb.insert("nums", [(4,)])
+    assert vals(idb.view_rows(v3)) == [21, 31, 41]
+
+
+def test_view_over_join_delta_rules(idb):
+    idb.add_relation("l", "k LONG, v STRING")
+    idb.add_relation("r", "k LONG, w STRING")
+    idb.insert("l", [(1, "a"), (2, "b")])
+    idb.insert("r", [(1, "x")])
+    v = idb.store_view(
+        Relation("l").join(
+            Relation("r"), left_key=["k"],
+            mapper=lambda l, r: [l["v"].alias("v"), r["w"].alias("w")],
+        )
+    )
+    assert vals(idb.view_rows(v)) == [("a", "x")]
+    # ΔR joins stable L
+    idb.insert("r", [(2, "y")])
+    assert vals(idb.view_rows(v)) == [("a", "x"), ("b", "y")]
+    # ΔL joins stable R, and ΔL⋈ΔR when both change in one batch
+    idb.insert("l", [(2, "c")])
+    idb.insert("r", [(3, "z")])
+    idb.insert("l", [(3, "d")])
+    assert vals(idb.view_rows(v)) == [("a", "x"), ("b", "y"), ("c", "y"), ("d", "z")]
+
+
+def test_view_over_intersect_delta(idb):
+    idb.add_relation("a", "n LONG")
+    idb.add_relation("b", "n LONG")
+    idb.insert("a", [(1,), (2,)])
+    idb.insert("b", [(2,), (3,)])
+    v = idb.store_view(Relation("a").intersect(Relation("b")))
+    assert vals(idb.view_rows(v)) == [2]
+    idb.insert("a", [(3,)])
+    assert vals(idb.view_rows(v)) == [2, 3]
+    idb.insert("b", [(1,)])
+    assert vals(idb.view_rows(v)) == [1, 2, 3]
+
+
+def test_view_over_union_and_view_scan_combination(idb):
+    idb.add_relation("a", "n LONG")
+    idb.add_relation("b", "n LONG")
+    idb.insert("a", [(1,)])
+    idb.insert("b", [(10,)])
+    v_union = idb.store_view(Relation("a").union(Relation("b")))
+    v_big = idb.store_view(v_union.scan().select("n >= 10"))
+    assert vals(idb.view_rows(v_big)) == [10]
+    idb.insert("a", [(20,)])
+    idb.insert("b", [(2,)])
+    assert vals(idb.view_rows(v_big)) == [10, 20]
+
+
+def test_difference_view_rejected_but_query_ok(idb):
+    idb.add_relation("a", "n LONG")
+    idb.add_relation("b", "n LONG")
+    idb.insert("a", [(1,), (2,)])
+    idb.insert("b", [(2,)])
+    with pytest.raises(UnsupportedExpressionError):
+        idb.store_view(Relation("a").difference(Relation("b")))
+    # ad-hoc difference evaluation is fine
+    assert vals(idb.evaluate(Relation("a").difference(Relation("b")))) == [1]
+
+
+def test_incremental_matches_recompute_randomized(spark, idb):
+    """Property: after an arbitrary insert schedule, every view equals the
+    recompute engine's answer (the reference uses recompute-style asserts
+    in its IVM tests, e.g. evaluate.rs:1420-1460)."""
+    rdb = Database(spark)
+    for db in (idb, rdb):
+        db.add_relation("l", "k LONG, v LONG")
+        db.add_relation("r", "k LONG, w LONG")
+    expr = (
+        Relation("l")
+        .join(Relation("r"), left_key=["k"],
+              mapper=lambda l, r: [l["k"].alias("k"), (l["v"] + r["w"]).alias("s")])
+        .select("s % 2 = 0")
+    )
+    iv = idb.store_view(expr)
+    rv = rdb.store_view(expr)
+
+    rng = random.Random(13)
+    for step in range(4):
+        for rel in ("l", "r"):
+            batch = [(rng.randrange(5), rng.randrange(10)) for _ in range(rng.randrange(1, 6))]
+            idb.insert(rel, batch)
+            rdb.insert(rel, batch)
+        got = vals(idb.view_rows(iv))
+        want = vals(rdb.evaluate(rv.scan()))
+        assert got == want, f"divergence at step {step}"
