@@ -234,6 +234,59 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_revenue_by_nation(spark, sf_dir):
+    """The flagship query, oracle-checked: lineitem⋈orders⋈customer⋈nation
+    with broadcast dims, exact DECIMAL revenue."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(price * (1 - disc)).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3-shaped: revenue per order for one market segment, top 10.
+    Group-by feeds TakeOrderedAndProject — no global sort materialization."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(customer.filter("c_mktsegment = 'BUILDING'")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .groupBy("o_orderkey")
+        .agg(F.sum(price * (1 - disc)).alias("rev_dec"))
+        .orderBy(F.desc("rev_dec"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.col("rev_dec").cast("double").alias("revenue"))
+    )
+
+
+def q_lang_distribution(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("bigint").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # extensions: LLM-pipeline — dedup / text analysis / similarity
 # ---------------------------------------------------------------------------
@@ -400,6 +453,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_over_select": q_view_over_select,
         "incremental_view": q_incremental_view,
         "agg_pricing_summary": q_agg_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_revenue_orders": q_top_revenue_orders,
+        "lang_distribution": q_lang_distribution,
         "window_top3_orders_per_cust": q_window_top3_orders_per_cust,
         "topk_orders": q_topk_orders,
         "events_hourly": q_events_hourly,
@@ -480,6 +536,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "top_revenue_orders": """
+            SELECT o_orderkey, CAST(rev_dec AS DOUBLE) AS revenue FROM (
+                SELECT o_orderkey,
+                       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                WHERE c_mktsegment = 'BUILDING'
+                GROUP BY o_orderkey
+                ORDER BY rev_dec DESC, o_orderkey ASC
+                LIMIT 10
+            )
+        """,
+        "lang_distribution": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS total_chars,
+                   MIN(n_chars) AS min_chars,
+                   MAX(n_chars) AS max_chars
+            FROM documents
+            GROUP BY lang
         """,
         "window_top3_orders_per_cust": """
             SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

@@ -141,6 +141,25 @@ class Database:
         out = self.df(expr, distinct=True)
         return out.orderBy(*out.columns).collect()
 
+    # -- SQL surface ------------------------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        """Run Spark SQL over the catalog: every relation is visible as a
+        temp view under its name, every stored view as ``view_<id>``. A
+        strict superset of the reference's macro DSL (see codd_spark.dsl);
+        the reference itself has no SQL parser (SURVEY.md §2.1)."""
+        for name, entry in self._relations.items():
+            entry.df.createOrReplaceTempView(name)
+        for vid in self._views:
+            self.view_df(vid).createOrReplaceTempView(f"view_{vid}")
+        return self.spark.sql(query)
+
+    def execute(self, command: str):
+        """Execute one codd-DSL command (create relation / insert / query).
+        See codd_spark.dsl for the grammar."""
+        from codd_spark import dsl
+
+        return dsl.execute(self, command)
+
     # -- views -----------------------------------------------------------
     def store_view(self, expr: ast.Expression) -> ViewRef:
         """Materialize a view; it stays consistent as base relations grow.
