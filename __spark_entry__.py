@@ -287,6 +287,64 @@ def q_lang_distribution(spark, sf_dir):
     )
 
 
+def q_asof_join_events(spark, sf_dir):
+    """Backward as-of join: each click event attaches the user's latest
+    error event at-or-before it (union + carry-forward window, one shuffle
+    on user_id — no range probe)."""
+    from codd_spark.operators.joins import asof_join
+
+    events = read_table(spark, sf_dir, "events")
+    clicks = events.filter("event_type = 'click'").select("event_id", "ts", "user_id")
+    errors = events.filter("event_type = 'error'").select(
+        F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts"), "user_id"
+    )
+    out = asof_join(clicks, errors, on=["user_id"], left_ts="ts", right_ts="err_ts")
+    return out.select("user_id", "event_id", "err_id")
+
+
+def q_left_join_nation_suppliers(spark, sf_dir):
+    """Left outer join: supplier count per nation including zero-supplier
+    nations (the outer-join gap of the reference, SURVEY.md §2.2)."""
+    nation = read_table(spark, sf_dir, "nation")
+    supplier = read_table(spark, sf_dir, "supplier")
+    return (
+        nation.join(supplier, nation.n_nationkey == supplier.s_nationkey, "left")
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+def q_rollup_pricing(spark, sf_dir):
+    """ROLLUP grouping-sets aggregation (subtotals + grand total)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        F.sum(qty).cast("double").alias("sum_qty"),
+    )
+
+
+def q_distinct_users_per_type(spark, sf_dir):
+    """Exact COUNT(DISTINCT) per group (the HLL approx variant is
+    codd_spark.operators.aggregates.approx_distinct)."""
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-ish subword-boundary token counting: letter runs, single
+    digits, punctuation runs — the pre-tokenizer split used before byte
+    pair merging."""
+    docs = read_table(spark, sf_dir, "documents")
+    pattern = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pattern), F.lit(0))).alias("n_bpe_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # extensions: LLM-pipeline — dedup / text analysis / similarity
 # ---------------------------------------------------------------------------
@@ -456,6 +514,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "top_revenue_orders": q_top_revenue_orders,
         "lang_distribution": q_lang_distribution,
+        "asof_join_events": q_asof_join_events,
+        "left_join_nation_suppliers": q_left_join_nation_suppliers,
+        "rollup_pricing": q_rollup_pricing,
+        "distinct_users_per_type": q_distinct_users_per_type,
+        "token_count_bpe": q_token_count_bpe,
         "window_top3_orders_per_cust": q_window_top3_orders_per_cust,
         "topk_orders": q_topk_orders,
         "events_hourly": q_events_hourly,
@@ -581,6 +644,37 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "asof_join_events": """
+            WITH clicks AS (
+                SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'
+            ), errors AS (
+                SELECT event_id AS err_id, ts AS err_ts, user_id FROM events
+                WHERE event_type = 'error'
+            )
+            SELECT c.user_id, c.event_id, e.err_id
+            FROM clicks c ASOF LEFT JOIN errors e
+              ON c.user_id = e.user_id AND c.ts >= e.err_ts
+        """,
+        "left_join_nation_suppliers": """
+            SELECT n_nationkey, n_name, COUNT(s_suppkey) AS n_suppliers
+            FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+            GROUP BY n_nationkey, n_name
+        """,
+        "rollup_pricing": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "token_count_bpe": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+            FROM documents
         """,
         "events_hourly": """
             SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_epoch,

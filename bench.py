@@ -23,7 +23,11 @@ BENCH_QUERIES = [
     "project_disc_price",       # scan + compute (codegen path)
     "select_lineitem",          # filter pushdown
     "agg_pricing_summary",      # hash aggregate w/ partial agg
+    "revenue_by_nation",        # 3-join + agg (oracle-checked flagship)
+    "top_revenue_orders",       # join + agg + top-k
     "join_orders_customer_nation",  # multi-join, broadcast dims
+    "asof_join_events",         # as-of join (union + carry-forward)
+    "rollup_pricing",           # grouping sets
     "window_top3_orders_per_cust",  # window function
     "topk_orders",              # TakeOrderedAndProject
     "events_hourly",            # event-time bucketing

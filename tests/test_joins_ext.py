@@ -1,0 +1,95 @@
+"""Tests for the extension joins: as-of and salted."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from codd_spark.operators.joins import asof_join, salted_join
+
+TS = lambda s: datetime.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def quotes_trades(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, TS("2024-01-01 10:00:10"), 100),
+            (1, TS("2024-01-01 10:00:30"), 200),
+            (2, TS("2024-01-01 10:00:05"), 300),
+            (3, TS("2024-01-01 10:00:20"), 400),  # no quotes for key 3
+        ],
+        "k LONG, ts TIMESTAMP, qty LONG",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, TS("2024-01-01 10:00:00"), 9.0),
+            (1, TS("2024-01-01 10:00:30"), 11.0),  # tie with trade -> matches
+            (1, TS("2024-01-01 10:00:45"), 12.0),  # later than all trades
+            (2, TS("2024-01-01 10:00:04"), 20.0),
+        ],
+        "k LONG, ts TIMESTAMP, px DOUBLE",
+    )
+    return trades, quotes
+
+
+def test_asof_backward_inclusive(quotes_trades):
+    trades, quotes = quotes_trades
+    out = asof_join(trades, quotes, on=["k"], left_ts="ts", right_ts="ts")
+    got = {(r.k, r.qty): r.px for r in out.collect()}
+    assert got == {
+        (1, 100): 9.0,     # 10:00:10 -> quote at 10:00:00
+        (1, 200): 11.0,    # 10:00:30 -> tie matches (inclusive)
+        (2, 300): 20.0,
+        (3, 400): None,    # no quote for key
+    }
+    # row count preserved (left join semantics)
+    assert out.count() == trades.count()
+
+
+def test_asof_matches_duckdb(spark, quotes_trades):
+    import duckdb
+
+    trades, quotes = quotes_trades
+    out = asof_join(trades, quotes, on=["k"], left_ts="ts", right_ts="ts")
+    got = sorted((r.k, r.qty, r.px) for r in out.collect())
+
+    con = duckdb.connect()
+    con.register("trades", trades.toPandas())
+    con.register("quotes", quotes.toPandas())
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+        SELECT t.k, t.qty, q.px FROM trades t
+        ASOF LEFT JOIN quotes q ON t.k = q.k AND t.ts >= q.ts
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
+def test_salted_join_equals_plain_join(spark):
+    left = spark.createDataFrame(
+        [(i % 3, i) for i in range(100)], "k LONG, v LONG"
+    )
+    right = spark.createDataFrame([(0, "a"), (1, "b"), (5, "c")], "k LONG, tag STRING")
+    plain = sorted(tuple(r) for r in left.join(right, on=["k"]).collect())
+    salted = sorted(tuple(r) for r in salted_join(left, right, on=["k"], n_salts=8).collect())
+    assert salted == plain
+    # left join keeps unmatched rows
+    plain_l = sorted(
+        tuple(r) for r in left.join(right, on=["k"], how="left").collect()
+    )
+    salted_l = sorted(
+        tuple(r) for r in salted_join(left, right, on=["k"], n_salts=8, how="left").collect()
+    )
+    assert salted_l == plain_l
+
+
+def test_salted_join_rejects_right_outer(spark):
+    df = spark.createDataFrame([(1, 2)], "k LONG, v LONG")
+    with pytest.raises(ValueError):
+        salted_join(df, df, on=["k"], how="right")
