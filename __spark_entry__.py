@@ -287,6 +287,16 @@ def q_lang_distribution(spark, sf_dir):
     )
 
 
+def q_median_order_price(spark, sf_dir):
+    """Exact interpolated median per group (percentile; the approximate
+    scale path is percentile_approx — here exact to be oracle-checkable)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 def q_asof_join_events(spark, sf_dir):
     """Backward as-of join: each click event attaches the user's latest
     error event at-or-before it (union + carry-forward window, one shuffle
@@ -514,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "top_revenue_orders": q_top_revenue_orders,
         "lang_distribution": q_lang_distribution,
+        "median_order_price": q_median_order_price,
         "asof_join_events": q_asof_join_events,
         "left_join_nation_suppliers": q_left_join_nation_suppliers,
         "rollup_pricing": q_rollup_pricing,
@@ -644,6 +655,12 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "median_order_price": """
+            SELECT o_orderpriority,
+                   ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority
         """,
         "asof_join_events": """
             WITH clicks AS (

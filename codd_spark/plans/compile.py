@@ -43,6 +43,16 @@ def _resolve_cols(specs, df: DataFrame) -> list[Column]:
     return out
 
 
+def _apply_mapper(mapper, left: DataFrame, right: DataFrame) -> list[Column]:
+    """Binary-op mapper: a callable (left_df, right_df) -> cols, or a list
+    of SQL fragments referencing the sides as ``l.col`` / ``r.col``."""
+    if mapper is None:
+        return _dedup_names(left, right)
+    if isinstance(mapper, (list, tuple)):
+        return [F.expr(s) for s in mapper]
+    return mapper(left, right)
+
+
 def _dedup_names(left: DataFrame, right: DataFrame) -> list[Column]:
     """Default mapper for product/join: all left columns then all right
     columns, right-side name collisions suffixed ``_r``."""
@@ -111,8 +121,7 @@ def to_df(expr: ast.Expression, db: "Database") -> DataFrame:
         left = to_df(expr.left, db).alias("l")
         right = to_df(expr.right, db).alias("r")
         joined = left.crossJoin(right)
-        cols = expr.mapper(left, right) if expr.mapper else _dedup_names(left, right)
-        return joined.select(*cols)
+        return joined.select(*_apply_mapper(expr.mapper, left, right))
 
     if isinstance(expr, ast.Join):
         # Key closures become computed key columns materialized on each side
@@ -143,7 +152,6 @@ def to_df(expr: ast.Expression, db: "Database") -> DataFrame:
         joined = left.join(right, on=cond, how=expr.how)
         if expr.how in ("semi", "left_semi", "leftsemi", "anti", "left_anti", "leftanti"):
             return joined.drop(*[f"__codd_k{i}" for i in range(len(lkeys))])
-        cols = expr.mapper(left, right) if expr.mapper else _dedup_names(left, right)
-        return joined.select(*cols)
+        return joined.select(*_apply_mapper(expr.mapper, left, right))
 
     raise UnsupportedExpressionError(f"unknown expression node: {type(expr).__name__}")

@@ -39,7 +39,12 @@ from pyspark.sql import DataFrame, Row, SparkSession
 
 from codd_spark.errors import InstanceExistsError, InstanceNotFoundError
 from codd_spark.plans import ast
-from codd_spark.plans.compile import _dedup_names, _resolve_cols, _resolve_predicate
+from codd_spark.plans.compile import (
+    _apply_mapper,
+    _dedup_names,
+    _resolve_cols,
+    _resolve_predicate,
+)
 from codd_spark.plans.validate import assert_view_safe, dependencies
 from codd_spark.database import ViewRef
 
@@ -328,11 +333,9 @@ class IncrementalDatabase:
             if aliased is None:
                 la, ra = l.alias("l"), r.alias("r")
                 joined = la.crossJoin(ra)
-                cols = mapper(la, ra) if mapper else _dedup_names(la, ra)
             else:
                 la, ra = aliased
-                cols = mapper(la, ra) if mapper else _dedup_names(la, ra)
-            return joined.select(*cols)
+            return joined.select(*_apply_mapper(mapper, la, ra))
 
         if which == "all":
             return run(self._eval(expr.left, "all"), self._eval(expr.right, "all"))
