@@ -187,9 +187,9 @@ def q_agg_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped rollup. DECIMAL sums (order-insensitive, exact),
     DOUBLE only at the boundary."""
     li = read_table(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(18,2)")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(18,2)")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(3,2)")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -241,8 +241,8 @@ def q_revenue_by_nation(spark, sf_dir):
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
     nation = read_table(spark, sf_dir, "nation")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(3,2)")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
@@ -261,8 +261,8 @@ def q_top_revenue_orders(spark, sf_dir):
     lineitem = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(3,2)")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(
@@ -327,7 +327,7 @@ def q_left_join_nation_suppliers(spark, sf_dir):
 def q_rollup_pricing(spark, sf_dir):
     """ROLLUP grouping-sets aggregation (subtotals + grand total)."""
     li = read_table(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(18,2)")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("cnt"),
         F.sum(qty).cast("double").alias("sum_qty"),
@@ -602,19 +602,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
                    COUNT(*) AS count_order,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
         """,
         "revenue_by_nation": """
             SELECT n_name,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -625,8 +625,8 @@ def oracle_sql() -> dict[str, str]:
         "top_revenue_orders": """
             SELECT o_orderkey, CAST(rev_dec AS DOUBLE) AS revenue FROM (
                 SELECT o_orderkey,
-                       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+                       SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS rev_dec
                 FROM lineitem
                 JOIN orders ON l_orderkey = o_orderkey
                 JOIN customer ON o_custkey = c_custkey
@@ -680,7 +680,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rollup_pricing": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,

@@ -68,7 +68,10 @@ def flagship(spark, sf_dir):
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = -1.0
 
     spark = get_spark(app_name="codd-spark-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
