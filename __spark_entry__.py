@@ -489,14 +489,14 @@ def q_text_quality(spark, sf_dir):
 
 def q_winnowing(spark, sf_dir):
     """Winnowing fingerprint sketch sizes (position-robust overlap keys)."""
-    from codd_spark.operators.text import winnowing_fingerprint
+    from codd_spark.operators.text import winnowing_fingerprints
 
     docs = read_table(spark, sf_dir, "documents")
-    fp = winnowing_fingerprint(F.col("text"), k=8, w=4)
-    return docs.select(
+    out = winnowing_fingerprints(docs, "doc_id", "text", k=8, w=4)
+    return out.select(
         "doc_id",
-        F.size(fp).alias("n_fingerprints"),
-        F.element_at(fp, 1).alias("min_fingerprint"),
+        F.size("fingerprints").alias("n_fingerprints"),
+        F.element_at("fingerprints", 1).alias("min_fingerprint"),
     )
 
 
@@ -740,6 +740,48 @@ def oracle_sql() -> dict[str, str]:
                               * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
               FROM s a JOIN s b ON a.vec_id < b.vec_id
             ) WHERE cos_sim >= 0.4
+        """,
+        "text_features": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     string_split_regex(trim(text), '\\s+') AS toks,
+                     length(text) AS n_char
+              FROM documents
+            ), s AS (
+              SELECT doc_id, text, n_char, len(toks) AS n_tok,
+                     CASE WHEN n_char > 0
+                          THEN length(regexp_replace(text, '[\\w\\s]', '', 'g'))::DOUBLE / n_char
+                          ELSE 0.0 END AS p_ratio,
+                     CASE WHEN n_char > 0
+                          THEN length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE / n_char
+                          ELSE 0.0 END AS caps_ratio,
+                     len(list_filter(toks, x -> list_contains(['der', 'die', 'das', 'und', 'ist', 'ich', 'nicht', 'ein', 'eine', 'zu', 'den', 'mit', 'von', 'auf', 'für'], lower(x)))) AS s_de,
+                     len(list_filter(toks, x -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'for', 'on', 'with', 'as', 'was', 'at'], lower(x)))) AS s_en,
+                     len(list_filter(toks, x -> list_contains(['el', 'la', 'los', 'las', 'y', 'es', 'un', 'una', 'de', 'que', 'en', 'por', 'con', 'para', 'no'], lower(x)))) AS s_es,
+                     len(list_filter(toks, x -> list_contains(['le', 'la', 'les', 'et', 'est', 'un', 'une', 'de', 'des', 'que', 'pour', 'dans', 'qui', 'pas', 'sur'], lower(x)))) AS s_fr,
+                     len(list_filter(toks, x -> list_contains(['il', 'la', 'le', 'e', 'è', 'un', 'una', 'di', 'che', 'per', 'non', 'con', 'sono', 'del', 'si'], lower(x)))) AS s_it
+              FROM t
+            ), g AS (
+              SELECT *, greatest(s_de, s_en, s_es, s_fr, s_it) AS g FROM s
+            )
+            SELECT doc_id,
+                   n_char AS n_chars_actual,
+                   n_tok AS n_tokens,
+                   ROUND(p_ratio, 6) AS punct_ratio,
+                   ROUND(CASE WHEN n_tok > 0 THEN s_en::DOUBLE / n_tok ELSE 0.0 END, 6) AS stopword_ratio_en,
+                   CASE WHEN g = 0 THEN 'und'
+                        WHEN s_it = g THEN 'it'
+                        WHEN s_fr = g THEN 'fr'
+                        WHEN s_es = g THEN 'es'
+                        WHEN s_en = g THEN 'en'
+                        ELSE 'de' END AS lang_guess,
+                   CAST(ROUND(
+                     (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.4
+                     + (CASE WHEN n_tok > 0 AND (n_char::DOUBLE / n_tok) BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.25
+                     + (CASE WHEN p_ratio <= 0.25 THEN 1.0 ELSE 0.5 END) * 0.2
+                     + (CASE WHEN caps_ratio <= 0.3 THEN 1.0 ELSE 0.6 END) * 0.15,
+                   6) AS DOUBLE) AS quality
+            FROM g
         """,
         "text_quality": """
             WITH t AS (

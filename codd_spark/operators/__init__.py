@@ -20,7 +20,7 @@ from codd_spark.operators.text import (
     add_text_features,
     lang_id,
     quality_score,
-    winnowing_fingerprint,
+    winnowing_fingerprints,
 )
 
 __all__ = [
@@ -38,5 +38,5 @@ __all__ = [
     "simhash64",
     "simhash_near_duplicates",
     "top_k",
-    "winnowing_fingerprint",
+    "winnowing_fingerprints",
 ]

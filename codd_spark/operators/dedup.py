@@ -42,7 +42,12 @@ def _coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
 # ---------------------------------------------------------------------------
 
 def char_shingles(c: Column, k: int = 5) -> Column:
-    """Distinct k-character shingles of whitespace-normalized text."""
+    """Distinct k-character shingles of whitespace-normalized text.
+
+    NOTE: expressions referenced inside a transform() lambda re-evaluate
+    per array element — pass an already-materialized *column* of normalized
+    text (see _shingled in minhash_near_duplicates), or accept the
+    normalization running once per shingle position."""
     norm = normalize_ws(c)
     n = F.greatest(F.length(norm) - (k - 1), F.lit(1))
     return F.array_distinct(
@@ -50,9 +55,22 @@ def char_shingles(c: Column, k: int = 5) -> Column:
     )
 
 
+def _shingles_of_attr(t: Column, k: int) -> Column:
+    """char_shingles over a cheap attribute column (no embedded regex)."""
+    n = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k)))
+    )
+
+
 def word_ngrams(c: Column, n: int = 3) -> Column:
-    """Distinct word n-grams (space-joined) of the text."""
-    toks = tokens(c)
+    """Distinct word n-grams (space-joined) of the text. Same caveat as
+    char_shingles: pass a materialized token-array column where possible
+    (the tokenizing split re-runs per n-gram position otherwise)."""
+    return _ngrams_of_attr(tokens(c), n)
+
+
+def _ngrams_of_attr(toks: Column, n: int) -> Column:
     cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
     return F.array_distinct(
         F.transform(
@@ -169,9 +187,14 @@ def minhash_near_duplicates(
     # Repartition up front: corpora often arrive as few large files, and
     # every stage below is CPU-bound — without this the string-heavy
     # shingling runs at the input's (possibly single-file) parallelism.
-    shingled = df.repartition(parallelism, F.col(id_col)).select(
-        F.col(id_col).alias("id"),
-        char_shingles(F.col(text_col), shingle_k).alias("sh"),
+    # Stage normalized text as a real column so the shingling lambda
+    # references an attribute, not the embedded regex normalization (which
+    # would otherwise re-run once per shingle position).
+    normed = df.repartition(parallelism, F.col(id_col)).select(
+        F.col(id_col).alias("id"), normalize_ws(F.col(text_col)).alias("__t")
+    )
+    shingled = normed.select(
+        "id", _shingles_of_attr(F.col("__t"), shingle_k).alias("sh")
     )
     exploded = shingled.select("id", F.explode(shingle_hashes(F.col("sh"))).alias("h"))
     coeffs = _coeffs(num_hashes, seed)
@@ -334,7 +357,8 @@ def ngram_jaccard_pairs(
     """Exact pairwise Jaccard on word n-grams. O(n^2) cross join — meant
     for bounded subsets or as the verification stage after LSH candidate
     generation (use minhash_near_duplicates for corpus-scale)."""
-    g = df.select(F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("ng"))
+    toked = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks"))
+    g = toked.select("id", _ngrams_of_attr(F.col("__toks"), n).alias("ng"))
     a = g.select(F.col("id").alias("id_a"), F.col("ng").alias("ng_a"))
     b = g.select(F.col("id").alias("id_b"), F.col("ng").alias("ng_b"))
     return (

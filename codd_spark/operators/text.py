@@ -68,21 +68,36 @@ def quality_score(text_col: Column) -> Column:
     return F.round(len_ok * 0.4 + tok_len_ok * 0.25 + punct_ok * 0.2 + caps_ok * 0.15, 6)
 
 
-def winnowing_fingerprint(text_col: Column, k: int = 8, w: int = 4) -> Column:
-    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03): hash
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash
     every k-gram, slide a window of w hashes, keep each window's minimum —
     a position-robust sketch for plagiarism-style overlap detection.
-    Returns sorted array<long> of selected hashes."""
+    Returns (id, fingerprints sorted array<long>).
+
+    Two staged projections matter enormously here: an expression
+    referenced inside a transform() lambda is re-evaluated PER ARRAY
+    ELEMENT, so (a) the regex-normalized text and (b) the k-gram hash
+    array must each be materialized as real columns before the next stage
+    slices them. The fully-inlined formulation re-normalizes per k-gram
+    and re-hashes the whole gram array per window — O(n²) per document,
+    measured 450+ s for 500 docs vs 0.3 s for this shape. (CollapseProject
+    keeps these stages separate because the staged aliases are referenced
+    more than once downstream.)"""
     from codd_spark.functions.text import normalize_ws
 
-    norm = normalize_ws(text_col)
-    n = F.greatest(F.length(norm) - (k - 1), F.lit(1))
-    kh = F.transform(F.sequence(F.lit(1), n), lambda i: F.xxhash64(norm.substr(i, F.lit(k))))
+    normed = df.select(F.col(id_col).alias("id"), normalize_ws(F.col(text_col)).alias("t"))
+    t = F.col("t")
+    n = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    kh_expr = F.transform(F.sequence(F.lit(1), n), lambda i: F.xxhash64(t.substr(i, F.lit(k))))
+    khdf = normed.select("id", kh_expr.alias("kh"))
+
+    kh = F.col("kh")
     n_win = F.greatest(F.size(kh) - (w - 1), F.lit(1))
-    mins = F.transform(
-        F.sequence(F.lit(1), n_win), lambda i: F.array_min(F.slice(kh, i, w))
-    )
-    return F.array_sort(F.array_distinct(mins))
+    mins = F.transform(F.sequence(F.lit(1), n_win), lambda j: F.array_min(F.slice(kh, j, w)))
+    out = khdf.select("id", F.array_sort(F.array_distinct(mins)).alias("fingerprints"))
+    return out.withColumnRenamed("id", id_col) if id_col != "id" else out
 
 
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:

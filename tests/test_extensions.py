@@ -197,6 +197,30 @@ def test_top_k_and_grouped_top_k(spark):
     assert {(r.g, r.v) for r in gg.collect() if r.g == 0} == {(0, 4), (0, 3)}
 
 
+def test_winnowing_matches_bruteforce(spark, docs):
+    """The distributed winnowing must equal a direct single-machine
+    implementation of the algorithm (hash values via Spark's xxhash64)."""
+    from codd_spark.operators.text import winnowing_fingerprints
+    import re as _re
+
+    k, w = 8, 4
+    out = {r.doc_id: list(r.fingerprints)
+           for r in winnowing_fingerprints(docs, "doc_id", "text", k=k, w=w).collect()}
+
+    # brute force: get the k-gram xxhash64 values from Spark (same hash fn),
+    # then do the windowed-min selection in plain Python
+    from pyspark.sql import functions as F2
+    texts = {r.doc_id: _re.sub(r"\s+", " ", r.text.lower()).strip()
+             for r in docs.collect()}
+    for doc_id, t in texts.items():
+        grams = [t[i:i + k] for i in range(max(len(t) - k + 1, 1))]
+        hdf = spark.createDataFrame([(g,) for g in grams], "g STRING")
+        hashes = [r.h for r in hdf.select(F2.xxhash64("g").alias("h")).collect()]
+        n_win = max(len(hashes) - w + 1, 1)
+        want = sorted({min(hashes[j:j + w]) for j in range(n_win)})
+        assert out[doc_id] == want, f"doc {doc_id}"
+
+
 def test_multimodal_plumbing(spark):
     from codd_spark.operators.multimodal import (
         decode_image_features,

@@ -102,6 +102,36 @@ def test_session_windows(spark, events_dir):
     assert by_user[2] == 1
 
 
+def test_streaming_view_of_algebra_expression(spark, events_dir):
+    from codd_spark import Relation, UnsupportedExpressionError
+    from codd_spark.streaming.view_stream import streaming_view
+    import pytest as _pytest
+
+    sdf = stream_from_directory(spark, events_dir, SCHEMA)
+    expr = (
+        Relation("events")
+        .select("value >= 1.0")
+        .project("event_id", "user_id", "value * 2 AS v2")
+    )
+    q = run_to_memory(streaming_view(expr, {"events": sdf}), "view_stream", "append")
+    _drain(q)
+    got = sorted(tuple(r) for r in spark.table("view_stream").collect())
+    batch = spark.read.schema(SCHEMA).parquet(events_dir)
+    want = sorted(
+        tuple(r)
+        for r in batch.filter("value >= 1.0")
+        .selectExpr("event_id", "user_id", "value * 2 AS v2")
+        .collect()
+    )
+    assert got == want
+
+    # non-monotone/stateful shapes are rejected up front
+    with _pytest.raises(UnsupportedExpressionError):
+        streaming_view(
+            Relation("events").difference(Relation("events")), {"events": sdf}
+        )
+
+
 def test_running_user_totals_stateful(spark, events_dir):
     sdf = stream_from_directory(spark, events_dir, SCHEMA)
     q = run_to_memory(running_user_totals(sdf), "running", output_mode="update")
