@@ -414,6 +414,26 @@ def q_incremental_view(spark, sf_dir):
     return idb.df(v.scan())
 
 
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end curation pipeline (quality filter -> lang filter ->
+    exact dedup keeping min doc_id) — the composition query."""
+    from codd_spark.operators.pipeline import curate_corpus
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = curate_corpus(docs, keep_langs=("en", "de"), min_quality=0.7)
+    return out.select("doc_id", "lang", "n_chars")
+
+
+def q_corpus_stats(spark, sf_dir):
+    """Sketch-based corpus summary (HLL + approximate percentiles) — the
+    approximate scale path; rows-only by design (sketches differ across
+    engines)."""
+    from codd_spark.operators.pipeline import corpus_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus_stats(docs)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard pairs on a bounded subset (the LSH-free
     verification primitive; corpus-scale path is minhash_near_dups)."""
@@ -536,6 +556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_stats": q_text_stats,
         "similarity_topk": q_similarity_topk,
+        "corpus_curation": q_corpus_curation,
+        "corpus_stats": q_corpus_stats,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
@@ -713,6 +735,36 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS n_chars_actual,
                    len(string_split_regex(trim(text), '\\s+')) AS n_tokens
             FROM documents
+        """,
+        "corpus_curation": """
+            WITH t AS (
+              SELECT doc_id, lang, n_chars,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                     length(text) AS n_char,
+                     len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+                     CASE WHEN length(text) > 0
+                          THEN length(regexp_replace(text, '[\\w\\s]', '', 'g'))::DOUBLE / length(text)
+                          ELSE 0.0 END AS p_ratio,
+                     CASE WHEN length(text) > 0
+                          THEN length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE / length(text)
+                          ELSE 0.0 END AS caps_ratio
+              FROM documents
+            ), scored AS (
+              SELECT *, CAST(ROUND(
+                     (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.4
+                     + (CASE WHEN n_tok > 0 AND (n_char::DOUBLE / n_tok) BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.25
+                     + (CASE WHEN p_ratio <= 0.25 THEN 1.0 ELSE 0.5 END) * 0.2
+                     + (CASE WHEN caps_ratio <= 0.3 THEN 1.0 ELSE 0.6 END) * 0.15,
+                   6) AS DOUBLE) AS quality
+              FROM t
+            ), f AS (
+              SELECT doc_id, lang, n_chars, fp FROM scored
+              WHERE quality >= 0.7 AND lang IN ('en', 'de')
+            ), k AS (
+              SELECT fp, MIN(doc_id) AS doc_id FROM f GROUP BY fp
+            )
+            SELECT f.doc_id, f.lang, f.n_chars
+            FROM f JOIN k ON f.fp = k.fp AND f.doc_id = k.doc_id
         """,
         "ngram_jaccard": """
             WITH g AS (

@@ -1,0 +1,79 @@
+"""End-to-end corpus curation — the composition the engine exists for:
+quality-filter -> language-filter -> exact dedup -> (optional) near-dup
+removal -> stats. Everything stays declarative, so Catalyst fuses the
+filters into the scan and the whole pipeline is one job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from codd_spark.functions.text import fingerprint_md5
+from codd_spark.operators.dedup import minhash_near_duplicates
+from codd_spark.operators.text import quality_score
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    keep_langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.7,
+    near_dup_threshold: float | None = None,
+) -> DataFrame:
+    """Curated corpus: quality- and language-filtered, exact-deduped
+    (keep the smallest id per normalized-content fingerprint), optionally
+    minus MinHash near-duplicates (keeping each pair's smaller id).
+
+    ``near_dup_threshold=None`` skips the LSH stage (the exact pipeline is
+    fully SQL-checkable; the LSH stage is probabilistic-recall)."""
+    filtered = df.withColumn("__q", quality_score(F.col(text_col))).filter(
+        F.col("__q") >= min_quality
+    )
+    if lang_col is not None and keep_langs:
+        filtered = filtered.filter(F.col(lang_col).isin(*keep_langs))
+
+    # exact dedup, deterministic keeper = min id per fingerprint
+    fp = filtered.withColumn("__fp", fingerprint_md5(F.col(text_col)))
+    keepers = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    curated = fp.join(keepers, on=["__fp", id_col]).drop("__fp", "__q")
+
+    if near_dup_threshold is not None:
+        pairs = minhash_near_duplicates(
+            curated, id_col, text_col, threshold=near_dup_threshold
+        )
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        curated = curated.join(losers, on=[id_col], how="anti")
+    return curated
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus summary with the approximate (sketch-based) scale
+    paths: HLL distinct fingerprints, approximate length percentiles."""
+    return df.agg(
+        F.count("*").alias("n_docs"),
+        F.approx_count_distinct(fingerprint_md5(F.col(text_col)), 0.02).alias(
+            "approx_distinct_contents"
+        ),
+        F.percentile_approx(F.length(text_col), [0.5, 0.9, 0.99], 10000).alias(
+            "len_percentiles"
+        ),
+    )
+
+
+def normalize_per_group(
+    df: DataFrame, keys: list[str], value_col: str, out_col: str = "z"
+) -> DataFrame:
+    """Per-group z-score via window mean/stddev — the built-in route for
+    what naive code does with a grouped-map pandas UDF (this stays in the
+    JVM; use applyInPandas only when the per-group logic is genuinely
+    opaque)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys)
+    mean = F.avg(value_col).over(w)
+    std = F.stddev_samp(value_col).over(w)
+    return df.withColumn(
+        out_col, F.when(std > 0, (F.col(value_col) - mean) / std)
+    )

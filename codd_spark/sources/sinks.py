@@ -22,6 +22,27 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    n_buckets: int = 32,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Two tables bucketed by the same key with the same bucket count join
+    WITHOUT a shuffle (and without even a sort, if sorted) — this is how
+    repeated large-fact joins amortize their shuffle at 100 TB: pay the
+    clustering once at write time, join shuffle-free forever after.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
     df.write.mode(mode).options(header="true", **options).csv(path)
 
