@@ -485,6 +485,18 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_top_k(emb, queries_df, dim=64, k=5, n_planes=8, probe_hamming=1)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: KMeans inverted lists, probe 3 nearest lists."""
+    from pyspark.sql import functions as F2
+    from codd_spark.operators.similarity import ivf_top_k
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter("vec_id < 5").select(
+        F2.col("vec_id").alias("query_id"), F2.col("embedding").alias("q_emb")
+    )
+    return ivf_top_k(emb, queries_df, k=5, n_lists=16, n_probe=3)
+
+
 def q_text_features(spark, sf_dir):
     """Full text-analysis feature set incl. heuristic language ID."""
     from codd_spark.operators.text import add_text_features
@@ -563,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "text_features": q_text_features,
         "text_quality": q_text_quality,
         "winnowing": q_winnowing,

@@ -130,6 +130,78 @@ def lsh_top_k(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_top_k(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_emb_col: str = "q_emb",
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k: cluster the corpus with KMeans
+    (the 'inverted lists'), assign each vector to its nearest centroid,
+    and search each query only in its ``n_probe`` nearest lists.
+
+    Compared to hyperplane LSH this adapts to the data distribution
+    (centroids follow density), at the cost of a training pass. The
+    centroid set is tiny and broadcast; the corpus is scanned once for
+    assignment (persist the assigned table for repeated query batches at
+    scale)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_vec = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("_emb"),
+        array_to_vector(F.col(emb_col).cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=n_lists, seed=seed, maxIter=20)
+    model = km.fit(corpus_vec.select("features"))
+    assigned = model.transform(corpus_vec).select(
+        "neighbor_id", "_emb", F.col("prediction").alias("list_id")
+    )
+
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def nearest_lists(emb: Column) -> Column:
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(emb, _lit_vec(c), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("d"),
+                    F.lit(i).alias("list_id"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.slice(F.array_sort(dists), 1, n_probe)
+
+    qx = queries.select(
+        F.col(query_id_col),
+        F.col(query_emb_col).alias("_qemb"),
+        F.explode(nearest_lists(F.col(query_emb_col))).alias("nl"),
+    ).select(query_id_col, "_qemb", F.col("nl.list_id").alias("list_id"))
+
+    joined = assigned.join(F.broadcast(qx), on="list_id").filter(
+        F.col("neighbor_id") != F.col(query_id_col)
+    )
+    scored = joined.select(
+        F.col(query_id_col),
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("_qemb"), F.col("_emb")), 6).alias("cos_sim"),
+    ).distinct()
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     *,

@@ -91,6 +91,30 @@ def streaming_dedup(
     return sdf.dropDuplicates(keys)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "1 hour",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with a time-bound: right rows
+    match left rows within [left_ts - max_delay, left_ts]. The watermark +
+    the time-bound are what let Spark evict join state — an unbounded
+    stream-stream join without them grows state forever."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {max_delay}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+    )
+    return l.join(r, on=cond, how=how).drop(F.col(f"r.{on}"))
+
+
 # ---------------------------------------------------------------------------
 # custom stateful operator: applyInPandasWithState
 # ---------------------------------------------------------------------------

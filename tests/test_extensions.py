@@ -138,6 +138,17 @@ def test_lsh_top_k_finds_close_neighbor(embeddings):
     assert any(r.neighbor_id == 1 and r.rank == 1 for r in out)
 
 
+def test_ivf_top_k_finds_close_neighbor(embeddings):
+    from codd_spark.operators.similarity import ivf_top_k
+
+    queries = embeddings.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    out = ivf_top_k(embeddings, queries, k=3, n_lists=4, n_probe=2).collect()
+    # vec 1 is nearly identical to the query; its list is certainly probed
+    assert any(r.neighbor_id == 1 and r.rank == 1 for r in out)
+
+
 def test_embedding_near_duplicates(embeddings):
     exact = embedding_near_duplicates(
         embeddings, dim=16, threshold=0.99, exact=True

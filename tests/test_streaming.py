@@ -132,6 +132,43 @@ def test_streaming_view_of_algebra_expression(spark, events_dir):
         )
 
 
+def test_stream_stream_join(spark, events_dir):
+    from codd_spark.streaming.structured import stream_stream_join
+
+    sdf = stream_from_directory(spark, events_dir, SCHEMA)
+    clicks = sdf.filter("value >= 2.0").select(
+        F.col("event_id").alias("l_id"), F.col("ts").alias("l_ts"), "user_id"
+    )
+    others = sdf.filter("value < 2.0").select(
+        F.col("event_id").alias("r_id"), F.col("ts").alias("r_ts"), "user_id"
+    )
+    joined = stream_stream_join(
+        clicks, others, on="user_id", left_ts="l_ts", right_ts="r_ts",
+        max_delay="2 minutes", watermark="10 minutes",
+    )
+    q = run_to_memory(joined.select("user_id", "l_id", "r_id"), "ssj", "append")
+    _drain(q)
+    got = sorted((r.user_id, r.l_id, r.r_id) for r in spark.table("ssj").collect())
+
+    batch = spark.read.schema(SCHEMA).parquet(events_dir)
+    bl = batch.filter("value >= 2.0").select(
+        F.col("event_id").alias("l_id"), F.col("ts").alias("l_ts"), "user_id"
+    )
+    br = batch.filter("value < 2.0").select(
+        F.col("event_id").alias("r_id"), F.col("ts").alias("r_ts"), "user_id"
+    )
+    want = sorted(
+        (r.user_id, r.l_id, r.r_id)
+        for r in bl.join(
+            br,
+            (bl.user_id == br.user_id)
+            & (br.r_ts >= bl.l_ts - F.expr("INTERVAL 2 minutes"))
+            & (br.r_ts <= bl.l_ts),
+        ).select(bl.user_id, "l_id", "r_id").collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_running_user_totals_stateful(spark, events_dir):
     sdf = stream_from_directory(spark, events_dir, SCHEMA)
     q = run_to_memory(running_user_totals(sdf), "running", output_mode="update")
