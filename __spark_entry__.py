@@ -234,6 +234,27 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_user_sessions(spark, sf_dir):
+    """Batch sessionization (gaps-and-islands, 30-min gap) + per-session
+    stats. One exchange on user_id for both window passes and the final
+    aggregate.
+
+    The output deliberately excludes raw epoch timestamps: the testdata
+    parquet stores TIMESTAMP(NANOS), which Spark rounds to micros but
+    DuckDB 1.0 truncates, so epoch values differ by ±1 µs on ~half the
+    rows. Session ASSIGNMENT is unaffected (verified: every inter-event
+    gap is ≥0.66 s away from the 1800 s threshold and events are ≥58 ms
+    apart, so a ±1 µs shift can't flip an ordering or a session split)."""
+    from codd_spark.operators.aggregates import sessionize
+
+    events = read_table(spark, sf_dir, "events")
+    s = sessionize(events, ["user_id"], "ts", gap_seconds=1800, tiebreak="event_id")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,10)")).cast("double").alias("sum_value"),
+    )
+
+
 def q_revenue_by_nation(spark, sf_dir):
     """The flagship query, oracle-checked: lineitem⋈orders⋈customer⋈nation
     with broadcast dims, exact DECIMAL revenue."""
@@ -565,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top3_orders_per_cust": q_window_top3_orders_per_cust,
         "topk_orders": q_topk_orders,
         "events_hourly": q_events_hourly,
+        "user_sessions": q_user_sessions,
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_stats": q_text_stats,
         "similarity_topk": q_similarity_topk,
@@ -735,6 +757,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "user_sessions": """
+            WITH seq AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, ts, value,
+                       SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM seq
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value
+            FROM sess
+            GROUP BY user_id, session_id
         """,
         "dedup_exact_documents": """
             SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,

@@ -43,3 +43,36 @@ def tumbling_window_agg(
     """Event-time tumbling window aggregation (works identically on batch
     and streaming DataFrames)."""
     return df.groupBy(F.window(ts_col, duration).alias("window"), *keys).agg(*aggs)
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_seconds: float,
+    tiebreak: str | None = None,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gaps-and-islands sessionization: number each row's session per key,
+    where a new session starts when the time since the key's previous event
+    exceeds ``gap_seconds``. The batch analogue of
+    ``F.session_window`` that keeps every row (with its session id) instead
+    of collapsing to one row per session.
+
+    Scale shape: both window passes (the lag probe and the running sum)
+    share one partitioning and ordering, so the plan has exactly ONE
+    exchange on the key and one sort — the same cost as any per-key window
+    function. Skewed keys (one user = half the events) are the usual
+    window-function hazard; mitigate upstream by splitting bot traffic.
+
+    Pass a unique ``tiebreak`` column (e.g. the event id) so equal
+    timestamps order deterministically."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col))
+    prev = F.lag(us).over(w)
+    is_new = F.when(
+        prev.isNull() | ((us - prev) > int(gap_seconds * 1_000_000)), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(session_col, F.sum(is_new).over(run))

@@ -193,9 +193,13 @@ def minhash_near_duplicates(
     normed = df.repartition(parallelism, F.col(id_col)).select(
         F.col(id_col).alias("id"), normalize_ws(F.col(text_col)).alias("__t")
     )
+    # Persist the shingled projection: it feeds BOTH the signature path and
+    # the exact-Jaccard verification join; without this the string-heavy
+    # shingling (the most expensive stage) runs twice. At true corpus scale
+    # swap the persist for a write to a bucketed table (see sinks).
     shingled = normed.select(
         "id", _shingles_of_attr(F.col("__t"), shingle_k).alias("sh")
-    )
+    ).persist()
     exploded = shingled.select("id", F.explode(shingle_hashes(F.col("sh"))).alias("h"))
     coeffs = _coeffs(num_hashes, seed)
     sig_df = exploded.groupBy("id").agg(
@@ -204,11 +208,11 @@ def minhash_near_duplicates(
             for i, (a, b) in enumerate(coeffs)
         ]
     )
-    docs = sig_df.select(
+    sigs = sig_df.select(
         "id", F.array(*[F.col(f"_s{i}") for i in range(num_hashes)]).alias("sig")
-    ).join(shingled, on="id")
+    )
 
-    buckets = docs.select(
+    buckets = sigs.select(
         "id", F.explode(_band_structs(F.col("sig"), bands, r)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.h").alias("h"))
 
@@ -227,7 +231,10 @@ def minhash_near_duplicates(
         .distinct()
     )
 
-    sh = docs.select("id", "sh")
+    # Verification reads the persisted shingle sets directly — every id in
+    # cand came from sigs, whose ids are exactly shingled's ids, so no join
+    # through the signature aggregate is needed.
+    sh = shingled
     verified = (
         cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), on="id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), on="id_b")

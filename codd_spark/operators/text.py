@@ -18,19 +18,20 @@ _STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
-def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
-    return F.size(F.array_intersect(F.transform(toks, F.lower), F.array(*[F.lit(w) for w in words])))
+def _stopword_hits(toks_lc: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.array_intersect(toks_lc, F.array(*[F.lit(w) for w in words])))
 
 
-def lang_id(text_col: Column, langs: dict[str, tuple[str, ...]] | None = None) -> Column:
-    """Best-guess language code by stopword-hit score; 'und' (undetermined)
-    when no stopword of any language appears. Ties break lexicographically
-    larger-lang-wins via struct max — deterministic."""
+def lang_id_from_tokens(
+    toks_lc: Column, langs: dict[str, tuple[str, ...]] | None = None
+) -> Column:
+    """lang_id over a pre-materialized lowercase token-array column.
+    Prefer this inside multi-feature projections: referencing an expression
+    (rather than an attribute) here re-tokenizes once per language."""
     langs = langs or _STOPWORDS
-    toks = tokens(text_col)
     scored = F.array(
         *[
-            F.struct(_stopword_hits(toks, words).alias("score"), F.lit(code).alias("lang"))
+            F.struct(_stopword_hits(toks_lc, words).alias("score"), F.lit(code).alias("lang"))
             for code, words in sorted(langs.items())
         ]
     )
@@ -38,22 +39,38 @@ def lang_id(text_col: Column, langs: dict[str, tuple[str, ...]] | None = None) -
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
-def stopword_ratio(text_col: Column, words: tuple[str, ...] | None = None) -> Column:
+def lang_id(text_col: Column, langs: dict[str, tuple[str, ...]] | None = None) -> Column:
+    """Best-guess language code by stopword-hit score; 'und' (undetermined)
+    when no stopword of any language appears. Ties break lexicographically
+    larger-lang-wins via struct max — deterministic."""
+    return lang_id_from_tokens(F.transform(tokens(text_col), F.lower), langs)
+
+
+def stopword_ratio_from_tokens(
+    toks_lc: Column, words: tuple[str, ...] | None = None
+) -> Column:
+    """stopword_ratio over a pre-materialized lowercase token array.
+    Counts multiplicity (filter, not set-intersect)."""
     words = words or _STOPWORDS["en"]
-    toks = tokens(text_col)
     return F.when(
-        F.size(toks) > 0,
-        F.size(F.filter(F.transform(toks, F.lower), lambda t: t.isin(*words))).cast("double")
-        / F.size(toks).cast("double"),
+        F.size(toks_lc) > 0,
+        F.size(F.filter(toks_lc, lambda t: t.isin(*words))).cast("double")
+        / F.size(toks_lc).cast("double"),
     ).otherwise(F.lit(0.0))
 
 
-def quality_score(text_col: Column) -> Column:
+def stopword_ratio(text_col: Column, words: tuple[str, ...] | None = None) -> Column:
+    return stopword_ratio_from_tokens(F.transform(tokens(text_col), F.lower), words)
+
+
+def quality_score(text_col: Column, n_tok: Column | None = None) -> Column:
     """Heuristic document quality in [0,1] from cheap surface statistics:
     length band, mean token length band, punctuation ratio, all-caps ratio.
     The shape (not the exact weights) mirrors standard pretraining-corpus
-    quality filters (C4/Gopher-style rules)."""
-    n_tok = token_count(text_col)
+    quality filters (C4/Gopher-style rules). Pass a pre-computed token
+    count via ``n_tok`` to avoid re-tokenizing in multi-feature
+    projections."""
+    n_tok = token_count(text_col) if n_tok is None else n_tok
     n_char = F.length(text_col)
     mean_tok_len = F.when(n_tok > 0, n_char.cast("double") / n_tok.cast("double")).otherwise(0.0)
     p_ratio = punct_ratio(text_col)
@@ -101,15 +118,26 @@ def winnowing_fingerprints(
 
 
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the standard text-analysis feature columns in one projection."""
+    """Attach the standard text-analysis feature columns.
+
+    Two projections, not one: the lowercase token array is materialized as
+    a staged column first, and every token-derived feature (token count,
+    stopword ratio, the 5 per-language lang-id intersects, quality) then
+    references that ATTRIBUTE. CollapseProject leaves the stage in place
+    because the non-cheap producer is referenced many times downstream; the
+    fully-inlined formulation re-splits the text once per feature (~7× —
+    measured 2.45 s vs ~0.9 s at sf0.1)."""
     c = F.col(text_col)
-    return df.withColumns(
+    staged = df.withColumn("__toks_lc", F.transform(tokens(c), F.lower))
+    toks = F.col("__toks_lc")
+    n_tok = F.size(toks)
+    return staged.withColumns(
         {
             "n_chars_actual": F.length(c),
-            "n_tokens": token_count(c),
+            "n_tokens": n_tok,
             "punct_ratio": F.round(punct_ratio(c), 6),
-            "stopword_ratio_en": F.round(stopword_ratio(c), 6),
-            "lang_guess": lang_id(c),
-            "quality": quality_score(c),
+            "stopword_ratio_en": F.round(stopword_ratio_from_tokens(toks), 6),
+            "lang_guess": lang_id_from_tokens(toks),
+            "quality": quality_score(c, n_tok=n_tok),
         }
-    )
+    ).drop("__toks_lc")

@@ -35,9 +35,21 @@ def to_sql(expr: ast.Expression) -> str:
         return f"SELECT {cols} WHERE 1 = 0"
 
     if isinstance(expr, ast.Singleton):
-        if not isinstance(expr.row, dict):
-            raise UnsupportedExpressionError("to_sql Singleton needs a dict row")
-        cols = ", ".join(f"{_sql_lit(v)} AS {k}" for k, v in expr.row.items())
+        if isinstance(expr.row, dict):
+            cols = ", ".join(f"{_sql_lit(v)} AS {k}" for k, v in expr.row.items())
+        elif isinstance(expr.row, (tuple, list)) and expr.schema:
+            names = [f.split()[0] for f in expr.schema.split(",")]
+            if len(names) != len(expr.row):
+                raise UnsupportedExpressionError(
+                    f"to_sql Singleton: {len(expr.row)} values vs {len(names)} schema fields"
+                )
+            cols = ", ".join(
+                f"{_sql_lit(v)} AS {k}" for k, v in zip(names, expr.row)
+            )
+        else:
+            raise UnsupportedExpressionError(
+                "to_sql Singleton needs a dict row or a tuple/list row with a schema"
+            )
         return f"SELECT {cols}"
 
     if isinstance(expr, ast.Full):
@@ -81,6 +93,13 @@ def to_sql(expr: ast.Expression) -> str:
         for lk, rk in zip(expr.left_key, expr.right_key):
             op = "IS NOT DISTINCT FROM" if expr.null_safe else "="
             conds.append(f"(l.{_frag(lk)}) {op} (r.{_frag(rk)})")
+        cond_sql = " AND ".join(conds)
+        if expr.how in ("semi", "left_semi", "leftsemi", "anti", "left_anti", "leftanti"):
+            neg = "NOT " if "anti" in expr.how else ""
+            return (
+                f"SELECT * FROM ({to_sql(expr.left)}) l WHERE {neg}EXISTS "
+                f"(SELECT 1 FROM ({to_sql(expr.right)}) r WHERE {cond_sql})"
+            )
         cols = ", ".join(expr.mapper) if expr.mapper else "*"
         how = {"inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
                "full": "FULL JOIN"}.get(expr.how)
@@ -88,7 +107,7 @@ def to_sql(expr: ast.Expression) -> str:
             raise UnsupportedExpressionError(f"to_sql join how={expr.how!r}")
         return (
             f"SELECT {cols} FROM ({to_sql(expr.left)}) l {how} "
-            f"({to_sql(expr.right)}) r ON {' AND '.join(conds)}"
+            f"({to_sql(expr.right)}) r ON {cond_sql}"
         )
 
     raise UnsupportedExpressionError(f"to_sql: unknown node {type(expr).__name__}")

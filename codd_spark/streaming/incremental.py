@@ -86,11 +86,13 @@ class _Instance:
             for b in self.to_add[1:]:
                 pending = pending.union(b)
             self.to_add = []
-            fresh = pending.distinct().subtract(self.stable)
+            # checkpoint BEFORE the emptiness probe: recent is read several
+            # times (emptiness, delta eval per dependent view, promotion
+            # next round) and each read would otherwise recompute the full
+            # distinct-minus-stable pipeline
+            fresh = pending.distinct().subtract(self.stable).localCheckpoint(eager=True)
             if not fresh.isEmpty():
-                # cache: recent is read several times (delta eval per
-                # dependent view + the promotion union next round)
-                self.recent = fresh.localCheckpoint(eager=True)
+                self.recent = fresh
                 return True
         return False
 

@@ -22,6 +22,11 @@ PREDICATES = ["n % 2 = 0", "n > 2", "n <= 5", "n <> 4"]
 PROJECTIONS = [["n"], ["n + 1 AS n"], ["n * 2 AS n"], ["n % 3 AS n"]]
 PRODUCT_MAPPERS = [["l.n + r.n AS n"], ["l.n * 10 + r.n AS n"]]
 JOIN_MAPPERS = [["l.n AS n"], ["l.n + r.n AS n"]]
+# single-key, multi-column expression keys, and outer-join variants; outer
+# joins need a null-tolerant mapper (coalesce) so the result stays one
+# LONG column `n` and the grammar remains closed under composition
+JOIN_KEYS = [(["n"], ["n"]), (["n % 3", "n % 2"], ["n % 3", "n % 2"])]
+OUTER_MAPPERS = [["coalesce(l.n, r.n) AS n"], ["coalesce(l.n, 0) + coalesce(r.n, 0) AS n"]]
 
 
 def exprs():
@@ -40,8 +45,19 @@ def exprs():
                 ast.Product, children, children, st.sampled_from(PRODUCT_MAPPERS)
             ),
             st.builds(
-                lambda l, r, m: ast.Join(l, r, ["n"], ["n"], m),
-                children, children, st.sampled_from(JOIN_MAPPERS),
+                lambda l, r, keys, m: ast.Join(l, r, keys[0], keys[1], m),
+                children, children,
+                st.sampled_from(JOIN_KEYS), st.sampled_from(JOIN_MAPPERS),
+            ),
+            st.builds(
+                lambda l, r, how, m: ast.Join(l, r, ["n"], ["n"], m, how),
+                children, children,
+                st.sampled_from(["left", "right", "full"]),
+                st.sampled_from(OUTER_MAPPERS),
+            ),
+            st.builds(
+                lambda l, r, how: ast.Join(l, r, ["n"], ["n"], None, how),
+                children, children, st.sampled_from(["semi", "anti"]),
             ),
         )
         return st.one_of(unary, binary)
@@ -73,6 +89,24 @@ def setup(spark):
 def test_random_expression_matches_duckdb(setup, expr):
     db, con = setup
     got = [r.n for r in db.evaluate(expr)]
-    sql = f"SELECT DISTINCT * FROM ({to_sql(expr)}) ORDER BY n"
+    # NULLS FIRST matches Spark's ascending null ordering (outer joins can
+    # produce null n even though the base tables are null-free)
+    sql = f"SELECT DISTINCT * FROM ({to_sql(expr)}) ORDER BY n NULLS FIRST"
     want = [r[0] for r in con.execute(sql).fetchall()]
     assert got == want, f"divergence for {to_sql(expr)}"
+
+
+def test_semi_anti_render_match_duckdb(setup):
+    from codd_spark.plans import ast as A
+
+    db, con = setup
+    for how in ("semi", "anti"):
+        expr = A.Join(
+            A.Relation("t_a").select("n > 1"),
+            A.Relation("t_b"),
+            ["n"], ["n"], None, how,
+        )
+        got = [r.n for r in db.evaluate(expr)]
+        sql = f"SELECT DISTINCT * FROM ({to_sql(expr)}) ORDER BY n"
+        want = [r[0] for r in con.execute(sql).fetchall()]
+        assert got == want, how
