@@ -255,6 +255,66 @@ def q_user_sessions(spark, sf_dir):
     )
 
 
+def q_range_join_value_bands(spark, sf_dir):
+    """Global (keyless) range join via the bucketed-explode plan: events
+    fall into variable-width value bands; count + exact sum per band.
+    Intervals overlap at their endpoints (BETWEEN is inclusive), so a
+    boundary value legitimately lands in two bands — the oracle's
+    inequality join agrees."""
+    from codd_spark.operators.joins import range_join
+
+    events = read_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("tiny", 0.0, 1.0), ("small", 1.0, 5.0), ("mid", 5.0, 20.0),
+         ("big", 20.0, 100.0), ("huge", 100.0, 500.0)],
+        "band string, lo double, hi double",
+    )
+    j = range_join(events.select("value"), bands, "value", "lo", "hi", bucket_width=5.0)
+    return j.groupBy("band").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(25,10)")).cast("double").alias("sum_value"),
+    )
+
+
+def q_range_join_sessions(spark, sf_dir):
+    """Keyed range join: re-assign each event to its session by joining the
+    point ts into the per-(user, session) [min_ts, max_ts] interval table
+    derived by sessionize. One equi-shuffle on user_id + a range filter —
+    the per-entity-validity-window shape. Counts must equal user_sessions'
+    n_events (sessions of one user are time-disjoint)."""
+    from codd_spark.operators.aggregates import sessionize
+    from codd_spark.operators.joins import range_join
+
+    events = read_table(spark, sf_dir, "events")
+    s = sessionize(events, ["user_id"], "ts", gap_seconds=1800, tiebreak="event_id")
+    intervals = s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    pts = events.select("user_id", "ts")
+    j = range_join(pts, intervals, "ts", "s_start", "s_end", on=["user_id"])
+    return j.groupBy("user_id", "session_id").agg(F.count("*").alias("n_in_span"))
+
+
+def q_pivot_order_priority(spark, sf_dir):
+    """groupBy().pivot() with the pivot domain given explicitly — at scale
+    that skips the eager distinct-collect job Spark otherwise runs to
+    discover pivot values, and fixes the output schema regardless of which
+    combinations exist in a partition of the data."""
+    orders = read_table(spark, sf_dir, "orders")
+    pv = orders.groupBy("o_orderstatus").pivot(
+        "o_orderpriority",
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+    ).count()
+    return pv.select(
+        "o_orderstatus",
+        F.coalesce(F.col("`1-URGENT`"), F.lit(0)).alias("p_urgent"),
+        F.coalesce(F.col("`2-HIGH`"), F.lit(0)).alias("p_high"),
+        F.coalesce(F.col("`3-MEDIUM`"), F.lit(0)).alias("p_medium"),
+        F.coalesce(F.col("`4-NOT SPECIFIED`"), F.lit(0)).alias("p_notspec"),
+        F.coalesce(F.col("`5-LOW`"), F.lit(0)).alias("p_low"),
+    )
+
+
 def q_revenue_by_nation(spark, sf_dir):
     """The flagship query, oracle-checked: lineitem⋈orders⋈customer⋈nation
     with broadcast dims, exact DECIMAL revenue."""
@@ -587,6 +647,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "events_hourly": q_events_hourly,
         "user_sessions": q_user_sessions,
+        "range_join_value_bands": q_range_join_value_bands,
+        "range_join_sessions": q_range_join_sessions,
+        "pivot_order_priority": q_pivot_order_priority,
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_stats": q_text_stats,
         "similarity_topk": q_similarity_topk,
@@ -777,6 +840,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value
             FROM sess
             GROUP BY user_id, session_id
+        """,
+        "range_join_value_bands": """
+            SELECT b.band AS band,
+                   COUNT(*) AS cnt,
+                   CAST(SUM(CAST(e.value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value
+            FROM events e
+            JOIN (VALUES ('tiny', 0.0, 1.0), ('small', 1.0, 5.0),
+                         ('mid', 5.0, 20.0), ('big', 20.0, 100.0),
+                         ('huge', 100.0, 500.0)) b(band, lo, hi)
+              ON e.value BETWEEN b.lo AND b.hi
+            GROUP BY b.band
+        """,
+        "range_join_sessions": """
+            WITH seq AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, ts,
+                       SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM seq
+            ), iv AS (
+                SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                       MIN(ts) AS s_start, MAX(ts) AS s_end
+                FROM sess GROUP BY user_id, session_id
+            )
+            SELECT e.user_id, iv.session_id, COUNT(*) AS n_in_span
+            FROM events e
+            JOIN iv ON e.user_id = iv.user_id
+                   AND e.ts BETWEEN iv.s_start AND iv.s_end
+            GROUP BY e.user_id, iv.session_id
+        """,
+        "pivot_order_priority": """
+            SELECT o_orderstatus,
+                   COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p_urgent,
+                   COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p_high,
+                   COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p_medium,
+                   COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p_notspec,
+                   COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p_low
+            FROM orders
+            GROUP BY o_orderstatus
         """,
         "dedup_exact_documents": """
             SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,

@@ -1,5 +1,5 @@
 """Join operators Spark lacks as built-ins: as-of (event-time nearest)
-join and salted (skew-resistant) join.
+join, range (point-in-interval) join, and salted (skew-resistant) join.
 
 The reference has only inner equi-join + cross product
 (core/src/expression/join.rs:42-148; SURVEY.md §2.2) — these are engine
@@ -70,6 +70,70 @@ def asof_join(
         ],
     )
     return carried.filter(F.col("__side") == 1).drop("__side")
+
+
+def _numeric(c: Column, dtype: str) -> Column:
+    """Timestamps → epoch seconds (microsecond precision) so interval
+    arithmetic and bucketing work uniformly; numerics pass through."""
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(c).cast("double") / F.lit(1e6)
+    return c.cast("double")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    on: list[str] | None = None,
+    bucket_width: float | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: each left row pairs with every right row
+    whose ``[right_start, right_end]`` interval (inclusive both ends, like
+    SQL BETWEEN) contains ``left_point``. Timestamps and numerics both
+    work. The reference can only express this as cross-product + filter
+    (core/src/expression/product.rs:27-120) — quadratic; these are the two
+    shapes that scale:
+
+    - **Keyed** (``on`` given): equi-join on the keys, then the range
+      filter. One hash/sort-merge shuffle on the keys; right for
+      per-entity intervals (sessions, validity windows) where each key
+      holds few intervals.
+    - **Global bucketed** (``on`` empty, ``bucket_width`` required): the
+      IP-geolocation shape. Left rows hash to bucket
+      ``floor(point/width)``; right intervals EXPLODE to every bucket they
+      overlap; equi-join on bucket, filter, and drop duplicate pairs that
+      arise when an interval spans many buckets. Pick ``bucket_width``
+      near the median interval length: too small multiplies the right
+      side's explode factor, too large degenerates toward cross-product
+      per bucket. Cost is O(points + intervals·spans) shuffled once —
+      never the cross product Catalyst would otherwise plan for a pure
+      inequality join (BroadcastNestedLoopJoin only survives when one
+      side broadcasts).
+    """
+    if how != "inner":
+        raise ValueError("range_join supports how='inner' only")
+    on = on or []
+    ldt, rdt = dict(left.dtypes), dict(right.dtypes)
+    p = _numeric(F.col(left_point), ldt[left_point])
+    s = _numeric(F.col(right_start), rdt[right_start])
+    e = _numeric(F.col(right_end), rdt[right_end])
+    if on:
+        return left.join(right, on=on, how="inner").where(p.between(s, e))
+    if bucket_width is None:
+        raise ValueError("global range_join needs bucket_width (no `on` keys)")
+    w = float(bucket_width)
+    lb = left.withColumn("__bk", F.floor(p / F.lit(w)))
+    rb = right.withColumn(
+        "__bk", F.explode(F.sequence(F.floor(s / F.lit(w)), F.floor(e / F.lit(w))))
+    )
+    return (
+        lb.join(rb, on="__bk", how="inner")
+        .where(p.between(s, e))
+        .drop("__bk")
+    )
 
 
 def salted_join(

@@ -1,11 +1,11 @@
-"""Tests for the extension joins: as-of and salted."""
+"""Tests for the extension joins: as-of, range, and salted."""
 
 import datetime
 
 import pytest
 from pyspark.sql import functions as F
 
-from codd_spark.operators.joins import asof_join, salted_join
+from codd_spark.operators.joins import asof_join, range_join, salted_join
 
 TS = lambda s: datetime.datetime.fromisoformat(s)
 
@@ -69,6 +69,70 @@ def test_asof_matches_duckdb(spark, quotes_trades):
         )
     )
     assert got == want
+
+
+@pytest.fixture()
+def points_intervals(spark):
+    # points 0..29; intervals of assorted widths, some overlapping, one
+    # spanning many buckets, one empty
+    points = spark.createDataFrame([(i, float(i)) for i in range(30)], "pid LONG, x DOUBLE")
+    intervals = spark.createDataFrame(
+        [
+            ("a", 0.0, 4.0),
+            ("b", 3.0, 3.5),      # nested inside a
+            ("c", 10.0, 25.0),    # spans many width-4 buckets
+            ("d", 28.5, 28.9),    # contains no integer point
+            ("e", 29.0, 100.0),   # extends past the data
+        ],
+        "tag STRING, lo DOUBLE, hi DOUBLE",
+    )
+    return points, intervals
+
+
+def test_range_join_global_equals_cross_filter(spark, points_intervals):
+    points, intervals = points_intervals
+    got = sorted(
+        (r.pid, r.tag)
+        for r in range_join(points, intervals, "x", "lo", "hi", bucket_width=4.0).collect()
+    )
+    want = sorted(
+        (r.pid, r.tag)
+        for r in points.crossJoin(intervals)
+        .where(F.col("x").between(F.col("lo"), F.col("hi")))
+        .collect()
+    )
+    assert got == want
+    # no duplicate pairs from multi-bucket intervals
+    assert len(got) == len(set(got))
+
+
+def test_range_join_keyed_timestamps(spark):
+    events = spark.createDataFrame(
+        [
+            (1, TS("2024-01-01 10:00:00")),
+            (1, TS("2024-01-01 11:00:00")),
+            (2, TS("2024-01-01 10:30:00")),
+        ],
+        "k LONG, ts TIMESTAMP",
+    )
+    windows = spark.createDataFrame(
+        [
+            (1, TS("2024-01-01 09:00:00"), TS("2024-01-01 10:00:00"), "w1"),  # inclusive end hit
+            (1, TS("2024-01-01 10:59:00"), TS("2024-01-01 11:59:00"), "w2"),
+            (2, TS("2024-01-01 11:00:00"), TS("2024-01-01 12:00:00"), "w3"),  # no match
+        ],
+        "k LONG, s TIMESTAMP, e TIMESTAMP, tag STRING",
+    )
+    got = sorted((r.k, r.tag) for r in range_join(events, windows, "ts", "s", "e", on=["k"]).collect())
+    assert got == [(1, "w1"), (1, "w2")]
+
+
+def test_range_join_global_needs_bucket_width(spark, points_intervals):
+    points, intervals = points_intervals
+    with pytest.raises(ValueError):
+        range_join(points, intervals, "x", "lo", "hi")
+    with pytest.raises(ValueError):
+        range_join(points, intervals, "x", "lo", "hi", bucket_width=4.0, how="left")
 
 
 def test_salted_join_equals_plain_join(spark):
