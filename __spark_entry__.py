@@ -415,6 +415,30 @@ def q_rollup_pricing(spark, sf_dir):
     )
 
 
+def q_cube_pricing(spark, sf_dir):
+    """CUBE grouping-sets aggregation (all subtotal combinations)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        F.sum(qty).cast("double").alias("sum_qty"),
+    )
+
+
+def q_split_train_val_test(spark, sf_dir):
+    """Deterministic hash-based train/val/test split of the corpus (80/10/10
+    by doc_id), summarized per split. Cross-engine-checkable via the LCG
+    hasher; production uses xxhash64."""
+    from codd_spark.operators.pipeline import train_val_test_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    s = train_val_test_split(docs, "doc_id", hasher="lcg")
+    return s.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 def q_distinct_users_per_type(spark, sf_dir):
     """Exact COUNT(DISTINCT) per group (the HLL approx variant is
     codd_spark.operators.aggregates.approx_distinct)."""
@@ -650,6 +674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_value_bands": q_range_join_value_bands,
         "range_join_sessions": q_range_join_sessions,
         "pivot_order_priority": q_pivot_order_priority,
+        "cube_pricing": q_cube_pricing,
+        "split_train_val_test": q_split_train_val_test,
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_stats": q_text_stats,
         "similarity_topk": q_similarity_topk,
@@ -875,6 +901,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN iv ON e.user_id = iv.user_id
                    AND e.ts BETWEEN iv.s_start AND iv.s_end
             GROUP BY e.user_id, iv.session_id
+        """,
+        "cube_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS cnt,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "split_train_val_test": """
+            SELECT CASE
+                     WHEN ((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 100) < 80 THEN 'train'
+                     WHEN ((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 100) < 90 THEN 'val'
+                     ELSE 'test'
+                   END AS split,
+                   COUNT(*) AS n_docs,
+                   SUM(n_chars) AS sum_chars
+            FROM documents
+            GROUP BY 1
         """,
         "pivot_order_priority": """
             SELECT o_orderstatus,

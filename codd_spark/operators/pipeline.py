@@ -77,3 +77,42 @@ def normalize_per_group(
     return df.withColumn(
         out_col, F.when(std > 0, (F.col(value_col) - mean) / std)
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    salt: int = 0,
+    hasher: str = "xxhash64",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashing a stable id —
+    the split every training-data pipeline needs. Purely row-local (a
+    projection: no shuffle, no sample() nondeterminism across retries or
+    cluster sizes); the same id always lands in the same split, so
+    incremental corpus refreshes never leak rows across splits.
+
+    ``hasher="xxhash64"`` (default) gives well-mixed 64-bit buckets.
+    ``hasher="lcg"`` uses a 31-bit linear-congruential mix expressible in
+    any SQL dialect (used by the cross-engine oracle test); both are
+    overflow-safe: the id is reduced mod 2^31 before the multiply.
+    """
+    if val_pct + test_pct >= 100:
+        raise ValueError("val_pct + test_pct must leave room for train")
+    if hasher == "xxhash64":
+        bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(100))
+    elif hasher == "lcg":
+        m = F.lit(2147483648)
+        h = F.pmod(F.pmod(F.col(id_col) + F.lit(salt), m) * F.lit(1103515245) + F.lit(12345), m)
+        bucket = F.pmod(h, F.lit(100))
+    else:
+        raise ValueError(f"unknown hasher {hasher!r}")
+    train_hi = 100 - val_pct - test_pct
+    return df.withColumn(
+        split_col,
+        F.when(bucket < train_hi, F.lit("train"))
+        .when(bucket < train_hi + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

@@ -65,3 +65,31 @@ def test_normalize_per_group(spark):
         by_g.setdefault(r.g, []).append(r.z)
     assert sorted(by_g["a"]) == [-1.0, 0.0, 1.0]
     assert by_g["b"] == [None, None]  # zero stddev -> NULL, not inf
+
+
+def test_train_val_test_split_deterministic(spark):
+    from codd_spark.operators.pipeline import train_val_test_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id LONG")
+    for hasher in ("xxhash64", "lcg"):
+        out = train_val_test_split(df, "id", hasher=hasher)
+        a = {r.id: r.split for r in out.collect()}
+        # stable under repartitioning (assignment is a pure function of id)
+        b = {r.id: r.split for r in train_val_test_split(df.repartition(7), "id", hasher=hasher).collect()}
+        assert a == b
+        counts = {s: list(a.values()).count(s) for s in ("train", "val", "test")}
+        assert counts["train"] > 1400 and counts["val"] > 100 and counts["test"] > 100, (hasher, counts)
+    # projection only: no shuffle in the plan
+    plan = train_val_test_split(df, "id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_train_val_test_split_validates(spark):
+    import pytest
+    from codd_spark.operators.pipeline import train_val_test_split
+
+    df = spark.createDataFrame([(1,)], "id LONG")
+    with pytest.raises(ValueError):
+        train_val_test_split(df, "id", val_pct=60, test_pct=40)
+    with pytest.raises(ValueError):
+        train_val_test_split(df, "id", hasher="md5")
