@@ -1,0 +1,51 @@
+"""Regenerate PLANS.md: captured physical plans for the queries whose
+shape is the point (pushdown, broadcast choice, single-exchange windows,
+bucketed range join). tests/test_plans.py asserts the same properties in
+CI; this file is the human-readable evidence.
+
+Usage: python tools/gen_plans.py
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as em
+from codd_spark.session import get_spark
+
+PICK = {
+    "select_lineitem": "Filter + projection fully pushed to the parquet scan; single distinct exchange for set semantics.",
+    "revenue_by_nation": "3-way join: every dimension broadcast (no shuffle of the fact side until the final aggregation); partial aggregation before the exchange.",
+    "top_revenue_orders": "Join + group + TakeOrderedAndProject: the top-k never materializes a global sort.",
+    "asof_join_events": "As-of join as union + running window: exactly one shuffle (on user_id), no range probe.",
+    "minhash_near_dups": "Signature via explode + 120 partial-aggregated MINs; banded bucket self-join; exact-Jaccard verify.",
+    "dedup_exact_documents": "Fingerprint groupBy with map-side partial aggregation; one exchange total.",
+    "user_sessions": "Sessionize: lag-probe and running-sum windows share one partitioning — a single exchange on user_id feeds both windows AND the final aggregate.",
+    "range_join_value_bands": "Global range join compiled to an equi hash join on the bucket key (intervals exploded to covered buckets) — never a nested-loop cross product.",
+    "split_train_val_test": "Hash split is a pure projection: the only exchange belongs to the summary groupBy, not the split.",
+}
+
+
+def main():
+    spark = get_spark(app_name="gen-plans", cpus="8", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.1"
+    qs = em.queries()
+    out = [
+        "# PLANS — captured physical plans (sf0.1, AQE on)",
+        "",
+        "Regenerate with `python tools/gen_plans.py` (see tests/test_plans.py",
+        "for the properties asserted in CI). Commentary first, plan below.",
+        "",
+    ]
+    for name, note in PICK.items():
+        df = qs[name](spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = [l[:160] for l in plan.splitlines()[:40]]
+        out.append(f"## {name}\n\n{note}\n\n```\n" + "\n".join(lines) + "\n```\n")
+    open("/root/repo/PLANS.md", "w").write("\n".join(out))
+    print("written", sum(len(o) for o in out))
+
+
+if __name__ == "__main__":
+    main()
