@@ -439,6 +439,59 @@ def q_split_train_val_test(spark, sf_dir):
     )
 
 
+def q_word_count_top(spark, sf_dir):
+    """The canonical distributed query: explode tokens, count, top-50.
+    Map-side partial aggregation keeps the shuffle at
+    O(distinct words per partition), and the top-k is
+    TakeOrderedAndProject — no global sort. Empty tokens are filtered so
+    Spark's split and the oracle's regexp_split_to_array agree on
+    leading-whitespace artifacts."""
+    from codd_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(50)
+    )
+
+
+def q_argmax_customer_per_nation(spark, sf_dir):
+    """max_by/min_by argmax aggregates: per nation, the customer holding the
+    max account balance (single pass, no window, no self-join)."""
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max_by("c_name", "c_acctbal").alias("top_customer"),
+            F.max("c_acctbal").alias("top_balance"),
+            F.min_by("c_name", "c_acctbal").alias("bottom_customer"),
+        )
+    )
+
+
+def q_ntile_order_quartiles(spark, sf_dir):
+    """ntile window: quartile assignment by order price within each
+    priority, summarized. One exchange on the partition key."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,10)")).cast("double").alias("sum_price"),
+        )
+    )
+
+
 def q_distinct_users_per_type(spark, sf_dir):
     """Exact COUNT(DISTINCT) per group (the HLL approx variant is
     codd_spark.operators.aggregates.approx_distinct)."""
@@ -676,6 +729,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_order_priority": q_pivot_order_priority,
         "cube_pricing": q_cube_pricing,
         "split_train_val_test": q_split_train_val_test,
+        "word_count_top": q_word_count_top,
+        "argmax_customer_per_nation": q_argmax_customer_per_nation,
+        "ntile_order_quartiles": q_ntile_order_quartiles,
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_stats": q_text_stats,
         "similarity_topk": q_similarity_topk,
@@ -919,6 +975,35 @@ def oracle_sql() -> dict[str, str]:
                    SUM(n_chars) AS sum_chars
             FROM documents
             GROUP BY 1
+        """,
+        "word_count_top": """
+            SELECT tok, COUNT(*) AS cnt FROM (
+                SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                          x -> x <> '')) AS tok
+                FROM documents
+            ) GROUP BY tok
+            ORDER BY cnt DESC, tok ASC
+            LIMIT 50
+        """,
+        "argmax_customer_per_nation": """
+            SELECT n_name,
+                   arg_max(c_name, c_acctbal) AS top_customer,
+                   MAX(c_acctbal) AS top_balance,
+                   arg_min(c_name, c_acctbal) AS bottom_customer
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "ntile_order_quartiles": """
+            SELECT o_orderpriority, quartile,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) AS DOUBLE) AS sum_price
+            FROM (
+                SELECT o_orderpriority, o_totalprice,
+                       ntile(4) OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey) AS quartile
+                FROM orders
+            )
+            GROUP BY o_orderpriority, quartile
         """,
         "pivot_order_priority": """
             SELECT o_orderstatus,

@@ -38,6 +38,13 @@ BENCH_QUERIES = [
     "simhash_near_dups",        # SimHash hamming near-dups
     "ann_lsh_topk",             # hyperplane LSH ANN
     "text_features",            # lang-id + quality scoring
+    "user_sessions",            # gaps-and-islands sessionization
+    "range_join_value_bands",   # bucketed global range join
+    "pivot_order_priority",     # pivot w/ explicit domain
+    "cube_pricing",             # CUBE grouping sets
+    "split_train_val_test",     # deterministic hash split
+    "word_count_top",           # explode + count + top-k
+    "ntile_order_quartiles",    # ntile window + agg
 ]
 
 

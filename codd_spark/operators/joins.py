@@ -112,6 +112,11 @@ def range_join(
       never the cross product Catalyst would otherwise plan for a pure
       inequality join (BroadcastNestedLoopJoin only survives when one
       side broadcasts).
+
+    At scale the points side is the big one: pass the intervals as
+    ``F.broadcast(intervals)`` when they fit (the hint survives the
+    internal explode), otherwise the bucket join shuffles both sides —
+    which is the correct plan when both are large.
     """
     if how != "inner":
         raise ValueError("range_join supports how='inner' only")
