@@ -155,10 +155,9 @@ def _oph_signatures(exploded: DataFrame, num_hashes: int, ids: DataFrame) -> Dat
     shingle), split the hash universe [0, P) into ``num_hashes`` equal
     ranges and take the min base hash per range — one floor-divide per
     shingle, O(1) per row instead of O(k). Empty ranges are filled by
-    rotation densification (borrow the next non-empty bin circularly,
-    offset by the bin index so borrowed values still discriminate), which
-    preserves the unbiased Jaccard-estimate property of the signature
-    (Shrivastava & Li, ICML'14).
+    rotation densification (borrow the value of the next non-empty bin,
+    circularly), which preserves the unbiased Jaccard-estimate property
+    of the signature (Shrivastava & Li, ICML'14).
 
     Two shuffles: (id, bin) partial-min — same bytes as the k-hash
     formulation, ~1% of its CPU — then a tiny (id)-keyed assembly of at

@@ -96,6 +96,102 @@ def test_random_expression_matches_duckdb(setup, expr):
     assert got == want, f"divergence for {to_sql(expr)}"
 
 
+KEYS = [0, 1, 2]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    left=st.lists(
+        st.tuples(st.sampled_from(KEYS), st.integers(-20, 50)), max_size=12
+    ),
+    # unique (k, ts) on the right: with duplicate as-of timestamps the
+    # chosen payload is implementation-defined in both engines
+    right=st.lists(
+        st.tuples(st.sampled_from(KEYS), st.integers(-20, 50)),
+        unique=True,
+        max_size=12,
+    ),
+)
+def test_asof_join_matches_duckdb(spark, left, right):
+    from codd_spark.operators.joins import asof_join
+
+    l = spark.createDataFrame(
+        [(k, ts, k * 1000 + ts) for k, ts in left], "k LONG, lts LONG, lv LONG"
+    )
+    r = spark.createDataFrame(
+        [(k, ts, k * 100 + ts) for k, ts in right], "k LONG, rts LONG, rv LONG"
+    )
+    got = sorted(
+        (row.k, row.lts, row.lv, row.rv, row.rts)
+        for row in asof_join(l, r, ["k"], "lts", "rts").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE l(k BIGINT, lts BIGINT, lv BIGINT); "
+        "CREATE TABLE r(k BIGINT, rts BIGINT, rv BIGINT)"
+    )
+    if left:
+        con.executemany("INSERT INTO l VALUES (?,?,?)",
+                        [(k, ts, k * 1000 + ts) for k, ts in left])
+    if right:
+        con.executemany("INSERT INTO r VALUES (?,?,?)",
+                        [(k, ts, k * 100 + ts) for k, ts in right])
+    want = sorted(
+        tuple(row)
+        for row in con.execute(
+            "SELECT l.k, l.lts, l.lv, r.rv, r.rts FROM l "
+            "ASOF LEFT JOIN r ON l.k = r.k AND l.lts >= r.rts"
+        ).fetchall()
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    points=st.lists(
+        st.tuples(st.sampled_from(KEYS), st.integers(-20, 50)), max_size=10
+    ),
+    spans=st.lists(
+        st.tuples(st.sampled_from(KEYS), st.integers(-20, 50), st.integers(0, 15)),
+        max_size=8,
+    ),
+    bucket_width=st.sampled_from([1.0, 2.5, 7.0]),
+    keyed=st.booleans(),
+)
+def test_range_join_matches_duckdb(spark, points, spans, bucket_width, keyed):
+    from codd_spark.operators.joins import range_join
+
+    l = spark.createDataFrame(points or [], "k LONG, p LONG")
+    r = spark.createDataFrame(
+        [(k, lo, lo + w) for k, lo, w in spans] or [], "k2 LONG, lo LONG, hi LONG"
+    )
+    if keyed:
+        r2 = r.withColumnRenamed("k2", "k")
+        out = range_join(l, r2, "p", "lo", "hi", on=["k"])
+        got = sorted((row.k, row.p, row.lo, row.hi) for row in out.collect())
+        join_sql = "SELECT l.k, l.p, r.lo, r.hi FROM l JOIN r ON l.k = r.k2 AND l.p BETWEEN r.lo AND r.hi"
+    else:
+        out = range_join(l, r, "p", "lo", "hi", bucket_width=bucket_width)
+        got = sorted((row.k, row.p, row.k2, row.lo, row.hi) for row in out.collect())
+        join_sql = "SELECT l.k, l.p, r.k2, r.lo, r.hi FROM l JOIN r ON l.p BETWEEN r.lo AND r.hi"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(k BIGINT, p BIGINT); CREATE TABLE r(k2 BIGINT, lo BIGINT, hi BIGINT)")
+    if points:
+        con.executemany("INSERT INTO l VALUES (?,?)", points)
+    if spans:
+        con.executemany("INSERT INTO r VALUES (?,?,?)", [(k, lo, lo + w) for k, lo, w in spans])
+    want = sorted(tuple(row) for row in con.execute(join_sql).fetchall())
+    assert got == want
+
+
 def test_semi_anti_render_match_duckdb(setup):
     from codd_spark.plans import ast as A
 
