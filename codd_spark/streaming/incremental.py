@@ -70,16 +70,24 @@ class _Instance:
     def insert(self, df: DataFrame) -> None:
         self.to_add.append(df)
 
+    def seed_stable(self, df: DataFrame) -> None:
+        """Install an initial stable set (view seeding)."""
+        self.stable = df.localCheckpoint(eager=True)
+
+    def promote(self) -> None:
+        """Merge the nonempty recent set into stable."""
+        # recent is disjoint from stable by construction -> plain union
+        self.stable = self.stable.union(self.recent)
+        self.merges += 1
+        if self.merges % _CHECKPOINT_EVERY == 0:
+            self.stable = self.stable.localCheckpoint(eager=True)
+
     def changed(self) -> bool:
         """Promote recent->stable, then (to_add minus stable)->recent.
         Returns True iff there is a new nonempty recent to propagate.
         Reference: core/src/database/instance.rs:173-206."""
-        # recent is disjoint from stable by construction -> plain union
         if not self.recent.isEmpty():
-            self.stable = self.stable.union(self.recent)
-            self.merges += 1
-            if self.merges % _CHECKPOINT_EVERY == 0:
-                self.stable = self.stable.localCheckpoint(eager=True)
+            self.promote()
         self.recent = self.recent.limit(0)
         if self.to_add:
             pending = self.to_add[0]
@@ -133,7 +141,15 @@ class IncrementalDatabase:
         if name in self._relations:
             raise InstanceExistsError(f"relation {name!r} already exists")
         empty = self.spark.createDataFrame([], schema=schema)
-        self._relations[name] = _RelEntry(_Instance(empty))
+        self._relations[name] = _RelEntry(self._new_instance(empty, "rel", name))
+        self._on_relation_added(name, empty)
+
+    def _new_instance(self, empty: DataFrame, kind: str, key) -> _Instance:
+        """Storage hook — subclasses may back instances differently."""
+        return _Instance(empty)
+
+    def _on_relation_added(self, name: str, empty: DataFrame) -> None:
+        """Catalog hook — subclasses persist the relation definition."""
 
     def insert(self, name: str, rows: DataFrame | list) -> None:
         """Lazy: batches queue on to_add; propagation happens at the next
@@ -164,17 +180,21 @@ class IncrementalDatabase:
             if vid not in self._views:
                 raise InstanceNotFoundError(f"view #{vid} not found")
         seed = self._eval(expr, which="stable").distinct()
-        inst = _Instance(seed.limit(0))
-        inst.stable = seed.localCheckpoint(eager=True)
         ref = ViewRef(self._view_counter)
         self._view_counter += 1
+        inst = self._new_instance(seed.limit(0), "view", ref.id)
+        inst.seed_stable(seed)
         entry = _ViewEntry(expr, inst)
         self._views[ref.id] = entry
         for rel in dep_rels:
             self._relations[rel].dependents.add(ref.id)
         for vid in dep_views:
             self._views[vid].dependents.add(ref.id)
+        self._on_view_stored(ref.id, expr)
         return ref
+
+    def _on_view_stored(self, vid: int, expr: ast.Expression) -> None:
+        """Catalog hook — subclasses persist the view definition."""
 
     # -- stabilization (the semi-naive fixpoint) ---------------------------
     def stabilize(self) -> None:
