@@ -492,6 +492,90 @@ def q_ntile_order_quartiles(spark, sf_dir):
     )
 
 
+def q_above_nation_avg_customers(spark, sf_dir):
+    """Correlated scalar subquery, decorrelated: customers whose balance
+    exceeds their nation's average. The subquery becomes a per-nation
+    aggregate broadcast-joined back — one scan + a tiny dim join instead
+    of a per-row probe. The comparison is cross-multiplied into exact
+    decimals (bal * n > sum) so no float-average boundary can flip rows
+    between engines."""
+    cust = read_table(spark, sf_dir, "customer")
+    aggs = cust.groupBy("c_nationkey").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("c_acctbal").cast("decimal(15,2)")).alias("sum_bal"),
+    )
+    return (
+        cust.join(F.broadcast(aggs), on="c_nationkey")
+        .where(F.col("c_acctbal").cast("decimal(15,2)") * F.col("cnt") > F.col("sum_bal"))
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_event_gap_stats(spark, sf_dir):
+    """lag window: per-user inter-event gaps (µs, exact integers), then
+    per-type stats. One exchange on user_id for the window; the aggregate
+    reuses nothing — it reshuffles by event_type, which is correct: the
+    two keys differ."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gaps = (
+        events.select(
+            "event_type",
+            (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)).alias("gap_us"),
+        )
+        .where(F.col("gap_us").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap_us").alias("sum_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+def q_percentrank_top_decile(spark, sf_dir):
+    """percent_rank over a strict total order (price, orderkey tiebreak):
+    the top decile of order prices within each priority. Rank arithmetic
+    is integer-derived, so the 0.9 cut is reproducible across engines."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("pr", F.percent_rank().over(w))
+        .where(F.col("pr") >= 0.9)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_top"),
+            F.min("o_totalprice").alias("min_top_price"),
+        )
+    )
+
+
+def q_big_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (HAVING over a fact-side aggregate), joined back to their customer.
+    The aggregate runs BEFORE the joins, so the join input is the small
+    filtered set, not the raw fact table."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    qty = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(15,2)")).alias("qty_dec"))
+        .where(F.col("qty_dec") > 150)
+    )
+    return (
+        qty.join(orders, qty.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("qty_dec").cast("double").alias("sum_qty"),
+        )
+    )
+
+
 def q_distinct_users_per_type(spark, sf_dir):
     """Exact COUNT(DISTINCT) per group (the HLL approx variant is
     codd_spark.operators.aggregates.approx_distinct)."""
@@ -732,6 +816,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_count_top": q_word_count_top,
         "argmax_customer_per_nation": q_argmax_customer_per_nation,
         "ntile_order_quartiles": q_ntile_order_quartiles,
+        "above_nation_avg_customers": q_above_nation_avg_customers,
+        "event_gap_stats": q_event_gap_stats,
+        "percentrank_top_decile": q_percentrank_top_decile,
+        "big_orders": q_big_orders,
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_stats": q_text_stats,
         "similarity_topk": q_similarity_topk,
@@ -1004,6 +1092,48 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
             )
             GROUP BY o_orderpriority, quartile
+        """,
+        "above_nation_avg_customers": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE CAST(c_acctbal AS DECIMAL(15,2))
+                  * (SELECT COUNT(*) FROM customer c2
+                     WHERE c2.c_nationkey = c.c_nationkey)
+                  > (SELECT SUM(CAST(c_acctbal AS DECIMAL(15,2))) FROM customer c2
+                     WHERE c2.c_nationkey = c.c_nationkey)
+        """,
+        "event_gap_stats": """
+            WITH g AS (
+                SELECT event_type,
+                       epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+                FROM events
+            )
+            SELECT event_type, COUNT(*) AS n_gaps,
+                   CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+                   MAX(gap_us) AS max_gap_us
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY event_type
+        """,
+        "percentrank_top_decile": """
+            WITH p AS (
+                SELECT o_orderpriority, o_totalprice,
+                       percent_rank() OVER (PARTITION BY o_orderpriority
+                                            ORDER BY o_totalprice, o_orderkey) AS pr
+                FROM orders
+            )
+            SELECT o_orderpriority, COUNT(*) AS n_top,
+                   MIN(o_totalprice) AS min_top_price
+            FROM p WHERE pr >= 0.9
+            GROUP BY o_orderpriority
+        """,
+        "big_orders": """
+            SELECT c_name, o_orderkey, o_totalprice,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_name, o_orderkey, o_totalprice
+            HAVING SUM(CAST(l_quantity AS DECIMAL(15,2))) > 150
         """,
         "pivot_order_priority": """
             SELECT o_orderstatus,

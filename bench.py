@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "split_train_val_test",     # deterministic hash split
     "word_count_top",           # explode + count + top-k
     "ntile_order_quartiles",    # ntile window + agg
+    "big_orders",               # Q18 shape: HAVING agg before join-back
+    "event_gap_stats",          # lag window + regroup
 ]
 
 

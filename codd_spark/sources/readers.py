@@ -38,7 +38,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # integer `div`, NOT `/`: float division of epoch-nanos
+            # (~1.7e18, beyond double's 2^53 exact range) silently loses
+            # microseconds and diverges from engines that truncate exactly
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
