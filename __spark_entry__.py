@@ -576,6 +576,41 @@ def q_big_orders(spark, sf_dir):
     )
 
 
+def q_latest_event_per_user(spark, sf_dir):
+    """Current-snapshot dedup: each user's most recent event (row_number
+    window with a unique tiebreak). Timestamps reduced to epoch µs for
+    timezone-proof comparison."""
+    from codd_spark.operators.pipeline import latest_per_key
+
+    events = read_table(spark, sf_dir, "events")
+    return latest_per_key(events, ["user_id"], ["ts"], ["event_id"]).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+
+
+def q_stratified_sample_events(spark, sf_dir):
+    """Deterministic hash-based stratified downsample (20% of clicks, all
+    purchases), summarized per type. A pure projection — no RNG, stable
+    across retries and partitionings."""
+    from codd_spark.operators.pipeline import stratified_sample
+
+    events = read_table(spark, sf_dir, "events")
+    sampled = stratified_sample(
+        events,
+        "event_type",
+        {"click": 0.2, "purchase": 1.0},
+        id_col="event_id",
+        hasher="lcg",
+    )
+    return sampled.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(25,10)")).cast("double").alias("sum_value"),
+    )
+
+
 def q_distinct_users_per_type(spark, sf_dir):
     """Exact COUNT(DISTINCT) per group (the HLL approx variant is
     codd_spark.operators.aggregates.approx_distinct)."""
@@ -820,6 +855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_gap_stats": q_event_gap_stats,
         "percentrank_top_decile": q_percentrank_top_decile,
         "big_orders": q_big_orders,
+        "latest_event_per_user": q_latest_event_per_user,
+        "stratified_sample_events": q_stratified_sample_events,
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_stats": q_text_stats,
         "similarity_topk": q_similarity_topk,
@@ -1134,6 +1171,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             GROUP BY c_name, o_orderkey, o_totalprice
             HAVING SUM(CAST(l_quantity AS DECIMAL(15,2))) > 150
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "stratified_sample_events": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value
+            FROM events
+            WHERE ((((event_id % 2147483648) * 1103515245 + 12345)
+                    % 2147483648) % 1000000)
+                  < CASE event_type WHEN 'click' THEN 200000
+                                    WHEN 'purchase' THEN 1000000
+                                    ELSE 0 END
+            GROUP BY event_type
         """,
         "pivot_order_priority": """
             SELECT o_orderstatus,

@@ -79,6 +79,67 @@ def normalize_per_group(
     )
 
 
+def latest_per_key(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Keep the most recent version of each key — the "current snapshot"
+    dedup every refreshed corpus needs (crawl recrawls, upserted records).
+
+    row_number over (keys, order_by DESC) = 1, with an explicit unique
+    ``tiebreak`` so the kept row is deterministic when versions share a
+    timestamp. One shuffle on the keys; at 100 TB prefer pre-bucketing the
+    table on the same keys so the window sorts within bucket files and the
+    exchange disappears (see sinks.write_bucketed)."""
+    from pyspark.sql.window import Window
+
+    order = [F.desc(c) for c in order_by] + [F.desc(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    salt: int = 0,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic per-stratum subsample: keep a row iff
+    hash(id, salt) mod 1e6 < fraction·1e6 for its stratum's fraction
+    (missing strata keep nothing). Unlike ``df.sampleBy`` this is a pure
+    projection — no RNG state, stable across retries/cluster sizes, and
+    the same id set is chosen no matter how the data is partitioned,
+    which is what makes downsampling reproducible in a recurring
+    pipeline. Fractions are exact in expectation; per-stratum counts
+    concentrate tightly for large strata.
+
+    ``hasher``: "xxhash64" (default, well-mixed) or "lcg" (expressible in
+    any SQL dialect — used by the cross-engine oracle)."""
+    if hasher == "xxhash64":
+        mills = F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(1_000_000))
+    elif hasher == "lcg":
+        m = F.lit(2147483648)
+        h = F.pmod(F.pmod(F.col(id_col) + F.lit(salt), m) * F.lit(1103515245) + F.lit(12345), m)
+        mills = F.pmod(h, F.lit(1_000_000))
+    else:
+        raise ValueError(f"unknown hasher {hasher!r}")
+    thresh = None
+    for stratum, frac in sorted(fractions.items()):
+        cond = (F.col(stratum_col) == stratum) & (mills < F.lit(int(frac * 1_000_000)))
+        thresh = cond if thresh is None else (thresh | cond)
+    if thresh is None:
+        raise ValueError("fractions must be non-empty")
+    return df.filter(thresh)
+
+
 def train_val_test_split(
     df: DataFrame,
     id_col: str,

@@ -93,3 +93,47 @@ def test_train_val_test_split_validates(spark):
         train_val_test_split(df, "id", val_pct=60, test_pct=40)
     with pytest.raises(ValueError):
         train_val_test_split(df, "id", hasher="md5")
+
+
+def test_latest_per_key_deterministic_with_ties(spark):
+    from codd_spark.operators.pipeline import latest_per_key
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "a"),
+            (1, 20, "b"),
+            (1, 20, "c"),  # tied ts: the larger id (c's row) must win
+            (2, 5, "d"),
+        ],
+        "k LONG, ts LONG, v STRING",
+    )
+    out = {r.k: r.v for r in latest_per_key(df, ["k"], ["ts"], ["v"]).collect()}
+    assert out == {1: "c", 2: "d"}
+    # one shuffle on the key, nothing else
+    plan = latest_per_key(df, ["k"], ["ts"], ["v"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
+def test_stratified_sample_deterministic(spark):
+    from codd_spark.operators.pipeline import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(4000)], "id LONG, g STRING"
+    )
+    for hasher in ("xxhash64", "lcg"):
+        out = stratified_sample(df, "g", {"a": 0.25, "b": 1.0}, "id", hasher=hasher)
+        ids = sorted(r.id for r in out.collect())
+        again = sorted(
+            r.id
+            for r in stratified_sample(
+                df.repartition(5), "g", {"a": 0.25, "b": 1.0}, "id", hasher=hasher
+            ).collect()
+        )
+        assert ids == again  # pure function of id -> partitioning-proof
+        n_a = sum(1 for i in ids if i % 2)
+        n_b = sum(1 for i in ids if not i % 2)
+        assert n_b == 2000  # fraction 1.0 keeps everything
+        assert 380 < n_a < 620, (hasher, n_a)  # ~25% of 2000
+    # unknown stratum keeps nothing
+    df2 = spark.createDataFrame([(1, "zz")], "id LONG, g STRING")
+    assert stratified_sample(df2, "g", {"a": 0.5}, "id").count() == 0
