@@ -307,10 +307,15 @@ def minhash_near_duplicates(
         "bsz", F.count("*").over(Window.partitionBy("band", "h"))
     ).filter(F.col("bsz") <= max_bucket_size)
 
+    # Every join below is unbounded×unbounded (both sides grow with the
+    # corpus), so force shuffle joins: Catalyst's static size estimate,
+    # shrunk by the bucket-size filter, otherwise picks a broadcast build
+    # that works at test scale and OOMs the driver at corpus scale (seen
+    # at 500k docs: a ~0.5 GB broadcast of the banded buckets).
     a = sized.select(F.col("band"), F.col("h"), F.col("id").alias("id_a"))
     b = sized.select(F.col("band"), F.col("h"), F.col("id").alias("id_b"))
     cand = (
-        a.join(b, on=["band", "h"])
+        a.join(b.hint("shuffle_merge"), on=["band", "h"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -321,8 +326,14 @@ def minhash_near_duplicates(
     # through the signature aggregate is needed.
     sh = shingled
     verified = (
-        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), on="id_a")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), on="id_b")
+        cand.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")).hint("shuffle_merge"),
+            on="id_a",
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")).hint("shuffle_merge"),
+            on="id_b",
+        )
         .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
