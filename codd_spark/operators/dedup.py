@@ -436,8 +436,11 @@ def simhash_near_duplicates(
 
     a = sized.select("chunk", "v", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sized.select("chunk", "v", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    # unbounded self-join: force a shuffle join (see minhash_near_duplicates
+    # — static size estimates under-count filtered bucket tables and pick
+    # driver-killing broadcasts at corpus scale)
     return (
-        a.join(b, on=["chunk", "v"])
+        a.join(b.hint("shuffle_merge"), on=["chunk", "v"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)

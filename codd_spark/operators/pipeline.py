@@ -43,8 +43,9 @@ def curate_corpus(
         pairs = minhash_near_duplicates(
             curated, id_col, text_col, threshold=near_dup_threshold
         )
+        # losers grow with the corpus — shuffle anti-join, never broadcast
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-        curated = curated.join(losers, on=[id_col], how="anti")
+        curated = curated.join(losers.hint("shuffle_merge"), on=[id_col], how="anti")
     return curated
 
 

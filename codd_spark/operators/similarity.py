@@ -235,7 +235,11 @@ def embedding_near_duplicates(
             F.col(emb_col).alias("emb_b"),
             hyperplane_bucket(F.col(emb_col), planes).alias("bucket"),
         )
-        pairs = ab.join(bb, on="bucket").filter(F.col("id_a") < F.col("id_b"))
+        # unbounded self-join: force a shuffle join so corpus growth can
+        # never turn the build side into a driver-sized broadcast
+        pairs = ab.join(bb.hint("shuffle_merge"), on="bucket").filter(
+            F.col("id_a") < F.col("id_b")
+        )
     return (
         pairs.withColumn(
             "cos_sim", F.round(cosine_similarity(F.col("emb_a"), F.col("emb_b")), 6)

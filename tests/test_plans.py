@@ -51,3 +51,34 @@ def test_agg_partial_before_exchange(spark):
 def test_semi_join_stays_semi(spark):
     plan = plan_of(spark, "semi_join")
     assert "LeftSemi" in plan
+
+
+def test_corpus_self_joins_never_broadcast(spark):
+    """Unbounded×unbounded joins (LSH bucket self-joins, shingle
+    verification, near-dup anti-join) must plan shuffle joins: a static
+    size estimate that picks a broadcast build works at test scale and
+    OOMs the driver at corpus scale (observed at 500k docs)."""
+    from pyspark.sql import functions as F
+
+    from codd_spark.operators.dedup import (
+        minhash_near_duplicates,
+        simhash_near_duplicates,
+    )
+    from codd_spark.operators.similarity import embedding_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, f"some document text number {i} with enough words") for i in range(20)],
+        "doc_id LONG, text STRING",
+    )
+    embs = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, float(i % 3)]) for i in range(20)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    for df in (
+        minhash_near_duplicates(docs, "doc_id", "text", num_hashes=16, bands=4),
+        simhash_near_duplicates(docs, "doc_id", "text"),
+        embedding_near_duplicates(embs, dim=3, threshold=0.9),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan

@@ -18,7 +18,9 @@ PICK = {
     "revenue_by_nation": "3-way join: every dimension broadcast (no shuffle of the fact side until the final aggregation); partial aggregation before the exchange.",
     "top_revenue_orders": "Join + group + TakeOrderedAndProject: the top-k never materializes a global sort.",
     "asof_join_events": "As-of join as union + running window: exactly one shuffle (on user_id), no range probe.",
-    "minhash_near_dups": "Signature via explode + 120 partial-aggregated MINs; banded bucket self-join; exact-Jaccard verify.",
+    "minhash_near_dups": "One-permutation signature: binned partial-min + window densification; every corpus self-join is SortMergeJoin by hint (broadcast would OOM at scale); exact-Jaccard verify on hashed shingles.",
+    "big_orders": "Q18 HAVING shape: the quantity aggregate (with partial agg) runs BEFORE the joins, so only qualifying orders join back; dims broadcast.",
+    "latest_event_per_user": "Snapshot dedup: one exchange on the key feeds the row_number window; filter on rn=1 follows immediately.",
     "dedup_exact_documents": "Fingerprint groupBy with map-side partial aggregation; one exchange total.",
     "user_sessions": "Sessionize: lag-probe and running-sum windows share one partitioning — a single exchange on user_id feeds both windows AND the final aggregate.",
     "range_join_value_bands": "Global range join compiled to an equi hash join on the bucket key (intervals exploded to covered buckets) — never a nested-loop cross product.",
