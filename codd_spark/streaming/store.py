@@ -43,6 +43,13 @@ from codd_spark.errors import UnsupportedExpressionError
 from codd_spark.plans import ast
 from codd_spark.streaming.incremental import IncrementalDatabase, _Instance
 
+# Append deltas coalesced to few files (deltas are small relative to
+# stable); rewrite the directory once it fragments past the limit — the
+# parquet analogue of the reference's geometric batch merge
+# (core/src/database/instance.rs:174-188).
+_APPEND_FILES = 4
+_COMPACT_FILE_LIMIT = 64
+
 
 class _ParquetInstance(_Instance):
     """An _Instance whose stable set is an appended parquet directory."""
@@ -67,9 +74,29 @@ class _ParquetInstance(_Instance):
         self.stable = self._read()
 
     def promote(self) -> None:
-        self.recent.write.mode("append").parquet(self.path)
-        self.stable = self._read()
+        self.recent.coalesce(_APPEND_FILES).write.mode("append").parquet(self.path)
         self.merges += 1
+        if self._file_count() > _COMPACT_FILE_LIMIT:
+            self.compact()
+        self.stable = self._read()
+
+    def _file_count(self) -> int:
+        return sum(1 for f in os.listdir(self.path) if f.endswith(".parquet"))
+
+    def compact(self) -> None:
+        """Rewrite the fragmented directory as few files. Crash-safe order:
+        the new directory is fully written beside the old one before the
+        swap, and the old is removed last."""
+        import shutil
+
+        tmp, old = self.path + ".compacting", self.path + ".old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._read().coalesce(_APPEND_FILES).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+        self.stable = self._read()
 
 
 def _pickle_expr(expr: ast.Expression) -> str:

@@ -79,3 +79,30 @@ def test_non_durable_view_rejected(spark, tmp_path):
     # and nothing half-registered: a durable view still gets id 0
     v = db.store_view(Relation("nums").select("n > 1"))
     assert v.id == 0
+
+
+def test_compaction_bounds_file_count(spark, tmp_path):
+    import os
+
+    from codd_spark.streaming import store as store_mod
+
+    d = str(tmp_path / "db")
+    db = PersistentIncrementalDatabase(spark, d)
+    db.add_relation("nums", "n LONG")
+    v = db.store_view(Relation("nums").select("n >= 0"))
+    # force frequent compaction so the test exercises the rewrite+swap
+    old = store_mod._COMPACT_FILE_LIMIT
+    store_mod._COMPACT_FILE_LIMIT = 6
+    try:
+        for i in range(10):
+            db.insert("nums", [(i,)])
+            db.stabilize()
+    finally:
+        store_mod._COMPACT_FILE_LIMIT = old
+    rel_dir = os.path.join(d, "rel", "nums")
+    n_files = sum(1 for f in os.listdir(rel_dir) if f.endswith(".parquet"))
+    assert n_files <= 10, n_files
+    assert vals(db.view_rows(v)) == list(range(10))
+    # compacted state survives reopen
+    db2 = PersistentIncrementalDatabase.open(spark, d)
+    assert vals(db2.view_rows(v)) == list(range(10))
