@@ -576,6 +576,66 @@ def q_big_orders(spark, sf_dir):
     )
 
 
+def q_nation_order_statuses(spark, sf_dir):
+    """Array aggregation: per nation, the sorted set of order statuses its
+    customers have (sort for a canonical array; collect_set is
+    order-nondeterministic by itself)."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"))
+    )
+
+
+def q_shipping_volume(spark, sf_dir):
+    """TPC-H Q7 shape: supplier-nation → customer-nation trade volume per
+    ship year. Two independent dimension chains hang off the fact scan;
+    both are broadcast, so the fact side shuffles exactly once — for the
+    final aggregate."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(25,10)"))
+                * (1 - F.col("l_discount").cast("decimal(25,10)"))
+            ).cast("double").alias("volume"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_rollup_grouping_id(spark, sf_dir):
+    """ROLLUP with grouping_id: distinguishes a NULL that came from data
+    from a NULL introduced by the rollup — required for correct subtotal
+    consumers."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n"), F.grouping_id().alias("gid"))
+    )
+
+
 def q_latest_event_per_user(spark, sf_dir):
     """Current-snapshot dedup: each user's most recent event (row_number
     window with a unique tiebreak). Timestamps reduced to epoch µs for
@@ -857,6 +917,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "big_orders": q_big_orders,
         "latest_event_per_user": q_latest_event_per_user,
         "stratified_sample_events": q_stratified_sample_events,
+        "nation_order_statuses": q_nation_order_statuses,
+        "shipping_volume": q_shipping_volume,
+        "rollup_grouping_id": q_rollup_grouping_id,
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_stats": q_text_stats,
         "similarity_topk": q_similarity_topk,
@@ -1171,6 +1234,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             GROUP BY c_name, o_orderkey, o_totalprice
             HAVING SUM(CAST(l_quantity AS DECIMAL(15,2))) > 150
+        """,
+        "nation_order_statuses": """
+            SELECT n_name, list_sort(list(DISTINCT o_orderstatus)) AS statuses
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "shipping_volume": """
+            SELECT supp_nation, cust_nation, ship_year,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,10))
+                            * (1 - CAST(l_discount AS DECIMAL(25,10)))) AS DOUBLE) AS volume,
+                   COUNT(*) AS n_items
+            FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       year(l_shipdate) AS ship_year,
+                       l_extendedprice, l_discount
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                WHERE n1.n_name <> n2.n_name
+            )
+            GROUP BY supp_nation, cust_nation, ship_year
+        """,
+        "rollup_grouping_id": """
+            SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+                   GROUPING(o_orderpriority, o_orderstatus) AS gid
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         """,
         "latest_event_per_user": """
             SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
