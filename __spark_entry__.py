@@ -593,9 +593,10 @@ def q_nation_order_statuses(spark, sf_dir):
 
 def q_shipping_volume(spark, sf_dir):
     """TPC-H Q7 shape: supplier-nation → customer-nation trade volume per
-    ship year. Two independent dimension chains hang off the fact scan;
-    both are broadcast, so the fact side shuffles exactly once — for the
-    final aggregate."""
+    ship year. All four dimension sides broadcast; the one fact-fact join
+    (lineitem ⋈ orders — both grow with the corpus) is pinned to a shuffle
+    join, so the only data movement at scale is two key-partitioned fact
+    shuffles plus the final aggregate exchange."""
     lineitem = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
@@ -610,7 +611,7 @@ def q_shipping_volume(spark, sf_dir):
     return (
         lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
-        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(orders.hint("shuffle_merge"), lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .where(F.col("supp_nation") != F.col("cust_nation"))
@@ -633,6 +634,124 @@ def q_rollup_grouping_id(spark, sf_dir):
     return (
         orders.rollup("o_orderpriority", "o_orderstatus")
         .agg(F.count("*").alias("n"), F.grouping_id().alias("gid"))
+    )
+
+
+def q_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers that are the SOLE returner on a
+    multi-supplier finished order. EXISTS (another supplier on the order)
+    and NOT EXISTS (another supplier who also returned) become fact-fact
+    left-semi / left-anti joins on l_orderkey. All three lineitem branches
+    shuffle on the same key — no fact table is ever broadcast — and the
+    semi/anti sides carry only (l_orderkey, l_suppkey) after pruning, so
+    the quantifier shuffles move two ints per row at 100 TB."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    supplier = read_table(spark, sf_dir, "supplier")
+    l1 = lineitem.where(F.col("l_returnflag") == "R").alias("l1")
+    l2 = lineitem.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    return (
+        l1.join(
+            orders.where(F.col("o_orderstatus") == "F").hint("shuffle_merge"),
+            F.col("l1.l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            l2.hint("shuffle_merge"),
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3.hint("shuffle_merge"),
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(supplier), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with the maximum revenue over one
+    ship-quarter. The revenue aggregate is computed once; its 1-row MAX is
+    broadcast back — no correlated re-scan of the fact table. Exact
+    decimals end-to-end so the max-equality can't be flipped by float
+    rounding in either engine."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    revenue = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(15,2)")
+                * (F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)"))
+            ).alias("total_revenue")
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q_parts_from_nation_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: nested IN chains as stacked left-semi joins —
+    parts that ever shipped from a supplier in nation 3. The inner IN
+    (suppliers of the nation) broadcasts; the outer semi join
+    (part ⋉ lineitem) is two corpus-scale sides, so it shuffles on the
+    part key with the probe side pruned to a single int column."""
+    part = read_table(spark, sf_dir, "part")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation_suppliers = supplier.where(F.col("s_nationkey") == 3).select("s_suppkey")
+    shipped = (
+        lineitem.join(
+            F.broadcast(nation_suppliers),
+            lineitem.l_suppkey == nation_suppliers.s_suppkey,
+            "left_semi",
+        ).select("l_partkey")
+    )
+    return (
+        part.join(
+            shipped.hint("shuffle_merge"), part.p_partkey == shipped.l_partkey, "left_semi"
+        ).select("p_partkey", "p_name", "p_brand")
+    )
+
+
+def q_rolling_hour_value(spark, sf_dir):
+    """Time-range window frame: per event, the user's rolling 1-hour count
+    and sum of `value`. rangeBetween over epoch-µs is a value-based frame,
+    deterministic under timestamp ties (rowsBetween would not be). Sum in
+    exact decimal so frame-order differences can't change the value."""
+    events = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum_1h"),
     )
 
 
@@ -920,6 +1039,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_order_statuses": q_nation_order_statuses,
         "shipping_volume": q_shipping_volume,
         "rollup_grouping_id": q_rollup_grouping_id,
+        "waiting_suppliers": q_waiting_suppliers,
+        "top_supplier": q_top_supplier,
+        "parts_from_nation_suppliers": q_parts_from_nation_suppliers,
+        "rolling_hour_value": q_rolling_hour_value,
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_stats": q_text_stats,
         "similarity_topk": q_similarity_topk,
@@ -1266,6 +1389,54 @@ def oracle_sql() -> dict[str, str]:
                    GROUPING(o_orderpriority, o_orderstatus) AS gid
             FROM orders
             GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "waiting_suppliers": """
+            SELECT s_name, COUNT(*) AS numwait
+            FROM lineitem l1
+            JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+            JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE l1.l_returnflag = 'R'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_returnflag = 'R')
+            GROUP BY s_name
+        """,
+        "top_supplier": """
+            WITH revenue AS (
+                SELECT l_suppkey,
+                       SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                           * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+            FROM revenue
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        """,
+        "parts_from_nation_suppliers": """
+            SELECT p_partkey, p_name, p_brand
+            FROM part
+            WHERE p_partkey IN (
+                SELECT l_partkey FROM lineitem
+                WHERE l_suppkey IN (
+                    SELECT s_suppkey FROM supplier WHERE s_nationkey = 3))
+        """,
+        "rolling_hour_value": """
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   COUNT(*) OVER w AS n_1h,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         """,
         "latest_event_per_user": """
             SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us

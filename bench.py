@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "ntile_order_quartiles",    # ntile window + agg
     "big_orders",               # Q18 shape: HAVING agg before join-back
     "event_gap_stats",          # lag window + regroup
+    "shipping_volume",          # Q7 shape: 4 broadcast dims + 1 fact-fact SMJ
+    "waiting_suppliers",        # Q21 shape: semi+anti quantifiers on the fact
+    "rolling_hour_value",       # time-range window frame (rangeBetween)
 ]
 
 

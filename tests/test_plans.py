@@ -53,6 +53,25 @@ def test_semi_join_stays_semi(spark):
     assert "LeftSemi" in plan
 
 
+def test_fact_fact_joins_never_broadcast(spark):
+    """Entry queries that join two corpus-scale tables (lineitem⋈orders,
+    part⋉lineitem, lineitem quantifier self-joins) must pin shuffle joins;
+    dimension sides may still broadcast."""
+    for name, n_smj in [
+        ("shipping_volume", 1),
+        ("waiting_suppliers", 3),
+        ("parts_from_nation_suppliers", 1),
+    ]:
+        plan = plan_of(spark, name)
+        assert plan.count("SortMergeJoin") >= n_smj, (name, plan[:2000])
+        for line in plan.splitlines():
+            if "BroadcastHashJoin" in line:
+                assert "l_orderkey" not in line and "l_partkey" not in line, (
+                    name,
+                    line,
+                )
+
+
 def test_corpus_self_joins_never_broadcast(spark):
     """Unbounded×unbounded joins (LSH bucket self-joins, shingle
     verification, near-dup anti-join) must plan shuffle joins: a static
