@@ -989,6 +989,277 @@ def q_winnowing(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H remainder shapes + statistical aggregates + funnel analytics
+# ---------------------------------------------------------------------------
+
+def q_late_orders_by_priority(spark, sf_dir):
+    """TPC-H Q4 shape: orders with at least one line shipped >60 days after
+    the order date, counted per priority. The EXISTS becomes a fact-fact
+    left-semi join on the order key with a cross-side date predicate; both
+    sides grow with the corpus so the join is pinned to shuffle, and the
+    probe side is pruned to (l_orderkey, l_shipdate) before the exchange."""
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        o.join(
+            lineitem.hint("shuffle_merge"),
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q_promo_revenue_ratio(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-aggregation ratio — share of revenue
+    from PROMO parts in one ship-year. One pass over the join computes
+    both the CASE-guarded numerator and the denominator (no second scan);
+    part is the broadcast side. Exact decimals until the final divide."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice").cast("decimal(25,10)") * (
+        1 - F.col("l_discount").cast("decimal(25,10)")
+    )
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", disc).otherwise(
+                        F.lit(0).cast("decimal(25,10)")
+                    )
+                ).cast("double")
+                * 100
+                / F.sum(disc).cast("double"),
+                6,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: histogram of customers by how many orders they
+    placed, including zero (left outer join, COUNT of the nullable side).
+    Two aggregations; the first shuffles on c_custkey, the second on the
+    tiny count domain — the heavy exchange moves only two int columns."""
+    customer = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        customer.join(
+            orders.hint("shuffle_merge"),
+            customer.c_custkey == orders.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q_supplier_part_variety(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, size) for
+    non-PROMO parts, excluding blacklisted suppliers (NOT IN → broadcast
+    left-anti). The distinct aggregate shuffles once on the group keys
+    after the lineitem→part semi-structure prunes to three columns."""
+    part = read_table(spark, sf_dir, "part")
+    lineitem = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    supplier = read_table(spark, sf_dir, "supplier")
+    bad_supp = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        part.where(F.col("p_type") != "PROMO")
+        .join(lineitem.hint("shuffle_merge"), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    half their part's average. The correlated AVG decorrelates into one
+    per-part aggregate joined back; both sides are corpus-scale so the
+    join-back shuffles on l_partkey (the aggregate side is small per-key
+    but unbounded in keys — never broadcast)."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    brand_parts = part.where(F.col("p_brand") == "Brand#13").select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(
+            avg_qty.hint("shuffle_merge"),
+            F.col("l_partkey") == F.col("ap_partkey"),
+        )
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(25,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_disjunctive_part_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-conjunctions predicate across both join
+    sides. Catalyst extracts the common l_quantity bounds below the OR
+    and pushes them into the parquet scan; the residual disjunction
+    evaluates post-join in codegen. Part is broadcast."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice").cast("decimal(25,10)") * (
+        1 - F.col("l_discount").cast("decimal(25,10)")
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & (F.col("p_size").between(10, 30))
+            & (F.col("l_quantity").between(10, 30))
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & (F.col("p_size").between(20, 50))
+            & (F.col("l_quantity").between(20, 45))
+        )
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            F.sum(disc).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: customers above the positive-balance average with
+    no pending ('P') orders, bucketed by custkey mod 10 (stand-in for the
+    phone prefix). The scalar AVG subquery is a 1-row broadcast; the NOT
+    EXISTS is a fact-fact left-anti join on the customer key, pinned to
+    shuffle with the probe side pruned to one int column."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "P")
+        .select("o_custkey")
+    )
+    avg_bal = customer.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.hint("shuffle_merge"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy((F.col("c_custkey") % 10).alias("bucket"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+def q_value_concentration(spark, sf_dir):
+    """TPC-H Q11 shape: part types whose total extended value exceeds a
+    fixed fraction of the global total. The global total is a 1-row
+    aggregate broadcast back into the HAVING — no second scan of the
+    fact table (the per-type aggregate is reused for both sides)."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    per_type = (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(25,2)")).alias("value_dec")
+        )
+    )
+    total = per_type.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_type.join(F.broadcast(total))
+        .where(F.col("value_dec") > F.col("total_dec") * 0.16)
+        .select("p_type", F.col("value_dec").cast("double").alias("total_value"))
+    )
+
+
+def q_stats_by_returnflag(spark, sf_dir):
+    """Statistical aggregates: per return flag, the correlation, sample
+    covariance and sample stddevs of (quantity, extendedprice). Rounded to
+    6 decimals on both engines — these are inherently floating-point
+    (order-stable to ~1e-12 relative, far inside the rounding)."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def q_purchase_funnel(spark, sf_dir):
+    """Event funnel: per user, first click and first purchase strictly
+    after that click — one conditional-aggregation pass, then a second
+    tiny pass over per-user rows for stage counts. No self-join: the
+    sequential condition rides on MIN(CASE WHEN ...) which Spark and SQL
+    both express exactly."""
+    events = read_table(spark, sf_dir, "events")
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "click", F.unix_micros(F.col("ts")))
+            ).alias("first_click"),
+            F.collect_list(
+                F.when(
+                    F.col("event_type") == "purchase", F.unix_micros(F.col("ts"))
+                )
+            ).alias("purchases"),
+        )
+        .select(
+            "user_id",
+            "first_click",
+            F.array_min(
+                F.filter("purchases", lambda p: p > F.col("first_click"))
+            ).alias("first_purchase_after"),
+        )
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("first_click").alias("n_clicked"),
+        F.count("first_purchase_after").alias("n_converted"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -1043,6 +1314,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "parts_from_nation_suppliers": q_parts_from_nation_suppliers,
         "rolling_hour_value": q_rolling_hour_value,
+        "late_orders_by_priority": q_late_orders_by_priority,
+        "promo_revenue_ratio": q_promo_revenue_ratio,
+        "customer_order_distribution": q_customer_order_distribution,
+        "supplier_part_variety": q_supplier_part_variety,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "disjunctive_part_revenue": q_disjunctive_part_revenue,
+        "idle_rich_customers": q_idle_rich_customers,
+        "value_concentration": q_value_concentration,
+        "stats_by_returnflag": q_stats_by_returnflag,
+        "purchase_funnel": q_purchase_funnel,
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_stats": q_text_stats,
         "similarity_topk": q_similarity_topk,
@@ -1437,6 +1718,127 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        """,
+        "late_orders_by_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND EXISTS (
+                    SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "promo_revenue_ratio": """
+            SELECT ROUND(
+                       CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                THEN CAST(l_extendedprice AS DECIMAL(25,10))
+                                     * (1 - CAST(l_discount AS DECIMAL(25,10)))
+                                ELSE CAST(0 AS DECIMAL(25,10)) END) AS DOUBLE) * 100
+                       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,10))
+                                  * (1 - CAST(l_discount AS DECIMAL(25,10)))) AS DOUBLE),
+                       6) AS promo_pct,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+        """,
+        "customer_order_distribution": """
+            SELECT c_count, COUNT(*) AS custdist
+            FROM (
+                SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "supplier_part_variety": """
+            SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM part JOIN lineitem ON p_partkey = l_partkey
+            WHERE p_type <> 'PROMO'
+              AND l_suppkey NOT IN (
+                    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_size
+        """,
+        "small_quantity_revenue": """
+            WITH li AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#13'
+            ), avg_qty AS (
+                SELECT l_partkey AS ap_partkey, AVG(l_quantity) * 0.5 AS half_avg
+                FROM li GROUP BY l_partkey
+            )
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE)
+                       AS total_price,
+                   COUNT(*) AS n_items
+            FROM li JOIN avg_qty ON l_partkey = ap_partkey
+            WHERE l_quantity < half_avg
+        """,
+        "disjunctive_part_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,10))
+                            * (1 - CAST(l_discount AS DECIMAL(25,10)))) AS DOUBLE)
+                       AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 20 AND 45)
+        """,
+        "idle_rich_customers": """
+            SELECT c_custkey % 10 AS bucket, COUNT(*) AS numcust,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderstatus = 'P')
+            GROUP BY c_custkey % 10
+        """,
+        "value_concentration": """
+            WITH per_type AS (
+                SELECT p_type,
+                       SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS value_dec
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY p_type
+            )
+            SELECT p_type, CAST(value_dec AS DOUBLE) AS total_value
+            FROM per_type
+            WHERE value_dec > (SELECT SUM(value_dec) FROM per_type) * 0.16
+        """,
+        "stats_by_returnflag": """
+            SELECT l_returnflag,
+                   ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                   ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+                   ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+                   ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price,
+                   COUNT(*) AS n
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        "purchase_funnel": """
+            WITH per AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'click'
+                                THEN epoch_us(ts) END) AS first_click
+                FROM events GROUP BY user_id
+            ), conv AS (
+                SELECT e.user_id, MIN(epoch_us(e.ts)) AS first_purchase_after
+                FROM events e JOIN per ON e.user_id = per.user_id
+                WHERE e.event_type = 'purchase'
+                  AND epoch_us(e.ts) > per.first_click
+                GROUP BY e.user_id
+            )
+            SELECT COUNT(*) AS n_users,
+                   COUNT(first_click) AS n_clicked,
+                   COUNT(first_purchase_after) AS n_converted
+            FROM per LEFT JOIN conv ON per.user_id = conv.user_id
         """,
         "latest_event_per_user": """
             SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us

@@ -50,6 +50,14 @@ BENCH_QUERIES = [
     "shipping_volume",          # Q7 shape: 4 broadcast dims + 1 fact-fact SMJ
     "waiting_suppliers",        # Q21 shape: semi+anti quantifiers on the fact
     "rolling_hour_value",       # time-range window frame (rangeBetween)
+    "late_orders_by_priority",  # Q4 shape: EXISTS → fact-fact semi join
+    "customer_order_distribution",  # Q13 shape: outer join + double agg
+    "supplier_part_variety",    # Q16 shape: distinct agg + anti join
+    "small_quantity_revenue",   # Q17 shape: per-key avg join-back
+    "disjunctive_part_revenue", # Q19 shape: OR-of-conjunctions pushdown
+    "value_concentration",      # Q11 shape: HAVING vs global scalar
+    "stats_by_returnflag",      # corr/covar/stddev aggregates
+    "purchase_funnel",          # conditional-agg event funnel
 ]
 
 
