@@ -988,6 +988,16 @@ def q_winnowing(spark, sf_dir):
     )
 
 
+def q_doc_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals per document: type/token ratio,
+    top-token share, duplicate 2-/3-gram fractions. Linear explode →
+    two-level groupBy, one exchange on (doc, gram) then one on doc."""
+    from codd_spark.operators.text import repetition_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # TPC-H remainder shapes + statistical aggregates + funnel analytics
 # ---------------------------------------------------------------------------
@@ -1324,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_concentration": q_value_concentration,
         "stats_by_returnflag": q_stats_by_returnflag,
         "purchase_funnel": q_purchase_funnel,
+        "doc_repetition_stats": q_doc_repetition_stats,
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_stats": q_text_stats,
         "similarity_topk": q_similarity_topk,
@@ -1839,6 +1850,54 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(first_click) AS n_clicked,
                    COUNT(first_purchase_after) AS n_converted
             FROM per LEFT JOIN conv ON per.user_id = conv.user_id
+        """,
+        "doc_repetition_stats": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_transform(string_split_regex(trim(text), '\s+'),
+                                      x -> lower(x)) AS toks
+                FROM documents
+            ), g2 AS (
+                SELECT doc_id,
+                       [toks[i] || ' ' || toks[i+1]
+                        for i in range(1, len(toks))] AS grams
+                FROM toks
+            ), g3 AS (
+                SELECT doc_id,
+                       [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        for i in range(1, len(toks)-1)] AS grams
+                FROM toks
+            ), t1 AS (
+                SELECT doc_id, SUM(cnt) AS total, COUNT(*) AS d, MAX(cnt) AS top
+                FROM (SELECT doc_id, g, COUNT(*) AS cnt
+                      FROM (SELECT doc_id, unnest(toks) AS g FROM toks)
+                      GROUP BY doc_id, g)
+                GROUP BY doc_id
+            ), t2 AS (
+                SELECT doc_id, SUM(cnt) AS total, COUNT(*) AS d
+                FROM (SELECT doc_id, g, COUNT(*) AS cnt
+                      FROM (SELECT doc_id, unnest(grams) AS g FROM g2)
+                      GROUP BY doc_id, g)
+                GROUP BY doc_id
+            ), t3 AS (
+                SELECT doc_id, SUM(cnt) AS total, COUNT(*) AS d
+                FROM (SELECT doc_id, g, COUNT(*) AS cnt
+                      FROM (SELECT doc_id, unnest(grams) AS g FROM g3)
+                      GROUP BY doc_id, g)
+                GROUP BY doc_id
+            )
+            SELECT t1.doc_id, t1.total AS n_tokens,
+                   ROUND(t1.d::DOUBLE / t1.total::DOUBLE, 6) AS distinct_token_ratio,
+                   ROUND(t1.top::DOUBLE / t1.total::DOUBLE, 6) AS top_token_frac,
+                   CASE WHEN t2.total > 0
+                        THEN ROUND((t2.total - t2.d)::DOUBLE / t2.total::DOUBLE, 6)
+                        ELSE 0.0 END AS dup_2gram_frac,
+                   CASE WHEN t3.total > 0
+                        THEN ROUND((t3.total - t3.d)::DOUBLE / t3.total::DOUBLE, 6)
+                        ELSE 0.0 END AS dup_3gram_frac
+            FROM t1
+            LEFT JOIN t2 ON t1.doc_id = t2.doc_id
+            LEFT JOIN t3 ON t1.doc_id = t3.doc_id
         """,
         "latest_event_per_user": """
             SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us

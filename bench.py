@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "value_concentration",      # Q11 shape: HAVING vs global scalar
     "stats_by_returnflag",      # corr/covar/stddev aggregates
     "purchase_funnel",          # conditional-agg event funnel
+    "doc_repetition_stats",     # Gopher repetition signals (explode+2-level agg)
 ]
 
 

@@ -256,3 +256,34 @@ def test_multimodal_plumbing(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|real image decode"):
         decode_image_features(media, decode="real").collect()
+
+
+def test_repetition_stats(spark):
+    from codd_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            # "a a a b": tokens=4, distinct=2, top=a(3); 2grams: "a a","a a","a b"
+            # -> total 3, distinct 2, dup_frac 1/3; 3grams: "a a a","a a b"
+            # -> total 2, distinct 2, dup_frac 0
+            (1, "a a a b"),
+            # all-unique doc: every frac 0 except distinct_token_ratio 1
+            (2, "w x y z"),
+            # single token: no 2-/3-grams at all -> dup fracs 0.0 (not null)
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 4
+    assert r1["distinct_token_ratio"] == 0.5
+    assert r1["top_token_frac"] == 0.75
+    assert r1["dup_2gram_frac"] == round(1 / 3, 6)
+    assert r1["dup_3gram_frac"] == 0.0
+    r2 = rows[2]
+    assert r2["distinct_token_ratio"] == 1.0
+    assert r2["dup_2gram_frac"] == 0.0
+    r3 = rows[3]
+    assert r3["n_tokens"] == 1
+    assert r3["dup_2gram_frac"] == 0.0 and r3["dup_3gram_frac"] == 0.0
