@@ -101,3 +101,43 @@ def test_corpus_self_joins_never_broadcast(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" not in plan, plan[:2000]
         assert "SortMergeJoin" in plan
+
+
+def test_quantifier_shapes_shuffle_pinned(spark):
+    """Q4/Q13/Q17/Q22 shapes: every fact-fact semi/anti/outer/join-back
+    leg must be a shuffle join; only bounded sides (dims, 1-row scalars,
+    filtered blacklists) may broadcast."""
+    for name, fact_keys in [
+        ("late_orders_by_priority", ("l_orderkey", "o_orderkey")),
+        ("customer_order_distribution", ("o_custkey",)),
+        ("small_quantity_revenue", ("ap_partkey",)),
+        ("idle_rich_customers", ("o_custkey",)),
+    ]:
+        plan = plan_of(spark, name)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
+        for line in plan.splitlines():
+            if "BroadcastHashJoin" in line:
+                for k in fact_keys:
+                    assert k not in line, (name, line)
+
+
+def test_semi_anti_preserved_in_quantifier_queries(spark):
+    assert "LeftSemi" in plan_of(spark, "late_orders_by_priority")
+    assert "LeftAnti" in plan_of(spark, "idle_rich_customers")
+    assert "LeftAnti" in plan_of(spark, "supplier_part_variety")
+
+
+def test_count_distribution_reuses_partitioning(spark):
+    """Q13: the per-customer count must NOT re-exchange after the
+    left-outer join already partitioned by c_custkey."""
+    plan = plan_of(spark, "customer_order_distribution")
+    import re
+    exchanges = [l for l in plan.splitlines() if re.search(r"\bExchange hash", l)]
+    # exactly 3: customer side, orders side, final count-domain agg
+    assert len(exchanges) == 3, exchanges
+
+
+def test_repetition_stats_partial_counts(spark):
+    plan = plan_of(spark, "doc_repetition_stats")
+    assert "partial_count" in plan
+    assert "Generate explode" in plan

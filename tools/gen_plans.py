@@ -25,6 +25,10 @@ PICK = {
     "user_sessions": "Sessionize: lag-probe and running-sum windows share one partitioning — a single exchange on user_id feeds both windows AND the final aggregate.",
     "range_join_value_bands": "Global range join compiled to an equi hash join on the bucket key (intervals exploded to covered buckets) — never a nested-loop cross product.",
     "split_train_val_test": "Hash split is a pure projection: the only exchange belongs to the summary groupBy, not the split.",
+    "late_orders_by_priority": "Q4 EXISTS shape: fact-fact left-semi SortMergeJoin with the cross-side date predicate evaluated inside the join; probe side pruned to two columns before its exchange; partial count before the priority exchange.",
+    "customer_order_distribution": "Q13 shape: left-outer SMJ, then the per-customer count reuses the join's c_custkey partitioning (no extra exchange); only the tiny count-domain aggregate shuffles again.",
+    "supplier_part_variety": "Q16 shape: count-distinct expands to a two-level aggregate (dedup on (brand,size,supp) then count); the NOT IN is a broadcast left-anti of the bounded blacklist; the part-lineitem join is shuffle-pinned.",
+    "doc_repetition_stats": "Gopher repetition stats: three explode->groupBy(id,gram) legs with map-side partial counts, merged by left joins on the doc id — linear in corpus size, no per-row frequency maps.",
 }
 
 
