@@ -74,3 +74,19 @@ def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFra
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC scan — same DataSource V2 path as parquet (vectorized,
+    predicate pushdown, column pruning)."""
+    return spark.read.options(**options).orc(path)
+
+
+def read_text(
+    spark: SparkSession, path: str, whole_file: bool = False, **options
+) -> DataFrame:
+    """Raw-text corpus ingestion: one row per line (default) or per file
+    (``whole_file=True`` — the usual shape for one-document-per-file
+    corpora feeding the text/dedup operators). Returns a single ``value``
+    string column; pair with ``input_file_name()`` for a document id."""
+    return spark.read.options(**options).text(path, wholetext=whole_file)

@@ -43,6 +43,18 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
     df.write.mode(mode).options(header="true", **options).csv(path)
 

@@ -54,3 +54,40 @@ def test_max_records_per_file(spark):
         assert len(files) >= 3  # 25 rows / 10 per file
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_orc_roundtrip_with_pushdown(spark):
+    from codd_spark.sources.readers import read_orc
+    from codd_spark.sources.sinks import write_orc
+
+    d = tempfile.mkdtemp()
+    try:
+        df = read_table(spark, "/root/testdata/sf0.001", "nation")
+        write_orc(df, f"{d}/nation.orc")
+        back = read_orc(spark, f"{d}/nation.orc").filter("n_nationkey < 5")
+        assert back.count() == df.filter("n_nationkey < 5").count()
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "orc" in plan.lower() and "n_nationkey" in plan
+    finally:
+        shutil.rmtree(d)
+
+
+def test_text_reader_line_and_wholefile(spark):
+    from codd_spark.sources.readers import read_text
+
+    d = tempfile.mkdtemp()
+    try:
+        with open(f"{d}/a.txt", "w") as f:
+            f.write("first line\nsecond line\n")
+        with open(f"{d}/b.txt", "w") as f:
+            f.write("solo doc\n")
+        lines = read_text(spark, d)
+        assert lines.count() == 3
+        docs = read_text(spark, d, whole_file=True).withColumn(
+            "fname", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        rows = {r["fname"]: r["value"] for r in docs.collect()}
+        assert rows["a.txt"].startswith("first line\nsecond")
+        assert rows["b.txt"].rstrip("\n") == "solo doc"
+    finally:
+        shutil.rmtree(d)
