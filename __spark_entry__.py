@@ -38,8 +38,10 @@ def _db(spark: SparkSession, sf_dir: str, tables: tuple[str, ...]) -> Database:
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Revenue by nation over sf0.001 — scan→join⨝join⨝join→agg with the
-    dimension side broadcast; Catalyst handles pushdown + AQE."""
+    """Revenue by nation over sf0.001 — scan→join⨝join⨝join→agg. Only the
+    fixed-cardinality nation dim carries a broadcast hint; customer grows
+    with scale factor, so AQE/size stats decide its join strategy (it is
+    still broadcast at small SF, but can fall back to shuffle at SF100+)."""
     sf_dir = "/root/testdata/sf0.001"
     lineitem = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
@@ -47,7 +49,7 @@ def entry(spark: SparkSession) -> DataFrame:
     nation = read_table(spark, sf_dir, "nation")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -326,7 +328,7 @@ def q_revenue_by_nation(spark, sf_dir):
     disc = F.col("l_discount").cast("decimal(3,2)")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -347,7 +349,7 @@ def q_top_revenue_orders(spark, sf_dir):
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(customer.filter("c_mktsegment = 'BUILDING'")),
+            customer.filter("c_mktsegment = 'BUILDING'"),
             orders.o_custkey == customer.c_custkey,
         )
         .groupBy("o_orderkey")
@@ -566,7 +568,7 @@ def q_big_orders(spark, sf_dir):
     )
     return (
         qty.join(orders, qty.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .select(
             "c_name",
             "o_orderkey",
@@ -579,24 +581,32 @@ def q_big_orders(spark, sf_dir):
 def q_nation_order_statuses(spark, sf_dir):
     """Array aggregation: per nation, the sorted set of order statuses its
     customers have (sort for a canonical array; collect_set is
-    order-nondeterministic by itself)."""
+    order-nondeterministic by itself). The array is joined into a scalar
+    CSV string so the contract output stays hashable for the driver's
+    pandas canonicalizer."""
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
     nation = read_table(spark, sf_dir, "nation")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
-        .agg(F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderstatus")), ","
+            ).alias("statuses")
+        )
     )
 
 
 def q_shipping_volume(spark, sf_dir):
     """TPC-H Q7 shape: supplier-nation → customer-nation trade volume per
-    ship year. All four dimension sides broadcast; the one fact-fact join
+    ship year. Only the two fixed-cardinality nation projections carry
+    broadcast hints; supplier and customer grow with scale factor, so
+    their join strategy is left to AQE/size stats. The fact-fact join
     (lineitem ⋈ orders — both grow with the corpus) is pinned to a shuffle
-    join, so the only data movement at scale is two key-partitioned fact
-    shuffles plus the final aggregate exchange."""
+    join, so the guaranteed data movement at scale is two key-partitioned
+    fact shuffles plus the final aggregate exchange."""
     lineitem = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
@@ -609,10 +619,10 @@ def q_shipping_volume(spark, sf_dir):
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
     )
     return (
-        lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        lineitem.join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(orders.hint("shuffle_merge"), lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
@@ -672,7 +682,7 @@ def q_waiting_suppliers(spark, sf_dir):
             & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
             "left_anti",
         )
-        .join(F.broadcast(supplier), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l1.l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
@@ -702,7 +712,7 @@ def q_top_supplier(spark, sf_dir):
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
         revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -714,7 +724,8 @@ def q_top_supplier(spark, sf_dir):
 def q_parts_from_nation_suppliers(spark, sf_dir):
     """TPC-H Q20 shape: nested IN chains as stacked left-semi joins —
     parts that ever shipped from a supplier in nation 3. The inner IN
-    (suppliers of the nation) broadcasts; the outer semi join
+    (suppliers of the nation) is a single pruned int column whose join
+    strategy AQE size-gates (it grows with SF); the outer semi join
     (part ⋉ lineitem) is two corpus-scale sides, so it shuffles on the
     part key with the probe side pruned to a single int column."""
     part = read_table(spark, sf_dir, "part")
@@ -723,7 +734,7 @@ def q_parts_from_nation_suppliers(spark, sf_dir):
     nation_suppliers = supplier.where(F.col("s_nationkey") == 3).select("s_suppkey")
     shipped = (
         lineitem.join(
-            F.broadcast(nation_suppliers),
+            nation_suppliers,
             lineitem.l_suppkey == nation_suppliers.s_suppkey,
             "left_semi",
         ).select("l_partkey")
@@ -1041,7 +1052,7 @@ def q_promo_revenue_ratio(spark, sf_dir):
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.sum(
@@ -1079,8 +1090,9 @@ def q_customer_order_distribution(spark, sf_dir):
 
 def q_supplier_part_variety(spark, sf_dir):
     """TPC-H Q16 shape: distinct-supplier counts per (brand, size) for
-    non-PROMO parts, excluding blacklisted suppliers (NOT IN → broadcast
-    left-anti). The distinct aggregate shuffles once on the group keys
+    non-PROMO parts, excluding blacklisted suppliers (NOT IN → left-anti
+    on a pruned key column, size-gated by AQE since supplier grows with
+    SF). The distinct aggregate shuffles once on the group keys
     after the lineitem→part semi-structure prunes to three columns."""
     part = read_table(spark, sf_dir, "part")
     lineitem = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
@@ -1089,7 +1101,7 @@ def q_supplier_part_variety(spark, sf_dir):
     return (
         part.where(F.col("p_type") != "PROMO")
         .join(lineitem.hint("shuffle_merge"), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1104,9 +1116,7 @@ def q_small_quantity_revenue(spark, sf_dir):
     lineitem = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part")
     brand_parts = part.where(F.col("p_brand") == "Brand#13").select("p_partkey")
-    li = lineitem.join(
-        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
-    )
+    li = lineitem.join(brand_parts, F.col("l_partkey") == F.col("p_partkey"))
     avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
         (F.avg("l_quantity") * 0.5).alias("half_avg")
     )
@@ -1153,7 +1163,7 @@ def q_disjunctive_part_revenue(spark, sf_dir):
         )
     )
     return (
-        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .where(cond)
         .agg(
             F.sum(disc).cast("double").alias("revenue"),
@@ -1203,7 +1213,7 @@ def q_value_concentration(spark, sf_dir):
     lineitem = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part")
     per_type = (
-        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_type")
         .agg(
             F.sum(F.col("l_extendedprice").cast("decimal(25,2)")).alias("value_dec")
@@ -1575,7 +1585,7 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'test'
                    END AS split,
                    COUNT(*) AS n_docs,
-                   SUM(n_chars) AS sum_chars
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents
             GROUP BY 1
         """,
@@ -1651,7 +1661,8 @@ def oracle_sql() -> dict[str, str]:
             HAVING SUM(CAST(l_quantity AS DECIMAL(15,2))) > 150
         """,
         "nation_order_statuses": """
-            SELECT n_name, list_sort(list(DISTINCT o_orderstatus)) AS statuses
+            SELECT n_name,
+                   array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey

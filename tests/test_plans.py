@@ -137,6 +137,60 @@ def test_count_distribution_reuses_partitioning(spark):
     assert len(exchanges) == 3, exchanges
 
 
+def test_no_forced_broadcast_of_growing_tables(spark):
+    """Replica-scale discipline: customer/part/supplier grow linearly with
+    scale factor, so none of them (nor a derived subset) may carry a forced
+    broadcast hint — at SF100+ that would override Catalyst's size check
+    and OOM the driver. Simulate corpus scale by disabling size-based
+    broadcast selection entirely: any BroadcastHashJoin that survives in
+    the initial plan can only come from an explicit hint, and explicit
+    hints are only allowed on fixed-cardinality sides (nation, region,
+    bounded aggregates). Mirrors the discipline already enforced on corpus
+    self-joins in test_corpus_self_joins_never_broadcast."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    # join keys that only ever appear when customer/supplier/part (or a
+    # filtered projection of them) is a build side
+    growing_keys = ("c_custkey", "s_suppkey", "p_partkey")
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        for name in [
+            "revenue_by_nation",
+            "top_revenue_orders",
+            "big_orders",
+            "nation_order_statuses",
+            "shipping_volume",
+            "waiting_suppliers",
+            "top_supplier",
+            "parts_from_nation_suppliers",
+            "small_quantity_revenue",
+            "disjunctive_part_revenue",
+            "promo_revenue_ratio",
+            "supplier_part_variety",
+            "value_concentration",
+        ]:
+            plan = plan_of(spark, name)
+            for line in plan.splitlines():
+                if "BroadcastHashJoin" in line:
+                    for key in growing_keys:
+                        assert key not in line, (name, line)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_repetition_stats_partial_counts(spark):
     plan = plan_of(spark, "doc_repetition_stats")
     assert "partial_count" in plan

@@ -15,11 +15,11 @@ from codd_spark.session import get_spark
 
 PICK = {
     "select_lineitem": "Filter + projection fully pushed to the parquet scan; single distinct exchange for set semantics.",
-    "revenue_by_nation": "3-way join: every dimension broadcast (no shuffle of the fact side until the final aggregation); partial aggregation before the exchange.",
+    "revenue_by_nation": "3-way join: nation carries an explicit broadcast hint (fixed 25 rows); customer's strategy is size-gated by Catalyst/AQE — broadcast at bench scale, shuffle at SF100+ (no forced hint); partial aggregation before the exchange.",
     "top_revenue_orders": "Join + group + TakeOrderedAndProject: the top-k never materializes a global sort.",
     "asof_join_events": "As-of join as union + running window: exactly one shuffle (on user_id), no range probe.",
     "minhash_near_dups": "One-permutation signature: binned partial-min + window densification; every corpus self-join is SortMergeJoin by hint (broadcast would OOM at scale); exact-Jaccard verify on hashed shingles.",
-    "big_orders": "Q18 HAVING shape: the quantity aggregate (with partial agg) runs BEFORE the joins, so only qualifying orders join back; dims broadcast.",
+    "big_orders": "Q18 HAVING shape: the quantity aggregate (with partial agg) runs BEFORE the joins, so only qualifying orders join back; customer join size-gated (no forced hint).",
     "latest_event_per_user": "Snapshot dedup: one exchange on the key feeds the row_number window; filter on rn=1 follows immediately.",
     "dedup_exact_documents": "Fingerprint groupBy with map-side partial aggregation; one exchange total.",
     "user_sessions": "Sessionize: lag-probe and running-sum windows share one partitioning — a single exchange on user_id feeds both windows AND the final aggregate.",
@@ -27,7 +27,7 @@ PICK = {
     "split_train_val_test": "Hash split is a pure projection: the only exchange belongs to the summary groupBy, not the split.",
     "late_orders_by_priority": "Q4 EXISTS shape: fact-fact left-semi SortMergeJoin with the cross-side date predicate evaluated inside the join; probe side pruned to two columns before its exchange; partial count before the priority exchange.",
     "customer_order_distribution": "Q13 shape: left-outer SMJ, then the per-customer count reuses the join's c_custkey partitioning (no extra exchange); only the tiny count-domain aggregate shuffles again.",
-    "supplier_part_variety": "Q16 shape: count-distinct expands to a two-level aggregate (dedup on (brand,size,supp) then count); the NOT IN is a broadcast left-anti of the bounded blacklist; the part-lineitem join is shuffle-pinned.",
+    "supplier_part_variety": "Q16 shape: count-distinct expands to a two-level aggregate (dedup on (brand,size,supp) then count); the NOT IN is a left-anti on a pruned key column whose strategy AQE size-gates (the blacklist grows with SF); the part-lineitem join is shuffle-pinned.",
     "doc_repetition_stats": "Gopher repetition stats: three explode->groupBy(id,gram) legs with map-side partial counts, merged by left joins on the doc id — linear in corpus size, no per-row frequency maps.",
 }
 
