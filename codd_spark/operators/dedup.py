@@ -21,11 +21,21 @@ are computed in one projection pass per document.
 from __future__ import annotations
 
 import random
+import weakref
 
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from codd_spark.functions.text import normalize_ws, tokens
+
+
+def _safe_unpersist(df: DataFrame) -> None:
+    """Finalizer target: unpersist quietly (the JVM may already be gone
+    at interpreter shutdown)."""
+    try:
+        df.unpersist()
+    except Exception:
+        pass
 
 # Modulus prime for the minhash universal-hash family (fits in 31 bits so
 # a*h+b stays overflow-free in a 64-bit long).
@@ -338,6 +348,12 @@ def minhash_near_duplicates(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # Release the shingle cache once the caller drops the result DataFrame:
+    # persist() is lazy (nothing is cached until the result is computed),
+    # and after the result object is unreachable the cache can never be
+    # reused — without this, repeated calls in one session accumulate
+    # executor storage memory.
+    weakref.finalize(verified, _safe_unpersist, shingled)
     return verified
 
 

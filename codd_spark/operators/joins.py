@@ -28,22 +28,36 @@ def asof_join(
 
     Implementation is the union-and-carry-forward pattern, NOT a range
     join: tag both sides, sort each key group by (ts, side) with right
-    rows first at ties, and carry the last non-null right payload forward
-    with a running window. One shuffle on the key — no per-row range
-    probe, no quadratic blowup on dense keys — this is the formulation
-    that survives billions of rows per key-day at 100 TB.
+    rows first at ties, and carry the last right payload forward with a
+    running window. The payload is carried as ONE struct of all right
+    columns, so the attached values always come from a single right row —
+    a per-column ``last(ignorenulls)`` would backfill a NULL field from an
+    older right row, silently mixing rows. One shuffle on the key — no
+    per-row range probe, no quadratic blowup on dense keys — this is the
+    formulation that survives billions of rows per key-day at 100 TB.
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in on and c != right_ts]
     out_names = {c: (c + suffix if c in left.columns else c) for c in right_cols + [right_ts]}
+    rdt = dict(right.dtypes)
 
+    # the right payload travels as one struct: NULL for left rows, a
+    # non-null struct (possibly with null fields) for right rows, so
+    # last(ignorenulls) picks whole rows, never mixes columns across rows
+    payload_fields = [c for c in right_cols + [right_ts]]
+    null_payload = F.when(
+        F.lit(False),
+        F.struct(
+            *[F.lit(None).cast(rdt[c]).alias(out_names[c]) for c in payload_fields]
+        ),
+    )
     lhs = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in left.columns if c not in on and c != left_ts],
         F.col(left_ts),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(out_names[c]) for c in right_cols + [right_ts]],
+        null_payload.alias("__rpay"),
     )
     rhs = right.select(
         *on,
@@ -51,7 +65,9 @@ def asof_join(
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left.columns if c not in on and c != left_ts],
         F.lit(None).cast(dict(left.dtypes)[left_ts]).alias(left_ts),
-        *[F.col(c).alias(out_names[c]) for c in right_cols + [right_ts]],
+        F.struct(
+            *[F.col(c).alias(out_names[c]) for c in payload_fields]
+        ).alias("__rpay"),
     )
     unioned = lhs.unionByName(rhs)
     w = (
@@ -64,12 +80,17 @@ def asof_join(
         "__side",
         *[c for c in left.columns if c not in on and c != left_ts],
         left_ts,
-        *[
-            F.last(out_names[c], ignorenulls=True).over(w).alias(out_names[c])
-            for c in right_cols + [right_ts]
-        ],
+        F.last("__rpay", ignorenulls=True).over(w).alias("__rpay"),
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+    return (
+        carried.filter(F.col("__side") == 1)
+        .select(
+            *on,
+            *[c for c in left.columns if c not in on and c != left_ts],
+            left_ts,
+            *[F.col(f"__rpay.{out_names[c]}").alias(out_names[c]) for c in payload_fields],
+        )
+    )
 
 
 def _numeric(c: Column, dtype: str) -> Column:

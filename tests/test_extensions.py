@@ -287,3 +287,19 @@ def test_repetition_stats(spark):
     r3 = rows[3]
     assert r3["n_tokens"] == 1
     assert r3["dup_2gram_frac"] == 0.0 and r3["dup_3gram_frac"] == 0.0
+
+
+def test_minhash_releases_shingle_cache(spark, docs):
+    """The persisted shingle projection must not outlive the result: once
+    the caller drops the result DataFrame, no cached RDD lingers."""
+    import gc
+
+    from codd_spark.operators.dedup import minhash_near_duplicates
+
+    out = minhash_near_duplicates(docs, "doc_id", "text", num_hashes=16, bands=4)
+    out.count()  # materialize -> shingle projection is cached
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() > 0
+    del out
+    gc.collect()
+    assert jsc.getPersistentRDDs().size() == 0

@@ -157,3 +157,23 @@ def test_salted_join_rejects_right_outer(spark):
     df = spark.createDataFrame([(1, 2)], "k LONG, v LONG")
     with pytest.raises(ValueError):
         salted_join(df, df, on=["k"], how="right")
+
+
+def test_asof_null_payload_stays_atomic(spark):
+    """A matched right row with a NULL payload field must NOT have that
+    field backfilled from an older right row: the attached payload always
+    comes from exactly one right row."""
+    left = spark.createDataFrame(
+        [(1, TS("2024-01-01 10:00:20"))], "k LONG, ts TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, TS("2024-01-01 10:00:00"), 9.0, "venue_a"),
+            (1, TS("2024-01-01 10:00:10"), None, "venue_b"),  # latest match
+        ],
+        "k LONG, ts TIMESTAMP, px DOUBLE, venue STRING",
+    )
+    row = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts").collect()[0]
+    # latest right row wins as a unit: px stays NULL, not 9.0 from venue_a
+    assert row.venue == "venue_b"
+    assert row.px is None
