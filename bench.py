@@ -4,6 +4,11 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ..
 
 Queries execute against the noop sink — full execution, no driver collect
 bottleneck — so the numbers measure the engine, not result transfer.
+
+Each query runs twice: the first (cold) pass pays JVM/codegen/session
+warm-up, the second (warm) pass is the steady-state engine number that is
+comparable to BASELINE.md. ``queries``/``value`` report the warm pass;
+``queries_cold``/``value_cold`` keep the cold pass for attribution.
 """
 
 from __future__ import annotations
@@ -47,7 +52,7 @@ BENCH_QUERIES = [
     "ntile_order_quartiles",    # ntile window + agg
     "big_orders",               # Q18 shape: HAVING agg before join-back
     "event_gap_stats",          # lag window + regroup
-    "shipping_volume",          # Q7 shape: 4 broadcast dims + 1 fact-fact SMJ
+    "shipping_volume",          # Q7 shape: size-gated dims + 1 fact-fact SMJ
     "waiting_suppliers",        # Q21 shape: semi+anti quantifiers on the fact
     "rolling_hour_value",       # time-range window frame (rangeBetween)
     "late_orders_by_priority",  # Q4 shape: EXISTS → fact-fact semi join
@@ -76,7 +81,7 @@ def flagship(spark, sf_dir):
     nation = read_table(spark, sf_dir, "nation")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -98,7 +103,6 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry_mod.queries()
-    timings: dict[str, float] = {}
 
     # warm the JVM, parquet footers and OS page cache with one cheap action
     # per table, so per-query numbers measure the engine, not first-touch IO
@@ -106,24 +110,30 @@ def main():
               "lineitem", "events", "documents", "embeddings"):
         read_table(spark, sf_dir, t).count()
 
-    t0 = time.time()
-    run_noop(flagship(spark, sf_dir))
-    timings["flagship_revenue_by_nation"] = round(time.time() - t0, 3)
-
-    for name in BENCH_QUERIES:
-        fn = qs[name]
+    def one_pass() -> dict[str, float]:
+        timings: dict[str, float] = {}
         t0 = time.time()
-        run_noop(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        run_noop(flagship(spark, sf_dir))
+        timings["flagship_revenue_by_nation"] = round(time.time() - t0, 3)
+        for name in BENCH_QUERIES:
+            fn = qs[name]
+            t0 = time.time()
+            run_noop(fn(spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+        return timings
 
-    total = round(sum(timings.values()), 3)
+    cold = one_pass()   # pays codegen/classloading/first-touch cost
+    warm = one_pass()   # steady-state engine numbers (vs BASELINE.md)
+
     print(
         json.dumps(
             {
                 "metric": "total_headline_query_sec",
-                "value": total,
+                "value": round(sum(warm.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm,
+                "value_cold": round(sum(cold.values()), 3),
+                "queries_cold": cold,
                 "sf": sf,
             }
         )
