@@ -1279,6 +1279,50 @@ def q_purchase_funnel(spark, sf_dir):
     )
 
 
+def q_image_metadata(spark, sf_dir):
+    """Real multimodal decode contract: synthesize one PNG per document id
+    (solid 8-bit image; width/height/pixel/scanline-filter are closed
+    forms of the id, so every PNG filter type is exercised across the
+    corpus), decode with the pure-Python spec codec
+    (codd_spark/functions/imaging.py) inside Arrow-batched mapInPandas,
+    and emit metadata an engine that never sees the bytes can predict
+    exactly. True dimensions and true mean pixel value — the decode is
+    real, not a hash stand-in."""
+    from codd_spark.operators.multimodal import (
+        decode_image_features,
+        png_media_from_ids,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id").where("doc_id < 300")
+    feats = decode_image_features(png_media_from_ids(docs, "doc_id"), decode="real")
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("mean_pixel"),
+    )
+
+
+def q_audio_metadata(spark, sf_dir):
+    """Real audio decode contract: synthesize one constant-amplitude PCM16
+    WAV clip per document id (sample count and amplitude are closed forms
+    of the id), parse the container and compute signal RMS over the real
+    samples, and check duration/RMS against the closed forms."""
+    from codd_spark.operators.multimodal import (
+        decode_audio_features,
+        wav_media_from_ids,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id").where("doc_id < 200")
+    feats = decode_audio_features(wav_media_from_ids(docs, "doc_id"), decode="real")
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("n_samples"),
+        F.round("duration_sec", 6).alias("duration_sec"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1359,6 +1403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": q_text_features,
         "text_quality": q_text_quality,
         "winnowing": q_winnowing,
+        "image_metadata": q_image_metadata,
+        "audio_metadata": q_audio_metadata,
     }
 
 
@@ -2095,5 +2141,22 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
                 FROM scored
             ) WHERE rank <= 5
+        """,
+        # The Spark side round-trips real PNG/WAV bytes (encode -> decode
+        # with the spec codec); the oracle predicts the decoded metadata
+        # from the closed-form synthesis parameters without seeing bytes.
+        "image_metadata": """
+            SELECT doc_id,
+                   16 + doc_id % 32 AS width,
+                   16 + doc_id % 17 AS height,
+                   CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_pixel
+            FROM documents WHERE doc_id < 300
+        """,
+        "audio_metadata": """
+            SELECT doc_id,
+                   CAST(8000 + (doc_id % 50) * 160 AS BIGINT) AS n_samples,
+                   ROUND(CAST(8000 + (doc_id % 50) * 160 AS DOUBLE) / 16000, 6) AS duration_sec,
+                   CAST(doc_id % 1000 AS DOUBLE) AS rms
+            FROM documents WHERE doc_id < 200
         """,
     }

@@ -1,0 +1,229 @@
+"""Pure-Python PNG and WAV codecs (numpy + stdlib zlib/wave) backing the
+multimodal operators' ``decode="real"`` path.
+
+The container ships no native image/audio codecs (no PIL, no ffmpeg), but
+PNG is fully specified over zlib (RFC 2083 / W3C PNG spec) and WAV over
+stdlib ``wave`` — so the real decode path is a genuine spec-compliant
+decoder, not a stub: 8-bit greyscale / greyscale+alpha / RGB / RGBA, all
+five scanline filters (None/Sub/Up/Average/Paeth), non-interlaced.
+
+Scale note: these kernels run inside Arrow-batched ``mapInPandas`` — each
+executor core decodes one bounded Arrow batch at a time, so memory stays
+flat and throughput scales with executor count. At production scale you
+would swap a native codec (PIL/libvips/ffmpeg) into the same kernel slot
+for per-image CPU efficiency; the operator plumbing (schema, batching,
+partitioning) is unchanged — that swap is the reason the decode function
+is a plain bytes->array function rather than Spark-coupled code.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> samples per pixel
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_COLOR_OF_CH = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+def _chunks(data: bytes):
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        yield ctype, body
+        pos += 12 + length  # length + type + body + CRC
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG missing IEND")
+
+
+def png_info(data: bytes) -> tuple[int, int, int, int, int]:
+    """(width, height, bit_depth, color_type, channels) from IHDR only —
+    O(header) regardless of image size, the cheap metadata path."""
+    for ctype, body in _chunks(data):
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if comp != 0 or filt != 0:
+                raise ValueError("unsupported PNG compression/filter method")
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+            if depth != 8:
+                raise ValueError(f"bit depth {depth} not supported (8 only)")
+            if color not in _CHANNELS:
+                raise ValueError(f"palette/unknown color type {color} not supported")
+            return w, h, depth, color, _CHANNELS[color]
+    raise ValueError("PNG missing IHDR")
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 array of shape (height, width, channels).
+
+    Implements the full scanline un-filter: None and Up are pure
+    elementwise adds, Sub is a per-channel cumulative sum (vectorized as
+    uint8 cumsum, whose wraparound IS the spec's mod-256), Average and
+    Paeth carry a true sequential dependency along x and run as a per-pixel
+    loop vectorized over channels.
+    """
+    w, h, _depth, _color, ch = png_info(data)
+    idat = b"".join(body for ctype, body in _chunks(data) if ctype == b"IDAT")
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    stride = w * ch
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG pixel data has wrong length")
+    img = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = int(raw[y * (stride + 1)])
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        prev = img[y - 1] if y else np.zeros(stride, np.uint8)
+        if f == 0:  # None
+            img[y] = line
+        elif f == 1:  # Sub: out[x] = line[x] + out[x-1]  == cumsum mod 256
+            img[y] = np.cumsum(
+                line.reshape(w, ch), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif f == 2:  # Up
+            img[y] = line + prev
+        elif f == 3:  # Average
+            cur = img[y]
+            line_i = line.astype(np.int32)
+            prev_i = prev.astype(np.int32)
+            left = np.zeros(ch, np.int32)
+            for x in range(w):
+                sl = slice(x * ch, (x + 1) * ch)
+                left = (line_i[sl] + ((left + prev_i[sl]) >> 1)) & 0xFF
+                cur[sl] = left
+        elif f == 4:  # Paeth
+            cur = img[y]
+            line_i = line.astype(np.int32)
+            prev_i = prev.astype(np.int32)
+            left = np.zeros(ch, np.int32)
+            upleft = np.zeros(ch, np.int32)
+            for x in range(w):
+                sl = slice(x * ch, (x + 1) * ch)
+                up = prev_i[sl]
+                p = left + up - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+                )
+                left = (line_i[sl] + pred) & 0xFF
+                cur[sl] = left
+                upleft = up
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+    return img.reshape(h, w, ch)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 array (h, w) or (h, w, ch) -> PNG bytes. ``filter_type``
+    applies one fixed filter to every scanline (0-4); encoding the filter
+    is the closed-form inverse of decoding, so it vectorizes fully."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    if ch not in _COLOR_OF_CH:
+        raise ValueError(f"{ch} channels not encodable as PNG")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad filter type {filter_type}")
+    flat = arr.reshape(h, w * ch).astype(np.int32)
+    pieces = []
+    prev = np.zeros(w * ch, np.int32)
+    ftag = bytes([filter_type])
+    for y in range(h):
+        cur = flat[y]
+        left = np.zeros_like(cur)
+        left[ch:] = cur[:-ch]
+        if filter_type == 0:
+            out = cur
+        elif filter_type == 1:
+            out = cur - left
+        elif filter_type == 2:
+            out = cur - prev
+        elif filter_type == 3:
+            out = cur - ((left + prev) >> 1)
+        else:  # Paeth
+            upleft = np.zeros_like(prev)
+            upleft[ch:] = prev[:-ch]
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            out = cur - pred
+        pieces.append(ftag + (out & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_OF_CH[ch], 0, 0, 0)
+    idat = zlib.compress(b"".join(pieces))
+    return _SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize via index gather (pure numpy)."""
+    h, w = arr.shape[:2]
+    ys = np.arange(out_h) * h // out_h
+    xs = np.arange(out_w) * w // out_w
+    return arr[ys][:, xs]
+
+
+# ---------------------------------------------------------------------------
+# WAV (stdlib `wave` container, 8/16-bit PCM)
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000, n_channels: int = 1) -> bytes:
+    """int16 sample array -> WAV bytes (PCM16). For multi-channel pass the
+    interleaved 1-D array."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(n_channels)
+        wv.setsampwidth(2)
+        wv.setframerate(sample_rate)
+        wv.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> dict:
+    """WAV bytes -> metadata + signal stats (n_channels, sample_rate,
+    n_samples, duration_sec, rms)."""
+    with wave.open(io.BytesIO(data), "rb") as wv:
+        n_ch = wv.getnchannels()
+        width = wv.getsampwidth()
+        rate = wv.getframerate()
+        n_frames = wv.getnframes()
+        frames = wv.readframes(n_frames)
+    if width == 2:
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+    elif width == 1:
+        samples = np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0
+    else:
+        raise ValueError(f"sample width {width} not supported (PCM 8/16 only)")
+    rms = float(np.sqrt(np.mean(samples * samples))) if samples.size else 0.0
+    return {
+        "n_channels": n_ch,
+        "sample_rate": rate,
+        "n_samples": n_frames,
+        "duration_sec": n_frames / rate if rate else 0.0,
+        "rms": rms,
+    }

@@ -254,8 +254,54 @@ def test_multimodal_plumbing(spark):
 
     import pytest as _pytest
 
-    with _pytest.raises(Exception, match="NotImplementedError|real image decode"):
+    # real decode on non-PNG bytes fails loudly, not silently
+    with _pytest.raises(Exception, match="not a PNG"):
         decode_image_features(media, decode="real").collect()
+
+
+def test_multimodal_real_image_decode(spark):
+    """decode='real' returns TRUE dimensions and pixel stats for generated
+    PNGs (pure-Python spec codec; every filter type exercised via id % 5)."""
+    from codd_spark.operators.multimodal import (
+        decode_image_features,
+        png_media_from_ids,
+        resize_images,
+    )
+
+    ids = spark.range(0, 40).withColumnRenamed("id", "media_id")
+    media = png_media_from_ids(ids)
+    feats = {r.media_id: r for r in decode_image_features(media, decode="real").collect()}
+    assert len(feats) == 40
+    for i in range(40):
+        r = feats[i]
+        assert r.width == 16 + i % 32, (i, r)
+        assert r.height == 16 + i % 17, (i, r)
+        assert r.mean_pixel == float((i * 7) % 256), (i, r)
+
+    # binary->binary transform: resize then re-decode gives the new dims
+    resized = decode_image_features(resize_images(media, 8, 9), decode="real")
+    for r in resized.collect():
+        assert (r.width, r.height) == (8, 9)
+        assert r.mean_pixel == float((r.media_id * 7) % 256)
+
+
+def test_multimodal_real_audio_decode(spark):
+    """decode='real' parses WAV containers and computes exact duration/RMS
+    for constant-amplitude clips."""
+    from codd_spark.operators.multimodal import (
+        decode_audio_features,
+        wav_media_from_ids,
+    )
+
+    ids = spark.range(0, 25).withColumnRenamed("id", "media_id")
+    out = {r.media_id: r for r in
+           decode_audio_features(wav_media_from_ids(ids), decode="real").collect()}
+    for i in range(25):
+        r = out[i]
+        n = 8000 + (i % 50) * 160
+        assert r.n_samples == n and r.sample_rate == 16000 and r.n_channels == 1
+        assert abs(r.duration_sec - n / 16000) < 1e-12
+        assert abs(r.rms - float(i % 1000)) < 1e-9  # constant amplitude
 
 
 def test_repetition_stats(spark):

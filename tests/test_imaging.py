@@ -1,0 +1,66 @@
+"""Unit tests for the pure-Python PNG/WAV codecs (no Spark needed)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from codd_spark.functions.imaging import (
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    png_info,
+    resize_nearest,
+)
+
+
+def test_png_roundtrip_all_filters_and_channels():
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        for ft in range(5):
+            arr = rng.integers(0, 256, size=(13, 17, ch), dtype=np.uint8)
+            data = encode_png(arr, filter_type=ft)
+            w, h, depth, _color, nch = png_info(data)
+            assert (w, h, depth, nch) == (17, 13, 8, ch)
+            assert np.array_equal(decode_png(data), arr), (ch, ft)
+
+
+def test_png_chunk_crcs_valid():
+    data = encode_png(np.arange(75, dtype=np.uint8).reshape(5, 5, 3), filter_type=4)
+    pos = 8
+    seen = []
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        assert crc == zlib.crc32(ctype + body), ctype
+        seen.append(ctype)
+        pos += 12 + length
+    assert seen == [b"IHDR", b"IDAT", b"IEND"]
+
+
+def test_png_rejects_garbage():
+    with pytest.raises(ValueError, match="not a PNG"):
+        png_info(b"\x00" * 64)
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF not png")
+
+
+def test_resize_nearest_dims_and_solid_color():
+    arr = np.full((20, 30, 3), 99, dtype=np.uint8)
+    out = resize_nearest(arr, 7, 11)
+    assert out.shape == (11, 7, 3)
+    assert (out == 99).all()
+
+
+def test_wav_roundtrip_exact():
+    s = (np.sin(np.linspace(0, 100, 8000)) * 12000).astype(np.int16)
+    meta = decode_wav(encode_wav(s, 16000))
+    assert meta["n_samples"] == 8000
+    assert meta["sample_rate"] == 16000
+    assert abs(meta["duration_sec"] - 0.5) < 1e-12
+    want_rms = float(np.sqrt(np.mean(s.astype(np.float64) ** 2)))
+    assert abs(meta["rms"] - want_rms) < 1e-9
