@@ -130,6 +130,84 @@ def lsh_top_k(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+_IVF_INLINE_CENTROID_LIMIT = 64
+
+
+def route_queries_to_lists(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    *,
+    n_probe: int,
+    query_id_col: str = "query_id",
+    query_emb_col: str = "q_emb",
+    inline_limit: int = _IVF_INLINE_CENTROID_LIMIT,
+) -> DataFrame:
+    """Assign each query its ``n_probe`` nearest centroid list_ids.
+
+    Two physical strategies with identical semantics:
+
+    - **inline** (n_lists <= inline_limit): the per-centroid squared
+      distances are one array expression — zero extra joins, whole-stage
+      codegen. But the expression tree grows linearly with n_lists
+      (each centroid is a literal array), so at n_lists ≈ 1000+ the plan
+      itself becomes megabytes and codegen falls over.
+    - **centroid table** (n_lists > inline_limit): centroids become a tiny
+      broadcast DataFrame; queries cross-join it (BroadcastNestedLoop over
+      ~n_lists rows), distances are ONE expression evaluated per
+      (query, centroid) row, and a per-query window keeps the n_probe
+      nearest. Plan size is constant in n_lists — this is the 4k-list
+      configuration a 100 TB corpus needs.
+    """
+    out_cols = (query_id_col, "_qemb", "list_id")
+    if len(centroids) <= inline_limit:
+        def nearest_lists(emb: Column) -> Column:
+            dists = F.array(
+                *[
+                    F.struct(
+                        F.aggregate(
+                            F.zip_with(emb, _lit_vec(c), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        ).alias("d"),
+                        F.lit(i).alias("list_id"),
+                    )
+                    for i, c in enumerate(centroids)
+                ]
+            )
+            return F.slice(F.array_sort(dists), 1, n_probe)
+
+        return queries.select(
+            F.col(query_id_col),
+            F.col(query_emb_col).alias("_qemb"),
+            F.explode(nearest_lists(F.col(query_emb_col))).alias("nl"),
+        ).select(query_id_col, "_qemb", F.col("nl.list_id").alias("list_id"))
+
+    spark = queries.sparkSession
+    cent = spark.createDataFrame(
+        [(i, list(map(float, c))) for i, c in enumerate(centroids)],
+        "list_id INT, _cent ARRAY<DOUBLE>",
+    )
+    qc = queries.select(
+        F.col(query_id_col), F.col(query_emb_col).alias("_qemb")
+    ).crossJoin(F.broadcast(cent))
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("_qemb"),
+            F.col("_cent"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.asc("_d"), F.asc("list_id"))
+    return (
+        qc.withColumn("_d", dist)
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select(*out_cols)
+    )
+
+
 def ivf_top_k(
     df: DataFrame,
     queries: DataFrame,
@@ -151,7 +229,8 @@ def ivf_top_k(
     (centroids follow density), at the cost of a training pass. The
     centroid set is tiny and broadcast; the corpus is scanned once for
     assignment (persist the assigned table for repeated query batches at
-    scale)."""
+    scale). Query->list routing switches physical strategy on n_lists —
+    see route_queries_to_lists."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -167,28 +246,13 @@ def ivf_top_k(
     )
 
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
-
-    def nearest_lists(emb: Column) -> Column:
-        dists = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(emb, _lit_vec(c), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    ).alias("d"),
-                    F.lit(i).alias("list_id"),
-                )
-                for i, c in enumerate(centroids)
-            ]
-        )
-        return F.slice(F.array_sort(dists), 1, n_probe)
-
-    qx = queries.select(
-        F.col(query_id_col),
-        F.col(query_emb_col).alias("_qemb"),
-        F.explode(nearest_lists(F.col(query_emb_col))).alias("nl"),
-    ).select(query_id_col, "_qemb", F.col("nl.list_id").alias("list_id"))
+    qx = route_queries_to_lists(
+        queries,
+        centroids,
+        n_probe=n_probe,
+        query_id_col=query_id_col,
+        query_emb_col=query_emb_col,
+    )
 
     joined = assigned.join(F.broadcast(qx), on="list_id").filter(
         F.col("neighbor_id") != F.col(query_id_col)

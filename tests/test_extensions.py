@@ -349,3 +349,45 @@ def test_minhash_releases_shingle_cache(spark, docs):
     del out
     gc.collect()
     assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_ivf_routing_strategies_agree(spark):
+    """Inline-expression and centroid-table routing must pick the same
+    (query, list) pairs; the table path is the n_lists>=1000 scale path."""
+    import random
+
+    from codd_spark.operators.similarity import route_queries_to_lists
+
+    rng = random.Random(3)
+    centroids = [[rng.gauss(0, 1) for _ in range(4)] for _ in range(12)]
+    queries = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(4)]) for i in range(9)],
+        "query_id LONG, q_emb ARRAY<DOUBLE>",
+    )
+    inline = route_queries_to_lists(queries, centroids, n_probe=3, inline_limit=64)
+    table = route_queries_to_lists(queries, centroids, n_probe=3, inline_limit=1)
+    got_i = sorted((r.query_id, r.list_id) for r in inline.collect())
+    got_t = sorted((r.query_id, r.list_id) for r in table.collect())
+    assert got_i == got_t
+
+
+def test_ivf_routing_plan_bounded_at_1024_lists(spark):
+    """The centroid-table path keeps the physical plan constant-size in
+    n_lists: 1024 centroids must not inline 1024 literal arrays into the
+    expression tree (that plan is megabytes and breaks codegen)."""
+    import random
+
+    from codd_spark.operators.similarity import route_queries_to_lists
+
+    rng = random.Random(5)
+    centroids = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(1024)]
+    queries = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(4)],
+        "query_id LONG, q_emb ARRAY<DOUBLE>",
+    )
+    routed = route_queries_to_lists(queries, centroids, n_probe=4)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 100_000, len(plan)
+    assert plan.count("aggregate(") <= 4  # one distance expr, not 1024
+    # and it still runs
+    assert routed.count() == 16
