@@ -4,7 +4,9 @@ Reference: core/src/database.rs:162-363. The reference stores relations as
 sorted/deduplicated tuple vectors with a stable/recent/to_add ratchet
 (core/src/database/instance.rs:97-113) and maintains views by semi-naive
 delta propagation. Here relations are immutable DataFrames (inserts build a
-union lineage), views are derived DataFrames recomputed-on-read with a cache
+union lineage that spills to immutable parquet generations, delta-only
+writes with a file-count-triggered full rewrite — see _spill/_rewrite),
+views are derived DataFrames recomputed-on-read with a cache
 that is invalidated when a dependency changes — observationally identical to
 the reference (always-current views, set semantics, snapshot clone) while
 letting Catalyst own the physical plan. The genuinely incremental
@@ -13,7 +15,12 @@ delta-propagation path lives in codd_spark.streaming.incremental.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+import uuid
 from dataclasses import dataclass, field
+from functools import reduce
 from typing import Any, Iterable
 
 from pyspark.sql import DataFrame, Row, SparkSession
@@ -49,21 +56,43 @@ class _ViewEntry:
 
 
 class _RelationEntry:
-    """Reference: core/src/database.rs:26-36."""
+    """Reference: core/src/database.rs:26-36.
 
-    __slots__ = ("df", "dependents", "insert_count")
+    A relation is ``base`` (the registered DataFrame unioned with the
+    spilled insert generations) plus ``pending`` (DataFrames inserted
+    since the last spill). ``df`` is the lazy union of both."""
+
+    __slots__ = ("base", "pending", "gens", "dependents", "insert_count", "_df")
 
     def __init__(self, df: DataFrame):
-        self.df = df
+        self.base = df
+        self.pending: list[DataFrame] = []
+        self.gens: list[str] = []  # spilled generation dirs, oldest first
         self.dependents: set[int] = set()
         self.insert_count = 0
+        self._df: DataFrame | None = None
+
+    @property
+    def df(self) -> DataFrame:
+        if self._df is None:
+            self._df = reduce(DataFrame.union, self.pending, self.base)
+        return self._df
+
+    @df.setter
+    def df(self, value: DataFrame) -> None:
+        self.base, self.pending, self._df = value, [], None
 
 
-# Cut the union lineage with a localCheckpoint every N inserts so repeated
-# small inserts don't grow the logical plan unboundedly (the reference's
-# geometric batch merging, core/src/database/instance.rs:174-188, solves the
-# same problem for sorted runs).
+# Spill pending inserts to a parquet generation every N inserts, so
+# repeated small inserts don't grow the logical plan unboundedly (the
+# reference's geometric batch merging, core/src/database/instance.rs:174-188,
+# solves the same problem for sorted runs). Each spill writes ONLY the
+# delta (cheap, latency stays flat); once a relation fragments past
+# _GEN_FILE_LIMIT generations the whole relation is rewritten as one
+# generation — the same file-count-triggered rewrite as the persistent
+# view store (streaming/store.py).
 _COMPACT_EVERY = 64
+_GEN_FILE_LIMIT = 16
 
 
 class Database:
@@ -74,11 +103,19 @@ class Database:
     isolation (core/src/database.rs:345-363).
     """
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, spill_dir: str | None = None):
         self.spark = spark
         self._relations: dict[str, _RelationEntry] = {}
         self._views: dict[int, _ViewEntry] = {}
         self._view_counter = 0
+        # insert-spill storage; auto-created under the system temp dir on
+        # first use. Generation files are immutable once written, which is
+        # what keeps clone() snapshots valid (they scan old generations).
+        self._spill_dir = spill_dir
+        self._gen_counter = 0
+        # once a clone exists, compaction must not delete superseded
+        # generation dirs — the other copy may still scan them
+        self._has_clones = False
 
     # -- relations -------------------------------------------------------
     def add_relation(self, name: str, schema: Any) -> None:
@@ -120,12 +157,54 @@ class Database:
             rows = list(rows)
             if not rows:
                 return
-            new_df = self.spark.createDataFrame(rows, schema=entry.df.schema)
-        entry.df = entry.df.union(new_df)
+            new_df = self.spark.createDataFrame(rows, schema=entry.base.schema)
+        entry.pending.append(new_df)
+        entry._df = None
         entry.insert_count += 1
-        if entry.insert_count % _COMPACT_EVERY == 0:
-            entry.df = entry.df.localCheckpoint(eager=False)
+        if len(entry.pending) >= _COMPACT_EVERY:
+            self._spill(name, entry)
         self._invalidate_relation(name)
+
+    # -- insert spill / compaction ----------------------------------------
+    def _spill_path(self, name: str) -> str:
+        if self._spill_dir is None:
+            self._spill_dir = tempfile.mkdtemp(prefix="codd-spark-spill-")
+        self._gen_counter += 1
+        # uuid component: clones share the spill dir but must never reuse
+        # a generation path the other copy wrote
+        return os.path.join(
+            self._spill_dir, name, f"gen-{self._gen_counter:06d}-{uuid.uuid4().hex[:8]}"
+        )
+
+    def _spill(self, name: str, entry: _RelationEntry) -> None:
+        """Write the pending inserts (the DELTA only — cheap and flat in
+        relation size) as one parquet generation and fold the scan into
+        base; plan depth resets to #generations + 0 pending. Past
+        _GEN_FILE_LIMIT generations, rewrite the whole relation as one."""
+        path = self._spill_path(name)
+        delta = reduce(DataFrame.union, entry.pending)
+        delta.write.mode("overwrite").parquet(path)
+        entry.base = entry.base.union(
+            self.spark.read.schema(entry.base.schema).parquet(path)
+        )
+        entry.gens.append(path)
+        entry.pending, entry._df = [], None
+        if len(entry.gens) > _GEN_FILE_LIMIT:
+            self._rewrite(name, entry)
+
+    def _rewrite(self, name: str, entry: _RelationEntry) -> None:
+        """Full rewrite: materialize the relation as a single generation
+        (the file-count-triggered compaction of streaming/store.py).
+        Superseded generations are removed unless a clone might scan them."""
+        path = self._spill_path(name)
+        entry.base.write.mode("overwrite").parquet(path)
+        old = entry.gens
+        entry.base = self.spark.read.schema(entry.base.schema).parquet(path)
+        entry.gens = [path]
+        entry._df = None
+        if not self._has_clones:
+            for g in old:
+                shutil.rmtree(g, ignore_errors=True)
 
     # -- evaluation ------------------------------------------------------
     def df(self, expr: ast.Expression | DataFrame, distinct: bool = True) -> DataFrame:
@@ -211,9 +290,13 @@ class Database:
         """Snapshot copy with isolation: later inserts into either copy do
         not affect the other (reference: core/src/database.rs:345-363,
         test 410-441). Cheap here — DataFrames are immutable."""
-        other = Database(self.spark)
+        self._has_clones = True
+        other = Database(self.spark, spill_dir=self._spill_dir)
+        other._has_clones = True  # shares this instance's generation files
         for name, entry in self._relations.items():
-            clone_entry = _RelationEntry(entry.df)
+            clone_entry = _RelationEntry(entry.base)
+            clone_entry.pending = list(entry.pending)
+            clone_entry.gens = list(entry.gens)
             clone_entry.dependents = set(entry.dependents)
             clone_entry.insert_count = entry.insert_count
             other._relations[name] = clone_entry
