@@ -1279,6 +1279,55 @@ def q_purchase_funnel(spark, sf_dir):
     )
 
 
+def q_events_hourly_stream(spark, sf_dir):
+    """Structured Streaming contract evidence: the events_hourly rollup
+    computed as an actual STREAM — file-source readStream over the events
+    parquet, event-time tumbling-window aggregation, availableNow trigger,
+    materialized to an in-memory sink — then read back as a batch
+    DataFrame. Hash-matching the batch oracle is the driver-visible proof
+    that the streaming pipeline computes the batch answer exactly
+    (stream<->batch equivalence is also engine-tested in
+    tests/test_streaming.py). Production shape is identical with a file/
+    Kafka sink instead of memory."""
+    import uuid as _uuid
+
+    from codd_spark.streaming.structured import stream_from_directory
+
+    # stream with the RAW file schema (nanos-as-long, same legacy conf the
+    # batch reader uses) and convert to event-time micros inside the stream
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = stream_from_directory(
+        spark,
+        sf_dir,
+        raw_schema,
+        fmt="parquet",
+        max_files_per_trigger=None,
+        glob_filter="events.parquet",
+    )
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = sdf.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(25,10)")).cast("double").alias("sum_value"),
+    )
+    name = f"events_hourly_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_timestamp(F.col("w.start")).cast("bigint").alias("hour_epoch"),
+        "event_type",
+        "cnt",
+        "sum_value",
+    )
+
+
 def q_image_metadata(spark, sf_dir):
     """Real multimodal decode contract: synthesize one PNG per document id
     (solid 8-bit image; width/height/pixel/scanline-filter are closed
@@ -1405,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": q_winnowing,
         "image_metadata": q_image_metadata,
         "audio_metadata": q_audio_metadata,
+        "events_hourly_stream": q_events_hourly_stream,
     }
 
 
@@ -2158,5 +2208,16 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(8000 + (doc_id % 50) * 160 AS DOUBLE) / 16000, 6) AS duration_sec,
                    CAST(doc_id % 1000 AS DOUBLE) AS rms
             FROM documents WHERE doc_id < 200
+        """,
+        # The Spark side runs this as a Structured Streaming query
+        # (readStream -> window agg -> memory sink); the oracle is the
+        # plain batch rollup — matching hashes prove stream==batch.
+        "events_hourly_stream": """
+            SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_epoch,
+                   event_type,
+                   COUNT(*) AS cnt,
+                   CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1, 2
         """,
     }

@@ -32,12 +32,17 @@ def stream_from_directory(
     schema,
     fmt: str = "parquet",
     max_files_per_trigger: int | None = 1,
+    glob_filter: str | None = None,
 ) -> DataFrame:
     """File-source stream: each new file in ``path`` becomes (part of) a
-    micro-batch — the streaming analogue of the reference's insert batches."""
+    micro-batch — the streaming analogue of the reference's insert batches.
+    ``path`` must be a directory (file-source contract); use
+    ``glob_filter`` to stream a subset of its files."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if glob_filter:
+        reader = reader.option("pathGlobFilter", glob_filter)
     return reader.format(fmt).load(path)
 
 
