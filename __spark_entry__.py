@@ -1279,6 +1279,33 @@ def q_purchase_funnel(spark, sf_dir):
     )
 
 
+def q_tf_idf_top_terms(spark, sf_dir):
+    """Top-5 TF-IDF terms per document — one explode, two aggregates, a
+    vocabulary-keyed shuffle join (never broadcast: vocab grows with the
+    corpus) and a per-doc window. Ranked on the rounded score with a term
+    tiebreak so the cut is engine-deterministic."""
+    from codd_spark.operators.text import tf_idf_top_terms
+
+    docs = read_table(spark, sf_dir, "documents")
+    return tf_idf_top_terms(docs, "doc_id", "text", k=5)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate CLUSTERS, not just pairs: exact word-3-gram Jaccard pairs
+    on a bounded subset feed iterative min-label connected components
+    (operators/graph.py — the hash-to-min scheme, O(diameter) rounds of
+    two shuffles each), then each cluster elects its smallest doc id as
+    the keeper. This is the step that turns pair mining into a dedup
+    decision; the oracle recomputes the transitive closure with a
+    recursive CTE."""
+    from codd_spark.operators.dedup import ngram_jaccard_pairs
+    from codd_spark.operators.graph import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents").filter("doc_id < 200")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    return dedup_clusters(docs, pairs, "doc_id")
+
+
 def q_events_hourly_stream(spark, sf_dir):
     """Structured Streaming contract evidence: the events_hourly rollup
     computed as an actual STREAM — file-source readStream over the events
@@ -1455,6 +1482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_metadata": q_image_metadata,
         "audio_metadata": q_audio_metadata,
         "events_hourly_stream": q_events_hourly_stream,
+        "dedup_clusters": q_dedup_clusters,
+        "tf_idf_top_terms": q_tf_idf_top_terms,
     }
 
 
@@ -2208,6 +2237,60 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(8000 + (doc_id % 50) * 160 AS DOUBLE) / 16000, 6) AS duration_sec,
                    CAST(doc_id % 1000 AS DOUBLE) AS rms
             FROM documents WHERE doc_id < 200
+        """,
+        "tf_idf_top_terms": """
+            WITH term_rows AS (
+              SELECT doc_id, lower(tok) AS term FROM (
+                SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                FROM documents
+              ) WHERE tok <> ''
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM term_rows GROUP BY doc_id, term
+            ), dfreq AS (
+              SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            ), nd AS (
+              SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+            )
+            SELECT doc_id, term, tf, tf_idf, rank FROM (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     ROUND(tf.tf * ln(nd.n_docs::DOUBLE / dfreq.df), 6) AS tf_idf,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY ROUND(tf.tf * ln(nd.n_docs::DOUBLE / dfreq.df), 6) DESC,
+                                tf.term ASC) AS rank
+              FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+            ) WHERE rank <= 5
+        """,
+        # Spark runs iterative min-label propagation; the oracle computes
+        # the same transitive closure with a recursive CTE over the same
+        # deterministic 3-gram-Jaccard edge set.
+        "dedup_clusters": """
+            WITH RECURSIVE g AS (
+              SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(s)-1, 2)),
+                     i -> array_to_string(list_slice(s, i, i+2), ' '))) AS ng
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS s
+                    FROM documents WHERE doc_id < 200)
+            ), e AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+              WHERE ROUND(len(list_intersect(a.ng, b.ng))::DOUBLE
+                          / len(list_distinct(list_concat(a.ng, b.ng))), 6) >= 0.3
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM e
+              UNION SELECT id_b AS src, id_a AS dst FROM e
+            ), r(id, comp) AS (
+              SELECT doc_id, doc_id FROM documents WHERE doc_id < 200
+              UNION
+              SELECT edges.dst, r.comp FROM r JOIN edges ON edges.src = r.id
+              WHERE r.comp < edges.dst
+            ), cc AS (
+              SELECT id, MIN(comp) AS comp FROM r GROUP BY id
+            ), sizes AS (
+              SELECT comp, COUNT(*) AS cluster_size FROM cc GROUP BY comp
+            )
+            SELECT cc.id AS doc_id, cc.comp AS cluster_id, sizes.cluster_size,
+                   cc.id = cc.comp AS is_keeper
+            FROM cc JOIN sizes ON cc.comp = sizes.comp
         """,
         # The Spark side runs this as a Structured Streaming query
         # (readStream -> window agg -> memory sink); the oracle is the

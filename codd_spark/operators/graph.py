@@ -1,0 +1,112 @@
+"""Graph operators for dedup pipelines: connected components over
+near-duplicate pair sets, and cluster-based canonical-document selection.
+
+Pair mining (minhash/simhash/embedding buckets — operators/dedup.py,
+operators/similarity.py) yields EDGES; an actual dedup decision needs the
+transitive closure: if A~B and B~C, then {A,B,C} is one duplicate cluster
+and exactly one document survives. The reference has no graph operators
+(SURVEY.md §2.2) — this is an engine extension shaped for the 100 TB
+regime, where duplicate clusters from boilerplate/mirror sites routinely
+chain thousands of documents.
+
+Algorithm: iterative min-label propagation (the hash-to-min scheme).
+Every vertex repeatedly adopts the smallest component id among itself and
+its neighbors; convergence needs O(diameter) rounds — near-dup clusters
+are dense (diameter is small, typically <= 4), so rounds stay in single
+digits even at corpus scale. Each round is two key-partitioned shuffles
+(join + min-aggregate) with map-side partial aggregation; lineage is cut
+with localCheckpoint per round so the plan never deepens; convergence is
+detected with a 1-row count aggregate (the only driver-side value — this
+is an iterative fixpoint, the same evaluate-loop boundary as the
+reference's semi-naive stabilize, core/src/database.rs:317-336).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iter: int = 25,
+    nodes: DataFrame | None = None,
+    node_col: str | None = None,
+) -> DataFrame:
+    """(id, component) for every vertex, component = smallest reachable id.
+
+    ``pairs`` is an undirected edge list. Pass ``nodes`` to include
+    isolated vertices (they become their own singleton components) —
+    for dedup that means every document gets a cluster id, not only the
+    ones with a near-duplicate.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct()
+    if nodes is not None:
+        nc = node_col or id_a
+        labels = labels.union(nodes.select(F.col(nc).alias("id"))).distinct()
+    labels = labels.select("id", F.col("id").alias("component"))
+
+    # edges only need to be shuffled into place once; reuse across rounds
+    edges = edges.localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        # candidate labels flowing along edges: neighbor's component -> me
+        flowed = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "component")
+        )
+        new_labels = (
+            labels.union(flowed)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=False)  # cut per-round lineage growth
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(pathological graph diameter — raise max_iter)"
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Cluster every document: (id, cluster_id, cluster_size, is_keeper).
+
+    cluster_id is the smallest doc id reachable through the near-dup
+    pair graph (deterministic, seed-free); the keeper is the cluster
+    representative (id == cluster_id) — the row set a curation pipeline
+    keeps. Singletons (no near-dup) keep themselves.
+    """
+    cc = connected_components(
+        pairs, pair_a, pair_b, nodes=docs.select(id_col), node_col=id_col
+    )
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        cc.join(sizes.hint("shuffle_merge"), on="component")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col("id") == F.col("component")).alias("is_keeper"),
+        )
+    )

@@ -207,3 +207,52 @@ def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "quality": quality_score(c, n_tok=n_tok),
         }
     ).drop("__toks_lc")
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: (id, term, tf, tf_idf, rank).
+
+    Shape at scale: tokens explode ONCE; term frequencies are one
+    (doc, term) groupBy with map-side combine; document frequencies are a
+    second, term-keyed aggregate over the (doc, term) rows the first
+    aggregate already produced (no re-tokenization, no second explode);
+    the tf<->df join shuffles on the term key — vocabulary-sized, which
+    grows with the corpus, so it is never broadcast — and the 1-row doc
+    count broadcasts. idf = ln(n_docs / df). Ranking uses the ROUNDED
+    score with a term tiebreak so the top-k cut is deterministic across
+    engines.
+    """
+    from pyspark.sql.window import Window
+
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens(F.col(text_col)), F.lower).alias("toks"),
+    )
+    term_rows = toked.select("id", F.explode("toks").alias("term")).where(
+        F.col("term") != ""
+    )
+    tf = term_rows.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq.hint("shuffle_merge"), on="term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tf_idf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tf_idf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "term", "tf", "tf_idf", "rank")
+    )

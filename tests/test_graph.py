@@ -1,0 +1,87 @@
+"""Connected components + dedup clustering tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from codd_spark.operators.graph import connected_components, dedup_clusters
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, BASE),
+            (1, BASE.replace("green", "dark")),
+            (2, BASE),  # exact dup of 0
+            (3, "completely different content about database engines and query optimizers"),
+            (4, "spark streaming with watermarks handles late arriving events gracefully"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+
+
+def test_connected_components_basic(spark):
+    # components: {1,2,3,4} (chain), {7,9}, isolated via nodes: {5}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (9, 7)], "id_a LONG, id_b LONG"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 7, 9)], "id LONG")
+    got = {
+        r.id: r.component
+        for r in connected_components(pairs, nodes=nodes, node_col="id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 7: 7, 9: 7}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 40-node path graph: worst-case diameter for label propagation;
+    # must converge (min label walks the whole chain) well inside max_iter
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a LONG, id_b LONG"
+    )
+    got = connected_components(pairs, max_iter=50).collect()
+    assert {r.component for r in got} == {0}
+    assert len(got) == 41
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(20)], "id_a LONG, id_b LONG")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
+
+
+def test_dedup_clusters_keepers(spark, docs):
+    """docs fixture: 0 and 2 are exact dups, 1 is a near dup of both;
+    3 and 4 are distinct -> clusters {0,1,2}, {3}, {4}."""
+    from codd_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    out = {r.doc_id: r for r in dedup_clusters(docs, pairs, "doc_id").collect()}
+    assert {i: out[i].cluster_id for i in range(5)} == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4}
+    assert out[0].cluster_size == 3 and out[3].cluster_size == 1
+    assert [out[i].is_keeper for i in range(5)] == [True, False, False, True, True]
+
+
+def test_tf_idf_top_terms(spark):
+    from codd_spark.operators.text import tf_idf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry durian cherry durian"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = tf_idf_top_terms(df, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: apple tf=2, df=1 -> idf ln(3); banana tf=1, df=2 -> ln(1.5)
+    top1 = sorted(by_doc[1], key=lambda r: r.rank)
+    assert [r.term for r in top1] == ["apple", "banana"]
+    import math
+    assert abs(top1[0].tf_idf - round(2 * math.log(3), 6)) < 1e-9
+    assert all(len(v) <= 2 for v in by_doc.values())
