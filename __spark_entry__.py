@@ -1279,6 +1279,17 @@ def q_purchase_funnel(spark, sf_dir):
     )
 
 
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label mean embedding in long form (label, pos, centroid,
+    n_vectors): posexplode + one (group, dim)-keyed aggregate with
+    map-side combine — shuffle width is #groups x dim, independent of
+    corpus size. Exact DECIMAL sums, double division at the end."""
+    from codd_spark.operators.similarity import group_centroids
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return group_centroids(emb, "label", "embedding")
+
+
 def q_tf_idf_top_terms(spark, sf_dir):
     """Top-5 TF-IDF terms per document — one explode, two aggregates, a
     vocabulary-keyed shuffle join (never broadcast: vocab grows with the
@@ -1484,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_stream": q_events_hourly_stream,
         "dedup_clusters": q_dedup_clusters,
         "tf_idf_top_terms": q_tf_idf_top_terms,
+        "embedding_centroids": q_embedding_centroids,
     }
 
 
@@ -2237,6 +2249,15 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(8000 + (doc_id % 50) * 160 AS DOUBLE) / 16000, 6) AS duration_sec,
                    CAST(doc_id % 1000 AS DOUBLE) AS rms
             FROM documents WHERE doc_id < 200
+        """,
+        "embedding_centroids": """
+            SELECT label, pos - 1 AS pos,
+                   ROUND(CAST(SUM(CAST(val AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*), 6) AS centroid,
+                   COUNT(*) AS n_vectors
+            FROM (SELECT label, unnest(embedding) AS val,
+                         generate_subscripts(embedding, 1) AS pos
+                  FROM embeddings)
+            GROUP BY label, pos
         """,
         "tf_idf_top_terms": """
             WITH term_rows AS (

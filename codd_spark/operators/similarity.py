@@ -312,3 +312,34 @@ def embedding_near_duplicates(
         .select("id_a", "id_b", "cos_sim")
         .distinct()
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str,
+    emb_col: str = "embedding",
+    *,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-group mean embedding in LONG form: (group, pos, centroid,
+    n_vectors) — one row per (group, dimension).
+
+    The building block for IVF list seeding, class prototypes, and
+    per-source drift monitoring. posexplode turns each vector into
+    (group, pos, val) rows; one groupBy(group, pos) with map-side partial
+    aggregation computes every centroid component in a single shuffle
+    whose width is #groups x dim — independent of corpus size. Sums run
+    in exact DECIMAL (order-insensitive) and divide as double at the end.
+    Long form rather than re-assembled arrays: downstream joins on
+    (group, pos) stay columnar, and flat rows hash cleanly for result
+    comparison.
+    """
+    pos = df.select(
+        F.col(group_col).alias("grp"), F.posexplode(emb_col).alias("pos", "val")
+    )
+    centroid = F.sum(F.col("val").cast("decimal(25,10)")).cast("double") / F.count("*")
+    if round_to is not None:
+        centroid = F.round(centroid, round_to)
+    return pos.groupBy("grp", "pos").agg(
+        centroid.alias("centroid"), F.count("*").alias("n_vectors")
+    ).select(F.col("grp").alias(group_col), "pos", "centroid", "n_vectors")

@@ -391,3 +391,18 @@ def test_ivf_routing_plan_bounded_at_1024_lists(spark):
     assert plan.count("aggregate(") <= 4  # one distance expr, not 1024
     # and it still runs
     assert routed.count() == 16
+
+
+def test_group_centroids_exact(spark):
+    from codd_spark.operators.similarity import group_centroids
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 6.0]), (1, [10.0, 0.0])],
+        "label INT, embedding ARRAY<FLOAT>",
+    )
+    out = {(r.label, r.pos): (r.centroid, r.n_vectors)
+           for r in group_centroids(df, "label").collect()}
+    assert out == {
+        (0, 0): (2.0, 2), (0, 1): (4.0, 2),
+        (1, 0): (10.0, 1), (1, 1): (0.0, 1),
+    }
