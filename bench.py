@@ -64,6 +64,11 @@ BENCH_QUERIES = [
     "stats_by_returnflag",      # corr/covar/stddev aggregates
     "purchase_funnel",          # conditional-agg event funnel
     "doc_repetition_stats",     # Gopher repetition signals (explode+2-level agg)
+    "tf_idf_top_terms",         # explode + 2 aggs + vocab-keyed join + window
+    "embedding_centroids",      # posexplode + (group,dim) agg
+    "dedup_clusters",           # pairs -> connected components (iterative)
+    "image_metadata",           # real PNG encode+decode via mapInPandas
+    "events_hourly_stream",     # Structured Streaming -> memory sink
 ]
 
 
