@@ -56,9 +56,12 @@ def connected_components(
     # edges only need to be shuffled into place once; reuse across rounds
     edges = edges.localCheckpoint(eager=False)
     for _ in range(max_iter):
-        # candidate labels flowing along edges: neighbor's component -> me
+        # candidate labels flowing along edges: neighbor's component -> me.
+        # Both sides grow with the corpus — pin a shuffle join so the
+        # static size estimate can never pick a driver-sized broadcast
+        # build (same discipline as the LSH bucket self-joins).
         flowed = (
-            edges.join(labels, edges.src == labels.id)
+            edges.join(labels.hint("shuffle_merge"), edges.src == labels.id)
             .select(F.col("dst").alias("id"), "component")
         )
         new_labels = (

@@ -191,6 +191,25 @@ def test_no_forced_broadcast_of_growing_tables(spark):
                 spark.conf.set(k, v)
 
 
+def test_graph_and_tfidf_joins_shuffle_pinned(spark):
+    """Connected-components label joins and the tf-idf vocabulary join are
+    unbounded x unbounded — must plan shuffle joins, never broadcast."""
+    from codd_spark.operators.graph import dedup_clusters
+    from codd_spark.operators.text import tf_idf_top_terms
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} with several shared words") for i in range(12)],
+        "doc_id LONG, text STRING",
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a LONG, id_b LONG")
+    for df in (dedup_clusters(docs, pairs), tf_idf_top_terms(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "BroadcastHashJoin" in line:
+                raise AssertionError(line)
+        assert "SortMergeJoin" in plan
+
+
 def test_repetition_stats_partial_counts(spark):
     plan = plan_of(spark, "doc_repetition_stats")
     assert "partial_count" in plan
