@@ -1279,6 +1279,17 @@ def q_purchase_funnel(spark, sf_dir):
     )
 
 
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Cross-document boilerplate: 5-grams shared by >= 2 distinct docs
+    (headers/footers/license chrome). Per-doc DISTINCT before the explode
+    so self-repetition can't inflate counts; one ngram-keyed aggregate
+    with map-side combine; linear in corpus tokens."""
+    from codd_spark.operators.text import boilerplate_ngrams
+
+    docs = read_table(spark, sf_dir, "documents")
+    return boilerplate_ngrams(docs, "doc_id", "text", n=5, min_docs=2)
+
+
 def q_embedding_centroids(spark, sf_dir):
     """Per-label mean embedding in long form (label, pos, centroid,
     n_vectors): posexplode + one (group, dim)-keyed aggregate with
@@ -1496,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "tf_idf_top_terms": q_tf_idf_top_terms,
         "embedding_centroids": q_embedding_centroids,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
     }
 
 
@@ -2249,6 +2261,25 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(8000 + (doc_id % 50) * 160 AS DOUBLE) / 16000, 6) AS duration_sec,
                    CAST(doc_id % 1000 AS DOUBLE) AS rms
             FROM documents WHERE doc_id < 200
+        """,
+        "boilerplate_ngrams": """
+            WITH toks AS (
+              SELECT doc_id, list_transform(string_split_regex(trim(text), '\\s+'),
+                                            x -> lower(x)) AS s
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(range(1, greatest(len(s) - 3, 1)),
+                            i -> array_to_string(list_slice(s, i, i + 4), ' ')))) AS ngram
+              FROM toks
+            ), counts AS (
+              SELECT ngram, COUNT(*) AS n_docs FROM g
+              WHERE ngram <> '' GROUP BY ngram HAVING COUNT(*) >= 2
+            ), nd AS (
+              SELECT COUNT(DISTINCT doc_id) AS n_docs_total FROM documents
+            )
+            SELECT ngram, n_docs, ROUND(n_docs::DOUBLE / n_docs_total, 6) AS doc_frac
+            FROM counts CROSS JOIN nd
         """,
         "embedding_centroids": """
             SELECT label, pos - 1 AS pos,

@@ -256,3 +256,44 @@ def tf_idf_top_terms(
         .where(F.col("rank") <= k)
         .select(F.col("id").alias(id_col), "term", "tf", "tf_idf", "rank")
     )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document boilerplate mining: token n-grams appearing in at
+    least ``min_docs`` DISTINCT documents -> (ngram, n_docs, doc_frac).
+
+    The complement of repetition_stats (within-doc signals): shared
+    n-grams across documents are headers/footers/navigation chrome/
+    license blocks — the stock preprocessing step before near-dup mining
+    so boilerplate doesn't glue unrelated documents into one cluster.
+    Shape at scale: explode -> per-doc DISTINCT n-grams (array_distinct
+    BEFORE the explode, so a doc repeating its own header doesn't
+    inflate the count) -> one ngram-keyed count with map-side combine;
+    the 1-row corpus count broadcasts. Linear in corpus token count.
+    """
+    toks_lc = F.transform(tokens(F.col(text_col)), F.lower)
+    per_doc = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(ngram_array(toks_lc, n))).alias("ngram"),
+    ).where(F.col("ngram") != "")
+    n_docs_total = df.select(F.countDistinct(id_col).alias("n_docs_total"))
+    return (
+        per_doc.groupBy("ngram")
+        .agg(F.count("*").alias("n_docs"))  # rows are distinct (doc, ngram)
+        .where(F.col("n_docs") >= min_docs)
+        .join(F.broadcast(n_docs_total))
+        .select(
+            "ngram",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n_docs_total"), 6
+            ).alias("doc_frac"),
+        )
+    )

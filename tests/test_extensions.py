@@ -406,3 +406,25 @@ def test_group_centroids_exact(spark):
         (0, 0): (2.0, 2), (0, 1): (4.0, 2),
         (1, 0): (10.0, 1), (1, 1): (0.0, 1),
     }
+
+
+def test_boilerplate_ngrams(spark):
+    from codd_spark.operators.text import boilerplate_ngrams
+
+    footer = "copyright example corp all rights reserved"
+    df = spark.createDataFrame(
+        [
+            (0, "unique first document body text here " + footer),
+            (1, "totally different second document words " + footer),
+            (2, "third doc " + footer + " " + footer),  # repeats its own footer
+            (3, "nothing shared with anything else at all whatsoever"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.ngram: r for r in boilerplate_ngrams(df, n=5, min_docs=3).collect()}
+    key = "copyright example corp all rights"
+    assert key in out
+    # doc 2 repeats the footer internally but counts ONCE (distinct per doc)
+    assert out[key].n_docs == 3
+    assert out[key].doc_frac == 0.75
+    assert all(r.n_docs >= 3 for r in out.values())
