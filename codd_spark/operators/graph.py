@@ -55,6 +55,7 @@ def connected_components(
 
     # edges only need to be shuffled into place once; reuse across rounds
     edges = edges.localCheckpoint(eager=False)
+    prev_sum = None
     for _ in range(max_iter):
         # candidate labels flowing along edges: neighbor's component -> me.
         # Both sides grow with the corpus — pin a shuffle join so the
@@ -70,16 +71,17 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=False)  # cut per-round lineage growth
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        # convergence: labels are per-node monotone non-increasing, so the
+        # total is strictly decreasing until fixpoint — an equal sum means
+        # nothing moved. One 1-row aggregate instead of a labels<->labels
+        # join per round (exact decimal: id sums can exceed long range).
+        cur_sum = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0].s
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and cur_sum == prev_sum:
             return labels
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(pathological graph diameter — raise max_iter)"
