@@ -1279,6 +1279,66 @@ def q_purchase_funnel(spark, sf_dir):
     )
 
 
+def q_click_purchase_stream_join(spark, sf_dir):
+    """Stream-stream join contract evidence: clicks and purchases read as
+    two watermarked streams from the same file source, inner-joined per
+    user with a 1-hour time bound (the bound is what lets Spark evict
+    join state on an unbounded stream), materialized to a memory sink via
+    availableNow and read back. The oracle is the plain batch join — a
+    hash match proves the streaming join computes the batch answer."""
+    import uuid as _uuid
+
+    from codd_spark.streaming.structured import stream_from_directory
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def src():
+        s = stream_from_directory(
+            spark, sf_dir, raw_schema, fmt="parquet",
+            max_files_per_trigger=None, glob_filter="events.parquet",
+        )
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s
+
+    clicks = (
+        src().where("event_type = 'click'")
+        .select("user_id", F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        src().where("event_type = 'purchase'")
+        .select(F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+    name = f"click_purchase_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_boilerplate_ngrams(spark, sf_dir):
     """Cross-document boilerplate: 5-grams shared by >= 2 distinct docs
     (headers/footers/license chrome). Per-doc DISTINCT before the explode
@@ -1508,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_idf_top_terms": q_tf_idf_top_terms,
         "embedding_centroids": q_embedding_centroids,
         "boilerplate_ngrams": q_boilerplate_ngrams,
+        "click_purchase_stream_join": q_click_purchase_stream_join,
     }
 
 
@@ -2261,6 +2322,20 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(8000 + (doc_id % 50) * 160 AS DOUBLE) / 16000, 6) AS duration_sec,
                    CAST(doc_id % 1000 AS DOUBLE) AS rms
             FROM documents WHERE doc_id < 200
+        """,
+        # Spark runs this as a watermarked stream-stream join; the oracle
+        # is the equivalent batch join over the same table.
+        "click_purchase_stream_join": """
+            SELECT c.user_id,
+                   c.event_id AS click_id,
+                   p.event_id AS purchase_id,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+            FROM events c
+            JOIN events p
+              ON p.user_id = c.user_id
+             AND p.ts >= c.ts
+             AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         """,
         "boilerplate_ngrams": """
             WITH toks AS (
