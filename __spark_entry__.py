@@ -1279,6 +1279,44 @@ def q_purchase_funnel(spark, sf_dir):
     )
 
 
+def _events_stream(spark, sf_dir):
+    """Streaming source over the events table, robust to both layouts:
+    a single events.parquet FILE (driver testdata — stream the parent dir
+    with a filename glob) or an events.parquet DIRECTORY of part files
+    (Spark write output — stream the directory itself). Timestamps arrive
+    as raw nanos (legacy conf) and convert to micros exactly like the
+    batch reader."""
+    import os
+
+    from codd_spark.streaming.structured import stream_from_directory
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        s = stream_from_directory(
+            spark, path, raw_schema, fmt="parquet", max_files_per_trigger=None
+        )
+    else:
+        s = stream_from_directory(
+            spark, sf_dir, raw_schema, fmt="parquet",
+            max_files_per_trigger=None, glob_filter="events.parquet",
+        )
+    if dict(s.dtypes).get("ts") == "bigint":
+        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return s
+
+
+def q_unigram_surprisal(spark, sf_dir):
+    """Mean unigram surprisal per doc (corpus-trained -avg ln p(token)):
+    the cheap LM-quality outlier filter. One explode, vocab-keyed
+    frequency join (never broadcast), per-doc aggregate."""
+    from codd_spark.operators.text import unigram_surprisal
+
+    docs = read_table(spark, sf_dir, "documents")
+    return unigram_surprisal(docs, "doc_id", "text")
+
+
 def q_click_purchase_stream_join(spark, sf_dir):
     """Stream-stream join contract evidence: clicks and purchases read as
     two watermarked streams from the same file source, inner-joined per
@@ -1288,28 +1326,14 @@ def q_click_purchase_stream_join(spark, sf_dir):
     hash match proves the streaming join computes the batch answer."""
     import uuid as _uuid
 
-    from codd_spark.streaming.structured import stream_from_directory
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-
-    def src():
-        s = stream_from_directory(
-            spark, sf_dir, raw_schema, fmt="parquet",
-            max_files_per_trigger=None, glob_filter="events.parquet",
-        )
-        if dict(s.dtypes).get("ts") == "bigint":
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return s
-
     clicks = (
-        src().where("event_type = 'click'")
+        _events_stream(spark, sf_dir).where("event_type = 'click'")
         .select("user_id", F.col("event_id").alias("click_id"),
                 F.col("ts").alias("click_ts"))
         .withWatermark("click_ts", "10 minutes")
     )
     purchases = (
-        src().where("event_type = 'purchase'")
+        _events_stream(spark, sf_dir).where("event_type = 'purchase'")
         .select(F.col("user_id").alias("p_user"),
                 F.col("event_id").alias("purchase_id"),
                 F.col("ts").alias("purchase_ts"))
@@ -1400,22 +1424,7 @@ def q_events_hourly_stream(spark, sf_dir):
     Kafka sink instead of memory."""
     import uuid as _uuid
 
-    from codd_spark.streaming.structured import stream_from_directory
-
-    # stream with the RAW file schema (nanos-as-long, same legacy conf the
-    # batch reader uses) and convert to event-time micros inside the stream
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    sdf = stream_from_directory(
-        spark,
-        sf_dir,
-        raw_schema,
-        fmt="parquet",
-        max_files_per_trigger=None,
-        glob_filter="events.parquet",
-    )
-    if dict(sdf.dtypes).get("ts") == "bigint":
-        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sdf = _events_stream(spark, sf_dir)
     agg = sdf.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
         F.count("*").alias("cnt"),
         F.sum(F.col("value").cast("decimal(25,10)")).cast("double").alias("sum_value"),
@@ -1569,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "click_purchase_stream_join": q_click_purchase_stream_join,
+        "unigram_surprisal": q_unigram_surprisal,
     }
 
 
@@ -2322,6 +2332,22 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(8000 + (doc_id % 50) * 160 AS DOUBLE) / 16000, 6) AS duration_sec,
                    CAST(doc_id % 1000 AS DOUBLE) AS rms
             FROM documents WHERE doc_id < 200
+        """,
+        "unigram_surprisal": """
+            WITH term_rows AS (
+              SELECT doc_id, lower(tok) AS term FROM (
+                SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                FROM documents
+              ) WHERE tok <> ''
+            ), freq AS (
+              SELECT term, COUNT(*) AS tf FROM term_rows GROUP BY term
+            ), tot AS (
+              SELECT SUM(tf) AS n_total FROM freq
+            )
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   ROUND(-AVG(ln(tf::DOUBLE / n_total)), 6) AS mean_surprisal
+            FROM term_rows JOIN freq USING (term) CROSS JOIN tot
+            GROUP BY doc_id
         """,
         # Spark runs this as a watermarked stream-stream join; the oracle
         # is the equivalent batch join over the same table.

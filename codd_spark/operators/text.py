@@ -297,3 +297,42 @@ def boilerplate_ngrams(
             ).alias("doc_frac"),
         )
     )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mean unigram surprisal per document: -avg(ln p(token)), with p
+    estimated from the corpus itself -> (id, n_tokens, mean_surprisal).
+
+    The cheap LM-quality proxy: documents whose tokens are corpus-typical
+    score low; gibberish, wrong-language and machine-mangled text score
+    high — a standard pretraining-corpus outlier filter one rung below a
+    real LM. Shape at scale: one explode; token frequencies are one
+    vocab-keyed aggregate; the tokens<->frequency join shuffles on the
+    token key (vocab grows with the corpus — never broadcast); the 1-row
+    total broadcasts; final per-doc aggregate with map-side combine.
+    """
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens(F.col(text_col)), F.lower).alias("toks"),
+    )
+    term_rows = toked.select("id", F.explode("toks").alias("term")).where(
+        F.col("term") != ""
+    )
+    freq = term_rows.groupBy("term").agg(F.count("*").alias("tf"))
+    total = freq.agg(F.sum("tf").alias("n_total"))
+    return (
+        term_rows.join(freq.hint("shuffle_merge"), on="term")
+        .join(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                -F.avg(F.log(F.col("tf").cast("double") / F.col("n_total"))), 6
+            ).alias("mean_surprisal"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "mean_surprisal")
+    )
