@@ -29,6 +29,10 @@ PICK = {
     "customer_order_distribution": "Q13 shape: left-outer SMJ, then the per-customer count reuses the join's c_custkey partitioning (no extra exchange); only the tiny count-domain aggregate shuffles again.",
     "supplier_part_variety": "Q16 shape: count-distinct expands to a two-level aggregate (dedup on (brand,size,supp) then count); the NOT IN is a left-anti on a pruned key column whose strategy AQE size-gates (the blacklist grows with SF); the part-lineitem join is shuffle-pinned.",
     "doc_repetition_stats": "Gopher repetition stats: three explode->groupBy(id,gram) legs with map-side partial counts, merged by left joins on the doc id — linear in corpus size, no per-row frequency maps.",
+    "tf_idf_top_terms": "TF-IDF: one explode, two aggregates (partial-agg both), vocabulary-keyed SortMergeJoin (vocab grows with the corpus — never broadcast), 1-row doc count broadcast, per-doc window.",
+    "boilerplate_ngrams": "Cross-doc boilerplate: array_distinct BEFORE the explode (per-doc dedup costs no shuffle), one ngram-keyed partial-agg exchange, 1-row total broadcast.",
+    "unigram_surprisal": "Unigram surprisal: token rows join the vocab-keyed frequency table via SortMergeJoin; per-doc aggregate with map-side combine.",
+    "embedding_centroids": "Group centroids: posexplode then ONE (group, dim)-keyed aggregate with partial agg — shuffle width #groups x dim, independent of corpus size.",
 }
 
 
