@@ -1279,6 +1279,34 @@ def q_purchase_funnel(spark, sf_dir):
     )
 
 
+def q_incremental_agg_view(spark, sf_dir):
+    """Incremental AGGREGATE view (engine extension — the reference's IVM
+    is set-algebra only): orders arrive in three key-partitioned batches;
+    per-priority count/sum/min/max state absorbs each batch as a monoid
+    merge of partial aggregates — O(batch) work per insert regardless of
+    history. The oracle is the one-shot GROUP BY; matching hashes prove
+    batching never changes the answer."""
+    from codd_spark.streaming.agg_view import IncrementalAggregateView
+
+    orders = read_table(spark, sf_dir, "orders")
+    v = IncrementalAggregateView(
+        spark,
+        ["o_orderpriority"],
+        sum_cols=("o_totalprice",),
+        minmax_cols=("o_totalprice",),
+    )
+    for i in range(3):
+        v.insert(orders.where(F.pmod(F.col("o_orderkey"), F.lit(3)) == i))
+    return v.df().select(
+        "o_orderpriority",
+        F.col("cnt").alias("n_orders"),
+        F.col("sum_o_totalprice").cast("double").alias("sum_price"),
+        F.col("min_o_totalprice").alias("min_price"),
+        F.col("max_o_totalprice").alias("max_price"),
+        F.round("avg_o_totalprice", 6).alias("avg_price"),
+    )
+
+
 def _events_stream(spark, sf_dir):
     """Streaming source over the events table, robust to both layouts:
     a single events.parquet FILE (driver testdata — stream the parent dir
@@ -1579,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "click_purchase_stream_join": q_click_purchase_stream_join,
         "unigram_surprisal": q_unigram_surprisal,
+        "incremental_agg_view": q_incremental_agg_view,
     }
 
 
@@ -2332,6 +2361,17 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(8000 + (doc_id % 50) * 160 AS DOUBLE) / 16000, 6) AS duration_sec,
                    CAST(doc_id % 1000 AS DOUBLE) AS rms
             FROM documents WHERE doc_id < 200
+        """,
+        # The Spark side maintains this incrementally across 3 batches;
+        # the oracle is the one-shot aggregate — batching must not matter.
+        "incremental_agg_view": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+                   MIN(o_totalprice) AS min_price,
+                   MAX(o_totalprice) AS max_price,
+                   ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+            FROM orders GROUP BY o_orderpriority
         """,
         "unigram_surprisal": """
             WITH term_rows AS (
