@@ -1279,6 +1279,43 @@ def q_purchase_funnel(spark, sf_dir):
     )
 
 
+def q_concurrent_orders(spark, sf_dir):
+    """Interval-overlap join (interval x interval, the counterpart of the
+    point-in-interval range join): pairs of orders from the SAME customer
+    whose 7-day fulfillment windows overlap. Keyed form — one shuffle on
+    the customer key, then the overlap filter; a_key < b_key dedups the
+    symmetric pair."""
+    from codd_spark.operators.joins import interval_join
+
+    orders = read_table(spark, sf_dir, "orders")
+    a = orders.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("a_key"),
+        F.col("o_orderdate").alias("a_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("a_end"),
+    )
+    b = orders.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_orderdate").alias("b_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("b_end"),
+    )
+    return (
+        interval_join(a, b, "a_start", "a_end", "b_start", "b_end", on=["o_custkey"])
+        .where(F.col("a_key") < F.col("b_key"))
+        .select(
+            "o_custkey",
+            "a_key",
+            "b_key",
+            F.expr(
+                "(unix_micros(cast(least(a_end, b_end) as timestamp))"
+                " - unix_micros(cast(greatest(a_start, b_start) as timestamp)))"
+                " div 86400000000"
+            ).alias("overlap_days"),
+        )
+    )
+
+
 def q_incremental_agg_view(spark, sf_dir):
     """Incremental AGGREGATE view (engine extension — the reference's IVM
     is set-algebra only): orders arrive in three key-partitioned batches;
@@ -1608,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_purchase_stream_join": q_click_purchase_stream_join,
         "unigram_surprisal": q_unigram_surprisal,
         "incremental_agg_view": q_incremental_agg_view,
+        "concurrent_orders": q_concurrent_orders,
     }
 
 
@@ -2361,6 +2399,21 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(8000 + (doc_id % 50) * 160 AS DOUBLE) / 16000, 6) AS duration_sec,
                    CAST(doc_id % 1000 AS DOUBLE) AS rms
             FROM documents WHERE doc_id < 200
+        """,
+        "concurrent_orders": """
+            SELECT a.o_custkey,
+                   a.o_orderkey AS a_key,
+                   b.o_orderkey AS b_key,
+                   (epoch_us(least(a.o_orderdate + INTERVAL 7 DAY,
+                                   b.o_orderdate + INTERVAL 7 DAY))
+                    - epoch_us(greatest(a.o_orderdate, b.o_orderdate)))
+                   // 86400000000 AS overlap_days
+            FROM orders a
+            JOIN orders b
+              ON a.o_custkey = b.o_custkey
+             AND a.o_orderkey < b.o_orderkey
+             AND a.o_orderdate <= b.o_orderdate + INTERVAL 7 DAY
+             AND b.o_orderdate <= a.o_orderdate + INTERVAL 7 DAY
         """,
         # The Spark side maintains this incrementally across 3 batches;
         # the oracle is the one-shot aggregate — batching must not matter.

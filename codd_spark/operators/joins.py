@@ -95,8 +95,12 @@ def asof_join(
 
 def _numeric(c: Column, dtype: str) -> Column:
     """Timestamps → epoch seconds (microsecond precision) so interval
-    arithmetic and bucketing work uniformly; numerics pass through."""
+    arithmetic and bucketing work uniformly; numerics pass through.
+    TIMESTAMP_NTZ goes through a cast (session-tz; consistent across both
+    sides, so interval comparisons are unaffected)."""
     if dtype.startswith("timestamp"):
+        if dtype == "timestamp_ntz":
+            c = c.cast("timestamp")
         return F.unix_micros(c).cast("double") / F.lit(1e6)
     return c.cast("double")
 
@@ -189,3 +193,53 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return salted_l.join(salted_r, on=on + ["__salt"], how=how).drop("__salt")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    on: list[str] | None = None,
+    bucket_width: float | None = None,
+) -> DataFrame:
+    """Interval-OVERLAP join: pairs where ``[left_start, left_end]`` and
+    ``[right_start, right_end]`` intersect (inclusive ends:
+    ``ls <= re AND rs <= le``). The interval×interval counterpart of
+    range_join's point-in-interval.
+
+    - **Keyed** (``on`` given): equi-join on the keys then the overlap
+      filter — one shuffle; right for per-entity intervals.
+    - **Global bucketed** (``bucket_width`` required): BOTH sides explode
+      to every bucket their interval covers; any overlapping pair shares
+      the bucket containing an overlap point, so an equi-join on the
+      bucket finds all candidates; the exact filter + distinct removes
+      multi-bucket duplicates. Cost O(intervals·spans) shuffled once —
+      never the cross product a pure inequality join would plan.
+    """
+    on = on or []
+    ldt, rdt = dict(left.dtypes), dict(right.dtypes)
+    ls = _numeric(F.col(left_start), ldt[left_start])
+    le = _numeric(F.col(left_end), ldt[left_end])
+    rs = _numeric(F.col(right_start), rdt[right_start])
+    re = _numeric(F.col(right_end), rdt[right_end])
+    overlap = (ls <= re) & (rs <= le)
+    if on:
+        return left.join(right, on=on, how="inner").where(overlap)
+    if bucket_width is None:
+        raise ValueError("global interval_join needs bucket_width (no `on` keys)")
+    w = float(bucket_width)
+    lb = left.withColumn(
+        "__bk", F.explode(F.sequence(F.floor(ls / F.lit(w)), F.floor(le / F.lit(w))))
+    )
+    rb = right.withColumn(
+        "__bk", F.explode(F.sequence(F.floor(rs / F.lit(w)), F.floor(re / F.lit(w))))
+    )
+    return (
+        lb.join(rb.hint("shuffle_merge"), on="__bk", how="inner")
+        .where(overlap)
+        .drop("__bk")
+        .distinct()
+    )

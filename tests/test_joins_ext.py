@@ -5,7 +5,12 @@ import datetime
 import pytest
 from pyspark.sql import functions as F
 
-from codd_spark.operators.joins import asof_join, range_join, salted_join
+from codd_spark.operators.joins import (
+    asof_join,
+    interval_join,
+    range_join,
+    salted_join,
+)
 
 TS = lambda s: datetime.datetime.fromisoformat(s)
 
@@ -177,3 +182,34 @@ def test_asof_null_payload_stays_atomic(spark):
     # latest right row wins as a unit: px stays NULL, not 9.0 from venue_a
     assert row.venue == "venue_b"
     assert row.px is None
+
+
+def test_interval_join_keyed_and_global(spark):
+    left = spark.createDataFrame(
+        [(1, 0.0, 10.0, "a"), (1, 20.0, 30.0, "b"), (2, 5.0, 6.0, "c")],
+        "k LONG, ls DOUBLE, le DOUBLE, lname STRING",
+    )
+    right = spark.createDataFrame(
+        [(1, 9.0, 21.0, "x"), (1, 31.0, 40.0, "y"), (2, 6.0, 7.0, "z")],
+        "k LONG, rs DOUBLE, re DOUBLE, rname STRING",
+    )
+    keyed = interval_join(left, right, "ls", "le", "rs", "re", on=["k"])
+    got = sorted((r.lname, r.rname) for r in keyed.collect())
+    # a[0,10] ∩ x[9,21] at 9-10; b[20,30] ∩ x at 20-21; c[5,6] ∩ z[6,7] at 6
+    assert got == [("a", "x"), ("b", "x"), ("c", "z")]
+
+    # global (no key): same pairs plus cross-key overlaps
+    g = interval_join(
+        left.drop("k"), right.drop("k"), "ls", "le", "rs", "re", bucket_width=5.0
+    )
+    got_g = sorted((r.lname, r.rname) for r in g.collect())
+    # brute-force oracle
+    import itertools
+    lrows = left.collect()
+    rrows = right.collect()
+    want = sorted(
+        (l.lname, r.rname)
+        for l, r in itertools.product(lrows, rrows)
+        if l.ls <= r.re and r.rs <= l.le
+    )
+    assert got_g == want
