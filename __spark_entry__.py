@@ -1279,6 +1279,37 @@ def q_purchase_funnel(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking: 64-token chunks, 8-token overlap. Token
+    array staged once; chunk starts via sequence+posexplode; each chunk a
+    slice — output rows ~ tokens/stride, linear in corpus size."""
+    from codd_spark.operators.pipeline import chunk_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=8)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing: per-shard concatenated token streams
+    split into 512-token windows; pack_id/offset from one exclusive
+    prefix-sum window per shard. Modulus sharding here so the layout is
+    engine-reproducible (production default is xxhash sharding)."""
+    from codd_spark.functions.text import token_count
+    from codd_spark.operators.pipeline import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    return pack_sequences(
+        docs,
+        "doc_id",
+        "n_tokens",
+        window=512,
+        n_shards=8,
+        shard_expr=F.pmod(F.col("doc_id"), F.lit(8)),
+    )
+
+
 def q_concurrent_orders(spark, sf_dir):
     """Interval-overlap join (interval x interval, the counterpart of the
     point-in-interval range join): pairs of orders from the SAME customer
@@ -1646,6 +1677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_surprisal": q_unigram_surprisal,
         "incremental_agg_view": q_incremental_agg_view,
         "concurrent_orders": q_concurrent_orders,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -2399,6 +2432,35 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(8000 + (doc_id % 50) * 160 AS DOUBLE) / 16000, 6) AS duration_sec,
                    CAST(doc_id % 1000 AS DOUBLE) AS rms
             FROM documents WHERE doc_id < 200
+        """,
+        "chunk_documents": """
+            WITH base AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS s,
+                     len(string_split_regex(trim(text), '\\s+')) AS n
+              FROM documents
+            ), counted AS (
+              SELECT doc_id, s, n,
+                     greatest(CAST(ceil(CAST(greatest(n - 8, 1) AS DOUBLE) / 56) AS BIGINT), 1) AS n_chunks
+              FROM base
+            )
+            SELECT doc_id, chunk_idx,
+                   array_to_string(list_slice(s, chunk_idx * 56 + 1, chunk_idx * 56 + 64), ' ') AS chunk_text,
+                   least(n - chunk_idx * 56, 64) AS n_tokens
+            FROM (SELECT doc_id, s, n, unnest(range(0, n_chunks)) AS chunk_idx FROM counted)
+        """,
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id, doc_id % 8 AS shard,
+                     len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+              FROM documents
+            ), r AS (
+              SELECT doc_id, shard,
+                     SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+              FROM t
+            )
+            SELECT doc_id, shard, strt // 512 AS pack_id, strt % 512 AS offset_tokens
+            FROM r
         """,
         "concurrent_orders": """
             SELECT a.o_custkey,

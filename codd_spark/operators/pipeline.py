@@ -178,3 +178,102 @@ def train_val_test_split(
         .when(bucket < train_hi + val_pct, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap ->
+    (id, chunk_idx, chunk_text, n_tokens) — the context-window
+    preparation step of a training pipeline.
+
+    Chunks start every ``chunk_tokens - overlap`` tokens; the final chunk
+    may be short; a document shorter than one chunk yields exactly one.
+    Pure Column expressions: the token array is staged once, chunk starts
+    come from ``sequence`` + posexplode, each chunk is a ``slice`` of the
+    staged array — no Python, no quadratic re-tokenization; output rows
+    are ~(total tokens / stride), linear in corpus size.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    from codd_spark.functions.text import tokens
+
+    stride = chunk_tokens - overlap
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
+    ).select("id", "__toks", F.size("__toks").alias("__n"))
+    # number of chunks: ceil(max(n - overlap, 1) / stride), minimum 1
+    n_chunks = F.greatest(
+        F.ceil((F.greatest(F.col("__n") - overlap, F.lit(1))) / F.lit(stride)),
+        F.lit(1),
+    ).cast("int")
+    return (
+        toked.select(
+            "id",
+            "__toks",
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "__s"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "chunk_idx",
+            F.concat_ws(
+                " ", F.slice(F.col("__toks"), F.col("__s") * stride + 1, chunk_tokens)
+            ).alias("chunk_text"),
+            F.least(
+                F.size("__toks") - F.col("__s") * stride, F.lit(chunk_tokens)
+            ).alias("n_tokens"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_count_col: str = "n_tokens",
+    *,
+    window: int = 2048,
+    n_shards: int = 64,
+    shard_expr: F.Column | None = None,
+) -> DataFrame:
+    """Lay documents out in packed training context windows (the
+    GPT-style concatenate-then-split layout): (id, shard, pack_id,
+    offset_tokens), where each shard is an independent concatenated token
+    stream split into ``window``-token context windows; ``pack_id`` is
+    the window containing the document's first token and
+    ``offset_tokens`` its start position inside that window. Documents
+    may straddle window boundaries — standard for packed pretraining
+    batches, where attention masks handle the crossings.
+
+    Packing is inherently sequential, so it shards first: docs hash into
+    ``n_shards`` independent streams; within a stream the layout is an
+    exclusive running token-count sum (one window function partitioned by
+    shard, ordered by id — deterministic, no RNG). One shuffle on the
+    shard key; parallelism = n_shards regardless of corpus size.
+    ``shard_expr`` overrides the default xxhash64 sharding (e.g. a plain
+    modulus when the layout must be reproducible by another engine).
+    """
+    from pyspark.sql.window import Window as W
+
+    if shard_expr is None:
+        shard_expr = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    shard = shard_expr.alias("shard")
+    w = W.partitionBy("shard").orderBy(F.col(id_col))
+    run = F.sum(token_count_col).over(w)  # inclusive running total
+    start = F.col("__run") - F.col(token_count_col)  # exclusive prefix sum
+    return (
+        df.select(F.col(id_col), F.col(token_count_col), shard)
+        .withColumn("__run", run)
+        .select(
+            id_col,
+            "shard",
+            F.floor(start / F.lit(window)).cast("bigint").alias("pack_id"),
+            (start - F.floor(start / F.lit(window)) * window)
+            .cast("bigint")
+            .alias("offset_tokens"),
+        )
+    )

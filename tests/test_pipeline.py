@@ -137,3 +137,52 @@ def test_stratified_sample_deterministic(spark):
     # unknown stratum keeps nothing
     df2 = spark.createDataFrame([(1, "zz")], "id LONG, g STRING")
     assert stratified_sample(df2, "g", {"a": 0.5}, "id").count() == 0
+
+
+def test_chunk_documents_shapes(spark):
+    from codd_spark.operators.pipeline import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+         (2, "short doc"),                            # 2 tokens -> 1 chunk
+         (3, " ".join(f"x{i}" for i in range(8)))],   # exactly 2 chunks
+        "doc_id LONG, text STRING",
+    )
+    out = chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: stride 3, starts 0,3,6,9 -> ceil((10-1)/3)=3 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.chunk_text for r in c1] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9",
+    ]
+    assert [r.n_tokens for r in c1] == [4, 4, 4]
+    assert [r.chunk_text for r in by_doc[2]] == ["short doc"]
+    assert by_doc[2][0].n_tokens == 2
+    c3 = sorted(by_doc[3], key=lambda r: r.chunk_idx)
+    # 8 tokens, stride 3: ceil(7/3)=3 chunks; last is short (2 tokens)
+    assert [r.n_tokens for r in c3] == [4, 4, 2]
+    # overlap property: consecutive chunks share the overlap token
+    assert c1[0].chunk_text.split()[-1] == c1[1].chunk_text.split()[0]
+
+
+def test_pack_sequences_layout(spark):
+    from codd_spark.operators.pipeline import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 600) for i in range(20)], "doc_id LONG, n_tokens LONG"
+    )
+    out = pack_sequences(df, window=2048, n_shards=4).collect()
+    assert len(out) == 20
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows = sorted(rows, key=lambda r: r.doc_id)
+        # exclusive prefix layout: starts at 0, advances 600/doc
+        for i, r in enumerate(rows):
+            start = i * 600
+            assert r.pack_id == start // 2048, r
+            assert r.offset_tokens == start % 2048, r
+        assert all(0 <= r.offset_tokens < 2048 for r in rows)
