@@ -69,6 +69,12 @@ BENCH_QUERIES = [
     "dedup_clusters",           # pairs -> connected components (iterative)
     "image_metadata",           # real PNG encode+decode via mapInPandas
     "events_hourly_stream",     # Structured Streaming -> memory sink
+    "boilerplate_ngrams",       # cross-doc shared n-grams
+    "unigram_surprisal",        # corpus-LM quality signal
+    "chunk_documents",          # context-window chunking
+    "pack_sequences",           # sequence packing layout
+    "concurrent_orders",        # interval-overlap join
+    "incremental_agg_view",     # 3-batch monoid-merge aggregate view
 ]
 
 
