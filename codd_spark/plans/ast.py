@@ -87,6 +87,40 @@ class Expression:
             right_key = left_key
         return Join(self, other, list(left_key), list(right_key), mapper, how, null_safe)
 
+    def asof_join(
+        self,
+        other: "Expression",
+        on: Sequence[str],
+        left_ts: str,
+        right_ts: str,
+        right_cols: Sequence[str] | None = None,
+        suffix: str = "_r",
+    ) -> "AsofJoin":
+        """Backward as-of join as an algebra node (engine extension — the
+        reference has only inner equi-join, SURVEY.md §2.2); compiles to
+        operators/joins.py::asof_join (union + carry-forward, one shuffle)."""
+        return AsofJoin(
+            self, other, list(on), left_ts, right_ts,
+            list(right_cols) if right_cols is not None else None, suffix,
+        )
+
+    def range_join(
+        self,
+        other: "Expression",
+        left_point: str,
+        right_start: str,
+        right_end: str,
+        on: Sequence[str] | None = None,
+        bucket_width: float | None = None,
+    ) -> "RangeJoin":
+        """Point-in-interval join as an algebra node; compiles to
+        operators/joins.py::range_join (keyed equi+filter, or global
+        bucketed-explode — never a cross product)."""
+        return RangeJoin(
+            self, other, left_point, right_start, right_end,
+            list(on) if on else None, bucket_width,
+        )
+
     def children(self) -> list["Expression"]:
         return []
 
@@ -226,6 +260,49 @@ class Join(Expression):
     mapper: Callable | None = None
     how: str = "inner"
     null_safe: bool = True
+
+    def children(self):
+        return [self.left, self.right]
+
+
+@dataclass(frozen=True)
+class AsofJoin(Expression):
+    """Backward as-of join node (engine extension). NOT view-safe: a right
+    row inserted between two existing ones rewrites earlier matches, so
+    the operator is non-monotone under the insert-only IVM regime — it is
+    rejected under stored views exactly like Difference."""
+
+    left: Expression
+    right: Expression
+    on: list
+    left_ts: str
+    right_ts: str
+    right_cols: list | None = None
+    suffix: str = "_r"
+
+    def __hash__(self):
+        return id(self)
+
+    def children(self):
+        return [self.left, self.right]
+
+
+@dataclass(frozen=True)
+class RangeJoin(Expression):
+    """Point-in-interval join node (engine extension). Monotone (inner
+    join on a fixed condition: new rows only add outputs), so it IS
+    view-safe."""
+
+    left: Expression
+    right: Expression
+    left_point: str
+    right_start: str
+    right_end: str
+    on: list | None = None
+    bucket_width: float | None = None
+
+    def __hash__(self):
+        return id(self)
 
     def children(self):
         return [self.left, self.right]

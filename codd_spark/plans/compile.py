@@ -154,4 +154,30 @@ def to_df(expr: ast.Expression, db: "Database") -> DataFrame:
             return joined.drop(*[f"__codd_k{i}" for i in range(len(lkeys))])
         return joined.select(*_apply_mapper(expr.mapper, left, right))
 
+    if isinstance(expr, ast.AsofJoin):
+        from codd_spark.operators.joins import asof_join
+
+        return asof_join(
+            to_df(expr.left, db),
+            to_df(expr.right, db),
+            on=list(expr.on),
+            left_ts=expr.left_ts,
+            right_ts=expr.right_ts,
+            right_cols=list(expr.right_cols) if expr.right_cols is not None else None,
+            suffix=expr.suffix,
+        )
+
+    if isinstance(expr, ast.RangeJoin):
+        from codd_spark.operators.joins import range_join
+
+        return range_join(
+            to_df(expr.left, db),
+            to_df(expr.right, db),
+            left_point=expr.left_point,
+            right_start=expr.right_start,
+            right_end=expr.right_end,
+            on=list(expr.on) if expr.on else None,
+            bucket_width=expr.bucket_width,
+        )
+
     raise UnsupportedExpressionError(f"unknown expression node: {type(expr).__name__}")

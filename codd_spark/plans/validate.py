@@ -8,7 +8,14 @@ core/src/expression/dependency.rs:9-55 (collect referenced relations/views).
 from __future__ import annotations
 
 from codd_spark.errors import UnsupportedExpressionError
-from codd_spark.plans.ast import Difference, Expression, Full, Relation, ViewScan
+from codd_spark.plans.ast import (
+    AsofJoin,
+    Difference,
+    Expression,
+    Full,
+    Relation,
+    ViewScan,
+)
 
 
 def walk(expr: Expression):
@@ -42,6 +49,12 @@ def assert_view_safe(expr: Expression) -> None:
         if isinstance(node, Difference):
             raise UnsupportedExpressionError(
                 "views over Difference are not supported (non-monotone)"
+            )
+        if isinstance(node, AsofJoin):
+            # a right row inserted between two existing ones rewrites
+            # earlier matches — non-monotone, same class as Difference
+            raise UnsupportedExpressionError(
+                "views over AsofJoin are not supported (non-monotone)"
             )
         if isinstance(node, Full):
             raise UnsupportedExpressionError("views over Full are not supported")

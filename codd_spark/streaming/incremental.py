@@ -341,6 +341,47 @@ class IncrementalDatabase:
 
             return self._delta_binary(expr, which, do_join, expr.mapper)
 
+        if isinstance(expr, ast.RangeJoin):
+            # monotone inner join -> the standard binary delta rule applies:
+            # Δ(L⋈R) = ΔL⋈S(R) ∪ S(L)⋈ΔR ∪ ΔL⋈ΔR
+            from codd_spark.operators.joins import range_join
+
+            def rj(l: DataFrame, r: DataFrame) -> DataFrame:
+                return range_join(
+                    l, r, expr.left_point, expr.right_start, expr.right_end,
+                    on=list(expr.on) if expr.on else None,
+                    bucket_width=expr.bucket_width,
+                )
+
+            if which in ("stable", "all"):
+                return rj(self._eval(expr.left, which), self._eval(expr.right, which))
+            sl = self._eval(expr.left, "stable")
+            sr = self._eval(expr.right, "stable")
+            dl = self._eval(expr.left, "recent")
+            dr = self._eval(expr.right, "recent")
+            return rj(dl, sr).union(rj(sl, dr)).union(rj(dl, dr))
+
+        if isinstance(expr, ast.AsofJoin):
+            # non-monotone: fine ad-hoc (which='all'), no delta form —
+            # assert_view_safe already rejects it under stored views
+            if which == "recent":
+                from codd_spark.errors import UnsupportedExpressionError
+
+                raise UnsupportedExpressionError(
+                    "AsofJoin has no monotone delta (views over it are rejected)"
+                )
+            from codd_spark.operators.joins import asof_join
+
+            return asof_join(
+                self._eval(expr.left, which),
+                self._eval(expr.right, which),
+                on=list(expr.on),
+                left_ts=expr.left_ts,
+                right_ts=expr.right_ts,
+                right_cols=list(expr.right_cols) if expr.right_cols is not None else None,
+                suffix=expr.suffix,
+            )
+
         raise InstanceNotFoundError(f"unknown expression node {type(expr).__name__}")
 
     def _delta_binary(self, expr, which: str, combine, mapper) -> DataFrame:

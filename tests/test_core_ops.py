@@ -231,3 +231,39 @@ def test_clone_snapshot_isolation(nums):
     nums.insert("nums", [(99,)])
     assert nums_eval(snap, Relation("nums")) == [1, 2, 3, 4]
     assert nums_eval(nums, Relation("nums")) == [1, 2, 3, 4, 99]
+
+
+def test_asof_range_ast_nodes(spark, db):
+    """Extension joins as algebra nodes: compose with σ/π, compile through
+    the same recursion, and respect view-safety (as-of is non-monotone)."""
+    import datetime
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from codd_spark.errors import UnsupportedExpressionError
+    from codd_spark.plans.ast import Relation
+
+    TS = datetime.datetime.fromisoformat
+    db.register("trades", spark.createDataFrame(
+        [(1, TS("2024-01-01 10:00:10"), 100)], "k LONG, ts TIMESTAMP, qty LONG"))
+    db.register("quotes", spark.createDataFrame(
+        [(1, TS("2024-01-01 10:00:00"), 9.0)], "k LONG, ts TIMESTAMP, px DOUBLE"))
+
+    e = Relation("trades").asof_join(Relation("quotes"), on=["k"], left_ts="ts", right_ts="ts")
+    rows = db.evaluate(e.select("px IS NOT NULL"))
+    assert len(rows) == 1 and rows[0].px == 9.0
+
+    # non-monotone -> rejected under stored views, like Difference
+    with _pytest.raises(UnsupportedExpressionError, match="AsofJoin"):
+        db.store_view(e)
+
+    db.register("points", spark.createDataFrame([(5.0,), (50.0,)], "p DOUBLE"))
+    db.register("bands", spark.createDataFrame(
+        [(0.0, 10.0, "low")], "s DOUBLE, e DOUBLE, name STRING"))
+    r = Relation("points").range_join(Relation("bands"), "p", "s", "e", bucket_width=10.0)
+    got = db.evaluate(r.project("p", "name"))
+    assert [(x.p, x.name) for x in got] == [(5.0, "low")]
+    # monotone -> view-safe
+    ref = db.store_view(r)
+    assert len(db.view_df(ref).collect()) == 1

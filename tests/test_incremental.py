@@ -132,3 +132,27 @@ def test_incremental_matches_recompute_randomized(spark, idb):
         got = vals(idb.view_rows(iv))
         want = vals(rdb.evaluate(rv.scan()))
         assert got == want, f"divergence at step {step}"
+
+
+def test_incremental_range_join_view(spark):
+    """RangeJoin is monotone -> allowed under IVM views and maintained by
+    the standard binary delta rule as both sides grow."""
+    from codd_spark.plans.ast import Relation
+    from codd_spark.streaming.incremental import IncrementalDatabase
+
+    db = IncrementalDatabase(spark)
+    db.add_relation("points", "p DOUBLE")
+    db.add_relation("bands", "s DOUBLE, e DOUBLE, name STRING")
+    db.insert("points", [(5.0,), (25.0,)])
+    db.insert("bands", [(0.0, 10.0, "low")])
+    ref = db.store_view(
+        Relation("points").range_join(
+            Relation("bands"), "p", "s", "e", bucket_width=10.0
+        ).project("p", "name")
+    )
+    assert [(r.p, r.name) for r in db.view_rows(ref)] == [(5.0, "low")]
+    # growing either side flows through the delta rules
+    db.insert("bands", [(20.0, 30.0, "mid")])
+    db.insert("points", [(7.0,)])
+    got = sorted((r.p, r.name) for r in db.view_rows(ref))
+    assert got == [(5.0, "low"), (7.0, "low"), (25.0, "mid")]
