@@ -1279,6 +1279,40 @@ def q_purchase_funnel(spark, sf_dir):
     )
 
 
+def q_weighted_avg_price(spark, sf_dir):
+    """Custom AGGREGATE via a pandas grouped-agg UDF (Arrow path):
+    quantity-weighted mean price per return flag. Spark's hash
+    partitioning groups rows; Python sees one vectorized Series pass per
+    group — the UDAF shape the reference's closures can't express."""
+    from codd_spark.functions.pyfuncs import weighted_mean
+
+    li = read_table(spark, sf_dir, "lineitem")
+    wm = weighted_mean()
+    # Spark disallows mixing a grouped-agg pandas UDF with built-in
+    # aggregates in one agg() — run them as two aggregates over the same
+    # shuffle key and join on the tiny flag domain
+    wavg = li.groupBy("l_returnflag").agg(
+        F.round(wm(F.col("l_extendedprice"), F.col("l_quantity")), 4).alias("w_avg_price")
+    )
+    cnt = li.groupBy("l_returnflag").agg(F.count("*").alias("n_items"))
+    return wavg.join(cnt, on="l_returnflag")
+
+
+def q_doc_sentences(spark, sf_dir):
+    """Python UDTF (Spark 4) used laterally: one document row -> many
+    typed (idx, sentence) rows. The oracle reproduces the literal '. '
+    split with unnest + subscripts."""
+    from codd_spark.functions.pyfuncs import sentence_splitter
+
+    docs = read_table(spark, sf_dir, "documents").where("doc_id < 100")
+    spark.udtf.register("codd_sentence_split", sentence_splitter())
+    docs.createOrReplaceTempView("__codd_docs_for_sentences")
+    return spark.sql(
+        "SELECT d.doc_id, s.idx, s.sentence "
+        "FROM __codd_docs_for_sentences d, LATERAL codd_sentence_split(d.text) s"
+    )
+
+
 def q_chunk_documents(spark, sf_dir):
     """Context-window chunking: 64-token chunks, 8-token overlap. Token
     array staged once; chunk starts via sequence+posexplode; each chunk a
@@ -1679,6 +1713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concurrent_orders": q_concurrent_orders,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
+        "weighted_avg_price": q_weighted_avg_price,
+        "doc_sentences": q_doc_sentences,
     }
 
 
@@ -2432,6 +2468,19 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(8000 + (doc_id % 50) * 160 AS DOUBLE) / 16000, 6) AS duration_sec,
                    CAST(doc_id % 1000 AS DOUBLE) AS rms
             FROM documents WHERE doc_id < 200
+        """,
+        "weighted_avg_price": """
+            SELECT l_returnflag,
+                   ROUND(SUM(CAST(l_extendedprice AS DOUBLE) * l_quantity)
+                         / SUM(CAST(l_quantity AS DOUBLE)), 4) AS w_avg_price,
+                   COUNT(*) AS n_items
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "doc_sentences": """
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, '. '), 1) - 1 AS idx,
+                   unnest(string_split(text, '. ')) AS sentence
+            FROM documents WHERE doc_id < 100
         """,
         "chunk_documents": """
             WITH base AS (

@@ -64,3 +64,26 @@ def test_wav_roundtrip_exact():
     assert abs(meta["duration_sec"] - 0.5) < 1e-12
     want_rms = float(np.sqrt(np.mean(s.astype(np.float64) ** 2)))
     assert abs(meta["rms"] - want_rms) < 1e-9
+
+
+def test_png_roundtrip_property():
+    """Hypothesis: any uint8 image, any channel count, any filter type
+    round-trips exactly through the codec."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import hypothesis.extra.numpy as hnp
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        arr=hnp.arrays(
+            dtype=np.uint8,
+            shape=st.tuples(
+                st.integers(1, 24), st.integers(1, 24), st.sampled_from([1, 2, 3, 4])
+            ),
+        ),
+        ft=st.integers(0, 4),
+    )
+    def check(arr, ft):
+        assert np.array_equal(decode_png(encode_png(arr, filter_type=ft)), arr)
+
+    check()

@@ -57,3 +57,29 @@ def test_pandas_udf_join_key(nums, db):
     rows = nums.evaluate(e)
     assert all(r.label == ("high" if r.n >= 10 else "low") for r in rows)
     assert len(rows) == 20
+
+
+def test_pandas_udaf_weighted_mean(spark):
+    from codd_spark.functions.pyfuncs import weighted_mean
+
+    df = spark.createDataFrame(
+        [("a", 10.0, 1.0), ("a", 20.0, 3.0), ("b", 5.0, 2.0)],
+        "g STRING, v DOUBLE, w DOUBLE",
+    )
+    wm = weighted_mean()
+    got = {r.g: r.m for r in df.groupBy("g").agg(wm("v", "w").alias("m")).collect()}
+    assert got == {"a": (10 + 60) / 4.0, "b": 5.0}
+
+
+def test_python_udtf_sentence_split(spark):
+    from codd_spark.functions.pyfuncs import sentence_splitter
+
+    spark.udtf.register("t_sentence_split", sentence_splitter())
+    spark.createDataFrame(
+        [(1, "One. Two. Three"), (2, "")], "doc_id LONG, text STRING"
+    ).createOrReplaceTempView("t_docs")
+    rows = spark.sql(
+        "SELECT d.doc_id, s.idx, s.sentence FROM t_docs d, LATERAL t_sentence_split(d.text) s"
+    ).collect()
+    got = sorted((r.doc_id, r.idx, r.sentence) for r in rows)
+    assert got == [(1, 0, "One"), (1, 1, "Two"), (1, 2, "Three"), (2, 0, "")]
