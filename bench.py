@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "pack_sequences",           # sequence packing layout
     "concurrent_orders",        # interval-overlap join
     "incremental_agg_view",     # 3-batch monoid-merge aggregate view
+    "weighted_avg_price",       # pandas grouped-agg UDAF (Arrow path)
+    "doc_sentences",            # Python UDTF, lateral join
 ]
 
 
