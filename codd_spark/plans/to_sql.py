@@ -110,6 +110,30 @@ def to_sql(expr: ast.Expression) -> str:
             f"({to_sql(expr.right)}) r ON {cond_sql}"
         )
 
+    if isinstance(expr, ast.RangeJoin):
+        # bag-equivalent to the compiled plan: keyed -> equi-join USING the
+        # keys + BETWEEN filter; global -> inequality join (the engine's
+        # bucketed-explode is a physical strategy, not a semantic change;
+        # its internal dedup is absorbed by the evaluation-boundary
+        # DISTINCT). AsofJoin is deliberately NOT rendered: its output
+        # renames right columns on collision, which needs schema knowledge
+        # this renderer doesn't track — it is property-tested directly
+        # against DuckDB's native ASOF JOIN instead.
+        between = (
+            f"(l.{expr.left_point}) BETWEEN (r.{expr.right_start}) "
+            f"AND (r.{expr.right_end})"
+        )
+        if expr.on:
+            using = ", ".join(expr.on)
+            return (
+                f"SELECT * FROM ({to_sql(expr.left)}) l JOIN "
+                f"({to_sql(expr.right)}) r USING ({using}) WHERE {between}"
+            )
+        return (
+            f"SELECT * FROM ({to_sql(expr.left)}) l JOIN "
+            f"({to_sql(expr.right)}) r ON {between}"
+        )
+
     raise UnsupportedExpressionError(f"to_sql: unknown node {type(expr).__name__}")
 
 

@@ -206,3 +206,43 @@ def test_semi_anti_render_match_duckdb(setup):
         sql = f"SELECT DISTINCT * FROM ({to_sql(expr)}) ORDER BY n"
         want = [r[0] for r in con.execute(sql).fetchall()]
         assert got == want, how
+
+
+def test_range_join_to_sql_matches_duckdb(spark, db):
+    """RangeJoin AST node: the engine's bucketed/keyed physical strategies
+    must agree with DuckDB running the node's SQL rendering."""
+    import duckdb as _duck
+
+    from codd_spark.plans.ast import Relation
+    from codd_spark.plans.to_sql import to_sql
+
+    points = [(float(i), i % 3) for i in range(40)]
+    bands = [(float(s), float(s + 7), s % 3, f"b{s}") for s in range(0, 40, 5)]
+    db.register("pts", spark.createDataFrame(points, "p DOUBLE, k LONG"))
+    db.register("bnd", spark.createDataFrame(bands, "s DOUBLE, e DOUBLE, k LONG, name STRING"))
+
+    import pandas as _pd
+
+    con = _duck.connect()
+    con.register("pts", _pd.DataFrame(points, columns=["p", "k"]))
+    con.register("bnd", _pd.DataFrame(bands, columns=["s", "e", "k", "name"]))
+
+    # compare by column NAME (key-column position differs between Spark's
+    # join(on=...) and SQL USING — same relation, different ordering)
+    for expr in (
+        Relation("pts").range_join(Relation("bnd"), "p", "s", "e", on=["k"]),
+        # global form: project the shared key away so * yields unique names
+        Relation("pts").project("p").range_join(
+            Relation("bnd").project("s", "e", "name"),
+            "p", "s", "e", bucket_width=5.0,
+        ),
+    ):
+        got = sorted(
+            tuple(sorted(r.asDict().items())) for r in db.evaluate(expr)
+        )
+        cur = con.execute(f"SELECT DISTINCT * FROM ({to_sql(expr)})")
+        names = [d[0] for d in cur.description]
+        want = sorted(
+            tuple(sorted(zip(names, row))) for row in cur.fetchall()
+        )
+        assert got == want
