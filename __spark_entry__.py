@@ -1279,6 +1279,22 @@ def q_purchase_funnel(spark, sf_dir):
     )
 
 
+def q_decontaminate_corpus(spark, sf_dir):
+    """Benchmark decontamination: remove training docs (doc_id < 300)
+    that near-match any eval-set doc (300 <= doc_id < 400) at word-3-gram
+    Jaccard >= 0.5. Contract uses the EXACT cross-pair method (engine-
+    independent answer on bounded subsets); the scale path is the same
+    pipeline with MinHash candidates (cross_near_duplicates — engine-
+    tested for parity, shares the self-join hash family)."""
+    from codd_spark.operators.dedup import decontaminate
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id < 300")
+    evalset = docs.filter("doc_id >= 300 AND doc_id < 400")
+    clean = decontaminate(corpus, evalset, threshold=0.5, method="exact", n=3)
+    return clean.select("doc_id", "lang", "n_chars")
+
+
 def q_weighted_avg_price(spark, sf_dir):
     """Custom AGGREGATE via a pandas grouped-agg UDF (Arrow path):
     quantity-weighted mean price per return flag. Spark's hash
@@ -1715,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "weighted_avg_price": q_weighted_avg_price,
         "doc_sentences": q_doc_sentences,
+        "decontaminate_corpus": q_decontaminate_corpus,
     }
 
 
@@ -2468,6 +2485,21 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(8000 + (doc_id % 50) * 160 AS DOUBLE) / 16000, 6) AS duration_sec,
                    CAST(doc_id % 1000 AS DOUBLE) AS rms
             FROM documents WHERE doc_id < 200
+        """,
+        "decontaminate_corpus": """
+            WITH g AS (
+              SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(s)-1, 2)),
+                     i -> array_to_string(list_slice(s, i, i+2), ' '))) AS ng
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS s
+                    FROM documents WHERE doc_id < 400)
+            ), dirty AS (
+              SELECT DISTINCT a.doc_id
+              FROM g a JOIN g b ON a.doc_id < 300 AND b.doc_id >= 300
+              WHERE ROUND(len(list_intersect(a.ng, b.ng))::DOUBLE
+                          / len(list_distinct(list_concat(a.ng, b.ng))), 6) >= 0.5
+            )
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id < 300 AND doc_id NOT IN (SELECT doc_id FROM dirty)
         """,
         "weighted_avg_price": """
             SELECT l_returnflag,

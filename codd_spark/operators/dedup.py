@@ -489,3 +489,164 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _minhash_prep(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(banded buckets, persisted hashed-shingle projection) for one table —
+    the per-side half of the MinHash pipeline, factored out so SELF-join
+    (near-dup mining) and CROSS-join (decontamination) share one
+    implementation and, critically, one hash family: signatures from two
+    tables are only comparable because every constant here is identical."""
+    r = num_hashes // bands
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    normed = df.repartition(parallelism, F.col(id_col)).select(
+        F.col(id_col).alias("id"), normalize_ws(F.col(text_col)).alias("__t")
+    )
+    shingled = normed.select(
+        "id", _hashed_shingles_of_attr(F.col("__t"), shingle_k).alias("sh")
+    ).persist()
+    exploded = shingled.select("id", F.explode(F.col("sh")).alias("h64")).select(
+        "id", F.pmod(F.col("h64"), F.lit(_P)).alias("h")
+    )
+    sigs = _oph_signatures(exploded, num_hashes, shingled.select("id"))
+    buckets = sigs.select(
+        "id", F.explode(_band_structs(F.col("sig"), bands, r)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.h").alias("h"))
+    return buckets, shingled
+
+
+def cross_near_duplicates(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 120,
+    bands: int = 20,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Cross-TABLE near-duplicate pairs (id_l, id_r, jaccard >= threshold):
+    which left documents near-match any right document. The cross-corpus
+    counterpart of minhash_near_duplicates, sharing its hash family via
+    _minhash_prep; the candidate join is left-buckets ⋈ right-buckets on
+    (band, bucket-hash) — shuffle-pinned (both sides grow with their
+    corpora) with a per-side degenerate-bucket guard — then every
+    candidate is verified with exact Jaccard on the hashed shingles.
+
+    This is the decontamination primitive: right = the eval/benchmark
+    set, left = the training corpus.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    lb, lsh = _minhash_prep(
+        left, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+    )
+    rb, rsh = _minhash_prep(
+        right, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+    )
+
+    def guard(b: DataFrame) -> DataFrame:
+        return b.withColumn(
+            "bsz", F.count("*").over(Window.partitionBy("band", "h"))
+        ).filter(F.col("bsz") <= max_bucket_size)
+
+    cand = (
+        guard(lb).select("band", "h", F.col("id").alias("id_l"))
+        .join(
+            guard(rb).select("band", "h", F.col("id").alias("id_r")).hint("shuffle_merge"),
+            on=["band", "h"],
+        )
+        .select("id_l", "id_r")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            lsh.select(F.col("id").alias("id_l"), F.col("sh").alias("sh_l")).hint("shuffle_merge"),
+            on="id_l",
+        )
+        .join(
+            rsh.select(F.col("id").alias("id_r"), F.col("sh").alias("sh_r")).hint("shuffle_merge"),
+            on="id_r",
+        )
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_l"), F.col("sh_r")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_l", "id_r", "jaccard")
+    )
+    weakref.finalize(verified, _safe_unpersist, lsh)
+    weakref.finalize(verified, _safe_unpersist, rsh)
+    return verified
+
+
+def cross_ngram_jaccard_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact cross-table word-n-gram Jaccard pairs (id_l, id_r, jaccard).
+    O(|L|·|R|) — the verification/bounded-subset form whose answer is
+    engine-independent; cross_near_duplicates is the scale path."""
+    from codd_spark.functions.text import tokens
+
+    def grams(df: DataFrame, out: str) -> DataFrame:
+        toked = df.select(
+            F.col(id_col).alias(out), tokens(F.col(text_col)).alias("__toks")
+        )
+        return toked.select(out, _ngrams_of_attr(F.col("__toks"), n).alias(f"ng_{out}"))
+
+    a, b = grams(left, "id_l"), grams(right, "id_r")
+    return (
+        a.crossJoin(b.hint("shuffle_merge"))
+        .withColumn("jaccard", F.round(jaccard(F.col("ng_id_l"), F.col("ng_id_r")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_l", "id_r", "jaccard")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    contaminants: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    threshold: float = 0.5,
+    method: str = "minhash",
+    **kwargs,
+) -> DataFrame:
+    """Remove corpus documents that near-match ANY contaminant document
+    (benchmark/eval-set decontamination of a training corpus).
+
+    ``method="minhash"`` is the scale path (LSH candidates + exact
+    verification); ``method="exact"`` computes every pairwise Jaccard —
+    bounded subsets only, but its answer is engine-independent (used by
+    the oracle-checked contract query). The removal itself is an anti
+    join on the matched ids — shuffle-pinned, the matched set grows with
+    the corpus.
+    """
+    if method == "minhash":
+        pairs = cross_near_duplicates(
+            corpus, contaminants, id_col, text_col, threshold=threshold, **kwargs
+        )
+    elif method == "exact":
+        pairs = cross_ngram_jaccard_pairs(
+            corpus, contaminants, id_col, text_col, threshold=threshold, **kwargs
+        )
+    else:
+        raise ValueError(f"unknown method {method!r} (use 'minhash' or 'exact')")
+    dirty = pairs.select(F.col("id_l").alias(id_col)).distinct()
+    return corpus.join(dirty.hint("shuffle_merge"), on=id_col, how="left_anti")

@@ -428,3 +428,43 @@ def test_boilerplate_ngrams(spark):
     assert out[key].n_docs == 3
     assert out[key].doc_frac == 0.75
     assert all(r.n_docs >= 3 for r in out.values())
+
+
+def test_cross_near_duplicates_and_decontaminate(spark, docs):
+    from codd_spark.operators.dedup import (
+        cross_near_duplicates,
+        cross_ngram_jaccard_pairs,
+        decontaminate,
+    )
+
+    # eval set: one doc nearly identical to corpus docs 0/1/2, one unrelated
+    evalset = spark.createDataFrame(
+        [
+            (100, BASE.replace("quick", "swift")),
+            (101, "entirely unrelated benchmark question about astronomy"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    lsh = {
+        (r.id_l, r.id_r)
+        for r in cross_near_duplicates(
+            docs, evalset, num_hashes=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    exact = {
+        (r.id_l, r.id_r)
+        for r in cross_ngram_jaccard_pairs(docs, evalset, threshold=0.5).collect()
+    }
+    assert lsh  # the near-identical docs must be found
+    assert lsh <= {(i, 100) for i in (0, 1, 2)} | {(i, 101) for i in (3, 4)}
+    # LSH candidates are exact-verified, so every pair is a true pair;
+    # shingle-vs-ngram featurization differs, so compare against BOTH dirs
+    assert {p[0] for p in lsh} == {0, 1, 2}
+
+    clean = decontaminate(
+        docs, evalset, threshold=0.5, method="minhash", num_hashes=64, bands=16
+    )
+    assert sorted(r.doc_id for r in clean.collect()) == [3, 4]
+    clean_exact = decontaminate(docs, evalset, threshold=0.5, method="exact", n=3)
+    assert sorted(r.doc_id for r in clean_exact.collect()) == [3, 4]
+    assert exact and {p[0] for p in exact} == {0, 1, 2}
