@@ -1295,6 +1295,21 @@ def q_decontaminate_corpus(spark, sf_dir):
     return clean.select("doc_id", "lang", "n_chars")
 
 
+def q_decontaminate_lsh(spark, sf_dir):
+    """Scale-path decontamination: MinHash cross-table candidates (shared
+    hash family, shuffle-pinned bucket join, degenerate-bucket guards) +
+    exact verification, over the full documents table vs the eval slice.
+    Rows-only check (LSH recall is probabilistic by design; the exact
+    method above is the oracle-checked contract)."""
+    from codd_spark.operators.dedup import decontaminate
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 10 != 0")
+    evalset = docs.filter("doc_id % 10 = 0")
+    clean = decontaminate(corpus, evalset, threshold=0.5, method="minhash")
+    return clean.select("doc_id", "lang", "n_chars")
+
+
 def q_weighted_avg_price(spark, sf_dir):
     """Custom AGGREGATE via a pandas grouped-agg UDF (Arrow path):
     quantity-weighted mean price per return flag. Spark's hash
@@ -1732,6 +1747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_avg_price": q_weighted_avg_price,
         "doc_sentences": q_doc_sentences,
         "decontaminate_corpus": q_decontaminate_corpus,
+        "decontaminate_lsh": q_decontaminate_lsh,
     }
 
 

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "incremental_agg_view",     # 3-batch monoid-merge aggregate view
     "weighted_avg_price",       # pandas grouped-agg UDAF (Arrow path)
     "doc_sentences",            # Python UDTF, lateral join
+    "decontaminate_lsh",        # cross-corpus MinHash decontamination
 ]
 
 

@@ -545,47 +545,64 @@ def cross_near_duplicates(
 
     This is the decontamination primitive: right = the eval/benchmark
     set, left = the training corpus.
+
+    Both sides ride ONE pipeline: the union (ids tagged with a side bit)
+    is shingled/signed/bucketed in a single pass — one repartition, one
+    persist, one set of signature shuffles — and the buckets split by
+    side only at the candidate join. Halves the fixed pipeline cost vs
+    preparing each table separately, and guarantees the shared hash
+    family by construction.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
-    lb, lsh = _minhash_prep(
-        left, id_col, text_col,
-        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
-    )
-    rb, rsh = _minhash_prep(
-        right, id_col, text_col,
-        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
-    )
-
-    def guard(b: DataFrame) -> DataFrame:
-        return b.withColumn(
-            "bsz", F.count("*").over(Window.partitionBy("band", "h"))
-        ).filter(F.col("bsz") <= max_bucket_size)
-
-    cand = (
-        guard(lb).select("band", "h", F.col("id").alias("id_l"))
-        .join(
-            guard(rb).select("band", "h", F.col("id").alias("id_r")).hint("shuffle_merge"),
-            on=["band", "h"],
+    # side bit in the low id bit (doc ids stay < 2^62 — checked cheap)
+    tagged = (
+        left.select((F.col(id_col) * 2).alias("__xid"), F.col(text_col).alias("__txt"))
+        .unionByName(
+            right.select(
+                (F.col(id_col) * 2 + 1).alias("__xid"), F.col(text_col).alias("__txt")
+            )
         )
+    )
+    buckets, shingled = _minhash_prep(
+        tagged, "__xid", "__txt",
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+    )
+    # persist the guarded buckets: BOTH side-branches below read them, and
+    # without the cache the whole signature pipeline would execute twice
+    sized = (
+        buckets.withColumn(
+            "bsz", F.count("*").over(Window.partitionBy("band", "h"))
+        )
+        .filter(F.col("bsz") <= max_bucket_size)
+        .persist()
+    )
+    lb = sized.filter(F.col("id") % 2 == 0).select(
+        "band", "h", (F.col("id") / 2).cast("long").alias("id_l")
+    )
+    rb = sized.filter(F.col("id") % 2 == 1).select(
+        "band", "h", ((F.col("id") - 1) / 2).cast("long").alias("id_r")
+    )
+    cand = (
+        lb.join(rb.hint("shuffle_merge"), on=["band", "h"])
         .select("id_l", "id_r")
         .distinct()
     )
+    lsh_side = shingled.filter(F.col("id") % 2 == 0).select(
+        (F.col("id") / 2).cast("long").alias("id_l"), F.col("sh").alias("sh_l")
+    )
+    rsh_side = shingled.filter(F.col("id") % 2 == 1).select(
+        ((F.col("id") - 1) / 2).cast("long").alias("id_r"), F.col("sh").alias("sh_r")
+    )
     verified = (
-        cand.join(
-            lsh.select(F.col("id").alias("id_l"), F.col("sh").alias("sh_l")).hint("shuffle_merge"),
-            on="id_l",
-        )
-        .join(
-            rsh.select(F.col("id").alias("id_r"), F.col("sh").alias("sh_r")).hint("shuffle_merge"),
-            on="id_r",
-        )
+        cand.join(lsh_side.hint("shuffle_merge"), on="id_l")
+        .join(rsh_side.hint("shuffle_merge"), on="id_r")
         .withColumn("jaccard", F.round(jaccard(F.col("sh_l"), F.col("sh_r")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_l", "id_r", "jaccard")
     )
-    weakref.finalize(verified, _safe_unpersist, lsh)
-    weakref.finalize(verified, _safe_unpersist, rsh)
+    weakref.finalize(verified, _safe_unpersist, shingled)
+    weakref.finalize(verified, _safe_unpersist, sized)
     return verified
 
 
