@@ -1651,6 +1651,156 @@ def q_audio_metadata(spark, sf_dir):
     )
 
 
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan → filter → one-row aggregate. The whole
+    query is a single parquet scan with every predicate pushed to the
+    reader (shipdate range, discount band, quantity cap) and a map-side
+    partial aggregate — zero joins, one exchange carrying one row per
+    partition. At 100 TB this is the I/O-bound floor: cost is exactly the
+    bytes of the four referenced columns after row-group pruning."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(25,10)")
+                * F.col("l_discount").cast("decimal(25,10)")
+            ).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: national market share — for each order year, the
+    fraction of ECONOMY-part revenue into ASIA-region customers that was
+    supplied by NATION_3. Conditional aggregation (share = SUM(CASE)/SUM)
+    in one pass; part is filtered on p_type BEFORE the join so the
+    lineitem⋈part join shrinks to the selected parts (joined without a
+    forced broadcast — part grows with SF, AQE decides); nation/region are
+    fixed-cardinality and broadcast. The two fact tables meet in a pinned
+    shuffle join on l_orderkey."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    part = read_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    n_cust = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .select(F.col("n_nationkey").alias("cust_nk"))
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice").cast("decimal(25,10)") * (
+        1 - F.col("l_discount").cast("decimal(25,10)")
+    )
+    return (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .join(orders.hint("shuffle_merge"), lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cust_nk"))
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("supp_nk"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                        F.lit(0).cast("decimal(25,10)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                9,
+            ).alias("mkt_share"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: the synthetic schema has no partsupp, so
+    profit is revenue rather than revenue − supplycost·qty): profit by
+    supplier nation and order year over parts whose name matches a
+    substring. The part filter is a scan-level LIKE pushdown; lineitem
+    joins filtered part and supplier (SF-growing — no broadcast hints, AQE
+    sizes them), then meets orders in a pinned shuffle join."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    part = read_table(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    return (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders.hint("shuffle_merge"), lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(25,10)")
+                * (1 - F.col("l_discount").cast("decimal(25,10)"))
+            ).cast("double").alias("profit"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_returned_items_report(spark, sf_dir):
+    """TPC-H Q10 shape: top 20 customers by revenue lost to returns in a
+    six-month window. Return-flag and date predicates are pushed to both
+    fact scans before their pinned shuffle join; the aggregate groups on
+    the customer key alone (joining the customer dim AFTER the agg, on 20
+    rows, instead of carrying c_name/c_acctbal through the fact shuffle);
+    top-k compiles to TakeOrderedAndProject with a unique-key tiebreak —
+    never a global sort."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    per_cust = (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= "1996-07-01")
+                & (F.col("o_orderdate") < "1997-01-01")
+            ).hint("shuffle_merge"),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(25,10)")
+                * (1 - F.col("l_discount").cast("decimal(25,10)"))
+            ).cast("double").alias("revenue")
+        )
+    )
+    top = per_cust.orderBy(F.desc("revenue"), F.asc("o_custkey")).limit(20)
+    return (
+        top.join(customer, top.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.round("revenue", 4).alias("revenue"),
+            F.col("c_acctbal"),
+            F.col("n_name"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1748,6 +1898,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sentences": q_doc_sentences,
         "decontaminate_corpus": q_decontaminate_corpus,
         "decontaminate_lsh": q_decontaminate_lsh,
+        "forecast_revenue": q_forecast_revenue,
+        "market_share": q_market_share,
+        "product_type_profit": q_product_type_profit,
+        "returned_items_report": q_returned_items_report,
     }
 
 
@@ -2707,5 +2861,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "forecast_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,10))
+                            * CAST(l_discount AS DECIMAL(25,10))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "market_share": """
+            SELECT year(o_orderdate) AS order_year,
+                   CAST(ROUND(
+                       CAST(SUM(CASE WHEN n_s.n_name = 'NATION_3'
+                                     THEN CAST(l_extendedprice AS DECIMAL(25,10))
+                                          * (1 - CAST(l_discount AS DECIMAL(25,10)))
+                                     ELSE CAST(0 AS DECIMAL(25,10)) END) AS DOUBLE)
+                       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,10))
+                                  * (1 - CAST(l_discount AS DECIMAL(25,10)))) AS DOUBLE),
+                       9) AS DOUBLE) AS mkt_share,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n_c ON c_nationkey = n_c.n_nationkey
+            JOIN region ON n_c.n_regionkey = r_regionkey AND r_name = 'ASIA'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n_s ON s_nationkey = n_s.n_nationkey
+            GROUP BY 1
+        """,
+        "product_type_profit": """
+            SELECT n_name AS nation, year(o_orderdate) AS order_year,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,10))
+                            * (1 - CAST(l_discount AS DECIMAL(25,10)))) AS DOUBLE) AS profit,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        """,
+        "returned_items_report": """
+            WITH per_cust AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,10))
+                                * (1 - CAST(l_discount AS DECIMAL(25,10)))) AS DOUBLE) AS revenue
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= TIMESTAMP '1996-07-01'
+                  AND o_orderdate < TIMESTAMP '1997-01-01'
+                GROUP BY o_custkey
+            ), top AS (
+                SELECT * FROM per_cust ORDER BY revenue DESC, o_custkey ASC LIMIT 20
+            )
+            SELECT c_custkey, c_name, ROUND(revenue, 4) AS revenue, c_acctbal, n_name
+            FROM top
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
         """,
     }
