@@ -1801,6 +1801,58 @@ def q_returned_items_report(spark, sf_dir):
     )
 
 
+def q_pii_redaction(spark, sf_dir):
+    """PII scrubbing contract: the synthetic corpus carries no real PII, so
+    the query plants deterministic email/IPv4/phone strings (closed forms
+    of doc_id) into each document, then runs the pure-codegen
+    `redact_pii` pass. Per-category hit counts and the md5 of the redacted
+    text are checked against DuckDB applying the same RE2/Java-compatible
+    patterns — the md5 proves byte-identical redaction output without
+    shipping the text through the harness."""
+    from codd_spark.operators.text import redact_pii
+
+    docs = read_table(spark, sf_dir, "documents").where("doc_id < 400")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7 call 555-123-4567 ssn 123-45-6789"),
+        ).alias("text"),
+    )
+    red = redact_pii(seeded, "text")
+    return red.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_ssn",
+        "n_phone",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+    )
+
+
+def q_json_props_stats(spark, sf_dir):
+    """Semi-structured contract: events.props is a JSON string column.
+    `with_json_fields` parses it ONCE per row via from_json with an
+    explicit DDL schema (N get_json_object calls would re-parse N times),
+    then a plain typed aggregate runs per event_type. Exact integer sums;
+    the average is formed from the exact sum to stay order-insensitive."""
+    from codd_spark.functions.json import with_json_fields
+
+    events = read_table(spark, sf_dir, "events")
+    typed = with_json_fields(events, "props", "k BIGINT")
+    return typed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        (F.sum("k").cast("double") / F.count("*")).alias("avg_k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1902,6 +1954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": q_market_share,
         "product_type_profit": q_product_type_profit,
         "returned_items_report": q_returned_items_report,
+        "pii_redaction": q_pii_redaction,
+        "json_props_stats": q_json_props_stats,
     }
 
 
@@ -2923,5 +2977,45 @@ def oracle_sql() -> dict[str, str]:
             FROM top
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
+        """,
+        # Same deterministic PII seeding and the same RE2-compatible
+        # patterns as codd_spark.operators.text.PII_PATTERNS, applied in
+        # the same order. Counts run against the seeded (pre-redaction)
+        # text; md5 proves byte-identical redaction output.
+        "pii_redaction": """
+            WITH seeded AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id
+                            || '@example.com at 10.0.' || (doc_id % 200)
+                            || '.7 call 555-123-4567 ssn 123-45-6789' AS text
+                FROM documents WHERE doc_id < 400
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn,
+                   CAST(len(regexp_extract_all(text, '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}')) AS BIGINT) AS n_phone,
+                   md5(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(text,
+                             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g'),
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[PII]', 'g'),
+                         '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[PII]', 'g'),
+                       '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}', '[PII]', 'g')
+                   ) AS redacted_md5
+            FROM seeded
+        """,
+        "json_props_stats": """
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+                       / COUNT(*) AS avg_k
+            FROM events
+            GROUP BY event_type
         """,
     }

@@ -468,3 +468,42 @@ def test_cross_near_duplicates_and_decontaminate(spark, docs):
     clean_exact = decontaminate(docs, evalset, threshold=0.5, method="exact", n=3)
     assert sorted(r.doc_id for r in clean_exact.collect()) == [3, 4]
     assert exact and {p[0] for p in exact} == {0, 1, 2}
+
+
+def test_redact_pii_counts_and_output(spark):
+    from codd_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob@corp.io or 10.1.2.3 thanks"),
+            (2, "call 555-123-4567 and 555 987 6543; ssn 123-45-6789"),
+            (3, "nothing sensitive here"),
+        ],
+        "id BIGINT, text STRING",
+    )
+    rows = {r["id"]: r for r in redact_pii(df, "text").collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["n_ipv4"] == 1
+    assert rows[1]["redacted"] == "mail me at [PII] or [PII] thanks"
+    assert rows[2]["n_phone"] == 2 and rows[2]["n_ssn"] == 1
+    assert "[PII]" not in rows[3]["redacted"]
+    assert rows[3]["n_email"] == rows[3]["n_phone"] == 0
+    # counts are taken on the ORIGINAL text: redacting emails never
+    # changes the ipv4/phone counts
+    assert rows[2]["redacted"].count("[PII]") == 3
+
+
+def test_with_json_fields_typed_and_permissive(spark):
+    from codd_spark.functions.json import json_scalar, with_json_fields
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 7, "tag": "a"}'), (2, '{"k": 9}'), (3, "not-json")],
+        "id BIGINT, props STRING",
+    )
+    out = with_json_fields(df, "props", "k BIGINT, tag STRING")
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["k"] == 7 and rows[1]["tag"] == "a"
+    assert rows[2]["k"] == 9 and rows[2]["tag"] is None
+    assert rows[3]["k"] is None  # malformed row survives as NULLs
+    assert dict(out.dtypes)["k"] == "bigint"
+    one = df.select(json_scalar("props", "$.k", "bigint").alias("k")).collect()
+    assert [r["k"] for r in one] == [7, 9, None]
