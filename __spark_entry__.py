@@ -1853,6 +1853,38 @@ def q_json_props_stats(spark, sf_dir):
     )
 
 
+def q_token_budget_sample(spark, sf_dir):
+    """Per-source token-budget cap contract: each source keeps a
+    hash-prioritized subset whose cumulative n_chars stays ≤ 3000. The
+    result reports per-source kept counts and exact kept char sums; the
+    oracle replays the same LCG priority order and running sum in SQL."""
+    from codd_spark.operators.pipeline import token_budget_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    kept = token_budget_sample(docs, "source", 3000, "n_chars", "doc_id", salt=7)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Temperature (alpha=0.5) mixture resampling contract over the skewed
+    lang column: dominant languages are downsampled toward sqrt-weights.
+    Per-lang kept counts and id checksums; the oracle recomputes the same
+    decimal-staged rates and LCG selection in SQL."""
+    from codd_spark.operators.pipeline import temperature_mixture_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    kept = temperature_mixture_sample(docs, "lang", 200, "doc_id", salt=11)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1956,6 +1988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_items_report": q_returned_items_report,
         "pii_redaction": q_pii_redaction,
         "json_props_stats": q_json_props_stats,
+        "token_budget_sample": q_token_budget_sample,
+        "mixture_sample": q_mixture_sample,
     }
 
 
@@ -3006,6 +3040,43 @@ def oracle_sql() -> dict[str, str]:
                        '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}', '[PII]', 'g')
                    ) AS redacted_md5
             FROM seeded
+        """,
+        # Both samplers replay the engine's 31-bit LCG selection hash in
+        # portable SQL: h = ((id+salt) % 2^31 * 1103515245 + 12345) % 2^31,
+        # mills = h % 1e6 (ids are non-negative, so % == pmod here).
+        "token_budget_sample": """
+            WITH h AS (
+                SELECT source, doc_id, n_chars,
+                       ((doc_id + 7) % 2147483648 * 1103515245 + 12345)
+                           % 2147483648 % 1000000 AS mills
+                FROM documents
+            ), c AS (
+                SELECT source, doc_id, n_chars,
+                       SUM(n_chars) OVER (
+                           PARTITION BY source ORDER BY mills, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM h
+            )
+            SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept,
+                   MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+            FROM c WHERE cum <= 3000 GROUP BY source
+        """,
+        "mixture_sample": """
+            WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+            w AS (SELECT lang, n,
+                         CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(25,10)) AS w
+                  FROM n),
+            t AS (SELECT SUM(w) AS sw FROM w),
+            r AS (SELECT lang,
+                         CAST(FLOOR(LEAST(1.0,
+                             200.0 * CAST(w AS DOUBLE) / CAST(sw AS DOUBLE)
+                                   / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS cut
+                  FROM w, t)
+            SELECT d.lang, COUNT(*) AS n_kept, SUM(doc_id) AS id_sum
+            FROM documents d JOIN r ON d.lang = r.lang
+            WHERE ((doc_id + 11) % 2147483648 * 1103515245 + 12345)
+                      % 2147483648 % 1000000 < cut
+            GROUP BY d.lang
         """,
         "json_props_stats": """
             SELECT event_type,

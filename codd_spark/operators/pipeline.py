@@ -6,7 +6,7 @@ filters into the scan and the whole pipeline is one job.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from codd_spark.functions.text import fingerprint_md5
 from codd_spark.operators.dedup import minhash_near_duplicates
@@ -276,4 +276,100 @@ def pack_sequences(
             .cast("bigint")
             .alias("offset_tokens"),
         )
+    )
+
+
+def _lcg_mills(id_col: str, salt: int) -> Column:
+    """31-bit LCG hash of an integer id, reduced to [0, 1e6) — the
+    cross-engine deterministic sampler shared with stratified_sample /
+    train_val_test_split (expressible in any SQL dialect)."""
+    m = F.lit(2147483648)
+    h = F.pmod(F.pmod(F.col(id_col) + F.lit(salt), m) * F.lit(1103515245) + F.lit(12345), m)
+    return F.pmod(h, F.lit(1_000_000))
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    cost_col: str,
+    id_col: str,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-group budget cap: keep a deterministic pseudo-random subset of
+    each group whose cumulative ``cost_col`` (tokens, chars, bytes) stays
+    within ``budget`` — "at most N tokens per source/domain", the mixture
+    control every pretraining corpus applies before packing.
+
+    Rows are prioritized by a stable hash of the id (so the kept set is a
+    uniform sample of the group, reproducible across retries and cluster
+    sizes, and REFRESH-STABLE: re-running on a grown corpus keeps a
+    superset-invariant priority order rather than whatever order the scan
+    produced). One window shuffle on the group key; the running sum is a
+    single sort within each group partition. Skewed groups (one domain
+    with 10^9 docs) sort within their partition only — at 100 TB, stage
+    the heavy groups through ``stratified_sample`` first if a group's
+    rows exceed executor memory."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(_lcg_mills(id_col, salt), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__cum", F.sum(F.col(cost_col)).over(w))
+        .filter(F.col("__cum") <= F.lit(budget))
+        .drop("__cum")
+    )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    target_rows: int,
+    id_col: str,
+    salt: int = 0,
+) -> DataFrame:
+    """Temperature-weighted (alpha = 0.5) mixture resampling across
+    sources: sample group g at a rate proportional to sqrt(n_g)/n_g, so
+    small sources are upweighted relative to their natural share — the
+    standard multiplicative rebalancing for multilingual / multi-domain
+    pretraining mixes (rates clip at 1.0: no upsampling, only relative
+    downsampling of dominant sources).
+
+    rate_g = min(1, target_rows * sqrt(n_g) / (sum_h sqrt(n_h)) / n_g)
+
+    The per-group weight sqrt(n_g) is staged through DECIMAL before the
+    cross-group sum so the sum is order-insensitive (float addition order
+    varies with partitioning; decimal addition doesn't) — the same
+    discipline the aggregate oracles use. Group counts are one partial-agg
+    shuffle over the group key; the tiny rate table (one row per source —
+    bounded by the domain vocabulary, not the corpus) broadcasts back, and
+    selection is the pure-projection hash filter. Expected output size is
+    ~target_rows when no rate clips."""
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    weighted = counts.withColumn(
+        "__w", F.sqrt(F.col("__n").cast("double")).cast("decimal(25,10)")
+    )
+    total = weighted.agg(F.sum("__w").alias("__sw"))
+    rates = (
+        weighted.join(F.broadcast(total))
+        .withColumn(
+            "__rate",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_rows))
+                * F.col("__w").cast("double")
+                / F.col("__sw").cast("double")
+                / F.col("__n").cast("double"),
+            ),
+        )
+        .withColumn("__cut", F.floor(F.col("__rate") * F.lit(1_000_000)).cast("bigint"))
+        .select(group_col, "__cut")
+    )
+    return (
+        df.join(F.broadcast(rates), on=group_col)
+        .filter(_lcg_mills(id_col, salt) < F.col("__cut"))
+        .drop("__cut")
     )

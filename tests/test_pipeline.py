@@ -186,3 +186,41 @@ def test_pack_sequences_layout(spark):
             assert r.pack_id == start // 2048, r
             assert r.offset_tokens == start % 2048, r
         assert all(0 <= r.offset_tokens < 2048 for r in rows)
+
+
+def test_token_budget_sample_respects_budget_and_is_stable(spark):
+    from codd_spark.operators.pipeline import token_budget_sample
+
+    rows = [(i, "s%d" % (i % 3), 10 + i % 7) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, source STRING, n_chars BIGINT")
+    kept = token_budget_sample(df, "source", 100, "n_chars", "doc_id", salt=3)
+    per = {r["source"]: r["total"] for r in kept.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["sum"]).sum("n_chars").alias("total")
+    ).collect()}
+    assert per and all(v <= 100 for v in per.values())
+    # deterministic: same inputs -> same kept id set
+    again = token_budget_sample(df, "source", 100, "n_chars", "doc_id", salt=3)
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # a larger budget keeps a superset (priority order is budget-independent)
+    bigger = token_budget_sample(df, "source", 200, "n_chars", "doc_id", salt=3)
+    assert {r["doc_id"] for r in kept.collect()} <= {r["doc_id"] for r in bigger.collect()}
+
+
+def test_temperature_mixture_downweights_dominant_group(spark):
+    from codd_spark.operators.pipeline import temperature_mixture_sample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, grp STRING")
+    kept = temperature_mixture_sample(df, "grp", 300, "doc_id", salt=1)
+    per = {r["grp"]: r["n"] for r in kept.groupBy("grp").count().withColumnRenamed("count", "n").collect()}
+    # sqrt weights: big gets 30/sqrt(10) ~ 0.77 of sample weight but only
+    # rate ~0.26; small rate clips near min(1, ...) ~ 0.78 -> small keeps a
+    # far larger FRACTION of itself than big does
+    frac_big = per.get("big", 0) / 900
+    frac_small = per.get("small", 0) / 100
+    assert frac_small > 2 * frac_big
+    # overall size lands near the target in expectation (hash is uniform)
+    total = sum(per.values())
+    assert 200 < total < 400
