@@ -1885,6 +1885,79 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+def q_pagerank_interactions(spark, sf_dir):
+    """PageRank contract over a data-derived bipartite graph: users link
+    to the JSON prop value they interacted with (node id offset by 1e6),
+    edges run both directions. Five power-iteration rounds with the
+    decimal-staged arithmetic of operators/graph.py::pagerank; the oracle
+    replays the identical expressions as a 5-round unrolled CTE chain, so
+    the final ranks hash-match bit-for-bit."""
+    from codd_spark.functions.json import json_scalar
+    from codd_spark.operators.graph import pagerank
+
+    events = read_table(spark, sf_dir, "events")
+    pairs = events.select(
+        F.col("user_id").alias("a"),
+        (F.lit(1_000_000) + json_scalar("props", "$.k", "bigint")).alias("b"),
+    ).distinct()
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    pr = pagerank(edges, n_iter=5)
+    return pr.select(F.col("id").alias("node"), F.col("pr").cast("double").alias("pr"))
+
+
+def _pagerank_oracle_sql(n_iter: int = 5) -> str:
+    """Unrolled-CTE DuckDB replay of q_pagerank_interactions: the same
+    DECIMAL(38,18) state, DOUBLE-division, decimal-SUM expressions per
+    round (see operators/graph.py::pagerank for why that is exact and
+    order-insensitive)."""
+    sql = """
+        WITH pairs AS (
+            SELECT DISTINCT user_id AS a,
+                   1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS b
+            FROM events
+        ), edges AS (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION ALL SELECT b AS src, a AS dst FROM pairs
+        ), nodes AS (
+            SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges
+        ), nn AS (SELECT COUNT(*) AS n FROM nodes),
+        outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        pr0 AS (
+            SELECT id, CAST(1.0 / CAST(n AS DOUBLE) AS DECIMAL(38,18)) AS pr
+            FROM nodes, nn
+        )"""
+    for i in range(1, n_iter + 1):
+        p = f"pr{i-1}"
+        sql += f""",
+        s{i} AS (
+            SELECT e.dst AS id,
+                   SUM(CAST(CAST(p.pr AS DOUBLE) / CAST(o.outdeg AS DOUBLE)
+                            AS DECIMAL(38,18))) AS s
+            FROM edges e JOIN {p} p ON e.src = p.id
+            JOIN outdeg o ON e.src = o.src
+            GROUP BY e.dst
+        ),
+        dm{i} AS (
+            SELECT COALESCE(CAST(SUM(p.pr) AS DOUBLE), 0.0) AS dm
+            FROM {p} p LEFT JOIN outdeg o ON p.id = o.src
+            WHERE o.src IS NULL
+        ),
+        pr{i} AS (
+            SELECT nodes.id,
+                   CAST((1.0 - 0.85) / CAST(nn.n AS DOUBLE)
+                        + 0.85 * (COALESCE(CAST(s{i}.s AS DOUBLE), 0.0)
+                                  + dm{i}.dm / CAST(nn.n AS DOUBLE))
+                        AS DECIMAL(38,18)) AS pr
+            FROM nodes CROSS JOIN nn CROSS JOIN dm{i}
+            LEFT JOIN s{i} ON nodes.id = s{i}.id
+        )"""
+    sql += f"""
+        SELECT id AS node, CAST(pr AS DOUBLE) AS pr FROM pr{n_iter}"""
+    return sql
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1990,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": q_json_props_stats,
         "token_budget_sample": q_token_budget_sample,
         "mixture_sample": q_mixture_sample,
+        "pagerank_interactions": q_pagerank_interactions,
     }
 
 
@@ -3078,6 +3152,7 @@ def oracle_sql() -> dict[str, str]:
                       % 2147483648 % 1000000 < cut
             GROUP BY d.lang
         """,
+        "pagerank_interactions": _pagerank_oracle_sql(5),
         "json_props_stats": """
             SELECT event_type,
                    COUNT(*) AS n,

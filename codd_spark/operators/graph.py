@@ -115,3 +115,89 @@ def dedup_clusters(
             (F.col("id") == F.col("component")).alias("is_keeper"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    nodes: DataFrame | None = None,
+    node_col: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank power method -> (id, pr DECIMAL(38,18)).
+
+    Centrality over pipeline-derived graphs: near-dup similarity graphs
+    (which cluster representative is most linked), domain/link graphs for
+    crawl prioritization, user-item interaction graphs. A fixed iteration
+    count (power iteration converges geometrically at rate `damping`;
+    5-20 rounds is standard) keeps the operator a deterministic dataflow.
+
+    Numeric discipline (shared with the aggregate oracles): rank state is
+    DECIMAL(38,18). Each round divides in DOUBLE (deterministic IEEE op),
+    casts each edge contribution back to DECIMAL, and SUMs decimals —
+    exact and ORDER-INSENSITIVE, so the result is bit-stable no matter
+    how Spark partitions the edge shuffle, and a SQL oracle replaying the
+    same expressions matches hash-for-hash.
+
+    Scale shape: per round, one shuffle join of edges against the rank
+    table on src (both grow with the graph — pinned shuffle, never
+    broadcast) + one key-partitioned SUM with map-side combine; dangling
+    mass is a 1-row aggregate broadcast back. Lineage is cut per round
+    with localCheckpoint, so the plan stays flat for any n_iter.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    node_ids = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    if nodes is not None:
+        nc = node_col or "id"
+        node_ids = node_ids.union(nodes.select(F.col(nc).alias("id"))).distinct()
+    node_ids = node_ids.localCheckpoint(eager=False)
+    n = node_ids.count()
+    if n == 0:
+        return node_ids.withColumn("pr", F.lit(None).cast("decimal(38,18)"))
+    e = e.localCheckpoint(eager=False)
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint(eager=False)
+
+    base = (1.0 - damping) / float(n)
+    pr = node_ids.select(
+        "id", F.lit(1.0 / float(n)).cast("decimal(38,18)").alias("pr")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            e.join(pr.hint("shuffle_merge"), e.src == pr.id)
+            .join(outdeg, on="src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("pr").cast("double") / F.col("outdeg").cast("double"))
+                .cast("decimal(38,18)")
+                .alias("c"),
+            )
+        )
+        s = contrib.groupBy("id").agg(F.sum("c").alias("s"))
+        dm = (
+            pr.join(outdeg, pr.id == outdeg.src, "left_anti")
+            .agg(F.coalesce(F.sum("pr").cast("double"), F.lit(0.0)).alias("dm"))
+        )
+        pr = (
+            node_ids.join(s.hint("shuffle_merge"), on="id", how="left")
+            .join(F.broadcast(dm))
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n))
+                    )
+                )
+                .cast("decimal(38,18)")
+                .alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr

@@ -85,3 +85,29 @@ def test_tf_idf_top_terms(spark):
     import math
     assert abs(top1[0].tf_idf - round(2 * math.log(3), 6)) < 1e-9
     assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from codd_spark.operators.graph import pagerank
+
+    # directed graph with a dangling node (3 has no out-edges)
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2), (2, 3)]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    got = {r["id"]: float(r["pr"]) for r in pagerank(df, n_iter=20).collect()}
+
+    n, d = 4, 0.85
+    pr = np.full(n, 1.0 / n)
+    out = {0: [1, 2], 1: [2], 2: [0, 3]}
+    for _ in range(20):
+        nxt = np.full(n, (1 - d) / n)
+        dangling = sum(pr[u] for u in range(n) if u not in out)
+        for u, vs in out.items():
+            for v in vs:
+                nxt[v] += d * pr[u] / len(vs)
+        nxt += d * dangling / n
+        pr = nxt
+    for i in range(n):
+        assert abs(got[i] - pr[i]) < 1e-9, (i, got[i], pr[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # rank mass conserved
