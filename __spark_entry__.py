@@ -1958,6 +1958,22 @@ def _pagerank_oracle_sql(n_iter: int = 5) -> str:
     return sql
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN contract (rows-only, like the LSH/IVF
+    variants: the KMeans codebooks are not SQL-expressible). Encodes the
+    corpus to m=8 codes (32× smaller than raw float64), searches via the
+    query-side ADC lookup table, exact-reranks 5k candidates. Recall vs
+    brute force is asserted in tests/test_extensions.py."""
+    from codd_spark.operators.similarity import pq_top_k, pq_train_encode
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    encoded, books = pq_train_encode(emb, dim=64, m=8, k=16, max_iter=5)
+    return pq_top_k(encoded, books, queries_df, k=10, rerank=emb)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2064,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "mixture_sample": q_mixture_sample,
         "pagerank_interactions": q_pagerank_interactions,
+        "ann_pq_topk": q_ann_pq_topk,
     }
 
 

@@ -343,3 +343,171 @@ def group_centroids(
     return pos.groupBy("grp", "pos").agg(
         centroid.alias("centroid"), F.count("*").alias("n_vectors")
     ).select(F.col("grp").alias(group_col), "pos", "centroid", "n_vectors")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ)
+# ---------------------------------------------------------------------------
+
+def pq_train_encode(
+    df: DataFrame,
+    *,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Train product-quantization codebooks and encode the corpus.
+
+    Splits each vector into ``m`` subvectors of dim/m and KMeans-quantizes
+    each subspace to ``k`` centroids, so a vector compresses from dim·4
+    bytes of float to m codes (m bytes at k<=256) — at 100 TB of
+    embeddings this is the difference between an ANN candidate table that
+    fits in cluster memory and one that doesn't (64-dim float -> 8 bytes
+    is 32×). Returns (encoded, codebooks): ``encoded`` is
+    (id, codes array<int>); ``codebooks[j][c]`` is centroid c of
+    subspace j. Training is m KMeans fits over one persisted projection
+    of the corpus (sample the input for the fit at scale — encoding uses
+    the model, not the training set); encoding is a pure expression:
+    per subspace, argmin over k literal centroids (k·m structs in the
+    plan — bounded by config, not data)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    base = df.select(id_col, F.col(emb_col).cast("array<double>").alias("_emb"))
+    base = base.persist()
+    codebooks: list[list[list[float]]] = []
+    for j in range(m):
+        feats = base.select(
+            array_to_vector(F.slice(F.col("_emb"), j * sub + 1, sub)).alias("features")
+        )
+        model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(feats)
+        codebooks.append([list(map(float, c)) for c in model.clusterCenters()])
+
+    def code_for(j: int) -> Column:
+        subvec = F.slice(F.col("_emb"), j * sub + 1, sub)
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            subvec,
+                            _lit_vec(codebooks[j][c]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("d"),
+                    F.lit(c).alias("code"),
+                )
+                for c in range(k)
+            ]
+        )
+        return F.array_sort(dists)[0]["code"]
+
+    encoded = base.select(
+        id_col, F.array(*[code_for(j) for j in range(m)]).alias("codes")
+    )
+    encoded = encoded.localCheckpoint(eager=True)
+    base.unpersist()
+    return encoded, codebooks
+
+
+def pq_top_k(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_emb_col: str = "q_emb",
+    rerank: DataFrame | None = None,
+    emb_col: str = "embedding",
+    rerank_factor: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k over PQ codes.
+
+    The distance lookup table — d(query_subvector, centroid) for every
+    (subspace, code) — is computed ONCE per query as a projection on the
+    (small, broadcast) query side. The corpus join then costs m
+    array-lookups + adds per pair instead of a dim-length dot product:
+    per-pair work drops from O(dim) to O(m), on a corpus table 32×
+    smaller than the raw embeddings. Pass ``rerank`` (the original
+    embedding table) to exact-rerank the top rerank_factor·k ADC
+    candidates per query — recovers most quantization-loss recall for one
+    extra (candidates-only) join.
+    """
+    m = len(codebooks)
+
+    def lut_for(q: Column) -> Column:
+        subs = []
+        for j, book in enumerate(codebooks):
+            sub = len(book[0])
+            qsub = F.slice(q, j * sub + 1, sub)
+            subs.append(
+                F.array(
+                    *[
+                        F.aggregate(
+                            F.zip_with(
+                                qsub,
+                                _lit_vec(c),
+                                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        )
+                        for c in book
+                    ]
+                )
+            )
+        return F.array(*subs)
+
+    qlut = queries.select(
+        F.col(query_id_col),
+        F.col(query_emb_col).alias("_qemb"),
+        lut_for(F.col(query_emb_col)).alias("_lut"),
+    )
+    joined = encoded.join(
+        F.broadcast(qlut), F.col(id_col) != F.col(query_id_col)
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(F.element_at("_lut", j + F.lit(1)), F.element_at("codes", j + F.lit(1)) + F.lit(1)),
+    )
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_qemb"),
+        adc.alias("adc_dist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, "neighbor_id", F.round("adc_dist", 6).alias("adc_dist"), "rank")
+        )
+    cands = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * rerank_factor)
+        .select(query_id_col, "neighbor_id", "_qemb")
+    )
+    exact = cands.join(
+        rerank.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("_emb")),
+        on="neighbor_id",
+    ).select(
+        query_id_col,
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("_qemb"), F.col("_emb")), 6).alias("cos_sim"),
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return exact.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
