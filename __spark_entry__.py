@@ -1974,6 +1974,25 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_top_k(encoded, books, queries_df, k=10, rerank=emb)
 
 
+def q_training_shards(spark, sf_dir):
+    """Deterministic training-shuffle shard assignment contract: every
+    document gets a shard in [0,8) and an in-shard order key, both pure
+    LCG functions of (doc_id, salt). Per-shard counts, id checksums and
+    order-key extremes; the oracle replays the same hash in SQL. The
+    write path over this assignment is tested in tests/test_pipeline.py
+    (one hash-ordered file per shard directory)."""
+    from codd_spark.operators.pipeline import shuffle_shards
+
+    docs = read_table(spark, sf_dir, "documents")
+    sharded = shuffle_shards(docs, 8, "doc_id", salt=9)
+    return sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+        F.min("shuffle_order").alias("min_order"),
+        F.max("shuffle_order").alias("max_order"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2081,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "pagerank_interactions": q_pagerank_interactions,
         "ann_pq_topk": q_ann_pq_topk,
+        "training_shards": q_training_shards,
     }
 
 
@@ -3170,6 +3190,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY d.lang
         """,
         "pagerank_interactions": _pagerank_oracle_sql(5),
+        "training_shards": """
+            WITH h AS (
+                SELECT doc_id,
+                       ((doc_id + 9) % 2147483648 * 1103515245 + 12345)
+                           % 2147483648 AS ord
+                FROM documents
+            )
+            SELECT ord % 8 AS shard, COUNT(*) AS n_docs, SUM(doc_id) AS id_sum,
+                   MIN(ord) AS min_order, MAX(ord) AS max_order
+            FROM h GROUP BY 1
+        """,
         "json_props_stats": """
             SELECT event_type,
                    COUNT(*) AS n,

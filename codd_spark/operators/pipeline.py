@@ -373,3 +373,54 @@ def temperature_mixture_sample(
         .filter(_lcg_mills(id_col, salt) < F.col("__cut"))
         .drop("__cut")
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str,
+    salt: int = 0,
+    shard_col: str = "shard",
+    order_col: str = "shuffle_order",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a shard
+    in [0, n_shards) and an in-shard order key, both pure functions of
+    (id, salt). Unlike ``df.orderBy(rand())`` this is reproducible across
+    retries, cluster sizes and partitionings — re-running the export
+    yields byte-identical epoch order — and changing ``salt`` re-deals a
+    fresh epoch permutation without touching the data. A pure projection:
+    no shuffle until a writer repartitions by shard."""
+    m = F.lit(2147483648)
+    h = F.pmod(
+        F.pmod(F.col(id_col) + F.lit(salt), m) * F.lit(1103515245) + F.lit(12345), m
+    )
+    return df.withColumn(shard_col, F.pmod(h, F.lit(n_shards))).withColumn(order_col, h)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str,
+    salt: int = 0,
+    fmt: str = "parquet",
+) -> None:
+    """Export the corpus as n_shards hash-ordered shard directories — the
+    final layout a data loader consumes (shard = worker unit, in-shard
+    order = deterministic epoch shuffle). One repartition on the shard id
+    (each output task owns whole shards -> one file per shard directory)
+    and a sortWithinPartitions for the in-shard order; nothing touches
+    the driver. At 100 TB pick n_shards so each shard is 100 MB - 1 GB:
+    shard count scales with the corpus, never with the cluster."""
+    out = shuffle_shards(df, n_shards, id_col, salt)
+    (
+        # the shard column leads the sort so the partitioned writer's
+        # required ordering is already satisfied and it never re-sorts
+        # (its internal sort is partition-cols-only and not stable)
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "shuffle_order", id_col)
+        .write.partitionBy("shard")
+        .format(fmt)
+        .mode("overwrite")
+        .save(path)
+    )

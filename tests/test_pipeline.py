@@ -224,3 +224,33 @@ def test_temperature_mixture_downweights_dominant_group(spark):
     # overall size lands near the target in expectation (hash is uniform)
     total = sum(per.values())
     assert 200 < total < 400
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from codd_spark.operators.pipeline import shuffle_shards, write_training_shards
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, n_shards=8, id_col="doc_id", salt=5)
+
+    back = spark.read.parquet(path)
+    assert back.count() == 500
+    per = {r["shard"]: r["count"] for r in back.groupBy("shard").count().collect()}
+    assert len(per) == 8
+    assert max(per.values()) < 2.5 * min(per.values())  # hash-balanced
+    # shard assignment is a pure function of (id, salt): recomputing matches
+    expected = {
+        (r["doc_id"], r["shard"])
+        for r in shuffle_shards(df, 8, "doc_id", 5).select("doc_id", "shard").collect()
+    }
+    got = {(r["doc_id"], int(r["shard"])) for r in back.select("doc_id", "shard").collect()}
+    assert got == expected
+    # each shard directory holds one file, internally ordered by the hash
+    import glob
+    files = glob.glob(path + "/shard=3/*.parquet")
+    assert len(files) == 1
+    rows = spark.read.parquet(files[0]).collect()
+    orders = [r["shuffle_order"] for r in rows]
+    assert orders == sorted(orders)
