@@ -241,12 +241,10 @@ def q_user_sessions(spark, sf_dir):
     stats. One exchange on user_id for both window passes and the final
     aggregate.
 
-    The output deliberately excludes raw epoch timestamps: the testdata
-    parquet stores TIMESTAMP(NANOS), which Spark rounds to micros but
-    DuckDB 1.0 truncates, so epoch values differ by ±1 µs on ~half the
-    rows. Session ASSIGNMENT is unaffected (verified: every inter-event
-    gap is ≥0.66 s away from the 1800 s threshold and events are ≥58 ms
-    apart, so a ±1 µs shift can't flip an ordering or a session split)."""
+    Session boundary timestamps are part of the hashed contract: the
+    testdata is µs-native since round 2's regeneration (round 1 stored
+    TIMESTAMP(NANOS), whose µs rounding differed ±1 µs between Spark and
+    DuckDB and forced the epochs out of the output)."""
     from codd_spark.operators.aggregates import sessionize
 
     events = read_table(spark, sf_dir, "events")
@@ -254,6 +252,8 @@ def q_user_sessions(spark, sf_dir):
     return s.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(25,10)")).cast("double").alias("sum_value"),
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
     )
 
 
@@ -1651,6 +1651,28 @@ def q_audio_metadata(spark, sf_dir):
     )
 
 
+def q_frame_sample(spark, sf_dir):
+    """Real video-frame extraction contract: synthesize one APNG "video"
+    per document id (solid grayscale frames; width/height/frame-count/
+    per-frame pixel value are closed forms of the id — see
+    apng_media_from_ids), walk the animation with the pure-Python APNG
+    frame decoder (functions/imaging.py::apng_frames) inside Arrow-batched
+    mapInPandas, and sample every 2nd frame. mean_pixel of a sampled
+    frame IS its closed-form pixel value, so DuckDB can predict every row
+    without ever seeing a byte of the container."""
+    from codd_spark.operators.multimodal import apng_media_from_ids, frame_sample
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id").where("doc_id < 200")
+    frames = frame_sample(apng_media_from_ids(docs, "doc_id"), every_n=2, decode="real")
+    return frames.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("mean_pixel"),
+    )
+
+
 def q_forecast_revenue(spark, sf_dir):
     """TPC-H Q6 shape: pure scan → filter → one-row aggregate. The whole
     query is a single parquet scan with every predicate pushed to the
@@ -1998,7 +2020,19 @@ def q_training_shards(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver scores the first 50 entries against the
+    # DuckDB oracle. The window is curated (round 3) to hold the 14 core
+    # reference-algebra operators, the 10 LLM-data-pipeline flagships, the
+    # 5 event-time queries, and one representative per join/agg/window
+    # class. Rotated OUT of the window r2->r3 (all driver-green in r2, all
+    # still oracle-backed by tests/test_oracle_window.py so regressions
+    # remain detectable): argmax_customer_per_nation, ntile_order_quartiles,
+    # above_nation_avg_customers, percentrank_top_decile, big_orders,
+    # nation_order_statuses, shipping_volume, rollup_grouping_id,
+    # waiting_suppliers, top_supplier, parts_from_nation_suppliers,
+    # late_orders_by_priority.
     return {
+        # --- core reference algebra (SURVEY.md §2, 14 rows) ---
         "scan_nation": q_scan_nation,
         "select_lineitem": q_select_lineitem,
         "project_disc_price": q_project_disc_price,
@@ -2013,6 +2047,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "view_over_select": q_view_over_select,
         "incremental_view": q_incremental_view,
+        # --- LLM-data-pipeline flagships (10 rows) ---
+        "minhash_near_dups": q_minhash_near_dups,
+        "decontaminate_corpus": q_decontaminate_corpus,
+        "dedup_clusters": q_dedup_clusters,
+        "tf_idf_top_terms": q_tf_idf_top_terms,
+        "similarity_topk": q_similarity_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "image_metadata": q_image_metadata,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
+        "pagerank_interactions": q_pagerank_interactions,
+        # --- event-time queries (5 rows) ---
+        "user_sessions": q_user_sessions,
+        "range_join_sessions": q_range_join_sessions,
+        "event_gap_stats": q_event_gap_stats,
+        "rolling_hour_value": q_rolling_hour_value,
+        "latest_event_per_user": q_latest_event_per_user,
+        # --- one representative per join/agg/window/text class (21 rows) ---
         "agg_pricing_summary": q_agg_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_revenue_orders": q_top_revenue_orders,
@@ -2026,28 +2078,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top3_orders_per_cust": q_window_top3_orders_per_cust,
         "topk_orders": q_topk_orders,
         "events_hourly": q_events_hourly,
-        "user_sessions": q_user_sessions,
         "range_join_value_bands": q_range_join_value_bands,
-        "range_join_sessions": q_range_join_sessions,
         "pivot_order_priority": q_pivot_order_priority,
         "cube_pricing": q_cube_pricing,
         "split_train_val_test": q_split_train_val_test,
         "word_count_top": q_word_count_top,
+        "stratified_sample_events": q_stratified_sample_events,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "frame_sample": q_frame_sample,
+        # ---------------- end of the driver's 50-query window ----------------
+        "text_features": q_text_features,
         "argmax_customer_per_nation": q_argmax_customer_per_nation,
         "ntile_order_quartiles": q_ntile_order_quartiles,
         "above_nation_avg_customers": q_above_nation_avg_customers,
-        "event_gap_stats": q_event_gap_stats,
         "percentrank_top_decile": q_percentrank_top_decile,
         "big_orders": q_big_orders,
-        "latest_event_per_user": q_latest_event_per_user,
-        "stratified_sample_events": q_stratified_sample_events,
         "nation_order_statuses": q_nation_order_statuses,
         "shipping_volume": q_shipping_volume,
         "rollup_grouping_id": q_rollup_grouping_id,
         "waiting_suppliers": q_waiting_suppliers,
         "top_supplier": q_top_supplier,
         "parts_from_nation_suppliers": q_parts_from_nation_suppliers,
-        "rolling_hour_value": q_rolling_hour_value,
         "late_orders_by_priority": q_late_orders_by_priority,
         "promo_revenue_ratio": q_promo_revenue_ratio,
         "customer_order_distribution": q_customer_order_distribution,
@@ -2059,36 +2110,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_by_returnflag": q_stats_by_returnflag,
         "purchase_funnel": q_purchase_funnel,
         "doc_repetition_stats": q_doc_repetition_stats,
-        "dedup_exact_documents": q_dedup_exact_documents,
         "text_stats": q_text_stats,
-        "similarity_topk": q_similarity_topk,
         "corpus_curation": q_corpus_curation,
         "corpus_stats": q_corpus_stats,
         "ngram_jaccard": q_ngram_jaccard,
-        "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
-        "embedding_near_dups": q_embedding_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "text_features": q_text_features,
         "text_quality": q_text_quality,
         "winnowing": q_winnowing,
-        "image_metadata": q_image_metadata,
         "audio_metadata": q_audio_metadata,
         "events_hourly_stream": q_events_hourly_stream,
-        "dedup_clusters": q_dedup_clusters,
-        "tf_idf_top_terms": q_tf_idf_top_terms,
         "embedding_centroids": q_embedding_centroids,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "click_purchase_stream_join": q_click_purchase_stream_join,
         "unigram_surprisal": q_unigram_surprisal,
         "incremental_agg_view": q_incremental_agg_view,
         "concurrent_orders": q_concurrent_orders,
-        "chunk_documents": q_chunk_documents,
-        "pack_sequences": q_pack_sequences,
         "weighted_avg_price": q_weighted_avg_price,
         "doc_sentences": q_doc_sentences,
-        "decontaminate_corpus": q_decontaminate_corpus,
         "decontaminate_lsh": q_decontaminate_lsh,
         "forecast_revenue": q_forecast_revenue,
         "market_share": q_market_share,
@@ -2098,7 +2138,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": q_json_props_stats,
         "token_budget_sample": q_token_budget_sample,
         "mixture_sample": q_mixture_sample,
-        "pagerank_interactions": q_pagerank_interactions,
         "ann_pq_topk": q_ann_pq_topk,
         "training_shards": q_training_shards,
     }
@@ -2274,7 +2313,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    COUNT(*) AS n_events,
-                   CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value
+                   CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value,
+                   MIN(epoch_us(ts)) AS start_us,
+                   MAX(epoch_us(ts)) AS end_us
             FROM sess
             GROUP BY user_id, session_id
         """,
@@ -2854,6 +2895,15 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(8000 + (doc_id % 50) * 160 AS DOUBLE) / 16000, 6) AS duration_sec,
                    CAST(doc_id % 1000 AS DOUBLE) AS rms
             FROM documents WHERE doc_id < 200
+        """,
+        "frame_sample": """
+            SELECT d.doc_id AS doc_id,
+                   f.i AS frame_idx,
+                   CAST(16 + d.doc_id % 8 AS BIGINT) AS width,
+                   CAST(8 + d.doc_id % 5 AS BIGINT) AS height,
+                   CAST((d.doc_id * 7 + 13 * f.i) % 256 AS DOUBLE) AS mean_pixel
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+                 (SELECT UNNEST(range(0, 2 + d.doc_id % 9, 2)) AS i) f
         """,
         "decontaminate_corpus": """
             WITH g AS (

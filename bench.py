@@ -113,46 +113,68 @@ def main():
     except ValueError:
         sf = -1.0
 
-    spark = get_spark(app_name="codd-spark-bench", cpus=cpus)
-    spark.sparkContext.setLogLevel("ERROR")
+    # One throwing query must never abort the run: every query (and the
+    # setup itself) is isolated, errors are recorded per-query, and the
+    # JSON metric line is ALWAYS emitted (BENCH_r02 lost the whole round's
+    # signal to a single AnalysisException).
+    errors: dict[str, str] = {}
+    warm: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    spark = None
+    try:
+        spark = get_spark(app_name="codd-spark-bench", cpus=cpus)
+        spark.sparkContext.setLogLevel("ERROR")
 
-    qs = entry_mod.queries()
+        qs = entry_mod.queries()
 
-    # warm the JVM, parquet footers and OS page cache with one cheap action
-    # per table, so per-query numbers measure the engine, not first-touch IO
-    for t in ("nation", "region", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"):
-        read_table(spark, sf_dir, t).count()
+        # warm the JVM, parquet footers and OS page cache with one cheap
+        # action per table, so per-query numbers measure the engine, not
+        # first-touch IO
+        for t in ("nation", "region", "customer", "supplier", "part", "orders",
+                  "lineitem", "events", "documents", "embeddings"):
+            try:
+                read_table(spark, sf_dir, t).count()
+            except Exception as e:  # noqa: BLE001 — bench must not die
+                errors[f"warmup:{t}"] = f"{type(e).__name__}: {e}"[:500]
 
-    def one_pass() -> dict[str, float]:
-        timings: dict[str, float] = {}
-        t0 = time.time()
-        run_noop(flagship(spark, sf_dir))
-        timings["flagship_revenue_by_nation"] = round(time.time() - t0, 3)
-        for name in BENCH_QUERIES:
-            fn = qs[name]
+        def timed(name: str, thunk, timings: dict[str, float]) -> None:
             t0 = time.time()
-            run_noop(fn(spark, sf_dir))
-            timings[name] = round(time.time() - t0, 3)
-        return timings
+            try:
+                run_noop(thunk())
+                timings[name] = round(time.time() - t0, 3)
+            except Exception as e:  # noqa: BLE001 — isolate per query
+                errors[name] = f"{type(e).__name__}: {e}"[:500]
 
-    cold = one_pass()   # pays codegen/classloading/first-touch cost
-    warm = one_pass()   # steady-state engine numbers (vs BASELINE.md)
+        def one_pass(timings: dict[str, float]) -> None:
+            timed("flagship_revenue_by_nation",
+                  lambda: flagship(spark, sf_dir), timings)
+            for name in BENCH_QUERIES:
+                if name not in qs:
+                    errors[name] = "not in queries() registry"
+                    continue
+                timed(name, lambda n=name: qs[n](spark, sf_dir), timings)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_headline_query_sec",
-                "value": round(sum(warm.values()), 3),
-                "unit": "sec",
-                "queries": warm,
-                "value_cold": round(sum(cold.values()), 3),
-                "queries_cold": cold,
-                "sf": sf,
-            }
-        )
-    )
-    spark.stop()
+        one_pass(cold)   # pays codegen/classloading/first-touch cost
+        one_pass(warm)   # steady-state engine numbers (vs BASELINE.md)
+    except Exception as e:  # noqa: BLE001 — emit the line no matter what
+        errors["harness"] = f"{type(e).__name__}: {e}"[:500]
+
+    out = {
+        "metric": "total_headline_query_sec",
+        "value": round(sum(warm.values()), 3),
+        "unit": "sec",
+        "queries": warm,
+        "value_cold": round(sum(cold.values()), 3),
+        "queries_cold": cold,
+        "sf": sf,
+        "n_ok": len(warm),
+        "n_err": len({k for k in errors if not k.startswith("warmup:")}),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    if spark is not None:
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -127,16 +127,19 @@ def decode_png(data: bytes) -> np.ndarray:
     return img.reshape(h, w, ch)
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
-    """uint8 array (h, w) or (h, w, ch) -> PNG bytes. ``filter_type``
-    applies one fixed filter to every scanline (0-4); encoding the filter
-    is the closed-form inverse of decoding, so it vectorizes fully."""
-    arr = np.asarray(arr, dtype=np.uint8)
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body))
+    )
+
+
+def _filter_scanlines(arr: np.ndarray, filter_type: int) -> bytes:
+    """Filtered (pre-compression) scanline stream of a uint8 (h, w, ch)
+    array — the shared core of PNG and APNG frame encoding."""
     h, w, ch = arr.shape
-    if ch not in _COLOR_OF_CH:
-        raise ValueError(f"{ch} channels not encodable as PNG")
     if filter_type not in (0, 1, 2, 3, 4):
         raise ValueError(f"bad filter type {filter_type}")
     flat = arr.reshape(h, w * ch).astype(np.int32)
@@ -166,18 +169,130 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
             out = cur - pred
         pieces.append(ftag + (out & 0xFF).astype(np.uint8).tobytes())
         prev = cur
+    return b"".join(pieces)
 
-    def chunk(ctype: bytes, body: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(body))
-            + ctype
-            + body
-            + struct.pack(">I", zlib.crc32(ctype + body))
-        )
 
+def _as_hwc(arr: np.ndarray) -> np.ndarray:
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    if ch not in _COLOR_OF_CH:
+        raise ValueError(f"{ch} channels not encodable as PNG")
+    return arr
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 array (h, w) or (h, w, ch) -> PNG bytes. ``filter_type``
+    applies one fixed filter to every scanline (0-4); encoding the filter
+    is the closed-form inverse of decoding, so it vectorizes fully."""
+    arr = _as_hwc(arr)
+    h, w, ch = arr.shape
     ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_OF_CH[ch], 0, 0, 0)
-    idat = zlib.compress(b"".join(pieces))
-    return _SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    idat = zlib.compress(_filter_scanlines(arr, filter_type))
+    return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def encode_apng(
+    frames: list[np.ndarray],
+    filter_type: int = 0,
+    delay_num: int = 1,
+    delay_den: int = 10,
+) -> bytes:
+    """uint8 frames (all same shape) -> APNG bytes (the pure-Python
+    "video" container: PNG's animation extension, RFC-less but
+    W3C-specified as part of PNG 3). Layout: IHDR, acTL(num_frames),
+    then per frame an fcTL; frame 0's pixels ride in IDAT, later frames
+    in fdAT chunks (4-byte sequence number + deflate stream). Every
+    chunk CRC is real — browsers open the output."""
+    if not frames:
+        raise ValueError("APNG needs at least one frame")
+    arrs = [_as_hwc(f) for f in frames]
+    h, w, ch = arrs[0].shape
+    for a in arrs[1:]:
+        if a.shape != (h, w, ch):
+            raise ValueError("all APNG frames must share one shape")
+    out = [
+        _SIG,
+        _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, _COLOR_OF_CH[ch], 0, 0, 0)),
+        _chunk(b"acTL", struct.pack(">II", len(arrs), 0)),  # loop forever
+    ]
+    seq = 0
+    for i, a in enumerate(arrs):
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, w, h, 0, 0, delay_num, delay_den, 0, 0
+        )  # full-frame, dispose NONE, blend SOURCE
+        seq += 1
+        out.append(_chunk(b"fcTL", fctl))
+        data = zlib.compress(_filter_scanlines(a, filter_type))
+        if i == 0:
+            out.append(_chunk(b"IDAT", data))
+        else:
+            out.append(_chunk(b"fdAT", struct.pack(">I", seq) + data))
+            seq += 1
+    out.append(_chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+def apng_info(data: bytes) -> tuple[int, int, int, int]:
+    """(width, height, channels, num_frames) — O(header), no pixel work."""
+    w, h, _depth, _color, ch = png_info(data)
+    for ctype, body in _chunks(data):
+        if ctype == b"acTL":
+            (num_frames,) = struct.unpack(">I", body[:4])
+            return w, h, ch, num_frames
+    raise ValueError("not an APNG (no acTL chunk)")
+
+
+def apng_frames(data: bytes) -> list[np.ndarray]:
+    """APNG bytes -> list of uint8 (h, w, ch) canvases, one per frame.
+
+    Pure-Python frame walk: group each fcTL with its IDAT/fdAT payloads,
+    decode each frame region as a standalone PNG (reusing decode_png's
+    un-filter), and composite onto the running canvas per the fcTL's
+    x/y offset (dispose NONE + blend SOURCE — the subset this encoder
+    emits; other dispose/blend modes are rejected, not misdecoded)."""
+    w, h, depth, color, ch = png_info(data)
+    num = None
+    pending: list[tuple[bytes, list[bytes]]] = []  # (fcTL body, data pieces)
+    for ctype, body in _chunks(data):
+        if ctype == b"acTL":
+            (num,) = struct.unpack(">I", body[:4])
+        elif ctype == b"fcTL":
+            pending.append((body, []))
+        elif ctype == b"IDAT":
+            if pending:
+                pending[-1][1].append(body)
+            # IDAT before any fcTL = non-animated default image: skip
+        elif ctype == b"fdAT":
+            if not pending:
+                raise ValueError("fdAT before any fcTL")
+            pending[-1][1].append(body[4:])
+    if num is None:
+        raise ValueError("not an APNG (no acTL chunk)")
+    if len(pending) != num:
+        raise ValueError(f"acTL declares {num} frames, found {len(pending)} fcTL")
+    canvas = np.zeros((h, w, ch), dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    for fctl, pieces in pending:
+        _seq, fw, fh, x0, y0, _dn, _dd, dispose, blend = struct.unpack(
+            ">IIIIIHHBB", fctl
+        )
+        if dispose != 0 or blend != 0:
+            raise ValueError("only dispose=NONE, blend=SOURCE supported")
+        if x0 + fw > w or y0 + fh > h:
+            raise ValueError("APNG frame region exceeds canvas")
+        ihdr = struct.pack(">IIBBBBB", fw, fh, depth, color, 0, 0, 0)
+        png = (
+            _SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", b"".join(pieces))
+            + _chunk(b"IEND", b"")
+        )
+        region = decode_png(png)
+        canvas[y0 : y0 + fh, x0 : x0 + fw] = region
+        frames.append(canvas.copy())
+    return frames
 
 
 def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

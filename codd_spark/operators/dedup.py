@@ -37,6 +37,49 @@ def _safe_unpersist(df: DataFrame) -> None:
     except Exception:
         pass
 
+
+def _attach_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Give ``result`` an explicit, deterministic cache lifecycle.
+
+    ``result.release_cache()`` unpersists every intermediate this pipeline
+    cached — idempotent, safe to call any time after the caller is done
+    with ``result``. The same callbacks are also registered as weakref
+    finalizers, so dropping the result still releases executor storage
+    eventually; but long-lived sessions running many corpus passes should
+    call ``release_cache()`` (or use ``contextlib.closing``-style wrappers)
+    rather than rely on gc timing. ``result.close`` aliases it so
+    ``contextlib.closing(minhash_near_duplicates(...))`` works as a
+    context manager."""
+    fins = [weakref.finalize(result, _safe_unpersist, df) for df in cached]
+
+    def release() -> None:
+        for fin in fins:
+            fin()  # weakref.finalize objects are idempotent callables
+
+    result._release_finalizers = fins
+    result.release_cache = release
+    result.close = release
+    return result
+
+
+def _adopt_release(child: DataFrame, parent: DataFrame) -> DataFrame:
+    """Move ``parent``'s cache-release obligation onto ``child``.
+
+    Used when a pipeline wraps another pipeline's result (e.g.
+    decontaminate over cross_near_duplicates): the intermediate is a local
+    the caller never sees, so without adoption its weakref finalizer would
+    fire as soon as the wrapper returns — unpersisting the shingle cache
+    *before* the final result ever materializes and silently recomputing
+    the most expensive stage twice."""
+    cached = []
+    for fin in getattr(parent, "_release_finalizers", ()):
+        info = fin.detach()  # cancel parent's finalizer, recover the df
+        if info is not None:
+            cached.append(info[2][0])
+    if not cached:
+        return child
+    return _attach_release(child, *cached)
+
 # Modulus prime for the minhash universal-hash family (fits in 31 bits so
 # a*h+b stays overflow-free in a 64-bit long).
 _P = 2038074743
@@ -348,13 +391,13 @@ def minhash_near_duplicates(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    # Release the shingle cache once the caller drops the result DataFrame:
-    # persist() is lazy (nothing is cached until the result is computed),
-    # and after the result object is unreachable the cache can never be
-    # reused — without this, repeated calls in one session accumulate
-    # executor storage memory.
-    weakref.finalize(verified, _safe_unpersist, shingled)
-    return verified
+    # Explicit cache lifecycle: persist() is lazy (nothing is cached until
+    # the result is computed), and once the caller is done with the result
+    # the cache can never be reused — without release, repeated corpus
+    # passes in one session accumulate executor storage memory. Callers
+    # release deterministically via verified.release_cache(); a weakref
+    # finalizer backstops callers that just drop the object.
+    return _attach_release(verified, shingled)
 
 
 # ---------------------------------------------------------------------------
@@ -601,9 +644,7 @@ def cross_near_duplicates(
         .filter(F.col("jaccard") >= threshold)
         .select("id_l", "id_r", "jaccard")
     )
-    weakref.finalize(verified, _safe_unpersist, shingled)
-    weakref.finalize(verified, _safe_unpersist, sized)
-    return verified
+    return _attach_release(verified, shingled, sized)
 
 
 def cross_ngram_jaccard_pairs(
@@ -666,4 +707,5 @@ def decontaminate(
     else:
         raise ValueError(f"unknown method {method!r} (use 'minhash' or 'exact')")
     dirty = pairs.select(F.col("id_l").alias(id_col)).distinct()
-    return corpus.join(dirty.hint("shuffle_merge"), on=id_col, how="left_anti")
+    clean = corpus.join(dirty.hint("shuffle_merge"), on=id_col, how="left_anti")
+    return _adopt_release(clean, pairs)

@@ -3,11 +3,11 @@ typed metadata, processed via Arrow-batched ``mapInPandas`` UDFs.
 
 ``decode="real"`` is backed by the pure-Python spec codecs in
 ``codd_spark.functions.imaging`` (PNG over stdlib zlib, WAV over stdlib
-wave) — true dimensions/pixels/samples, no native codec needed.
-``decode="fake"`` produces deterministic metadata derived from a content
-hash (cheap plumbing tests). Video frame extraction still needs ffmpeg,
-which this container lacks, so its real path raises; the fake path
-exercises the identical batching/schema plumbing.
+wave, APNG frame walk for video) — true dimensions/pixels/samples/frames,
+no native codec needed. ``decode="fake"`` produces deterministic metadata
+derived from a content hash (cheap plumbing tests). mp4/webm payloads
+would need ffmpeg (absent in this container) — at production scale the
+swap touches only the inner decode kernel, never the Spark plumbing.
 
 Scale notes: binary payloads ride in parquet binary columns; keep
 ``spark.sql.files.maxPartitionBytes`` sized so a partition of payloads fits
@@ -166,33 +166,64 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return df.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_pixel", DoubleType()),
+        StructField("frame_sha1", StringType()),
+    ]
+)
+
+
 def frame_sample(df: DataFrame, every_n: int = 10, decode: str = "fake") -> DataFrame:
-    """Video -> sampled frame rows (media_id, frame_idx, frame_sha1).
-    Fake decode emits a deterministic number of frames from the content
-    hash; the real path needs ffmpeg (absent in this container)."""
-    schema = StructType(
-        [
-            StructField("media_id", LongType()),
-            StructField("frame_idx", IntegerType()),
-            StructField("frame_sha1", StringType()),
-        ]
-    )
+    """Video -> every-n-th frame rows (media_id, frame_idx, width, height,
+    mean_pixel, frame_sha1).
+
+    ``decode="real"`` walks APNG payloads with the pure-Python frame
+    decoder (functions/imaging.py::apng_frames — the container has no
+    ffmpeg, so "video" is the PNG animation container; swapping an
+    ffmpeg/pyav kernel in for mp4 at production scale touches only the
+    inner function). mean_pixel/sha1 are computed on the composited
+    canvas, so they're oracle-checkable closed forms for synthetic media
+    (apng_media_from_ids). ``decode="fake"`` emits hash-derived stand-ins
+    through the identical batching/schema plumbing."""
+    if decode not in ("fake", "real"):
+        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError("real frame extraction requires ffmpeg")
-            out_ids, out_idx, out_sha = [], [], []
+            rows = {k: [] for k in FRAME_SCHEMA.fieldNames()}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                payload = payload or b""
-                n_frames = 1 + hashlib.sha1(payload).digest()[2] % 50
-                for i in range(0, n_frames, every_n):
-                    out_ids.append(mid)
-                    out_idx.append(i)
-                    out_sha.append(hashlib.sha1(payload + i.to_bytes(4, "big")).hexdigest())
-            yield pd.DataFrame({"media_id": out_ids, "frame_idx": out_idx, "frame_sha1": out_sha})
+                payload = bytes(payload or b"")
+                if decode == "real":
+                    frames = imaging.apng_frames(payload)
+                    for i in range(0, len(frames), every_n):
+                        fr = frames[i]
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(i)
+                        rows["width"].append(fr.shape[1])
+                        rows["height"].append(fr.shape[0])
+                        rows["mean_pixel"].append(float(fr.mean()))
+                        rows["frame_sha1"].append(hashlib.sha1(fr.tobytes()).hexdigest())
+                else:
+                    h = hashlib.sha1(payload).digest()
+                    n_frames = 1 + h[2] % 50
+                    w, hh = _fake_dims(payload)
+                    for i in range(0, n_frames, every_n):
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(i)
+                        rows["width"].append(w)
+                        rows["height"].append(hh)
+                        rows["mean_pixel"].append(float(h[3]))
+                        rows["frame_sha1"].append(
+                            hashlib.sha1(payload + i.to_bytes(4, "big")).hexdigest()
+                        )
+            yield pd.DataFrame(rows)
 
-    return df.mapInPandas(run, schema=schema)
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
 def synthetic_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
@@ -226,6 +257,38 @@ def png_media_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                     "media_id": pdf[id_col].astype("int64"),
                     "kind": "image",
                     "format": "png",
+                    "payload": out,
+                }
+            )
+
+    return ids.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def apng_media_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Distributed synthesis of REAL APNG "videos", one per id row: solid
+    grayscale frames with closed-form geometry and content —
+    width = 16 + id % 8, height = 8 + id % 5, n_frames = 2 + id % 9,
+    frame f's pixel value = (id * 7 + 13 * f) % 256, scanline filter =
+    id % 5. A frame_sample(decode="real") over this corpus is therefore
+    fully oracle-checkable: mean_pixel of frame f IS its closed-form pixel
+    value, by an engine that never sees the bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h, n = 16 + i % 8, 8 + i % 5, 2 + i % 9
+                frames = [
+                    np.full((h, w), (i * 7 + 13 * f) % 256, dtype=np.uint8)
+                    for f in range(n)
+                ]
+                out.append(imaging.encode_apng(frames, filter_type=i % 5))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "kind": "video",
+                    "format": "apng",
                     "payload": out,
                 }
             )

@@ -40,12 +40,17 @@ def curate_corpus(
     curated = fp.join(keepers, on=["__fp", id_col]).drop("__fp", "__q")
 
     if near_dup_threshold is not None:
+        from codd_spark.operators.dedup import _adopt_release
+
         pairs = minhash_near_duplicates(
             curated, id_col, text_col, threshold=near_dup_threshold
         )
         # losers grow with the corpus — shuffle anti-join, never broadcast
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-        curated = curated.join(losers.hint("shuffle_merge"), on=[id_col], how="anti")
+        curated = _adopt_release(
+            curated.join(losers.hint("shuffle_merge"), on=[id_col], how="anti"),
+            pairs,
+        )
     return curated
 
 

@@ -27,21 +27,32 @@ TESTDATA_TABLES = (
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (parquet).
 
-    The ``events`` table is written with nanosecond parquet timestamps,
-    which Spark's vectorized reader rejects; read them as raw nanos
-    (legacy conf, runtime-settable) and convert to a proper timestamp at
-    microsecond precision.
+    The ``events.ts`` column has arrived in three physical shapes across
+    testdata generations, and every downstream operator assumes a plain
+    session-zoned TIMESTAMP (so ``F.unix_micros(ts)`` is legal):
+
+    - parquet ``timestamp[ns]``: Spark's vectorized reader rejects nanos,
+      so read as raw nanos (legacy conf, runtime-settable) and truncate to
+      microsecond precision with integer division.
+    - parquet ``timestamp[us]`` without UTC flag: Spark 4 reads this as
+      TIMESTAMP_NTZ; cast to TIMESTAMP. The session timezone is pinned to
+      UTC (codd_spark/session.py), so the wall-clock field values map to
+      identical epoch micros and oracle hashes are unchanged.
+    - parquet ``timestamp[us]`` with UTC flag: already TIMESTAMP, no-op.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        dtype = dict(df.dtypes).get("ts")
+        if dtype == "bigint":
             # integer `div`, NOT `/`: float division of epoch-nanos
             # (~1.7e18, beyond double's 2^53 exact range) silently loses
             # microseconds and diverges from engines that truncate exactly
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -336,19 +336,40 @@ def test_repetition_stats(spark):
 
 
 def test_minhash_releases_shingle_cache(spark, docs):
-    """The persisted shingle projection must not outlive the result: once
-    the caller drops the result DataFrame, no cached RDD lingers."""
-    import gc
-
+    """Explicit cache lifecycle: release_cache() must deterministically
+    unpersist every RDD the pipeline cached — no gc-timing dependence, and
+    the assertion is scoped to the RDDs this call created so other tests'
+    persisted state can't flake it."""
     from codd_spark.operators.dedup import minhash_near_duplicates
 
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
     out = minhash_near_duplicates(docs, "doc_id", "text", num_hashes=16, bands=4)
     out.count()  # materialize -> shingle projection is cached
+    assert jsc.getPersistentRDDs().size() > before
+    out.release_cache()
+    assert jsc.getPersistentRDDs().size() <= before
+    out.release_cache()  # idempotent
+
+
+def test_decontaminate_adopts_release(spark, docs):
+    """decontaminate(minhash) wraps cross_near_duplicates; the wrapper's
+    result must (a) carry the release handle forward and (b) keep the
+    shingle/bucket caches alive until released — an early finalizer fire
+    on the intermediate would silently recompute the shingling twice."""
+    import gc
+
+    from codd_spark.operators.dedup import decontaminate
+
     jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() > 0
-    del out
-    gc.collect()
-    assert jsc.getPersistentRDDs().size() == 0
+    before = jsc.getPersistentRDDs().size()
+    clean = decontaminate(docs, docs.limit(2), "doc_id", "text",
+                          num_hashes=16, bands=4)
+    gc.collect()  # the intermediate pairs object is gone — caches must survive
+    clean.count()
+    assert jsc.getPersistentRDDs().size() > before
+    clean.release_cache()
+    assert jsc.getPersistentRDDs().size() <= before
 
 
 def test_ivf_routing_strategies_agree(spark):

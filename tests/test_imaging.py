@@ -87,3 +87,57 @@ def test_png_roundtrip_property():
         assert np.array_equal(decode_png(encode_png(arr, filter_type=ft)), arr)
 
     check()
+
+
+def test_apng_roundtrip_all_filters():
+    """APNG encode -> frame-walk decode round-trips exactly for every
+    scanline filter and 1/3-channel frames."""
+    from codd_spark.functions.imaging import apng_frames, apng_info, encode_apng
+
+    rng = np.random.RandomState(11)
+    for ch in (1, 3):
+        shape = (9, 13) if ch == 1 else (9, 13, ch)
+        frames = [rng.randint(0, 256, shape, dtype=np.uint8) for _ in range(4)]
+        for ft in range(5):
+            data = encode_apng(frames, filter_type=ft)
+            assert apng_info(data) == (13, 9, ch, 4)
+            back = apng_frames(data)
+            assert len(back) == 4
+            for a, b in zip(frames, back):
+                a3 = a[:, :, None] if a.ndim == 2 else a
+                assert np.array_equal(a3, b)
+
+
+def test_apng_offset_composite_and_errors():
+    """Sub-canvas frames composite at their fcTL offset onto the running
+    canvas; truncated/garbage inputs are rejected loudly."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from codd_spark.functions import imaging as im
+
+    base = np.zeros((8, 8), dtype=np.uint8)
+    data = im.encode_apng([base, base])
+    # hand-patch frame 2 into a 2x2 region at (3, 4): rebuild the fdAT
+    out, seq = [data[:8]], 0
+    for ctype, body in im._chunks(data):
+        if ctype == b"fcTL":
+            (s,) = struct.unpack(">I", body[:4])
+            if s > 0:  # second frame: shrink to 2x2 at offset (3,4)
+                body = struct.pack(">IIIIIHHBB", s, 2, 2, 3, 4, 1, 10, 0, 0)
+        if ctype == b"fdAT":
+            patch = np.full((2, 2), 255, dtype=np.uint8)
+            body = body[:4] + zlib.compress(im._filter_scanlines(patch[:, :, None], 0))
+        out.append(im._chunk(ctype, body))
+    patched = b"".join(out)
+    frames = im.apng_frames(patched)
+    assert frames[0].sum() == 0
+    f2 = frames[1][:, :, 0]
+    assert f2[4:6, 3:5].min() == 255 and f2.sum() == 4 * 255
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        im.apng_frames(b"junk")
+    with pytest.raises(ValueError, match="acTL"):
+        im.apng_frames(im.encode_png(base))  # plain PNG is not an APNG

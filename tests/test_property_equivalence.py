@@ -246,3 +246,56 @@ def test_range_join_to_sql_matches_duckdb(spark, db):
             tuple(sorted(zip(names, row))) for row in cur.fetchall()
         )
         assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    left=st.lists(
+        st.tuples(st.sampled_from(KEYS), st.integers(-20, 50)), max_size=12
+    ),
+    # unique (k, ts) on the right: duplicate as-of timestamps make the
+    # chosen payload implementation-defined in both engines
+    right=st.lists(
+        st.tuples(st.sampled_from(KEYS), st.integers(-20, 50)),
+        unique=True,
+        max_size=12,
+    ),
+    with_select=st.booleans(),
+)
+def test_asof_join_to_sql_matches_duckdb(spark, db, left, right, with_select):
+    """AsofJoin AST node rendered to ANSI SQL (LEFT JOIN + ROW_NUMBER over
+    the full left tuple) must agree with the engine's union+carry-forward
+    plan — including the collision-rename rule: both sides carry a column
+    named `v`, so the attached right value must come out as `v_r`."""
+    import pandas as _pd
+
+    from codd_spark.plans.ast import Relation
+    from codd_spark.plans.to_sql import output_columns, to_sql
+
+    lrows = [(k, ts, k * 1000 + ts) for k, ts in left]
+    rrows = [(k, ts, k * 100 + ts) for k, ts in right]
+    db.register("asof_l", spark.createDataFrame(lrows or [], "k LONG, lts LONG, v LONG"), replace=True)
+    db.register("asof_r", spark.createDataFrame(rrows or [], "k LONG, rts LONG, v LONG"), replace=True)
+    schemas = {"asof_l": ["k", "lts", "v"], "asof_r": ["k", "rts", "v"]}
+
+    expr = Relation("asof_l").asof_join(Relation("asof_r"), ["k"], "lts", "rts")
+    if with_select:
+        expr = expr.select("lts > 0")
+    assert output_columns(expr, schemas) == ["k", "v", "lts", "v_r", "rts"]
+
+    got = sorted(tuple(r) for r in db.evaluate(expr))
+
+    con = duckdb.connect()
+    con.register("asof_l", _pd.DataFrame(lrows, columns=["k", "lts", "v"]))
+    con.register("asof_r", _pd.DataFrame(rrows, columns=["k", "rts", "v"]))
+    cur = con.execute(
+        f"SELECT DISTINCT * FROM ({to_sql(expr, schemas)}) "
+        "ORDER BY ALL NULLS FIRST"
+    )
+    assert [d[0] for d in cur.description] == ["k", "v", "lts", "v_r", "rts"]
+    want = [tuple(r) for r in cur.fetchall()]
+    assert got == want

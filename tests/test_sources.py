@@ -91,3 +91,44 @@ def test_text_reader_line_and_wholefile(spark):
         assert rows["b.txt"].rstrip("\n") == "solo doc"
     finally:
         shutil.rmtree(d)
+
+
+def test_events_ts_dtype_matrix(spark):
+    """read_table must normalize events.ts to a session-zoned TIMESTAMP for
+    every physical shape the testdata generator has produced: nanos
+    (timestamp[ns] -> legacy bigint read), tz-naive micros (Spark 4 reads
+    as TIMESTAMP_NTZ), and tz-aware micros (already TIMESTAMP). Epoch
+    values must be identical across all three so a testdata regeneration
+    can never silently flip query results."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789]
+    ids = [1, 2]
+    flavors = {
+        "ns": pa.array([m * 1000 for m in micros], type=pa.timestamp("ns")),
+        "ntz": pa.array(micros, type=pa.timestamp("us")),
+        "utc": pa.array(micros, type=pa.timestamp("us", tz="UTC")),
+    }
+    got = {}
+    for flavor, ts_arr in flavors.items():
+        d = tempfile.mkdtemp(prefix=f"codd_ts_{flavor}_")
+        try:
+            tbl = pa.table({"event_id": pa.array(ids, type=pa.int64()), "ts": ts_arr})
+            os.mkdir(f"{d}/events.parquet")
+            pq.write_table(tbl, f"{d}/events.parquet/part-0.parquet")
+            df = read_table(spark, d, "events")
+            assert dict(df.dtypes)["ts"] == "timestamp", (
+                f"{flavor}: expected TIMESTAMP, got {dict(df.dtypes)['ts']}"
+            )
+            got[flavor] = {
+                r["event_id"]: r["us"]
+                for r in df.select(
+                    "event_id", F.unix_micros("ts").alias("us")
+                ).collect()
+            }
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    assert got["ns"] == got["ntz"] == got["utc"] == dict(zip(ids, micros))
