@@ -1295,6 +1295,23 @@ def q_decontaminate_corpus(spark, sf_dir):
     return clean.select("doc_id", "lang", "n_chars")
 
 
+def q_decontaminate_containment(spark, sf_dir):
+    """Containment-style contamination pairs (the GPT-3/PaLM method):
+    (train doc, eval doc, hit count) whenever >= 2 distinct word-3-grams
+    of an eval doc (300 <= doc_id < 400) appear verbatim in a train doc
+    (doc_id < 300). Asymmetric by design — catches an eval question quoted
+    inside a long page, which Jaccard's union-ratio misses. One shuffle
+    equi-join on xxhash64'd n-grams (operators/dedup.py::
+    ngram_containment_matches); no all-pairs stage, cost bounded by true
+    overlap."""
+    from codd_spark.operators.dedup import ngram_containment_matches
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id < 300")
+    evalset = docs.filter("doc_id >= 300 AND doc_id < 400")
+    return ngram_containment_matches(corpus, evalset, n=3, min_hits=2)
+
+
 def q_decontaminate_lsh(spark, sf_dir):
     """Scale-path decontamination: MinHash cross-table candidates (shared
     hash family, shuffle-pinned bucket join, degenerate-bucket guards) +
@@ -1996,6 +2013,39 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_top_k(encoded, books, queries_df, k=10, rerank=emb)
 
 
+def q_sq_codes(spark, sf_dir):
+    """Scalar-quantization encoding contract: per-dimension (min, max)
+    over the corpus (one aggregate scan), then each value maps to
+    round((x - lo) / (hi - lo) * 255) — int8-range codes, a 4× smaller
+    ANN candidate table. Unlike the KMeans-trained PQ codebooks, SQ codes
+    are a CLOSED FORM of the corpus, so the oracle replays the exact
+    encoding in SQL (same double arithmetic, same rounding) and every
+    code hash-matches."""
+    from codd_spark.operators.similarity import sq_train_encode
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    encoded, _scales = sq_train_encode(emb, dim=64)
+    return encoded.select(
+        "vec_id", F.posexplode("codes").alias("pos0", "code")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "code")
+
+
+def q_ann_sq_topk(spark, sf_dir):
+    """Scalar-quantized ANN contract (rows-only like the other ANN
+    variants — the quantized scan's candidate set is approximate by
+    design). Dequantize-and-score cosine over the 4×-compressed corpus,
+    then exact rerank of 5k candidates. Recall vs brute force is asserted
+    in tests/test_extensions.py."""
+    from codd_spark.operators.similarity import sq_top_k, sq_train_encode
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    encoded, scales = sq_train_encode(emb, dim=64)
+    return sq_top_k(encoded, scales, queries_df, k=10, rerank=emb)
+
+
 def q_training_shards(spark, sf_dir):
     """Deterministic training-shuffle shard assignment contract: every
     document gets a shard in [0,8) and an in-shard order key, both pure
@@ -2129,6 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concurrent_orders": q_concurrent_orders,
         "weighted_avg_price": q_weighted_avg_price,
         "doc_sentences": q_doc_sentences,
+        "decontaminate_containment": q_decontaminate_containment,
         "decontaminate_lsh": q_decontaminate_lsh,
         "forecast_revenue": q_forecast_revenue,
         "market_share": q_market_share,
@@ -2139,6 +2190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "mixture_sample": q_mixture_sample,
         "ann_pq_topk": q_ann_pq_topk,
+        "sq_codes": q_sq_codes,
+        "ann_sq_topk": q_ann_sq_topk,
         "training_shards": q_training_shards,
     }
 
@@ -2920,6 +2973,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE doc_id < 300 AND doc_id NOT IN (SELECT doc_id FROM dirty)
         """,
+        "decontaminate_containment": """
+            WITH g AS (
+              SELECT doc_id,
+                     UNNEST(list_distinct(list_transform(range(1, greatest(len(s)-1, 2)),
+                            i -> array_to_string(list_slice(s, i, i+2), ' ')))) AS gram
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS s
+                    FROM documents WHERE doc_id < 400)
+            )
+            SELECT a.doc_id AS id_l, b.doc_id AS id_r, COUNT(*) AS n_hits
+            FROM g a JOIN g b ON a.gram = b.gram
+            WHERE a.doc_id < 300 AND b.doc_id >= 300
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(*) >= 2
+        """,
         "weighted_avg_price": """
             SELECT l_returnflag,
                    ROUND(SUM(CAST(l_extendedprice AS DOUBLE) * l_quantity)
@@ -3240,6 +3307,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY d.lang
         """,
         "pagerank_interactions": _pagerank_oracle_sql(5),
+        "sq_codes": """
+            WITH x AS (
+              SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+              FROM embeddings, (SELECT UNNEST(range(1, 65)) AS i) t
+            ), s AS (
+              SELECT pos, MIN(v) AS lo, MAX(v) AS hi FROM x GROUP BY pos
+            )
+            SELECT x.vec_id, x.pos,
+                   CASE WHEN s.hi = s.lo THEN 0
+                        ELSE CAST(ROUND((x.v - s.lo) / (s.hi - s.lo) * 255, 0) AS INT)
+                   END AS code
+            FROM x JOIN s USING (pos)
+        """,
         "training_shards": """
             WITH h AS (
                 SELECT doc_id,

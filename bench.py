@@ -78,6 +78,11 @@ BENCH_QUERIES = [
     "weighted_avg_price",       # pandas grouped-agg UDAF (Arrow path)
     "doc_sentences",            # Python UDTF, lateral join
     "decontaminate_lsh",        # cross-corpus MinHash decontamination
+    # round-3 additions (BASELINE.md keeps the 54-query subtotal
+    # comparable across rounds; these three extend the set)
+    "frame_sample",             # real APNG video-frame walk (mapInPandas)
+    "decontaminate_containment",  # verbatim n-gram hits (hashed-gram join)
+    "ann_sq_topk",              # scalar-quantized ANN + exact rerank
 ]
 
 

@@ -11,6 +11,8 @@ scales with executor count:
                distance; candidates via 16-bit chunk pigeonholing
 - n-gram Jaccard: exact pairwise Jaccard on word n-grams (verification
                primitive / small-subset brute force)
+- containment: verbatim n-gram hit counting (GPT-3-style benchmark
+               decontamination; one shuffle join on hashed grams)
 
 Scale notes: the LSH candidate join shuffles on (band, bucket-hash) — bound
 the blowup with ``max_bucket_size`` (degenerate buckets = boilerplate text;
@@ -521,10 +523,20 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact pairwise Jaccard on word n-grams. O(n^2) cross join — meant
     for bounded subsets or as the verification stage after LSH candidate
-    generation (use minhash_near_duplicates for corpus-scale)."""
+    generation (use minhash_near_duplicates for corpus-scale).
+
+    The theta-join compares every (a, b) pair inside ONE task per stream
+    partition — a bounded subset usually arrives as a single partition, so
+    without an explicit repartition all |df|^2/2 Jaccard evaluations run
+    on one core. Spreading the probe side across the cluster's cores makes
+    the nested-loop stage embarrassingly parallel (measured 6.4 s -> sub-
+    second on a 200-doc subset at local[32])."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
     toked = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks"))
     g = toked.select("id", _ngrams_of_attr(F.col("__toks"), n).alias("ng"))
-    a = g.select(F.col("id").alias("id_a"), F.col("ng").alias("ng_a"))
+    a = g.repartition(parallelism, F.col("id")).select(
+        F.col("id").alias("id_a"), F.col("ng").alias("ng_a")
+    )
     b = g.select(F.col("id").alias("id_b"), F.col("ng").alias("ng_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
@@ -658,8 +670,14 @@ def cross_ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact cross-table word-n-gram Jaccard pairs (id_l, id_r, jaccard).
     O(|L|·|R|) — the verification/bounded-subset form whose answer is
-    engine-independent; cross_near_duplicates is the scale path."""
+    engine-independent; cross_near_duplicates is the scale path.
+
+    As in ngram_jaccard_pairs, the left stream is repartitioned so the
+    nested-loop compare runs on every core instead of one-task-per-input-
+    partition."""
     from codd_spark.functions.text import tokens
+
+    parallelism = left.sparkSession.sparkContext.defaultParallelism
 
     def grams(df: DataFrame, out: str) -> DataFrame:
         toked = df.select(
@@ -667,12 +685,60 @@ def cross_ngram_jaccard_pairs(
         )
         return toked.select(out, _ngrams_of_attr(F.col("__toks"), n).alias(f"ng_{out}"))
 
-    a, b = grams(left, "id_l"), grams(right, "id_r")
+    a = grams(left, "id_l").repartition(parallelism, F.col("id_l"))
+    b = grams(right, "id_r")
     return (
         a.crossJoin(b.hint("shuffle_merge"))
         .withColumn("jaccard", F.round(jaccard(F.col("ng_id_l"), F.col("ng_id_r")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_l", "id_r", "jaccard")
+    )
+
+
+def ngram_containment_matches(
+    corpus: DataFrame,
+    contaminants: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Containment-style contamination detection (the GPT-3/PaLM method,
+    distinct from Jaccard overlap): a corpus document is contaminated if
+    at least ``min_hits`` distinct word n-grams of ANY contaminant
+    document appear verbatim in it. Jaccard misses the eval-question-
+    quoted-inside-a-long-page case (tiny union ratio); containment is
+    asymmetric and catches exactly that.
+
+    Returns (id_l = corpus doc, id_r = contaminant doc, n_hits).
+
+    Scale shape: both sides explode to (gram-hash, id) rows — word
+    n-grams travel as xxhash64 longs, never strings — and meet in ONE
+    shuffle equi-join on the hash, followed by a count aggregate. No
+    all-pairs stage exists anywhere: cost is bounded by the true overlap,
+    and the contaminant side (an eval benchmark) is typically tiny but is
+    still joined shuffle-pinned, never broadcast, because "the eval set"
+    is unbounded in general (n-gram rows explode |doc| × n ways).
+    """
+    from codd_spark.functions.text import tokens
+
+    def gram_hashes(df: DataFrame, out_id: str) -> DataFrame:
+        toked = df.select(
+            F.col(id_col).alias(out_id), tokens(F.col(text_col)).alias("__toks")
+        )
+        grams = toked.select(
+            out_id, F.explode(_ngrams_of_attr(F.col("__toks"), n)).alias("__g")
+        )
+        return grams.select(out_id, F.xxhash64("__g").alias("gh"))
+
+    lg = gram_hashes(corpus, "id_l")
+    rg = gram_hashes(contaminants, "id_r")
+    return (
+        lg.join(rg.hint("shuffle_merge"), on="gh")
+        .groupBy("id_l", "id_r")
+        .agg(F.count("*").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
     )
 
 
@@ -692,9 +758,13 @@ def decontaminate(
     ``method="minhash"`` is the scale path (LSH candidates + exact
     verification); ``method="exact"`` computes every pairwise Jaccard —
     bounded subsets only, but its answer is engine-independent (used by
-    the oracle-checked contract query). The removal itself is an anti
-    join on the matched ids — shuffle-pinned, the matched set grows with
-    the corpus.
+    the oracle-checked contract query); ``method="containment"`` flags a
+    corpus doc when >= ``threshold`` distinct contaminant n-grams appear
+    verbatim in it (threshold is the integer hit count here, not a
+    ratio — GPT-3-style verbatim-overlap decontamination; one shuffle
+    join on hashed n-grams, exact and engine-independent). The removal
+    itself is an anti join on the matched ids — shuffle-pinned, the
+    matched set grows with the corpus.
     """
     if method == "minhash":
         pairs = cross_near_duplicates(
@@ -704,8 +774,15 @@ def decontaminate(
         pairs = cross_ngram_jaccard_pairs(
             corpus, contaminants, id_col, text_col, threshold=threshold, **kwargs
         )
+    elif method == "containment":
+        pairs = ngram_containment_matches(
+            corpus, contaminants, id_col, text_col,
+            min_hits=int(threshold), **kwargs,
+        )
     else:
-        raise ValueError(f"unknown method {method!r} (use 'minhash' or 'exact')")
+        raise ValueError(
+            f"unknown method {method!r} (use 'minhash', 'exact' or 'containment')"
+        )
     dirty = pairs.select(F.col("id_l").alias(id_col)).distinct()
     clean = corpus.join(dirty.hint("shuffle_merge"), on=id_col, how="left_anti")
     return _adopt_release(clean, pairs)

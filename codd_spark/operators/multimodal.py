@@ -261,7 +261,13 @@ def png_media_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                 }
             )
 
-    return ids.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+    out = ids.select(F.col(id_col))
+    # bounded id subsets usually arrive as ONE partition; the synthesis +
+    # any downstream decode is CPU-bound Python, so spread it across cores
+    par = ids.sparkSession.sparkContext.defaultParallelism
+    if out.rdd.getNumPartitions() < par:
+        out = out.repartition(par, F.col(id_col))
+    return out.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def apng_media_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
@@ -293,7 +299,13 @@ def apng_media_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                 }
             )
 
-    return ids.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+    out = ids.select(F.col(id_col))
+    # bounded id subsets usually arrive as ONE partition; the synthesis +
+    # any downstream decode is CPU-bound Python, so spread it across cores
+    par = ids.sparkSession.sparkContext.defaultParallelism
+    if out.rdd.getNumPartitions() < par:
+        out = out.repartition(par, F.col(id_col))
+    return out.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def wav_media_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
@@ -319,4 +331,10 @@ def wav_media_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                 }
             )
 
-    return ids.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+    out = ids.select(F.col(id_col))
+    # bounded id subsets usually arrive as ONE partition; the synthesis +
+    # any downstream decode is CPU-bound Python, so spread it across cores
+    par = ids.sparkSession.sparkContext.defaultParallelism
+    if out.rdd.getNumPartitions() < par:
+        out = out.repartition(par, F.col(id_col))
+    return out.mapInPandas(run, schema=MEDIA_SCHEMA)

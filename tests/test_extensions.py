@@ -562,3 +562,77 @@ def test_pq_encode_and_adc_recall(spark):
     for ranks in per_q.values():
         ds = [d for _, d in sorted(ranks)]
         assert ds == sorted(ds)
+
+
+def test_ngram_containment_matches(spark):
+    """Containment-style contamination: asymmetric verbatim n-gram hits.
+    A short eval question quoted inside a long page must be flagged even
+    though the pair's Jaccard is tiny (the case union-ratio methods miss)."""
+    from codd_spark.operators.dedup import decontaminate, ngram_containment_matches
+
+    page = (
+        "lots of unrelated prose goes here and keeps going for a while "
+        "what is the capital of france the answer is paris obviously "
+        "and then the page continues with even more filler text after"
+    )
+    corpus = spark.createDataFrame(
+        [(1, page), (2, "totally unrelated content about spark plans")],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [(100, "what is the capital of france")],
+        "doc_id long, text string",
+    )
+    hits = {
+        (r.id_l, r.id_r): r.n_hits
+        for r in ngram_containment_matches(
+            corpus, evalset, n=3, min_hits=2
+        ).collect()
+    }
+    # the eval doc has 4 distinct 3-grams, all verbatim inside doc 1
+    assert hits == {(1, 100): 4}
+
+    clean = decontaminate(corpus, evalset, threshold=2, method="containment", n=3)
+    assert [r.doc_id for r in clean.collect()] == [2]
+
+
+def test_ngram_jaccard_pairs_parallelism(spark):
+    """The O(n^2) verifier must spread the nested-loop compare across
+    cores: the join's streamed side has to arrive repartitioned, not as
+    the single input partition of a bounded subset."""
+    from codd_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(30)],
+        "doc_id long, text string",
+    ).coalesce(1)
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" in plan
+    assert out.count() > 0  # shared 4-gram prefix → plenty of pairs
+
+
+def test_sq_quantization_roundtrip_and_topk(spark, embeddings):
+    """Scalar quantization: codes stay in [0, 255], dequantized values are
+    within half a step of the original, and quantized+reranked top-k finds
+    the true nearest neighbor."""
+    from codd_spark.operators.similarity import sq_top_k, sq_train_encode
+
+    encoded, scales = sq_train_encode(embeddings, dim=16, emb_col="embedding")
+    rows = {r.vec_id: r.codes for r in encoded.collect()}
+    assert all(0 <= c <= 255 for codes in rows.values() for c in codes)
+    orig = {r.vec_id: r.embedding for r in embeddings.collect()}
+    for vid, codes in rows.items():
+        for i, c in enumerate(codes):
+            lo, hi = scales[i]
+            step = (hi - lo) / 255 if hi != lo else 0.0
+            assert abs((lo + c * step) - orig[vid][i]) <= step / 2 + 1e-9
+
+    queries = embeddings.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    out = sq_top_k(encoded, scales, queries, k=3).collect()
+    assert any(r.neighbor_id == 1 and r.rank == 1 for r in out)
+    # exact rerank returns true cosine ordering over the candidate set
+    rer = sq_top_k(encoded, scales, queries, k=3, rerank=embeddings).collect()
+    assert rer[0].neighbor_id == 1 and rer[0].sim > 0.999

@@ -30,7 +30,17 @@ OUTER_MAPPERS = [["coalesce(l.n, r.n) AS n"], ["coalesce(l.n, 0) + coalesce(r.n,
 
 
 def exprs():
-    leaves = st.sampled_from([ast.Relation("t_a"), ast.Relation("t_b")])
+    # leaves include the constant relations, so random trees exercise
+    # Empty/Singleton composition (e.g. Union(Select(t_a), Singleton))
+    leaves = st.sampled_from(
+        [
+            ast.Relation("t_a"),
+            ast.Relation("t_b"),
+            ast.Empty("n LONG"),
+            ast.Singleton({"n": 7}),
+            ast.Singleton({"n": 3}),
+        ]
+    )
 
     def extend(children):
         unary = st.one_of(
@@ -81,7 +91,7 @@ def setup(spark):
 
 
 @settings(
-    max_examples=30,
+    max_examples=110,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
