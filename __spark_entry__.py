@@ -1461,9 +1461,10 @@ def _events_stream(spark, sf_dir):
     """Streaming source over the events table, robust to both layouts:
     a single events.parquet FILE (driver testdata — stream the parent dir
     with a filename glob) or an events.parquet DIRECTORY of part files
-    (Spark write output — stream the directory itself). Timestamps arrive
-    as raw nanos (legacy conf) and convert to micros exactly like the
-    batch reader."""
+    (Spark write output — stream the directory itself). The ts column is
+    normalized for the same three arrival shapes as the batch reader
+    (sources/readers.py::read_table): bigint nanos -> micros, and
+    TIMESTAMP_NTZ -> session-zoned TIMESTAMP (watermarks reject NTZ)."""
     import os
 
     from codd_spark.streaming.structured import stream_from_directory
@@ -1480,8 +1481,11 @@ def _events_stream(spark, sf_dir):
             spark, sf_dir, raw_schema, fmt="parquet",
             max_files_per_trigger=None, glob_filter="events.parquet",
         )
-    if dict(s.dtypes).get("ts") == "bigint":
+    dtype = dict(s.dtypes).get("ts")
+    if dtype == "bigint":
         s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        s = s.withColumn("ts", F.col("ts").cast("timestamp"))
     return s
 
 

@@ -61,3 +61,126 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", **options) -> N
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    mode: str = "overwrite",
+    n_files: int | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Linear-clustered parquet layout: range-repartition on the cluster
+    columns, sort within each partition, write.
+
+    At 100 TB the parquet row-group min/max statistics ARE the index: a
+    filter on a cluster column prunes whole row groups (and whole files,
+    via footer stats) only if values are physically clustered. Unsorted
+    data has every row group spanning ~the full value range, so stats
+    prune nothing. Linear clustering is optimal for one leading column;
+    for multi-column box queries use ``write_zordered``.
+    """
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    from pyspark.sql import functions as F
+
+    out = df.repartitionByRange(n, *[F.col(c) for c in cluster_by]).sortWithinPartitions(
+        *cluster_by
+    )
+    write_parquet(out, path, mode=mode, max_records_per_file=max_records_per_file)
+
+
+def zorder_value(df: DataFrame, cols: list[str], bits: int = 16, method: str = "minmax"):
+    """Z-order (Morton) key as a pure Column expression: each column is
+    normalized to ``2^bits`` integer levels, then the bit strings are
+    interleaved. Returns (df_with_level_cols, zcol expression).
+
+    ``method="minmax"`` (default, the scale path): one aggregate computes
+    each column's (min, max); levels come from ``width_bucket`` — a pure
+    expression over two constants, no shuffle, no global sort.
+    ``method="rank"`` uses a global ``ntile`` window — exact equi-depth
+    levels even under heavy skew, but a global window is a single-task
+    sort: use only on bounded data or pre-sampled boundaries.
+
+    Interleaving is a fold over bit positions — a closed-form expression,
+    JVM-side, no UDF: bit b of column j lands at position b·n_cols + j.
+    """
+    from pyspark.sql import Window, functions as F
+
+    n_levels = 1 << bits
+    ranked = df
+    rank_cols = []
+    if method == "minmax":
+        stats = df.agg(
+            *[F.min(c).alias(f"_lo{j}") for j, c in enumerate(cols)],
+            *[F.max(c).alias(f"_hi{j}") for j, c in enumerate(cols)],
+        ).collect()[0]
+        for j, c in enumerate(cols):
+            rc = f"__zr{j}"
+            lo, hi = float(stats[f"_lo{j}"]), float(stats[f"_hi{j}"])
+            if hi == lo:
+                level = F.lit(0).cast("long")
+            else:
+                # width_bucket returns 1..n+1 over [lo, hi]; clamp to 0..n-1
+                level = (
+                    F.least(
+                        F.width_bucket(
+                            F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_levels)
+                        ),
+                        F.lit(n_levels),
+                    )
+                    - 1
+                ).cast("long")
+            ranked = ranked.withColumn(rc, level)
+            rank_cols.append(rc)
+    elif method == "rank":
+        for j, c in enumerate(cols):
+            rc = f"__zr{j}"
+            ranked = ranked.withColumn(
+                rc, (F.ntile(n_levels).over(Window.orderBy(F.col(c))) - 1).cast("long")
+            )
+            rank_cols.append(rc)
+    else:
+        raise ValueError(f"unknown method {method!r} (use 'minmax' or 'rank')")
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for j, rc in enumerate(rank_cols):
+            bit = F.shiftright(F.col(rc), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * len(cols) + j))
+    return ranked, z.alias("__z")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    mode: str = "overwrite",
+    n_files: int | None = None,
+    bits: int = 16,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Z-order-clustered parquet layout for multi-column box queries.
+
+    Linear clustering makes row-group stats selective for ONE column;
+    Z-ordering interleaves the bit representations of several columns so
+    rows close in the multi-dimensional value space are close in the
+    file order — a filter box on ANY subset of the z columns then prunes
+    most row groups. This is the layout move behind Delta/Iceberg
+    OPTIMIZE ZORDER, reproduced here as plain repartitionByRange + sort
+    on a Morton-key expression (no table format needed).
+
+    Pricing: one stats aggregate + one range shuffle + per-partition
+    sort — the same cost class as any clustered write; this is how
+    OPTIMIZE ZORDER is priced in the systems that ship it.
+    """
+    from pyspark.sql import functions as F
+
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    ranked, z = zorder_value(df, zorder_by, bits=bits)
+    out = (
+        ranked.withColumn("__z", z)
+        .repartitionByRange(n, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z", *[f"__zr{j}" for j in range(len(zorder_by))])
+    )
+    write_parquet(out, path, mode=mode, max_records_per_file=max_records_per_file)
