@@ -1594,6 +1594,46 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(docs, pairs, "doc_id")
 
 
+def q_cluster_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: hash the near-dup CLUSTER id,
+    not the doc id, so a document and its near-duplicate can never land
+    in different splits (doc-id splits silently leak eval content into
+    training). Components over the exact-Jaccard pair graph, then the
+    cross-engine LCG hash on the cluster id; the oracle replays the
+    transitive closure (recursive CTE) and the same hash. Output proves
+    both the assignment and the no-leakage property: every cluster
+    contributes to exactly one split, so per-split (count, id-checksum)
+    pin the full assignment."""
+    from codd_spark.operators.dedup import ngram_jaccard_pairs
+    from codd_spark.operators.pipeline import cluster_safe_split
+
+    docs = read_table(spark, sf_dir, "documents").filter("doc_id < 200")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    out = cluster_safe_split(docs, pairs, val_pct=10, test_pct=10, salt=7, hasher="lcg")
+    return out.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+        F.count_distinct("cluster_id").alias("n_clusters"),
+    )
+
+
+def q_robust_outliers(spark, sf_dir):
+    """Median/MAD robust outlier detection per event type (the modified
+    z-score of Iglewicz-Hoaglin): one wild value can't mask others the
+    way mean/stddev z-scores allow. Exact grouped medians; the oracle
+    replays median and MAD in SQL."""
+    from codd_spark.operators.pipeline import robust_outliers
+
+    events = read_table(spark, sf_dir, "events")
+    flagged = robust_outliers(events, "value", ["event_type"], z_max=3.5)
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        F.round(F.max("__med"), 6).alias("med"),
+        F.round(F.max("__mad"), 6).alias("mad"),
+    )
+
+
 def q_events_hourly_stream(spark, sf_dir):
     """Structured Streaming contract evidence: the events_hourly rollup
     computed as an actual STREAM — file-source readStream over the events
@@ -2196,6 +2236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "sq_codes": q_sq_codes,
         "ann_sq_topk": q_ann_sq_topk,
+        "cluster_safe_split": q_cluster_safe_split,
+        "robust_outliers": q_robust_outliers,
         "training_shards": q_training_shards,
     }
 
@@ -3170,6 +3212,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT cc.id AS doc_id, cc.comp AS cluster_id, sizes.cluster_size,
                    cc.id = cc.comp AS is_keeper
             FROM cc JOIN sizes ON cc.comp = sizes.comp
+        """,
+        "cluster_safe_split": """
+            WITH RECURSIVE g AS (
+              SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(s)-1, 2)),
+                     i -> array_to_string(list_slice(s, i, i+2), ' '))) AS ng
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS s
+                    FROM documents WHERE doc_id < 200)
+            ), e AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+              WHERE ROUND(len(list_intersect(a.ng, b.ng))::DOUBLE
+                          / len(list_distinct(list_concat(a.ng, b.ng))), 6) >= 0.3
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM e
+              UNION SELECT id_b AS src, id_a AS dst FROM e
+            ), r(id, comp) AS (
+              SELECT doc_id, doc_id FROM documents WHERE doc_id < 200
+              UNION
+              SELECT edges.dst, r.comp FROM r JOIN edges ON edges.src = r.id
+              WHERE r.comp < edges.dst
+            ), cc AS (
+              SELECT id, MIN(comp) AS comp FROM r GROUP BY id
+            ), assigned AS (
+              SELECT id, comp,
+                     ((((comp + 7) % 2147483648) * 1103515245 + 12345)
+                      % 2147483648) % 100 AS bucket
+              FROM cc
+            )
+            SELECT CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   COUNT(*) AS n_docs,
+                   SUM(id) AS id_sum,
+                   COUNT(DISTINCT comp) AS n_clusters
+            FROM assigned
+            GROUP BY 1
+        """,
+        "robust_outliers": """
+            WITH med AS (
+              SELECT event_type, MEDIAN(value) AS m FROM events GROUP BY event_type
+            ), dev AS (
+              SELECT e.event_type, e.value, med.m,
+                     ABS(e.value - med.m) AS adev
+              FROM events e JOIN med USING (event_type)
+            ), mad AS (
+              SELECT event_type, MEDIAN(adev) AS md FROM dev GROUP BY event_type
+            )
+            SELECT dev.event_type,
+                   COUNT(*) AS n,
+                   SUM(CASE WHEN mad.md > 0
+                            AND ABS(0.6745 * (dev.value - dev.m) / mad.md) > 3.5
+                            THEN 1 ELSE 0 END) AS n_outliers,
+                   ROUND(MAX(dev.m), 6) AS med,
+                   ROUND(MAX(mad.md), 6) AS mad
+            FROM dev JOIN mad USING (event_type)
+            GROUP BY dev.event_type
         """,
         # The Spark side runs this as a Structured Streaming query
         # (readStream -> window agg -> memory sink); the oracle is the

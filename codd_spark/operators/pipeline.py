@@ -185,6 +185,88 @@ def train_val_test_split(
     )
 
 
+def cluster_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    salt: int = 0,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: hash the near-dup CLUSTER id,
+    not the document id, so every member of a duplicate cluster lands in
+    the same split. Splitting by document id silently leaks: a train doc
+    and its near-duplicate in the eval split share almost all content,
+    and the eval loss stops measuring generalization. Returns docs +
+    (cluster_id, split).
+
+    Composition: connected components over the pair graph (isolated docs
+    are their own singleton cluster) -> deterministic hash split on the
+    component id. Same shuffle budget as dedup_clusters plus a projection.
+    """
+    from codd_spark.operators.graph import connected_components
+
+    cc = connected_components(pairs, nodes=docs.select(id_col), node_col=id_col)
+    labeled = docs.join(
+        cc.hint("shuffle_merge").select(
+            F.col("id").alias(id_col), F.col("component").alias("cluster_id")
+        ),
+        on=id_col,
+    )
+    return train_val_test_split(
+        labeled, "cluster_id", val_pct=val_pct, test_pct=test_pct,
+        salt=salt, hasher=hasher,
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    *,
+    z_max: float = 3.5,
+    out_col: str = "is_outlier",
+) -> DataFrame:
+    """Median/MAD robust outlier flag — the data-cleaning filter that
+    mean/stddev z-scores cannot be: one wild value inflates the stddev
+    until nothing is an outlier (masking), while the median and the
+    median-absolute-deviation have a 50% breakdown point.
+
+    Flags rows with modified z-score |0.6745·(x - median) / MAD| > z_max
+    (the standard Iglewicz-Hoaglin form). EXACT medians via two grouped
+    ``percentile`` passes (each a key-partitioned aggregate with partial
+    combine — two exchanges total; swap in ``percentile_approx`` at
+    true scale for one-pass sketching). MAD = 0 (over half the group
+    identical) flags nothing — every deviation is then infinite-z by the
+    formula, which misreads discrete-valued groups.
+    """
+    gkeys = keys or []
+    # the stats tables are one row per key group: join strategy is left
+    # to AQE's size gate (auto-broadcast when small, shuffle when the key
+    # cardinality grows with the corpus) — never force-broadcast a table
+    # whose size scales with the data
+    med = (
+        df.groupBy(*gkeys).agg(F.percentile(value_col, F.lit(0.5)).alias("__med"))
+        if gkeys
+        else df.agg(F.percentile(value_col, F.lit(0.5)).alias("__med"))
+    )
+    joined = df.join(med, on=gkeys) if gkeys else df.crossJoin(F.broadcast(med))
+    dev = joined.withColumn("__adev", F.abs(F.col(value_col) - F.col("__med")))
+    mad = (
+        dev.groupBy(*gkeys).agg(F.percentile("__adev", F.lit(0.5)).alias("__mad"))
+        if gkeys
+        else dev.agg(F.percentile("__adev", F.lit(0.5)).alias("__mad"))
+    )
+    scored = dev.join(mad, on=gkeys) if gkeys else dev.crossJoin(F.broadcast(mad))
+    z = F.lit(0.6745) * (F.col(value_col) - F.col("__med")) / F.col("__mad")
+    return scored.withColumn(
+        out_col,
+        F.when(F.col("__mad") > 0, F.abs(z) > F.lit(z_max)).otherwise(F.lit(False)),
+    ).drop("__adev")
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -254,3 +254,43 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
     rows = spark.read.parquet(files[0]).collect()
     orders = [r["shuffle_order"] for r in rows]
     assert orders == sorted(orders)
+
+
+def test_cluster_safe_split_no_leakage(spark):
+    """Every member of a near-dup cluster must land in the same split —
+    the property doc-id hashing violates."""
+    from codd_spark.operators.pipeline import cluster_safe_split
+
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in range(40)],
+                                 "doc_id long, text string")
+    # chain 0-1-2 into one cluster, 10-11 into another
+    pairs = spark.createDataFrame(
+        [(0, 1, 0.9), (1, 2, 0.9), (10, 11, 0.8)],
+        "id_a long, id_b long, jaccard double",
+    )
+    out = cluster_safe_split(docs, pairs, val_pct=30, test_pct=30, salt=3)
+    rows = {r.doc_id: (r.cluster_id, r.split) for r in out.collect()}
+    assert len(rows) == 40
+    assert rows[0] == rows[1] == rows[2] == (0, rows[0][1])
+    assert rows[10] == rows[11] == (10, rows[10][1])
+    # splits per cluster are single-valued by construction
+    by_cluster = {}
+    for cid, split in rows.values():
+        by_cluster.setdefault(cid, set()).add(split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # all three splits are populated at 40/30/30 over 37 clusters
+    assert {s for _, s in rows.values()} == {"train", "val", "test"}
+
+
+def test_robust_outliers_flags_and_mad_zero(spark):
+    from codd_spark.operators.pipeline import robust_outliers
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in [10, 11, 9, 10, 12, 10, 11, 1000]]
+        + [("b", 5.0)] * 6,  # MAD = 0 group: nothing flagged
+        "g string, value double",
+    )
+    out = {(r.g, r.value): r.is_outlier for r in
+           robust_outliers(df, "value", ["g"], z_max=3.5).collect()}
+    assert out[("a", 1000.0)] is True
+    assert not any(flag for (g, v), flag in out.items() if v != 1000.0)
