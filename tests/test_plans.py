@@ -214,3 +214,45 @@ def test_repetition_stats_partial_counts(spark):
     plan = plan_of(spark, "doc_repetition_stats")
     assert "partial_count" in plan
     assert "Generate explode" in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime row-level filtering (the 100 TB fact-fact join saver): when
+    one join side is selectively filtered, Catalyst should inject a bloom
+    filter built from the filtered side into the probe side's scan, so
+    most probe rows die before the shuffle. Verify the injection AND that
+    results are identical with the feature off."""
+    from pyspark.sql import functions as F
+
+    from codd_spark.sources.readers import read_table
+
+    confs = {
+        # thresholds sized so sf0.001 qualifies; defaults only fire at
+        # real scan sizes (10 GB probe side)
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = read_table(spark, "/root/testdata/sf0.001", "lineitem")
+        od = read_table(spark, "/root/testdata/sf0.001", "orders").filter(
+            "o_totalprice > 400000"
+        )
+        j = li.join(od, li.l_orderkey == od.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_totalprice"
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+        with_filter = sorted(map(tuple, j.collect()))
+
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        plain = li.join(od, li.l_orderkey == od.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_totalprice"
+        )
+        assert sorted(map(tuple, plain.collect())) == with_filter
+    finally:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -33,6 +33,10 @@ PICK = {
     "boilerplate_ngrams": "Cross-doc boilerplate: array_distinct BEFORE the explode (per-doc dedup costs no shuffle), one ngram-keyed partial-agg exchange, 1-row total broadcast.",
     "unigram_surprisal": "Unigram surprisal: token rows join the vocab-keyed frequency table via SortMergeJoin; per-doc aggregate with map-side combine.",
     "embedding_centroids": "Group centroids: posexplode then ONE (group, dim)-keyed aggregate with partial agg — shuffle width #groups x dim, independent of corpus size.",
+    "decontaminate_containment": "Containment decontamination: both sides explode to (xxhash64(gram), id) rows and meet in ONE shuffle equi-join + count aggregate — no all-pairs stage, cost bounded by true overlap.",
+    "ngram_jaccard": "Bounded-subset exact Jaccard: the theta-join's streamed side is explicitly repartitioned so the nested-loop compare spreads across cores (a single-partition subset otherwise serializes all |n|^2/2 comparisons onto one task).",
+    "sq_codes": "Scalar quantization: per-dim min/max folded into the encode expression as literals — the scan is a pure projection (no join against a stats table), codes computed in whole-stage codegen.",
+    "frame_sample": "APNG frame walk: synthesis ids repartitioned before mapInPandas so the CPU-bound Python decode runs on every core; Arrow-batched, bounded memory per batch.",
 }
 
 
