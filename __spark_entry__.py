@@ -1594,6 +1594,22 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(docs, pairs, "doc_id")
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Span-level dedup signal (the substring method of 'Deduplicating
+    Training Data Makes Language Models Better'): maximal token regions
+    whose every 5-token window repeats >= 2 times across the corpus —
+    the repeated PASSAGE inside an otherwise-unique document, which
+    doc-level near-dup mining cannot see. Corpus-linear: windows travel
+    as xxhash64 longs through one count aggregate; no pairwise stage.
+    The oracle replays window extraction, repeat counting and the
+    gaps-and-islands span merge in SQL (grams compared as strings —
+    hash-function-free, so the position sets match exactly)."""
+    from codd_spark.operators.dedup import duplicate_spans
+
+    docs = read_table(spark, sf_dir, "documents").filter("doc_id < 400")
+    return duplicate_spans(docs, "doc_id", "text", k=5, min_count=2)
+
+
 def q_cluster_safe_split(spark, sf_dir):
     """Leakage-safe train/val/test split: hash the near-dup CLUSTER id,
     not the doc id, so a document and its near-duplicate can never land
@@ -2236,6 +2252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "sq_codes": q_sq_codes,
         "ann_sq_topk": q_ann_sq_topk,
+        "duplicate_spans": q_duplicate_spans,
         "cluster_safe_split": q_cluster_safe_split,
         "robust_outliers": q_robust_outliers,
         "training_shards": q_training_shards,
@@ -3212,6 +3229,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT cc.id AS doc_id, cc.comp AS cluster_id, sizes.cluster_size,
                    cc.id = cc.comp AS is_keeper
             FROM cc JOIN sizes ON cc.comp = sizes.comp
+        """,
+        "duplicate_spans": """
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS s
+              FROM documents WHERE doc_id < 400
+            ), w AS (
+              SELECT doc_id, x.i AS pos,
+                     array_to_string(list_slice(s, x.i, x.i + 4), ' ') AS gram
+              FROM t, (SELECT UNNEST(range(1, len(s) - 3)) AS i) x
+            ), rep AS (
+              SELECT gram FROM w GROUP BY gram HAVING COUNT(*) >= 2
+            ), f AS (
+              SELECT w.doc_id, w.pos FROM w JOIN rep USING (gram)
+            ), isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+                          THEN 0 ELSE 1 END AS brk
+              FROM f
+            ), sp AS (
+              SELECT doc_id, pos,
+                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS span
+              FROM isl
+            )
+            SELECT doc_id, MIN(pos) AS span_start,
+                   MAX(pos) + 4 AS span_end, COUNT(*) AS n_windows
+            FROM sp GROUP BY doc_id, span
         """,
         "cluster_safe_split": """
             WITH RECURSIVE g AS (

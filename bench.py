@@ -83,6 +83,9 @@ BENCH_QUERIES = [
     "frame_sample",             # real APNG video-frame walk (mapInPandas)
     "decontaminate_containment",  # verbatim n-gram hits (hashed-gram join)
     "ann_sq_topk",              # scalar-quantized ANN + exact rerank
+    "duplicate_spans",          # span-level substring dedup (corpus-linear)
+    "cluster_safe_split",       # leakage-safe cluster-aware split
+    "robust_outliers",          # median/MAD modified z-score
 ]
 
 

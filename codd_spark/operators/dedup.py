@@ -742,6 +742,85 @@ def ngram_containment_matches(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Repeated-substring spans: contiguous token regions whose every
+    k-token window occurs >= ``min_count`` times across the corpus —
+    the span-level dedup signal (remove the repeated PASSAGE, keep the
+    document) that doc-level near-dup mining cannot produce. Boilerplate
+    headers, license blocks and templated paragraphs are repeated spans
+    inside otherwise-unique documents.
+
+    Returns (id, span_start, span_end, n_windows): token positions
+    (1-based, inclusive) of each maximal merged span plus how many
+    flagged windows it absorbed.
+
+    Scale shape: one posexplode to (id, pos, window-hash) rows — linear
+    in corpus tokens, windows travel as xxhash64 longs; ONE hash-keyed
+    count aggregate (map-side partials) finds repeated windows; a
+    shuffle-pinned join flags positions; per-doc gaps-and-islands (one
+    window over the id partition) merges overlapping [pos, pos+k) into
+    maximal spans. No pairwise stage anywhere — cost is corpus-linear,
+    unlike suffix-array construction, while flagging the same >=k-token
+    verbatim repeats.
+    """
+    from codd_spark.functions.text import tokens
+
+    toked = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks"))
+    n_wins = F.size(F.col("__toks")) - (k - 1)
+    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] — docs
+    # shorter than one window must contribute no rows, not partial hashes
+    positions = F.when(n_wins >= 1, F.sequence(F.lit(1), n_wins)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = toked.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                positions,
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("__toks"), i, k))),
+            )
+        ).alias("pos0", "h"),
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "h")
+
+    repeated = (
+        wins.groupBy("h").agg(F.count("*").alias("__c")).filter(F.col("__c") >= min_count)
+    )
+    flagged = wins.join(repeated.hint("shuffle_merge").select("h"), on="h").select(
+        "id", "pos"
+    )
+
+    w = Window.partitionBy("id").orderBy("pos")
+    spans = (
+        flagged.withColumn(
+            "__brk",
+            F.when(
+                F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("__span", F.sum("__brk").over(
+            Window.partitionBy("id").orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+        .groupBy("id", "__span")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(
+            F.col("id").alias(id_col), "span_start", "span_end", "n_windows"
+        )
+    )
+    return spans
+
+
 def decontaminate(
     corpus: DataFrame,
     contaminants: DataFrame,

@@ -636,3 +636,30 @@ def test_sq_quantization_roundtrip_and_topk(spark, embeddings):
     # exact rerank returns true cosine ordering over the candidate set
     rer = sq_top_k(encoded, scales, queries, k=3, rerank=embeddings).collect()
     assert rer[0].neighbor_id == 1 and rer[0].sim > 0.999
+
+
+def test_duplicate_spans(spark):
+    """Span-level dedup: a repeated 6-token passage inside two otherwise
+    different documents must surface as one merged span per document,
+    positioned exactly; unique text and sub-window docs yield nothing."""
+    from codd_spark.operators.dedup import duplicate_spans
+
+    boiler = "this license text is repeated verbatim"  # 6 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"unique alpha words {boiler} more unique beta words"),
+            (2, f"{boiler} totally different trailing content here"),
+            (3, "nothing repeated in this document at all whatsoever"),
+            (4, "tiny"),  # shorter than one window
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.span_start, r.span_end, r.n_windows)
+        for r in duplicate_spans(df, "doc_id", "text", k=5, min_count=2).collect()
+    }
+    # doc 1: boiler occupies tokens 4..9 -> windows at pos 4,5 (k=5) ->
+    # merged span [4, 9] with 2 windows; doc 2: tokens 1..6 -> span [1, 6]
+    assert out[1] == (4, 9, 2)
+    assert out[2] == (1, 6, 2)
+    assert 3 not in out and 4 not in out
