@@ -1,0 +1,131 @@
+"""End-to-end training-data pipeline: the composition a real user runs.
+
+documents -> quality/language filter -> exact dedup -> near-dup removal
+-> benchmark decontamination -> span-level boilerplate flagging ->
+leakage-safe split -> context-window chunking -> packed-layout
+assignment -> deterministic shard export order.
+
+Each stage is covered by its own unit/oracle tests; THIS file asserts the
+stages compose: schemas line up, invariants hold across stage boundaries,
+and the whole flow is deterministic end-to-end (two runs, identical
+results — the property that makes a 100 TB pipeline re-runnable after a
+partial failure).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+WINDOW = 64
+
+
+@pytest.fixture(scope="module")
+def flow(spark):
+    def run():
+        from codd_spark.operators.dedup import (
+            decontaminate,
+            duplicate_spans,
+            ngram_jaccard_pairs,
+        )
+        from codd_spark.operators.pipeline import (
+            chunk_documents,
+            cluster_safe_split,
+            curate_corpus,
+            pack_sequences,
+            shuffle_shards,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        n_raw = docs.count()
+
+        curated = curate_corpus(
+            docs, keep_langs=("en", "de", "fr", "es", "und"), min_quality=0.0,
+            near_dup_threshold=0.5,
+        )
+        evalset = docs.filter("doc_id >= 450")
+        train_pool = curated.filter("doc_id < 450")
+        clean = decontaminate(train_pool, evalset, threshold=0.5, method="exact", n=3)
+
+        spans = duplicate_spans(clean, "doc_id", "text", k=5, min_count=2)
+
+        pairs = ngram_jaccard_pairs(clean, "doc_id", "text", n=3, threshold=0.3)
+        split = cluster_safe_split(clean, pairs, val_pct=10, test_pct=10, salt=1)
+
+        train = split.filter("split = 'train'")
+        chunks = chunk_documents(train, chunk_tokens=32, overlap=4)
+        # packing needs one row per unit with a unique id + token count
+        units = chunks.select(
+            (F.col("doc_id") * 10000 + F.col("chunk_idx")).alias("unit_id"),
+            "n_tokens",
+        )
+        packed = pack_sequences(units, "unit_id", "n_tokens",
+                                window=WINDOW, n_shards=4)
+        sharded = shuffle_shards(train, 4, "doc_id", salt=2)
+        return n_raw, clean, spans, split, train, chunks, packed, sharded
+
+    return run
+
+
+def test_pipeline_composes_with_invariants(spark, flow):
+    n_raw, clean, spans, split, train, chunks, packed, sharded = flow()
+
+    n_clean = clean.count()
+    assert 0 < n_clean < n_raw  # filters and dedup actually removed rows
+
+    # spans refer only to surviving documents and have sane geometry
+    bad = spans.join(clean.select("doc_id"), on="doc_id", how="left_anti")
+    assert bad.count() == 0
+    assert spans.filter("span_start < 1 OR span_end < span_start").count() == 0
+
+    # split covers every clean doc exactly once; no cluster leaks
+    assert split.count() == n_clean
+    leak = (
+        split.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter("k > 1")
+        .count()
+    )
+    assert leak == 0
+
+    # chunking conserves membership: every train doc appears; every
+    # chunk's parent is a train doc
+    orphan = chunks.join(train.select("doc_id"), on="doc_id", how="left_anti")
+    assert orphan.count() == 0
+    n_train = train.count()
+    assert chunks.select("doc_id").distinct().count() == n_train
+
+    # packed layout covers every chunk once with in-window offsets
+    n_chunks = chunks.count()
+    assert packed.count() == n_chunks
+    assert packed.filter(f"offset_tokens < 0 OR offset_tokens >= {WINDOW}").count() == 0
+    assert packed.select("shard").distinct().count() == 4
+
+    # sharding covers train exactly, all 4 shards populated
+    assert sharded.count() == n_train
+    assert sharded.select("shard").distinct().count() == 4
+
+
+def test_pipeline_is_deterministic(spark, flow):
+    """Two full runs produce identical splits, chunks, pack layout and
+    shard assignments — no RNG, no timestamp, no partition-order
+    dependence."""
+    _, clean1, _, split1, _, chunks1, packed1, sharded1 = flow()
+    _, clean2, _, split2, _, chunks2, packed2, sharded2 = flow()
+
+    def canon(df, cols):
+        return sorted(map(tuple, df.select(*cols).collect()))
+
+    assert canon(clean1, ["doc_id"]) == canon(clean2, ["doc_id"])
+    assert canon(split1, ["doc_id", "cluster_id", "split"]) == canon(
+        split2, ["doc_id", "cluster_id", "split"]
+    )
+    assert canon(chunks1, ["doc_id", "chunk_idx", "n_tokens"]) == canon(
+        chunks2, ["doc_id", "chunk_idx", "n_tokens"]
+    )
+    assert canon(packed1, ["unit_id", "shard", "pack_id", "offset_tokens"]) == canon(
+        packed2, ["unit_id", "shard", "pack_id", "offset_tokens"]
+    )
+    assert canon(sharded1, ["doc_id", "shard", "shuffle_order"]) == canon(
+        sharded2, ["doc_id", "shard", "shuffle_order"]
+    )
