@@ -1610,6 +1610,22 @@ def q_duplicate_spans(spark, sf_dir):
     return duplicate_spans(docs, "doc_id", "text", k=5, min_count=2)
 
 
+def q_remove_spans(spark, sf_dir):
+    """The removal half of span-level dedup: cut every flagged repeated
+    span (duplicate_spans, k=5, min_count=2) out of its document and
+    return the cleaned text — hash-compared against DuckDB rebuilding
+    the same strings from the same kept token positions, so the contract
+    pins the edit itself, not just the counts. Span-free documents pass
+    through byte-identical."""
+    from codd_spark.operators.dedup import duplicate_spans, remove_spans
+
+    docs = read_table(spark, sf_dir, "documents").filter("doc_id < 400")
+    spans = duplicate_spans(docs, "doc_id", "text", k=5, min_count=2)
+    return remove_spans(docs, spans).select(
+        "doc_id", "cleaned_text", "n_tokens_orig", "n_tokens_kept"
+    )
+
+
 def q_cluster_safe_split(spark, sf_dir):
     """Leakage-safe train/val/test split: hash the near-dup CLUSTER id,
     not the doc id, so a document and its near-duplicate can never land
@@ -2253,6 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_codes": q_sq_codes,
         "ann_sq_topk": q_ann_sq_topk,
         "duplicate_spans": q_duplicate_spans,
+        "remove_spans": q_remove_spans,
         "cluster_safe_split": q_cluster_safe_split,
         "robust_outliers": q_robust_outliers,
         "training_shards": q_training_shards,
@@ -3256,6 +3273,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, MIN(pos) AS span_start,
                    MAX(pos) + 4 AS span_end, COUNT(*) AS n_windows
             FROM sp GROUP BY doc_id, span
+        """,
+        "remove_spans": """
+            WITH t AS (
+              SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS s
+              FROM documents WHERE doc_id < 400
+            ), w AS (
+              SELECT doc_id, x.i AS pos,
+                     array_to_string(list_slice(s, x.i, x.i + 4), ' ') AS gram
+              FROM t, (SELECT UNNEST(range(1, len(s) - 3)) AS i) x
+            ), rep AS (
+              SELECT gram FROM w GROUP BY gram HAVING COUNT(*) >= 2
+            ), f AS (
+              SELECT w.doc_id, w.pos FROM w JOIN rep USING (gram)
+            ), isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+                          THEN 0 ELSE 1 END AS brk
+              FROM f
+            ), sp AS (
+              SELECT doc_id, pos,
+                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS span
+              FROM isl
+            ), spans AS (
+              SELECT doc_id, MIN(pos) AS s0, MAX(pos) + 4 AS e0
+              FROM sp GROUP BY doc_id, span
+            ), spl AS (
+              SELECT doc_id, list({'s': s0, 'e': e0}) AS sps
+              FROM spans GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   -- COALESCE: array_to_string over an empty kept list is
+                   -- NULL in DuckDB; Spark's concat_ws gives '' (a fully
+                   -- removed document becomes the empty string)
+                   CASE WHEN spl.sps IS NULL THEN t.text
+                        ELSE COALESCE(array_to_string(list_transform(
+                               list_filter(range(1, len(t.s) + 1),
+                                 i -> len(list_filter(spl.sps,
+                                        sp -> i BETWEEN sp.s AND sp.e)) = 0),
+                               i -> t.s[i]), ' '), '')
+                   END AS cleaned_text,
+                   len(t.s) AS n_tokens_orig,
+                   CASE WHEN spl.sps IS NULL THEN len(t.s)
+                        ELSE len(list_filter(range(1, len(t.s) + 1),
+                               i -> len(list_filter(spl.sps,
+                                      sp -> i BETWEEN sp.s AND sp.e)) = 0))
+                   END AS n_tokens_kept
+            FROM t LEFT JOIN spl USING (doc_id)
         """,
         "cluster_safe_split": """
             WITH RECURSIVE g AS (

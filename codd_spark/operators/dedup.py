@@ -821,6 +821,65 @@ def duplicate_spans(
     return spans
 
 
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "cleaned_text",
+) -> DataFrame:
+    """Cut flagged token spans out of each document — the removal half of
+    span-level dedup (``duplicate_spans`` flags, this removes; keep both
+    steps separate so a pipeline can audit what it deletes).
+
+    ``spans`` is (id, span_start, span_end) with 1-based inclusive token
+    positions. Returns the input plus (cleaned_text, n_tokens_orig,
+    n_tokens_kept). Documents with no spans pass through verbatim
+    (including their original whitespace); documents with spans are
+    rebuilt from the kept tokens, whitespace-normalized.
+
+    Pure expression plan: spans aggregate to one array per doc (sizes are
+    bounded by doc length / k, so the per-row array is small), one left
+    join, then a token-position filter via nested higher-order functions
+    — no Python, no explode of the token stream.
+    """
+    from codd_spark.functions.text import tokens
+
+    agg = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    joined = df.join(agg.hint("shuffle_merge"), on=id_col, how="left")
+    toks = tokens(F.col(text_col))
+    positions = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)))
+    kept = F.filter(
+        positions,
+        lambda i: ~F.exists(
+            F.coalesce(F.col("__spans"), F.array()),
+            lambda sp: (i >= sp["span_start"]) & (i <= sp["span_end"]),
+        ),
+    )
+    staged = joined.withColumn("__toks", toks).withColumn("__kept", kept)
+    cleaned = F.when(
+        F.col("__spans").isNull(), F.col(text_col)
+    ).otherwise(
+        F.concat_ws(
+            " ",
+            F.transform(F.col("__kept"), lambda i: F.element_at(F.col("__toks"), i)),
+        )
+    )
+    return (
+        staged.withColumn(out_col, cleaned)
+        .withColumn("n_tokens_orig", F.size(F.col("__toks")))
+        .withColumn(
+            "n_tokens_kept",
+            F.when(F.col("__spans").isNull(), F.size(F.col("__toks"))).otherwise(
+                F.size(F.col("__kept"))
+            ),
+        )
+        .drop("__spans", "__toks", "__kept")
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     contaminants: DataFrame,

@@ -663,3 +663,26 @@ def test_duplicate_spans(spark):
     assert out[1] == (4, 9, 2)
     assert out[2] == (1, 6, 2)
     assert 3 not in out and 4 not in out
+
+
+def test_remove_spans(spark):
+    """remove_spans cuts exactly the flagged token ranges; span-free docs
+    pass through byte-identical (original whitespace preserved)."""
+    from codd_spark.operators.dedup import duplicate_spans, remove_spans
+
+    boiler = "this license text is repeated verbatim"
+    df = spark.createDataFrame(
+        [
+            (1, f"unique alpha words {boiler} more unique beta words"),
+            (2, f"{boiler} totally different trailing content here"),
+            (3, "untouched  doc   with odd   spacing"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicate_spans(df, "doc_id", "text", k=5, min_count=2)
+    out = {r.doc_id: r for r in remove_spans(df, spans).collect()}
+    assert out[1].cleaned_text == "unique alpha words more unique beta words"
+    assert out[2].cleaned_text == "totally different trailing content here"
+    assert out[3].cleaned_text == "untouched  doc   with odd   spacing"
+    assert out[1].n_tokens_orig == 13 and out[1].n_tokens_kept == 7
+    assert out[2].n_tokens_kept == out[2].n_tokens_orig - 6
