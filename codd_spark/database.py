@@ -239,6 +239,17 @@ class Database:
 
         return dsl.execute(self, command)
 
+    def to_sql(self, expr: ast.Expression) -> str:
+        """Render an expression to ANSI SQL against this catalog's
+        relation names — the catalog supplies the relation schemas the
+        renderer needs for schema-dependent nodes (AsofJoin's
+        collision-rename rule). SQL-string-spec expressions only; see
+        plans/to_sql.py."""
+        from codd_spark.plans.to_sql import to_sql as _render
+
+        schemas = {name: entry.df.columns for name, entry in self._relations.items()}
+        return _render(expr, schemas)
+
     # -- views -----------------------------------------------------------
     def store_view(self, expr: ast.Expression) -> ViewRef:
         """Materialize a view; it stays consistent as base relations grow.

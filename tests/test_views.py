@@ -73,3 +73,30 @@ def test_view_duplicate_inserts_ignored(nums):
     v = nums.store_view(Relation("nums").select("n > 0"))
     nums.insert("nums", [(1,), (1,), (9,)])
     assert vals(nums.evaluate(v.scan())) == [1, 2, 3, 9]
+
+
+def test_database_to_sql_renders_with_catalog_schemas(spark, db):
+    """Database.to_sql supplies relation schemas from the catalog, so the
+    schema-dependent AsofJoin node renders without a manual schema dict
+    and the rendered SQL agrees with the engine's evaluation via DuckDB."""
+    import duckdb
+    import pandas as pd
+
+    from codd_spark.plans.ast import Relation
+
+    lrows = [(1, 10, 5), (1, 20, 6), (2, 15, 7)]
+    rrows = [(1, 9, 100), (1, 15, 200), (2, 1, 300)]
+    db.register("tosql_l", spark.createDataFrame(lrows, "k LONG, lts LONG, v LONG"), replace=True)
+    db.register("tosql_r", spark.createDataFrame(rrows, "k LONG, rts LONG, v LONG"), replace=True)
+    expr = Relation("tosql_l").asof_join(Relation("tosql_r"), ["k"], "lts", "rts")
+    sql = db.to_sql(expr)
+
+    got = sorted(tuple(r) for r in db.evaluate(expr))
+    con = duckdb.connect()
+    con.register("tosql_l", pd.DataFrame(lrows, columns=["k", "lts", "v"]))
+    con.register("tosql_r", pd.DataFrame(rrows, columns=["k", "rts", "v"]))
+    want = sorted(
+        tuple(r)
+        for r in con.execute(f"SELECT DISTINCT * FROM ({sql})").fetchall()
+    )
+    assert got == want
