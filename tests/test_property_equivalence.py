@@ -29,6 +29,24 @@ JOIN_KEYS = [(["n"], ["n"]), (["n % 3", "n % 2"], ["n % 3", "n % 2"])]
 OUTER_MAPPERS = [["coalesce(l.n, r.n) AS n"], ["coalesce(l.n, 0) + coalesce(r.n, 0) AS n"]]
 
 
+def _asof_wrap(child):
+    """AsofJoin composed into the single-column grammar: attach the latest
+    t_b value <= n (global, keyless), then fold it back into one LONG n.
+    Tie-safety: the attached payload IS the as-of key itself, so equal-ts
+    ties pick identical values in every engine."""
+    right = ast.Project(ast.Relation("t_b"), ["n AS m"])
+    aj = child.asof_join(right, [], "n", "m")
+    return ast.Project(aj, ["n + coalesce(m, 0) AS n"])
+
+
+def _range_wrap(child):
+    """Keyless RangeJoin composed into the grammar: points fall into
+    [lo, lo+3] bands built from t_b, folded back into one LONG n."""
+    right = ast.Project(ast.Relation("t_b"), ["n AS lo", "n + 3 AS hi"])
+    rj = child.range_join(right, "n", "lo", "hi", bucket_width=2.0)
+    return ast.Project(rj, ["n + lo + hi AS n"])
+
+
 def exprs():
     # leaves include the constant relations, so random trees exercise
     # Empty/Singleton composition (e.g. Union(Select(t_a), Singleton))
@@ -46,6 +64,8 @@ def exprs():
         unary = st.one_of(
             st.builds(ast.Select, children, st.sampled_from(PREDICATES)),
             st.builds(ast.Project, children, st.sampled_from(PROJECTIONS)),
+            st.builds(_asof_wrap, children),
+            st.builds(_range_wrap, children),
         )
         binary = st.one_of(
             st.builds(ast.Union, children, children),
@@ -90,6 +110,9 @@ def setup(spark):
     return db, con
 
 
+SCHEMAS = {"t_a": ["n"], "t_b": ["n"]}
+
+
 @settings(
     max_examples=110,
     deadline=None,
@@ -101,9 +124,9 @@ def test_random_expression_matches_duckdb(setup, expr):
     got = [r.n for r in db.evaluate(expr)]
     # NULLS FIRST matches Spark's ascending null ordering (outer joins can
     # produce null n even though the base tables are null-free)
-    sql = f"SELECT DISTINCT * FROM ({to_sql(expr)}) ORDER BY n NULLS FIRST"
+    sql = f"SELECT DISTINCT * FROM ({to_sql(expr, SCHEMAS)}) ORDER BY n NULLS FIRST"
     want = [r[0] for r in con.execute(sql).fetchall()]
-    assert got == want, f"divergence for {to_sql(expr)}"
+    assert got == want, f"divergence for {to_sql(expr, SCHEMAS)}"
 
 
 KEYS = [0, 1, 2]
