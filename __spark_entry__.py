@@ -1594,6 +1594,18 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(docs, pairs, "doc_id")
 
 
+def q_dedup_exact_best(spark, sf_dir):
+    """Exact dedup with a score-aware keeper: among byte-identical copies
+    keep the LONGEST document (ties to the smaller id) — duplicates often
+    differ in metadata, and "keep any copy" throws that signal away.
+    Still one aggregate: argmax as MAX over (score, -id) structs, no
+    window, no join-back; the oracle replays it as a ROW_NUMBER pick."""
+    from codd_spark.operators.dedup import dedup_exact
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_exact(docs, "text", "doc_id", score_col="n_chars")
+
+
 def q_duplicate_spans(spark, sf_dir):
     """Span-level dedup signal (the substring method of 'Deduplicating
     Training Data Makes Language Models Better'): maximal token regions
@@ -2268,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "sq_codes": q_sq_codes,
         "ann_sq_topk": q_ann_sq_topk,
+        "dedup_exact_best": q_dedup_exact_best,
         "duplicate_spans": q_duplicate_spans,
         "remove_spans": q_remove_spans,
         "cluster_safe_split": q_cluster_safe_split,
@@ -3246,6 +3259,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT cc.id AS doc_id, cc.comp AS cluster_id, sizes.cluster_size,
                    cc.id = cc.comp AS is_keeper
             FROM cc JOIN sizes ON cc.comp = sizes.comp
+        """,
+        "dedup_exact_best": """
+            WITH f AS (
+              SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                     doc_id, n_chars
+              FROM documents
+            ), ranked AS (
+              SELECT fp, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY fp
+                                        ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                     COUNT(*) OVER (PARTITION BY fp) AS c
+              FROM f
+            )
+            SELECT fp, doc_id AS keeper, c AS n_copies
+            FROM ranked WHERE rn = 1
         """,
         "duplicate_spans": """
             WITH t AS (

@@ -158,16 +158,33 @@ def jaccard(a: Column, b: Column) -> Column:
 # exact dedup
 # ---------------------------------------------------------------------------
 
-def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def dedup_exact(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    score_col: str | None = None,
+) -> DataFrame:
     """Exact content dedup: one row per normalized-content fingerprint,
     keeping the minimum id (deterministic keeper). One partial-aggregated
-    shuffle on the fingerprint."""
+    shuffle on the fingerprint.
+
+    With ``score_col``, the keeper is the HIGHEST-scoring copy instead
+    (ties break to the smaller id, so the choice stays deterministic) —
+    the common curation need: duplicates often differ in metadata
+    (source reputation, fetch recency, quality score), and "keep any
+    copy" throws that signal away. Still one aggregate: an argmax via
+    MAX over (score, -id) structs — no window, no join-back."""
     from codd_spark.functions.text import fingerprint_md5
 
-    return (
-        df.withColumn("fp", fingerprint_md5(F.col(text_col)))
-        .groupBy("fp")
-        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_copies"))
+    fp = df.withColumn("fp", fingerprint_md5(F.col(text_col)))
+    if score_col is None:
+        return fp.groupBy("fp").agg(
+            F.min(id_col).alias("keeper"), F.count("*").alias("n_copies")
+        )
+    best = F.max(F.struct(F.col(score_col).alias("s"), (-F.col(id_col)).alias("nid")))
+    return fp.groupBy("fp").agg(
+        (-best["nid"]).cast("long").alias("keeper"),
+        F.count("*").alias("n_copies"),
     )
 
 

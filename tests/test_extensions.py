@@ -686,3 +686,25 @@ def test_remove_spans(spark):
     assert out[3].cleaned_text == "untouched  doc   with odd   spacing"
     assert out[1].n_tokens_orig == 13 and out[1].n_tokens_kept == 7
     assert out[2].n_tokens_kept == out[2].n_tokens_orig - 6
+
+
+def test_dedup_exact_best_keeper(spark):
+    """score_col keeper: highest score wins, ties break to the smaller id,
+    and the default min-id behavior is unchanged."""
+    from codd_spark.operators.dedup import dedup_exact
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text", 5.0),
+            (2, "same text", 9.0),   # highest score -> keeper
+            (3, "same text", 9.0),   # tie: loses to smaller id 2
+            (4, "other", 1.0),
+        ],
+        "doc_id long, text string, score double",
+    )
+    best = {r.keeper: r.n_copies for r in
+            dedup_exact(df, "text", "doc_id", score_col="score").collect()}
+    assert best == {2: 3, 4: 1}
+    default = {r.keeper: r.n_copies for r in
+               dedup_exact(df, "text", "doc_id").collect()}
+    assert default == {1: 3, 4: 1}
