@@ -1594,6 +1594,19 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(docs, pairs, "doc_id")
 
 
+def q_bm25_search(spark, sf_dir):
+    """BM25 lexical retrieval over the corpus — the sparse complement of
+    the ANN family (hybrid retrieval unions both candidate sets). Okapi
+    BM25 with +1-smoothed idf; document frequencies computed only for the
+    query terms (no vocabulary-sized table), top-k via
+    TakeOrderedAndProject, deterministic rounded-score/id tiebreak. The
+    oracle replays the exact formula in SQL."""
+    from codd_spark.operators.text import bm25_top_k
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bm25_top_k(docs, ["spark", "query", "join"], k=10)
+
+
 def q_dedup_exact_best(spark, sf_dir):
     """Exact dedup with a score-aware keeper: among byte-identical copies
     keep the LONGEST document (ties to the smaller id) — duplicates often
@@ -2280,6 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "sq_codes": q_sq_codes,
         "ann_sq_topk": q_ann_sq_topk,
+        "bm25_search": q_bm25_search,
         "dedup_exact_best": q_dedup_exact_best,
         "duplicate_spans": q_duplicate_spans,
         "remove_spans": q_remove_spans,
@@ -3259,6 +3273,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT cc.id AS doc_id, cc.comp AS cluster_id, sizes.cluster_size,
                    cc.id = cc.comp AS is_keeper
             FROM cc JOIN sizes ON cc.comp = sizes.comp
+        """,
+        "bm25_search": """
+            WITH toked AS (
+              SELECT doc_id,
+                     list_transform(string_split_regex(trim(text), '\\s+'),
+                                    t -> lower(t)) AS toks
+              FROM documents
+            ), lens AS (
+              SELECT doc_id, len(toks) AS dl FROM toked
+            ), stats AS (
+              SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens
+            ), tr AS (
+              SELECT doc_id, UNNEST(toks) AS term FROM toked
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM tr
+              WHERE term IN ('spark', 'query', 'join')
+              GROUP BY doc_id, term
+            ), dfq AS (
+              SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            ), sc AS (
+              SELECT tf.doc_id,
+                     LN(1 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                     * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / stats.avgdl)) AS part
+              FROM tf
+              JOIN dfq USING (term)
+              JOIN lens USING (doc_id)
+              CROSS JOIN stats
+            ), agg AS (
+              SELECT doc_id, ROUND(SUM(part), 6) AS bm25,
+                     COUNT(*) AS n_matched_terms
+              FROM sc GROUP BY doc_id
+            )
+            SELECT doc_id, bm25, n_matched_terms,
+                   ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+            FROM agg
+            ORDER BY bm25 DESC, doc_id ASC
+            LIMIT 10
         """,
         "dedup_exact_best": """
             WITH f AS (

@@ -39,6 +39,7 @@ from codd_spark.operators.similarity import (
 )
 from codd_spark.operators.text import (
     add_text_features,
+    bm25_top_k,
     lang_id,
     quality_score,
     winnowing_fingerprints,
@@ -46,6 +47,7 @@ from codd_spark.operators.text import (
 
 __all__ = [
     "add_text_features",
+    "bm25_top_k",
     "brute_force_top_k",
     "chunk_documents",
     "cluster_safe_split",

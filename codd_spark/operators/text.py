@@ -258,6 +258,90 @@ def tf_idf_top_terms(
     )
 
 
+def bm25_top_k(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 lexical retrieval: top-k documents for a bag of query terms —
+    the sparse complement of the dense ANN family (brute/LSH/IVF/PQ/SQ);
+    hybrid retrieval unions both candidate sets and re-scores.
+
+    Okapi BM25 with the standard +1-smoothed idf:
+    score(d) = Σ_t ln(1 + (N - df_t + 0.5)/(df_t + 0.5)) ·
+               tf_td·(k1+1) / (tf_td + k1·(1 − b + b·|d|/avgdl)).
+
+    Shape at scale: tokens explode ONCE; per-doc term frequencies and doc
+    lengths come from one (doc, term) aggregate; document frequencies are
+    computed ONLY for the query terms (the term rows are semi-filtered by
+    the literal query array before the df aggregate, so the vocab-sized
+    table never materializes); N and avgdl are a 1-row broadcast. Final
+    score is one per-doc aggregate + top-k via TakeOrderedAndProject.
+    Ranking uses the ROUNDED score with an id tiebreak so the cut is
+    deterministic across engines.
+    """
+    from pyspark.sql.window import Window
+
+    terms = [t.lower() for t in query_terms]
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    qlit = F.array(*[F.lit(t) for t in terms])
+
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens(F.col(text_col)), F.lower).alias("toks"),
+    )
+    lens = toked.select("id", F.size("toks").alias("dl"))
+    stats = lens.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    term_rows = toked.select("id", F.explode("toks").alias("term")).where(
+        F.array_contains(qlit, F.col("term"))
+    )
+    tf = term_rows.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))  # query-terms only: tiny
+
+    scored = (
+        tf.join(F.broadcast(dfreq), on="term")
+        .join(lens.hint("shuffle_merge"), on="id")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "part",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.round(F.sum("part"), 6).alias("bm25"),
+        F.count("*").alias("n_matched_terms"),
+    )
+    # top-k via orderBy+limit = TakeOrderedAndProject (per-partition heap +
+    # driver merge of k rows) — a global rank window here would funnel
+    # every matched document through one task; the rank is assigned over
+    # the k survivors only
+    topk = per_doc.orderBy(F.desc("bm25"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("bm25"), F.asc("id"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select(F.col("id").alias(id_col), "bm25", "n_matched_terms", "rank")
+    )
+
+
 def boilerplate_ngrams(
     df: DataFrame,
     id_col: str = "doc_id",

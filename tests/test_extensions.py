@@ -708,3 +708,28 @@ def test_dedup_exact_best_keeper(spark):
     default = {r.keeper: r.n_copies for r in
                dedup_exact(df, "text", "doc_id").collect()}
     assert default == {1: 3, 4: 1}
+
+
+def test_bm25_top_k(spark):
+    """BM25 ordering: a doc dense in a rare query term outranks one with
+    a single common-term hit; length normalization penalizes padding;
+    docs without any query term never appear."""
+    from codd_spark.operators.text import bm25_top_k
+
+    filler = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),          # rare term, dense
+            (2, f"spark {filler}"),                   # rare term, diluted
+            (3, "the quick brown fox jumps again"),   # no query terms
+            (4, "query join query"),                  # two terms
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_top_k(df, ["spark", "query", "join"], k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert 3 not in ids
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].bm25 > by_id[2].bm25          # density wins
+    assert by_id[4].n_matched_terms == 2
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
