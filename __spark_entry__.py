@@ -3133,7 +3133,12 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
               FROM t
             )
-            SELECT doc_id, shard, strt // 512 AS pack_id, strt % 512 AS offset_tokens
+            -- DuckDB window SUM over BIGINT yields HUGEINT, which lands in
+            -- pandas as float64 and breaks the driver's dtype-exact value
+            -- hash (5.0 vs 5); cast back to BIGINT to match Spark's LongType.
+            SELECT doc_id, shard,
+                   CAST(strt // 512 AS BIGINT) AS pack_id,
+                   CAST(strt % 512 AS BIGINT) AS offset_tokens
             FROM r
         """,
         "concurrent_orders": """

@@ -167,20 +167,50 @@ def main():
     except Exception as e:  # noqa: BLE001 — emit the line no matter what
         errors["harness"] = f"{type(e).__name__}: {e}"[:500]
 
-    out = {
+    # min across passes per query: robust to host contention (warm can
+    # occasionally be slower than cold on a noisy host)
+    qmin = {
+        n: round(min(v for v in (warm.get(n), cold.get(n)) if v is not None), 3)
+        for n in set(warm) | set(cold)
+    }
+    n_err = len({k for k in errors if not k.startswith("warmup:")})
+    summary = {
         "metric": "total_headline_query_sec",
         "value": round(sum(warm.values()), 3),
         "unit": "sec",
         "queries": warm,
         "value_cold": round(sum(cold.values()), 3),
         "queries_cold": cold,
+        "value_min": round(sum(qmin.values()), 3),
+        "queries_min": qmin,
         "sf": sf,
         "n_ok": len(warm),
-        "n_err": len({k for k in errors if not k.startswith("warmup:")}),
+        "n_err": n_err,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        summary["errors"] = errors
+    # Full per-query detail goes to a file (the one printed line must stay
+    # short: BENCH_r03's single line was so long the driver's tail capture
+    # truncated its head, losing the whole round's headline).
+    try:
+        summary_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SUMMARY.json")
+        with open(summary_path, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    compact = {
+        "metric": "total_headline_query_sec",
+        "value": summary["value"],
+        "unit": "sec",
+        "queries": {n: round(v, 2) for n, v in warm.items()},
+        "value_cold": summary["value_cold"],
+        "value_min": summary["value_min"],
+        "sf": sf,
+        "n_ok": summary["n_ok"],
+        "n_err": n_err,
+    }
+    print(json.dumps(compact))
     if spark is not None:
         spark.stop()
 
