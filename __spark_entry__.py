@@ -1686,8 +1686,8 @@ def q_robust_outliers(spark, sf_dir):
     return flagged.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
-        F.round(F.max("__med"), 6).alias("med"),
-        F.round(F.max("__mad"), 6).alias("mad"),
+        F.round(F.max("med"), 6).alias("med"),
+        F.round(F.max("mad"), 6).alias("mad"),
     )
 
 
@@ -2840,7 +2840,7 @@ def oracle_sql() -> dict[str, str]:
                       GROUP BY doc_id, g)
                 GROUP BY doc_id
             )
-            SELECT t1.doc_id, t1.total AS n_tokens,
+            SELECT t1.doc_id, CAST(t1.total AS BIGINT) AS n_tokens,
                    ROUND(t1.d::DOUBLE / t1.total::DOUBLE, 6) AS distinct_token_ratio,
                    ROUND(t1.top::DOUBLE / t1.total::DOUBLE, 6) AS top_token_frac,
                    CASE WHEN t2.total > 0
@@ -3438,7 +3438,7 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < 90 THEN 'val'
                         ELSE 'test' END AS split,
                    COUNT(*) AS n_docs,
-                   SUM(id) AS id_sum,
+                   CAST(SUM(id) AS BIGINT) AS id_sum,
                    COUNT(DISTINCT comp) AS n_clusters
             FROM assigned
             GROUP BY 1
@@ -3455,9 +3455,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT dev.event_type,
                    COUNT(*) AS n,
-                   SUM(CASE WHEN mad.md > 0
+                   CAST(SUM(CASE WHEN mad.md > 0
                             AND ABS(0.6745 * (dev.value - dev.m) / mad.md) > 3.5
-                            THEN 1 ELSE 0 END) AS n_outliers,
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
                    ROUND(MAX(dev.m), 6) AS med,
                    ROUND(MAX(mad.md), 6) AS mad
             FROM dev JOIN mad USING (event_type)
@@ -3581,7 +3581,8 @@ def oracle_sql() -> dict[str, str]:
                            ROWS UNBOUNDED PRECEDING) AS cum
                 FROM h
             )
-            SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept,
+            SELECT source, COUNT(*) AS n_kept,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
                    MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
             FROM c WHERE cum <= 3000 GROUP BY source
         """,
@@ -3596,7 +3597,8 @@ def oracle_sql() -> dict[str, str]:
                              200.0 * CAST(w AS DOUBLE) / CAST(sw AS DOUBLE)
                                    / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS cut
                   FROM w, t)
-            SELECT d.lang, COUNT(*) AS n_kept, SUM(doc_id) AS id_sum
+            SELECT d.lang, COUNT(*) AS n_kept,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum
             FROM documents d JOIN r ON d.lang = r.lang
             WHERE ((doc_id + 11) % 2147483648 * 1103515245 + 12345)
                       % 2147483648 % 1000000 < cut
@@ -3623,14 +3625,16 @@ def oracle_sql() -> dict[str, str]:
                            % 2147483648 AS ord
                 FROM documents
             )
-            SELECT ord % 8 AS shard, COUNT(*) AS n_docs, SUM(doc_id) AS id_sum,
+            SELECT ord % 8 AS shard, COUNT(*) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum,
                    MIN(ord) AS min_order, MAX(ord) AS max_order
             FROM h GROUP BY 1
         """,
         "json_props_stats": """
             SELECT event_type,
                    COUNT(*) AS n,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
                    MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                    MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
                    CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)

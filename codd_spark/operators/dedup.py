@@ -169,11 +169,13 @@ def dedup_exact(
     shuffle on the fingerprint.
 
     With ``score_col``, the keeper is the HIGHEST-scoring copy instead
-    (ties break to the smaller id, so the choice stays deterministic) —
+    (ties break to the smallest id, so the choice stays deterministic) —
     the common curation need: duplicates often differ in metadata
     (source reputation, fetch recency, quality score), and "keep any
-    copy" throws that signal away. Still one aggregate: an argmax via
-    MAX over (score, -id) structs — no window, no join-back."""
+    copy" throws that signal away. Still one aggregate: an argmin via
+    MIN_BY over (-score, id) structs — no window, no join-back. The id
+    can be ANY orderable type (string ids work the same as numeric ones:
+    only the score is negated, the id rides along for tie-breaks)."""
     from codd_spark.functions.text import fingerprint_md5
 
     fp = df.withColumn("fp", fingerprint_md5(F.col(text_col)))
@@ -181,9 +183,11 @@ def dedup_exact(
         return fp.groupBy("fp").agg(
             F.min(id_col).alias("keeper"), F.count("*").alias("n_copies")
         )
-    best = F.max(F.struct(F.col(score_col).alias("s"), (-F.col(id_col)).alias("nid")))
+    order = F.struct(
+        (-F.col(score_col)).alias("ns"), F.col(id_col).alias("id")
+    )
     return fp.groupBy("fp").agg(
-        (-best["nid"]).cast("long").alias("keeper"),
+        F.min_by(F.col(id_col), order).alias("keeper"),
         F.count("*").alias("n_copies"),
     )
 
@@ -905,6 +909,7 @@ def decontaminate(
     *,
     threshold: float = 0.5,
     method: str = "minhash",
+    min_hits: int | None = None,
     **kwargs,
 ) -> DataFrame:
     """Remove corpus documents that near-match ANY contaminant document
@@ -914,12 +919,15 @@ def decontaminate(
     verification); ``method="exact"`` computes every pairwise Jaccard —
     bounded subsets only, but its answer is engine-independent (used by
     the oracle-checked contract query); ``method="containment"`` flags a
-    corpus doc when >= ``threshold`` distinct contaminant n-grams appear
-    verbatim in it (threshold is the integer hit count here, not a
-    ratio — GPT-3-style verbatim-overlap decontamination; one shuffle
-    join on hashed n-grams, exact and engine-independent). The removal
-    itself is an anti join on the matched ids — shuffle-pinned, the
-    matched set grows with the corpus.
+    corpus doc when >= ``min_hits`` distinct contaminant n-grams appear
+    verbatim in it (an integer HIT COUNT, not a Jaccard ratio —
+    GPT-3-style verbatim-overlap decontamination; one shuffle join on
+    hashed n-grams, exact and engine-independent). For containment,
+    pass ``min_hits`` explicitly; an integral ``threshold`` >= 1 is
+    accepted for backward compatibility, but a ratio-style value < 1 is
+    rejected (it would truncate to 0 hits and silently remove every doc
+    sharing a single n-gram). The removal itself is an anti join on the
+    matched ids — shuffle-pinned, the matched set grows with the corpus.
     """
     if method == "minhash":
         pairs = cross_near_duplicates(
@@ -930,9 +938,17 @@ def decontaminate(
             corpus, contaminants, id_col, text_col, threshold=threshold, **kwargs
         )
     elif method == "containment":
+        if min_hits is None:
+            if threshold < 1 or int(threshold) != threshold:
+                raise ValueError(
+                    "method='containment' counts verbatim n-gram hits: pass "
+                    "min_hits=<int >= 1> (or an integral threshold >= 1), "
+                    f"not a Jaccard-style ratio (got threshold={threshold!r})"
+                )
+            min_hits = int(threshold)
         pairs = ngram_containment_matches(
             corpus, contaminants, id_col, text_col,
-            min_hits=int(threshold), **kwargs,
+            min_hits=min_hits, **kwargs,
         )
     else:
         raise ValueError(

@@ -241,6 +241,11 @@ def robust_outliers(
     true scale for one-pass sketching). MAD = 0 (over half the group
     identical) flags nothing — every deviation is then infinite-z by the
     formula, which misreads discrete-valued groups.
+
+    Returns the input rows plus THREE documented columns: ``out_col``
+    (the flag), ``med`` and ``mad`` (the group stats the flag was scored
+    against — callers routinely need them for reporting/thresholding,
+    and re-deriving them would repeat both percentile passes).
     """
     gkeys = keys or []
     # the stats tables are one row per key group: join strategy is left
@@ -248,22 +253,22 @@ def robust_outliers(
     # cardinality grows with the corpus) — never force-broadcast a table
     # whose size scales with the data
     med = (
-        df.groupBy(*gkeys).agg(F.percentile(value_col, F.lit(0.5)).alias("__med"))
+        df.groupBy(*gkeys).agg(F.percentile(value_col, F.lit(0.5)).alias("med"))
         if gkeys
-        else df.agg(F.percentile(value_col, F.lit(0.5)).alias("__med"))
+        else df.agg(F.percentile(value_col, F.lit(0.5)).alias("med"))
     )
     joined = df.join(med, on=gkeys) if gkeys else df.crossJoin(F.broadcast(med))
-    dev = joined.withColumn("__adev", F.abs(F.col(value_col) - F.col("__med")))
+    dev = joined.withColumn("__adev", F.abs(F.col(value_col) - F.col("med")))
     mad = (
-        dev.groupBy(*gkeys).agg(F.percentile("__adev", F.lit(0.5)).alias("__mad"))
+        dev.groupBy(*gkeys).agg(F.percentile("__adev", F.lit(0.5)).alias("mad"))
         if gkeys
-        else dev.agg(F.percentile("__adev", F.lit(0.5)).alias("__mad"))
+        else dev.agg(F.percentile("__adev", F.lit(0.5)).alias("mad"))
     )
     scored = dev.join(mad, on=gkeys) if gkeys else dev.crossJoin(F.broadcast(mad))
-    z = F.lit(0.6745) * (F.col(value_col) - F.col("__med")) / F.col("__mad")
+    z = F.lit(0.6745) * (F.col(value_col) - F.col("med")) / F.col("mad")
     return scored.withColumn(
         out_col,
-        F.when(F.col("__mad") > 0, F.abs(z) > F.lit(z_max)).otherwise(F.lit(False)),
+        F.when(F.col("mad") > 0, F.abs(z) > F.lit(z_max)).otherwise(F.lit(False)),
     ).drop("__adev")
 
 

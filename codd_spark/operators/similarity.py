@@ -378,6 +378,12 @@ def sq_train_encode(
         *[F.min(F.element_at(emb, i + 1)).alias(f"_lo{i}") for i in range(dim)],
         *[F.max(F.element_at(emb, i + 1)).alias(f"_hi{i}") for i in range(dim)],
     ).collect()[0]
+    for i in range(dim):
+        if stats[f"_lo{i}"] is None or stats[f"_hi{i}"] is None:
+            raise ValueError(
+                f"sq_train_encode: dimension {i} has no non-null values "
+                "(empty corpus or all-NULL dimension) — cannot train scales"
+            )
     scales = [(float(stats[f"_lo{i}"]), float(stats[f"_hi{i}"])) for i in range(dim)]
 
     def code_for(i: int) -> Column:

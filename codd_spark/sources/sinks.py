@@ -117,6 +117,11 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = 16, method: str = "
         ).collect()[0]
         for j, c in enumerate(cols):
             rc = f"__zr{j}"
+            if stats[f"_lo{j}"] is None or stats[f"_hi{j}"] is None:
+                raise ValueError(
+                    f"zorder: column {c!r} has no non-null values "
+                    "(empty input or all-NULL column) — cannot rank"
+                )
             lo, hi = float(stats[f"_lo{j}"]), float(stats[f"_hi{j}"])
             if hi == lo:
                 level = F.lit(0).cast("long")

@@ -594,6 +594,13 @@ def test_ngram_containment_matches(spark):
 
     clean = decontaminate(corpus, evalset, threshold=2, method="containment", n=3)
     assert [r.doc_id for r in clean.collect()] == [2]
+    # explicit keyword route
+    clean2 = decontaminate(corpus, evalset, min_hits=2, method="containment", n=3)
+    assert [r.doc_id for r in clean2.collect()] == [2]
+    # ratio-style threshold would truncate to min_hits=0 (a vacuous
+    # filter removing every doc sharing one n-gram) — must be rejected
+    with pytest.raises(ValueError, match="min_hits"):
+        decontaminate(corpus, evalset, threshold=0.5, method="containment", n=3)
 
 
 def test_ngram_jaccard_pairs_parallelism(spark):
@@ -636,6 +643,9 @@ def test_sq_quantization_roundtrip_and_topk(spark, embeddings):
     # exact rerank returns true cosine ordering over the candidate set
     rer = sq_top_k(encoded, scales, queries, k=3, rerank=embeddings).collect()
     assert rer[0].neighbor_id == 1 and rer[0].sim > 0.999
+    # empty corpus: a clear error, not an opaque TypeError on float(None)
+    with pytest.raises(ValueError, match="no non-null values"):
+        sq_train_encode(embeddings.limit(0), dim=16, emb_col="embedding")
 
 
 def test_duplicate_spans(spark):
@@ -708,6 +718,16 @@ def test_dedup_exact_best_keeper(spark):
     default = {r.keeper: r.n_copies for r in
                dedup_exact(df, "text", "doc_id").collect()}
     assert default == {1: 3, 4: 1}
+    # string ids work identically (ADVICE r3: the old argmax negated the
+    # id, silently requiring numeric ids; min_by orders ids natively)
+    sdf = spark.createDataFrame(
+        [("a", "same text", 5.0), ("b", "same text", 9.0),
+         ("c", "same text", 9.0), ("d", "other", 1.0)],
+        "doc_id string, text string, score double",
+    )
+    sbest = {r.keeper: r.n_copies for r in
+             dedup_exact(sdf, "text", "doc_id", score_col="score").collect()}
+    assert sbest == {"b": 3, "d": 1}
 
 
 def test_bm25_top_k(spark):

@@ -79,6 +79,12 @@ def test_zorder_value_morton_interleave(spark):
     # minmax leveling maps 0..3 onto the 4 buckets in order, so codes
     # must match the exact Morton interleave
     assert got == {(x, y): morton(x, y) for x in range(4) for y in range(4)}
+    # an all-NULL column gives a clear error, not TypeError on float(None)
+    import pytest
+
+    nulls = spark.createDataFrame([(1, None), (2, None)], "x LONG, y LONG")
+    with pytest.raises(ValueError, match="no non-null values"):
+        zorder_value(nulls, ["x", "y"], bits=2)
 
 
 def test_write_zordered_prunes_box_queries(spark):

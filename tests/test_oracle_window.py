@@ -5,16 +5,26 @@ DuckDB oracle. Round 3 curated that window to cover the core reference
 algebra + the LLM-pipeline flagships; twelve previously-scored (and
 driver-green in round 2) queries were rotated out. Per ADVICE.md, those
 must stay oracle-backed HERE so a regression in a de-scoped query is
-still detectable — this file replays the driver's exact compare (row
-count + column names + order-insensitive canonical values) for each.
+still detectable.
+
+Round 4: the replay now uses the DTYPE-EXACT compare from
+``tools/driver_compare.py``. Round 3's ``pack_sequences`` passed the
+old replay locally (both sides fetched as Python ints) while the driver
+hashed it red (its pandas fetch coerced the oracle's HUGEINT window-SUM
+to float64, 5.0 vs 5). The shared canon fetches the oracle via pandas
+and tags every cell with its numeric kind, so that defect class can no
+longer pass CI — ``test_hugeint_dtype_drift_is_caught`` pins it.
 """
 
-import math
+import sys
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entry
+
+sys.path.insert(0, "/root/repo/tools")
+import driver_compare as dcmp  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -64,20 +74,6 @@ CORE_OPERATORS = [
 ]
 
 
-def _canon(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.12g}"
-    if isinstance(v, (list, tuple)):
-        return tuple(_canon(x) for x in v)
-    return v
-
-
-def _canon_rows(rows):
-    return sorted((tuple(_canon(v) for v in r) for r in rows), key=repr)
-
-
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
@@ -107,20 +103,52 @@ def test_window_contains_core_and_flagships():
         assert name in window, f"{name} fell out of the driver's 50-query window"
 
 
-@pytest.mark.parametrize("name", ROTATED_OUT)
-def test_rotated_out_query_matches_oracle(spark, duck, name):
+def _replay(spark, duck, name):
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    sdf = qs[name](spark, SF_DIR)
-    srows = [tuple(r) for r in sdf.collect()]
-    res = duck.execute(oracles[name])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
-    assert sorted(sdf.columns) == sorted(dcols)
-    assert len(srows) == len(drows)
-    # driver compares values column-name-sorted; replicate that
-    sidx = [sdf.columns.index(c) for c in sorted(sdf.columns)]
-    didx = [dcols.index(c) for c in sorted(dcols)]
-    assert _canon_rows([tuple(r[i] for i in sidx) for r in srows]) == _canon_rows(
-        [tuple(r[i] for i in didx) for r in drows]
+    scols, srows = dcmp.fetch_spark(qs[name](spark, SF_DIR))
+    if name not in oracles:
+        pytest.skip(f"{name} is rows-only by design (no oracle)")
+    dcols, drows = dcmp.fetch_duck(duck, oracles[name])
+    problems = dcmp.compare(scols, srows, dcols, drows)
+    assert not problems, f"{name}: {problems}"
+
+
+@pytest.mark.parametrize("name", ROTATED_OUT)
+def test_rotated_out_query_matches_oracle(spark, duck, name):
+    _replay(spark, duck, name)
+
+
+@pytest.mark.parametrize("name", FLAGSHIPS)
+def test_flagship_query_matches_oracle(spark, duck, name):
+    _replay(spark, duck, name)
+
+
+def test_hugeint_dtype_drift_is_caught(duck):
+    """Regression pin for round 3's pack_sequences red: an oracle whose
+    window SUM yields HUGEINT (-> pandas float64) must FAIL the replay
+    against a Spark BIGINT result, and pass once CAST to BIGINT."""
+    uncast = "SELECT SUM(x) OVER () AS v FROM (SELECT 5::BIGINT AS x)"
+    cast = f"SELECT CAST(v AS BIGINT) AS v FROM ({uncast})"
+    scols, srows = ["v"], [(5,)]  # what Spark LongType collects to
+    dcols, drows = dcmp.fetch_duck(duck, uncast)
+    assert dcmp.compare(scols, srows, dcols, drows), (
+        "uncast HUGEINT oracle must be flagged (float64 5.0 vs int 5)"
     )
+    dcols, drows = dcmp.fetch_duck(duck, cast)
+    assert not dcmp.compare(scols, srows, dcols, drows)
+
+
+def test_decimal_vs_float_still_matches(duck):
+    """The dtype-exact canon must NOT over-reject: Spark DECIMAL results
+    (decimal.Decimal, possibly with trailing zeros) hash equal to the
+    oracle's float64 — that pairing is driver-green in every round."""
+    from decimal import Decimal
+
+    dcols, drows = dcmp.fetch_duck(
+        duck, "SELECT CAST(38273.10 AS DECIMAL(12,2)) AS v"
+    )
+    assert not dcmp.compare(["v"], [(Decimal("38273.10"),)], dcols, drows)
+    # but int-vs-float kind drift is still a mismatch
+    assert dcmp.compare(["v"], [(38273,)], *dcmp.fetch_duck(
+        duck, "SELECT CAST(38273 AS DECIMAL(12,0)) AS v"))

@@ -1,33 +1,21 @@
 """Local replica of the driver's correctness gate: run each
 __spark_entry__.queries() entry and its oracle_sql() on the same sf dir,
-compare row count + column names + order-insensitive values.
+compare row count + column names + order-insensitive values with the
+dtype-exact canon from tools/driver_compare.py (oracle fetched via
+pandas, so HUGEINT/DECIMAL float64 coercions are visible — the way the
+driver sees them).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
-import math
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
-
-
-def canon(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # round-trip through 12 significant digits: tolerant of last-ulp
-        # differences, strict enough to catch real bugs
-        return f"{v:.12g}"
-    if isinstance(v, (list, tuple)):
-        return tuple(canon(x) for x in v)
-    return v
-
-
-def canon_rows(rows):
-    return sorted((tuple(canon(v) for v in r) for r in rows), key=repr)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
@@ -36,6 +24,7 @@ def main():
 
     import duckdb
     import __spark_entry__ as entry
+    import driver_compare as dcmp
     from codd_spark.session import get_spark
 
     spark = get_spark(app_name="check-oracle", cpus="8", shuffle_partitions=8)
@@ -55,9 +44,7 @@ def main():
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = sdf.columns
+            scols, srows = dcmp.fetch_spark(fn(spark, sf_dir))
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
@@ -66,27 +53,12 @@ def main():
             print(f"ok?  {name}: rows-only ({len(srows)} rows, no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dcols, drows = dcmp.fetch_duck(con, oracles[name])
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
             continue
-        problems = []
-        if len(srows) != len(drows):
-            problems.append(f"rowcount {len(srows)} vs {len(drows)}")
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"cols {scols} vs {dcols}")
-        if not problems:
-            # driver sorts columns by name before hashing values
-            sidx = [scols.index(c) for c in sorted(scols)]
-            didx = [dcols.index(c) for c in sorted(dcols)]
-            sc = canon_rows([tuple(r[i] for i in sidx) for r in srows])
-            dc = canon_rows([tuple(r[i] for i in didx) for r in drows])
-            if sc != dc:
-                diff = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
-                problems.append(f"values differ, first diffs: {diff}")
+        problems = dcmp.compare(scols, srows, dcols, drows)
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             failures.append(name)
