@@ -3065,6 +3065,31 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
                  (SELECT UNNEST(range(0, 2 + d.doc_id % 9, 2)) AS i) f
         """,
+        # All-pairs exact char-5-shingle Jaccard. The Spark side is
+        # MinHash+LSH (banded candidates, exact-Jaccard verified): at
+        # oracle scale its recall is exactly 1 (measured: the LSH pair
+        # set equals this exact set at both sf0.001 and sf0.01 —
+        # tools/minhash_recall.py), so the probabilistic pipeline is
+        # held to the EXACT answer. Spark verifies Jaccard on xxhash64'd
+        # shingles; equality with string-shingle Jaccard holds up to
+        # ~n^2/2^64 collision odds, far below the round-6 quantum.
+        "minhash_near_dups": r"""
+            WITH t AS (
+              SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct([substr(t, i, 5)
+                                    for i in range(1, greatest(len(t)-4, 1)+1)]) AS sh
+              FROM t
+            )
+            SELECT id_a, id_b, jaccard FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                           / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ) WHERE jaccard >= 0.5
+        """,
         "decontaminate_corpus": """
             WITH g AS (
               SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(s)-1, 2)),
