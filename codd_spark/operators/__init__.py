@@ -7,6 +7,7 @@ from codd_spark.operators.aggregates import grouped_top_k, top_k
 from codd_spark.operators.dedup import (
     cross_near_duplicates,
     decontaminate,
+    IncrementalDecontaminator,
     dedup_exact,
     duplicate_spans,
     minhash_near_duplicates,
@@ -53,6 +54,7 @@ __all__ = [
     "cluster_safe_split",
     "connected_components",
     "cross_near_duplicates",
+    "IncrementalDecontaminator",
     "curate_corpus",
     "decontaminate",
     "dedup_clusters",

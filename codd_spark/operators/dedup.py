@@ -957,3 +957,127 @@ def decontaminate(
     dirty = pairs.select(F.col("id_l").alias(id_col)).distinct()
     clean = corpus.join(dirty.hint("shuffle_merge"), on=id_col, how="left_anti")
     return _adopt_release(clean, pairs)
+
+
+class IncrementalDecontaminator:
+    """Decontamination at eval-set-arrival granularity: prepare the
+    corpus ONCE, then check each arriving contaminant batch in O(batch).
+
+    ``decontaminate(method="minhash")`` re-shingles and re-signs the
+    whole corpus for every eval set — correct, but a recurring pipeline
+    that gains a new benchmark (or a new slice of one) should not pay
+    the O(corpus) preparation again. This class materializes the corpus
+    half of the MinHash pipeline (hashed shingles + guarded banded
+    buckets — exactly what _minhash_prep builds for cross_near_duplicates)
+    as PERSISTED relations; each ``check(batch)`` runs _minhash_prep on
+    the batch alone, with the same constants, and probes the cached
+    corpus tables. One-permutation signatures are a per-document closed
+    form of (text, num_hashes, shingle_k), so signatures prepared in
+    separate passes are identical to union-pass signatures — the shared
+    hash family holds by construction, not by co-processing.
+
+    At true corpus scale, swap the ``persist()`` boundary for a write to
+    a (band, h)-bucketed parquet table (sinks.write_bucketed): the probe
+    join then co-locates on bucket files and arrival cost stays O(batch)
+    end-to-end. The incremental-view machinery (streaming/incremental.py)
+    covers the same need when the CORPUS side is what grows.
+
+    Call ``close()`` (or use ``contextlib.closing``) when done — the
+    corpus tables stay cached across checks by design.
+    """
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        *,
+        num_hashes: int = 120,
+        bands: int = 20,
+        shingle_k: int = 5,
+        threshold: float = 0.5,
+        max_bucket_size: int = 1000,
+    ):
+        if num_hashes % bands != 0:
+            raise ValueError("num_hashes must be divisible by bands")
+        self.id_col, self.text_col = id_col, text_col
+        self.params = dict(num_hashes=num_hashes, bands=bands, shingle_k=shingle_k)
+        self.threshold = threshold
+        self.max_bucket_size = max_bucket_size
+        buckets, self._shingled = _minhash_prep(
+            corpus, id_col, text_col, **self.params
+        )
+        # per-side degenerate-bucket guard, then pin the corpus tables
+        self._buckets = (
+            buckets.withColumn(
+                "bsz", F.count("*").over(Window.partitionBy("band", "h"))
+            )
+            .filter(F.col("bsz") <= max_bucket_size)
+            .select("id", "band", "h")
+            .persist()
+        )
+
+    def check(self, contaminants: DataFrame) -> DataFrame:
+        """(id_l = corpus doc, id_r = contaminant doc, jaccard) pairs for
+        ONE arriving batch. Only the batch is shingled/signed; the corpus
+        side comes from the cached tables (the probe plan's corpus scans
+        are InMemoryTableScans — asserted by the contract test)."""
+        bb, bsh = _minhash_prep(
+            contaminants, self.id_col, self.text_col, **self.params
+        )
+        bb = (
+            bb.withColumn(
+                "bsz", F.count("*").over(Window.partitionBy("band", "h"))
+            )
+            .filter(F.col("bsz") <= self.max_bucket_size)
+            .select("id", "band", "h")
+        )
+        cand = (
+            self._buckets.select("band", "h", F.col("id").alias("id_l"))
+            .join(
+                bb.select("band", "h", F.col("id").alias("id_r")).hint("shuffle_merge"),
+                on=["band", "h"],
+            )
+            .select("id_l", "id_r")
+            .distinct()
+        )
+        verified = (
+            cand.join(
+                self._shingled.select(
+                    F.col("id").alias("id_l"), F.col("sh").alias("sh_l")
+                ).hint("shuffle_merge"),
+                on="id_l",
+            )
+            .join(
+                bsh.select(
+                    F.col("id").alias("id_r"), F.col("sh").alias("sh_r")
+                ).hint("shuffle_merge"),
+                on="id_r",
+            )
+            .withColumn("jaccard", F.round(jaccard(F.col("sh_l"), F.col("sh_r")), 6))
+            .filter(F.col("jaccard") >= self.threshold)
+            .select("id_l", "id_r", "jaccard")
+        )
+        # the batch's own shingle cache belongs to this result; the corpus
+        # tables stay cached for future checks
+        return _attach_release(verified, bsh)
+
+    def dirty_ids(self, contaminants: DataFrame) -> DataFrame:
+        """Distinct corpus ids matched by this batch (one column, named
+        after the corpus id column)."""
+        pairs = self.check(contaminants)
+        return _adopt_release(
+            pairs.select(F.col("id_l").alias(self.id_col)).distinct(), pairs
+        )
+
+    def close(self) -> None:
+        """Release the corpus-side caches. Idempotent."""
+        _safe_unpersist(self._buckets)
+        _safe_unpersist(self._shingled)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False

@@ -13,9 +13,15 @@ from codd_spark.plans.ast import (
     Difference,
     Expression,
     Full,
+    Join,
     Relation,
     ViewScan,
 )
+
+# join variants with an insert-only (monotone) delta rule; everything else
+# is non-monotone under set-semantics IVM: a new right row can REMOVE an
+# anti-join match or supersede an outer join's null-padded row
+_MONOTONE_JOIN_HOWS = frozenset({"inner", "semi", "left_semi", "leftsemi"})
 
 
 def walk(expr: Expression):
@@ -58,3 +64,9 @@ def assert_view_safe(expr: Expression) -> None:
             )
         if isinstance(node, Full):
             raise UnsupportedExpressionError("views over Full are not supported")
+        if isinstance(node, Join) and (node.how or "inner").lower() not in _MONOTONE_JOIN_HOWS:
+            raise UnsupportedExpressionError(
+                f"views over Join(how={node.how!r}) are not supported "
+                "(non-monotone: only inner and semi joins have an "
+                "insert-only delta)"
+            )

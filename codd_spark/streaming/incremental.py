@@ -325,7 +325,9 @@ class IncrementalDatabase:
             )
 
         if isinstance(expr, ast.Join):
-            def do_join(l: DataFrame, r: DataFrame):
+            how = (expr.how or "inner").lower()
+
+            def keyed(l: DataFrame, r: DataFrame):
                 lkeys = _resolve_cols(expr.left_key, l)
                 rkeys = _resolve_cols(expr.right_key, r)
                 lk = l.select("*", *[k.alias(f"__codd_k{i}") for i, k in enumerate(lkeys)]).alias("l")
@@ -337,9 +339,47 @@ class IncrementalDatabase:
                     for i in range(len(lkeys))
                 ]
                 cond = functools.reduce(lambda a, b: a & b, pairs)
-                return lk.join(rk, on=cond, how="inner"), (lk, rk)
+                return lk, rk, cond, len(lkeys)
 
-            return self._delta_binary(expr, which, do_join, expr.mapper)
+            if how == "inner":
+                def do_join(l: DataFrame, r: DataFrame):
+                    lk, rk, cond, _ = keyed(l, r)
+                    return lk.join(rk, on=cond, how="inner"), (lk, rk)
+
+                return self._delta_binary(expr, which, do_join, expr.mapper)
+
+            def run_how(l: DataFrame, r: DataFrame) -> DataFrame:
+                # mirror compile.py's batch semantics exactly
+                lk, rk, cond, nk = keyed(l, r)
+                joined = lk.join(rk, on=cond, how=how)
+                if how in ("semi", "left_semi", "leftsemi", "anti", "left_anti", "leftanti"):
+                    return joined.drop(*[f"__codd_k{i}" for i in range(nk)])
+                return joined.select(*_apply_mapper(expr.mapper, lk, rk))
+
+            if how in ("semi", "left_semi", "leftsemi"):
+                # semi join is monotone in BOTH inputs (it distributes over
+                # union on each side), so the standard binary delta rule
+                # applies: Δ(L⋉R) = ΔL⋉S(R) ∪ S(L)⋉ΔR ∪ ΔL⋉ΔR
+                if which in ("stable", "all"):
+                    return run_how(self._eval(expr.left, which), self._eval(expr.right, which))
+                sl = self._eval(expr.left, "stable")
+                sr = self._eval(expr.right, "stable")
+                dl = self._eval(expr.left, "recent")
+                dr = self._eval(expr.right, "recent")
+                return run_how(dl, sr).union(run_how(sl, dr)).union(run_how(dl, dr))
+
+            # anti / outer joins: non-monotone (a new right row can REMOVE
+            # an anti match or supersede an outer join's null padding), so
+            # there is no insert-only delta — fine ad-hoc, rejected under
+            # views by assert_view_safe (same class as Difference/AsofJoin)
+            if which == "recent":
+                from codd_spark.errors import UnsupportedExpressionError
+
+                raise UnsupportedExpressionError(
+                    f"Join(how={how!r}) has no monotone delta "
+                    "(views over it are rejected)"
+                )
+            return run_how(self._eval(expr.left, which), self._eval(expr.right, which))
 
         if isinstance(expr, ast.RangeJoin):
             # monotone inner join -> the standard binary delta rule applies:

@@ -134,6 +134,41 @@ def test_incremental_matches_recompute_randomized(spark, idb):
         assert got == want, f"divergence at step {step}"
 
 
+def test_join_how_respected_incrementally(idb):
+    """Round-4 regression: the incremental evaluator used to ignore
+    Join.how entirely — semi/anti/outer joins all silently computed the
+    INNER join (ad-hoc and under views). Semi is monotone and must be
+    maintained by the binary delta rule; anti/outer are non-monotone and
+    must be rejected under views but evaluate correctly ad-hoc."""
+    idb.add_relation("l", "n LONG")
+    idb.add_relation("r", "n LONG")
+    idb.insert("l", [(1,), (2,), (3,)])
+    idb.insert("r", [(2,)])
+
+    semi = Relation("l").join(Relation("r"), left_key=["n"], how="semi")
+    anti = Relation("l").join(Relation("r"), left_key=["n"], how="anti")
+    left = Relation("l").join(
+        Relation("r"), left_key=["n"], how="left",
+        mapper=lambda l, r: [l["n"].alias("n"), r["n"].alias("m")],
+    )
+    assert vals(idb.evaluate(semi)) == [2]
+    assert vals(idb.evaluate(anti)) == [1, 3]
+    assert vals(idb.evaluate(left)) == [(1, None), (2, 2), (3, None)]
+
+    v = idb.store_view(semi)
+    assert vals(idb.view_rows(v)) == [2]
+    # ΔR joins stable L; ΔL joins stable R; dup inserts are no-ops
+    idb.insert("r", [(3,), (3,)])
+    assert vals(idb.view_rows(v)) == [2, 3]
+    idb.insert("l", [(5,)])
+    idb.insert("r", [(5,)])
+    assert vals(idb.view_rows(v)) == [2, 3, 5]
+
+    for bad in (anti, left):
+        with pytest.raises(UnsupportedExpressionError):
+            idb.store_view(bad)
+
+
 def test_incremental_range_join_view(spark):
     """RangeJoin is monotone -> allowed under IVM views and maintained by
     the standard binary delta rule as both sides grow."""
