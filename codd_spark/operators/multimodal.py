@@ -80,21 +80,26 @@ def decode_image_features(df: DataFrame, decode: str = "fake") -> DataFrame:
     """media rows -> per-image feature rows. Arrow-batched; the pandas
     function sees bounded batches regardless of partition size.
 
-    ``decode="real"``: true width/height from the PNG header (O(header))
-    and true mean pixel value from a full spec-compliant decode
-    (functions/imaging.py). ``decode="fake"``: hash-derived stand-ins.
-    """
+    ``decode="real"``: true width/height from the container header
+    (O(header)) and true mean pixel value from a full decode, routed
+    through the codec dispatcher (functions/codecs.py): the pure
+    spec-compliant PNG decoder everywhere, auto-upgraded to PIL when
+    importable (which also unlocks JPEG/WebP payloads — PNG results are
+    byte-identical either way, the format is lossless).
+    ``decode="fake"``: hash-derived stand-ins."""
     if decode not in ("fake", "real"):
         raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from codd_spark.functions import codecs
+
         for pdf in batches:
             rows = {k: [] for k in ("media_id", "width", "height", "n_bytes", "mean_pixel", "sha1")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload or b"")
                 if decode == "real":
-                    w, h, _d, _c, _ch = imaging.png_info(payload)
-                    mean_px = float(imaging.decode_png(payload).mean())
+                    w, h, _ch = codecs.image_info(payload)
+                    mean_px = float(codecs.decode_image(payload).mean())
                 else:
                     w, h = _fake_dims(payload)
                     mean_px = float(hashlib.sha1(payload).digest()[2])
@@ -182,24 +187,27 @@ def frame_sample(df: DataFrame, every_n: int = 10, decode: str = "fake") -> Data
     """Video -> every-n-th frame rows (media_id, frame_idx, width, height,
     mean_pixel, frame_sha1).
 
-    ``decode="real"`` walks APNG payloads with the pure-Python frame
-    decoder (functions/imaging.py::apng_frames — the container has no
-    ffmpeg, so "video" is the PNG animation container; swapping an
-    ffmpeg/pyav kernel in for mp4 at production scale touches only the
-    inner function). mean_pixel/sha1 are computed on the composited
-    canvas, so they're oracle-checkable closed forms for synthetic media
+    ``decode="real"`` routes payloads through the codec dispatcher
+    (functions/codecs.py::video_frames): APNG decodes everywhere via the
+    pure-Python frame walk; mp4/webm decode when ffmpeg is on PATH (the
+    dispatcher shells out per video and reads frames back through the
+    tested PNG decoder) and are rejected with a clear error without it.
+    mean_pixel/sha1 are computed on the composited canvas, so they're
+    oracle-checkable closed forms for synthetic media
     (apng_media_from_ids). ``decode="fake"`` emits hash-derived stand-ins
     through the identical batching/schema plumbing."""
     if decode not in ("fake", "real"):
         raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from codd_spark.functions import codecs
+
         for pdf in batches:
             rows = {k: [] for k in FRAME_SCHEMA.fieldNames()}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload or b"")
                 if decode == "real":
-                    frames = imaging.apng_frames(payload)
+                    frames = codecs.video_frames(payload)
                     for i in range(0, len(frames), every_n):
                         fr = frames[i]
                         rows["media_id"].append(mid)
