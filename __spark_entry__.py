@@ -2166,6 +2166,36 @@ def q_training_shards(spark, sf_dir):
     )
 
 
+def q_triangle_count(spark, sf_dir):
+    """Per-user triangle participation + local clustering coefficient over
+    the co-interaction graph (users touching the same JSON prop value
+    within the same hour). Uses the degree-orientation scheme
+    (operators/graph.py::triangle_counts — wedge join bounded O(m^1.5),
+    never the hub explosion); the oracle recounts triangles with the
+    canonical three-way self-join and unpivots per-vertex."""
+    from codd_spark.functions.json import json_scalar
+    from codd_spark.operators.graph import triangle_counts
+
+    events = read_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id",
+        json_scalar("props", "$.k", "bigint").alias("k"),
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+    ).distinct()
+    a = ev.select(F.col("user_id").alias("ua"), "k", "h")
+    b = ev.select(F.col("user_id").alias("ub"), "k", "h")
+    pairs = (
+        a.join(b.hint("shuffle_merge"), on=["k", "h"])
+        .filter(F.col("ua") < F.col("ub"))
+        .select("ua", "ub")
+        .distinct()
+    )
+    tc = triangle_counts(pairs, "ua", "ub")
+    return tc.select(
+        F.col("id").alias("user_id"), "degree", "n_triangles", "clustering_coeff"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2300,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_safe_split": q_cluster_safe_split,
         "robust_outliers": q_robust_outliers,
         "training_shards": q_training_shards,
+        "triangle_count": q_triangle_count,
     }
 
 
@@ -3666,5 +3697,39 @@ def oracle_sql() -> dict[str, str]:
                        / COUNT(*) AS avg_k
             FROM events
             GROUP BY event_type
+        """,
+        "triangle_count": """
+            WITH ev AS (
+              SELECT DISTINCT user_id,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                     date_trunc('hour', ts) AS h
+              FROM events
+            ), e AS (
+              SELECT DISTINCT a.user_id AS a, b.user_id AS b
+              FROM ev a JOIN ev b
+                ON a.k = b.k AND a.h = b.h AND a.user_id < b.user_id
+            ), deg AS (
+              SELECT id, COUNT(*) AS degree FROM (
+                SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e
+              ) GROUP BY id
+            ), tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1
+              JOIN e e2 ON e2.a = e1.b
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ), pn AS (
+              SELECT id, COUNT(*) AS n_triangles FROM (
+                SELECT x AS id FROM tri
+                UNION ALL SELECT y AS id FROM tri
+                UNION ALL SELECT z AS id FROM tri
+              ) GROUP BY id
+            )
+            SELECT deg.id AS user_id, deg.degree,
+                   COALESCE(pn.n_triangles, 0) AS n_triangles,
+                   CASE WHEN deg.degree >= 2
+                        THEN ROUND(2.0 * COALESCE(pn.n_triangles, 0)
+                                   / (deg.degree * (deg.degree - 1.0)), 6)
+                        ELSE 0.0 END AS clustering_coeff
+            FROM deg LEFT JOIN pn ON pn.id = deg.id
         """,
     }

@@ -18,7 +18,12 @@ from codd_spark.operators.dedup import (
     simhash64,
     simhash_near_duplicates,
 )
-from codd_spark.operators.graph import connected_components, dedup_clusters, pagerank
+from codd_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+    pagerank,
+    triangle_counts,
+)
 from codd_spark.operators.pipeline import (
     chunk_documents,
     cluster_safe_split,

@@ -201,3 +201,102 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return pr
+
+
+def triangle_counts(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-vertex triangle participation -> (id, degree, n_triangles,
+    clustering_coeff): how many triangles each vertex closes, and the
+    local clustering coefficient 2T / (d*(d-1)).
+
+    Triangle density is the standard structure probe for pipeline-derived
+    graphs: a near-dup similarity graph whose clusters are real mirrors
+    shows coefficients near 1 (every pair of my duplicates are duplicates
+    of each other), while hash-collision noise shows coefficients near 0;
+    on interaction graphs it separates communities from hubs.
+
+    Scale shape (the degree-orientation scheme — the distributed-triangle
+    standard, cf. Suri & Vassilvitskii, "Counting Triangles and the Curse
+    of the Last Reducer", WWW'11): orient every canonical edge from its
+    lower-(degree, id) endpoint to the higher one. Out-degrees are then
+    bounded by O(sqrt(m)), so the wedge self-join materializes O(m^1.5)
+    rows worst-case instead of sum(d^2) — the hub explosion never
+    happens. Three shuffles total: degree aggregate, wedge self-join on
+    the oriented source, and the closing-edge equi-join (both sides grow
+    with the graph, so both joins are pinned shuffle — never a
+    driver-sized broadcast). Each triangle is produced exactly once.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+        .localCheckpoint(eager=False)
+    )
+    # orient each edge low->high by (degree, id); ids are distinct so the
+    # composite order is total and every edge gets exactly one direction
+    da = deg.select(F.col("id").alias("a"), F.col("degree").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("degree").alias("db"))
+    oriented = (
+        e.join(da.hint("shuffle_merge"), on="a")
+        .join(db.hint("shuffle_merge"), on="b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+            )
+            .otherwise(F.struct(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .alias("o")
+        )
+        .select("o.src", "o.dst")
+        .localCheckpoint(eager=False)
+    )
+    # wedges (src -> v, src -> w), v < w; the closing edge in canonical
+    # (a < b) form is then exactly (v, w)
+    w1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    w2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    wedges = w1.join(w2.hint("shuffle_merge"), on="u").filter(F.col("v") < F.col("w"))
+    tri = wedges.join(
+        e.hint("shuffle_merge"),
+        (wedges.v == e.a) & (wedges.w == e.b),
+    ).select("u", "v", "w")
+    per_node = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node.hint("shuffle_merge"), on="id", how="left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    F.lit(2.0)
+                    * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+                    / (
+                        F.col("degree").cast("double")
+                        * (F.col("degree") - F.lit(1)).cast("double")
+                    ),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )

@@ -111,3 +111,55 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for i in range(n):
         assert abs(got[i] - pr[i]) < 1e-9, (i, got[i], pr[i])
     assert abs(sum(got.values()) - 1.0) < 1e-9  # rank mass conserved
+
+
+def test_triangle_counts_exact_small_graph(spark):
+    from codd_spark.operators.graph import triangle_counts
+
+    # K4 on {0,1,2,3} (4 triangles, every vertex in 3) plus a pendant
+    # vertex 4 attached to 0 (degree 1, zero triangles) and an isolated
+    # edge 5-6; duplicate + reversed input edges must not double-count
+    edges = [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+        (1, 0),  # reversed duplicate
+        (0, 1),  # exact duplicate
+        (4, 0),
+        (5, 6),
+    ]
+    df = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+    got = {r["id"]: r for r in triangle_counts(df).collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 5, 6}
+    for v in (1, 2, 3):
+        assert got[v]["degree"] == 3
+        assert got[v]["n_triangles"] == 3
+        assert got[v]["clustering_coeff"] == 1.0
+    assert got[0]["degree"] == 4  # K4 neighbors + pendant
+    assert got[0]["n_triangles"] == 3
+    assert got[0]["clustering_coeff"] == 0.5  # 2*3 / (4*3)
+    assert got[4]["degree"] == 1 and got[4]["n_triangles"] == 0
+    assert got[4]["clustering_coeff"] == 0.0
+    assert got[5]["n_triangles"] == 0 and got[6]["n_triangles"] == 0
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from codd_spark.operators.graph import triangle_counts
+
+    rng = random.Random(7)
+    nodes = list(range(30))
+    edges = sorted(
+        {(a, b) for a, b in itertools.combinations(nodes, 2) if rng.random() < 0.2}
+    )
+    df = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+    got = {r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+
+    eset = set(edges)
+    expect = {v: 0 for v in {x for e in edges for x in e}}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+            expect[a] += 1
+            expect[b] += 1
+            expect[c] += 1
+    assert got == expect
