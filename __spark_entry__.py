@@ -2196,6 +2196,21 @@ def q_triangle_count(spark, sf_dir):
     )
 
 
+def q_resample_ffill(spark, sf_dir):
+    """Time-series regularization: densify each user's event stream onto
+    an hourly grid from their first to last observed hour, carrying the
+    last observed value forward across silent hours
+    (operators/timeseries.py::resample — LOCF). Two key shuffles total;
+    the grid is per-key sequence+explode, never a global calendar. The
+    oracle replays bucketing (deterministic last-in-bucket via ts/value
+    ordering), generate_series densification, and the running-non-null-
+    count fill-group trick in SQL."""
+    from codd_spark.operators.timeseries import resample
+
+    events = read_table(spark, sf_dir, "events").filter("user_id < 20")
+    return resample(events, "ts", "value", key_col="user_id", unit="hour")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2331,6 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers": q_robust_outliers,
         "training_shards": q_training_shards,
         "triangle_count": q_triangle_count,
+        "resample_ffill": q_resample_ffill,
     }
 
 
@@ -3731,5 +3747,42 @@ def oracle_sql() -> dict[str, str]:
                                    / (deg.degree * (deg.degree - 1.0)), 6)
                         ELSE 0.0 END AS clustering_coeff
             FROM deg LEFT JOIN pn ON pn.id = deg.id
+        """,
+        "resample_ffill": """
+            WITH src AS (
+              SELECT user_id, ts, value FROM events WHERE user_id < 20
+            ), ranked AS (
+              SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts DESC, value DESC) AS rn,
+                     COUNT(*) OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)) AS n_events
+              FROM src
+            ), agg AS (
+              SELECT user_id, bucket, value AS last_v, n_events
+              FROM ranked WHERE rn = 1
+            ), span AS (
+              SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+              FROM agg GROUP BY user_id
+            ), grid AS (
+              SELECT user_id,
+                     UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+              FROM span
+            ), dense AS (
+              SELECT g.user_id, g.bucket, a.n_events, a.last_v
+              FROM grid g LEFT JOIN agg a
+                ON a.user_id = g.user_id AND a.bucket = g.bucket
+            ), f AS (
+              SELECT *, COUNT(last_v) OVER (
+                       PARTITION BY user_id ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+              FROM dense
+            )
+            SELECT user_id, bucket,
+                   COALESCE(n_events, 0) AS n_events,
+                   MAX(last_v) OVER (PARTITION BY user_id, grp) AS value,
+                   n_events IS NULL AS is_gap
+            FROM f
         """,
     }

@@ -43,6 +43,7 @@ from codd_spark.operators.similarity import (
     sq_top_k,
     sq_train_encode,
 )
+from codd_spark.operators.timeseries import resample
 from codd_spark.operators.text import (
     add_text_features,
     bm25_top_k,
@@ -77,6 +78,8 @@ __all__ = [
     "pack_sequences",
     "pagerank",
     "pq_top_k",
+    "resample",
+    "triangle_counts",
     "pq_train_encode",
     "quality_score",
     "remove_spans",

@@ -254,8 +254,11 @@ def test_multimodal_plumbing(spark):
 
     import pytest as _pytest
 
-    # real decode on non-PNG bytes fails loudly, not silently
-    with _pytest.raises(Exception, match="not a PNG"):
+    # real decode on non-image bytes fails loudly, not silently —
+    # message depends on the active codec backend (pure vs PIL)
+    with _pytest.raises(
+        Exception, match="unsupported image container|not a PNG|cannot identify"
+    ):
         decode_image_features(media, decode="real").collect()
 
 

@@ -1,0 +1,71 @@
+"""Resample/gap-fill: the dense grid, LOCF semantics, and deterministic
+last-in-bucket picks (operators/timeseries.py)."""
+
+from datetime import datetime
+
+import pytest
+
+
+def _ts(day, hour, minute=0):
+    return datetime(2024, 1, day, hour, minute)
+
+
+def test_resample_ffill_semantics(spark):
+    from codd_spark.operators.timeseries import resample
+
+    rows = [
+        # user 1: observations at hours 0, 1 and 4 -> gaps at 2, 3
+        (1, _ts(1, 0, 5), 10.0),
+        (1, _ts(1, 1, 0), 20.0),
+        (1, _ts(1, 1, 30), 30.0),  # later in the same bucket wins
+        (1, _ts(1, 4, 59), 40.0),
+        # user 2: single observation -> one-row grid, no gaps
+        (2, _ts(1, 7, 0), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+    got = {
+        (r["user_id"], r["bucket"].hour): r
+        for r in resample(df, "ts", "value", key_col="user_id", unit="hour").collect()
+    }
+
+    assert len(got) == 6  # user 1 hours 0..4 + user 2 hour 7
+    assert got[(1, 0)]["value"] == 10.0 and not got[(1, 0)]["is_gap"]
+    assert got[(1, 1)]["value"] == 30.0  # last observation in the bucket
+    assert got[(1, 1)]["n_events"] == 2
+    for h in (2, 3):  # forward-filled gaps
+        assert got[(1, h)]["is_gap"]
+        assert got[(1, h)]["n_events"] == 0
+        assert got[(1, h)]["value"] == 30.0
+    assert got[(1, 4)]["value"] == 40.0 and not got[(1, 4)]["is_gap"]
+    assert got[(2, 7)]["value"] == 7.0 and got[(2, 7)]["n_events"] == 1
+
+
+def test_resample_tie_on_timestamp_is_deterministic(spark):
+    from codd_spark.operators.timeseries import resample
+
+    # two events at the IDENTICAL timestamp: the larger value wins
+    rows = [(1, _ts(1, 0), 5.0), (1, _ts(1, 0), 9.0), (1, _ts(1, 0), 2.0)]
+    df = spark.createDataFrame(rows, "user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+    out = resample(df, "ts", "value", key_col="user_id", unit="hour").collect()
+    assert len(out) == 1 and out[0]["value"] == 9.0
+
+
+def test_resample_day_unit_and_no_key(spark):
+    from codd_spark.operators.timeseries import resample
+
+    rows = [(_ts(1, 3), 1.0), (_ts(4, 12), 4.0)]
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, value DOUBLE")
+    out = sorted(
+        resample(df, "ts", "value", unit="day").collect(), key=lambda r: r["bucket"]
+    )
+    assert [r["bucket"].day for r in out] == [1, 2, 3, 4]
+    assert [r["value"] for r in out] == [1.0, 1.0, 1.0, 4.0]
+    assert [r["is_gap"] for r in out] == [False, True, True, False]
+
+
+def test_resample_rejects_unknown_unit(spark):
+    from codd_spark.operators.timeseries import resample
+
+    df = spark.createDataFrame([(1, _ts(1, 0), 1.0)], "u BIGINT, ts TIMESTAMP, value DOUBLE")
+    with pytest.raises(ValueError, match="unit"):
+        resample(df, "ts", "value", key_col="u", unit="fortnight")
