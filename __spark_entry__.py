@@ -2211,6 +2211,42 @@ def q_resample_ffill(spark, sf_dir):
     return resample(events, "ts", "value", key_col="user_id", unit="hour")
 
 
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics on plain DataFrames (operators/cdc.py):
+    a change batch derived from orders updates every 7th key's status,
+    deletes the %21 keys, and inserts offset copies of the %11 keys —
+    one pinned anti join + union, never a full outer join. The oracle
+    replays the same set algebra with NOT IN."""
+    from codd_spark.operators.cdc import merge_upsert
+
+    orders = read_table(spark, sf_dir, "orders")
+    updates = orders.filter("o_orderkey % 7 = 0").withColumn(
+        "o_orderstatus", F.lit("X")
+    ).withColumn("__del", F.col("o_orderkey") % 3 == 0)
+    inserts = orders.filter("o_orderkey % 11 = 0").withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+    ).withColumn("__del", F.lit(False))
+    merged = merge_upsert(
+        orders, updates.unionByName(inserts), ["o_orderkey"], delete_col="__del"
+    )
+    return merged.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+def q_scd2_history(spark, sf_dir):
+    """Type-2 slowly-changing-dimension history from the event stream:
+    each user's event_type state timeline with valid_from/valid_to
+    intervals, consecutive no-change events collapsed
+    (operators/cdc.py::scd2_history — two windows over one (user, time)
+    partitioning). event_id breaks timestamp ties so the history is
+    deterministic; the oracle replays LAG-collapse + LEAD-interval."""
+    from codd_spark.operators.cdc import scd2_history
+
+    events = read_table(spark, sf_dir, "events")
+    return scd2_history(
+        events, ["user_id"], ["event_type"], "ts", tiebreak_cols=["event_id"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2347,6 +2383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards": q_training_shards,
         "triangle_count": q_triangle_count,
         "resample_ffill": q_resample_ffill,
+        "merge_upsert": q_merge_upsert,
+        "scd2_history": q_scd2_history,
     }
 
 
@@ -3784,5 +3822,43 @@ def oracle_sql() -> dict[str, str]:
                    MAX(last_v) OVER (PARTITION BY user_id, grp) AS value,
                    n_events IS NULL AS is_gap
             FROM f
+        """,
+        "merge_upsert": """
+            WITH src_upd AS (
+              SELECT * REPLACE ('X' AS o_orderstatus)
+              FROM orders WHERE o_orderkey % 7 = 0
+            ), src_ins AS (
+              SELECT * REPLACE (o_orderkey + 100000000 AS o_orderkey)
+              FROM orders WHERE o_orderkey % 11 = 0
+            ), survivors AS (
+              SELECT * FROM src_upd WHERE o_orderkey % 3 <> 0
+              UNION ALL SELECT * FROM src_ins
+            ), merged AS (
+              SELECT * FROM orders
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM survivors)
+              UNION ALL SELECT * FROM survivors
+            )
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM merged
+            WHERE o_orderkey NOT IN (
+              SELECT o_orderkey FROM src_upd WHERE o_orderkey % 3 = 0
+            )
+        """,
+        "scd2_history": """
+            WITH o AS (
+              SELECT user_id, event_type, ts, event_id,
+                     LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            ), v AS (
+              SELECT user_id, event_type, ts, event_id FROM o
+              WHERE prev IS DISTINCT FROM event_type
+            )
+            SELECT user_id, event_type,
+                   ts AS valid_from,
+                   LEAD(ts) OVER w AS valid_to,
+                   ROW_NUMBER() OVER w AS version,
+                   LEAD(ts) OVER w IS NULL AS is_current
+            FROM v
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
     }

@@ -43,6 +43,7 @@ from codd_spark.operators.similarity import (
     sq_top_k,
     sq_train_encode,
 )
+from codd_spark.operators.cdc import merge_upsert, scd2_history
 from codd_spark.operators.timeseries import resample
 from codd_spark.operators.text import (
     add_text_features,
@@ -71,6 +72,7 @@ __all__ = [
     "ivf_top_k",
     "lang_id",
     "lsh_top_k",
+    "merge_upsert",
     "minhash_near_duplicates",
     "minhash_signature",
     "ngram_containment_matches",
@@ -84,6 +86,7 @@ __all__ = [
     "quality_score",
     "remove_spans",
     "robust_outliers",
+    "scd2_history",
     "shuffle_shards",
     "simhash64",
     "simhash_near_duplicates",
