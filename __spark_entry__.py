@@ -2247,6 +2247,19 @@ def q_scd2_history(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup end-to-end (operators/similarity.py::semantic_dedup):
+    cosine>=0.4 pairs on the bounded subset close transitively into
+    clusters via min-label propagation, one keeper elected per cluster.
+    The exact pair stage keeps the contract deterministic (the LSH
+    bucket path is the documented scale route); the oracle replays
+    all-pairs cosine + a recursive-CTE transitive closure."""
+    from codd_spark.operators.similarity import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings").filter("vec_id < 300")
+    return semantic_dedup(emb, dim=64, threshold=0.4, exact=True)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2385,6 +2398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_ffill": q_resample_ffill,
         "merge_upsert": q_merge_upsert,
         "scd2_history": q_scd2_history,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -3822,6 +3836,33 @@ def oracle_sql() -> dict[str, str]:
                    MAX(last_v) OVER (PARTITION BY user_id, grp) AS value,
                    n_events IS NULL AS is_gap
             FROM f
+        """,
+        "semantic_dedup": """
+            WITH RECURSIVE s AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id < 300
+            ), e AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM s a JOIN s b ON a.vec_id < b.vec_id
+              WHERE ROUND(list_dot_product(a.e, b.e)
+                          / (sqrt(list_dot_product(a.e, a.e))
+                             * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.4
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM e
+              UNION SELECT id_b AS src, id_a AS dst FROM e
+            ), r(id, comp) AS (
+              SELECT vec_id, vec_id FROM s
+              UNION
+              SELECT edges.dst, r.comp FROM r JOIN edges ON edges.src = r.id
+              WHERE r.comp < edges.dst
+            ), cc AS (
+              SELECT id, MIN(comp) AS comp FROM r GROUP BY id
+            ), sizes AS (
+              SELECT comp, COUNT(*) AS cluster_size FROM cc GROUP BY comp
+            )
+            SELECT cc.id AS vec_id, cc.comp AS cluster_id, sizes.cluster_size,
+                   cc.id = cc.comp AS is_keeper
+            FROM cc JOIN sizes ON cc.comp = sizes.comp
         """,
         "merge_upsert": """
             WITH src_upd AS (

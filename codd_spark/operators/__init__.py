@@ -40,6 +40,7 @@ from codd_spark.operators.similarity import (
     lsh_top_k,
     pq_top_k,
     pq_train_encode,
+    semantic_dedup,
     sq_top_k,
     sq_train_encode,
 )
@@ -87,6 +88,7 @@ __all__ = [
     "remove_spans",
     "robust_outliers",
     "scd2_history",
+    "semantic_dedup",
     "shuffle_shards",
     "simhash64",
     "simhash_near_duplicates",

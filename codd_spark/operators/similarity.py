@@ -650,3 +650,43 @@ def pq_top_k(
     )
     w2 = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return exact.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """End-to-end embedding-space dedup (the SemDeDup recipe, Abbas et
+    al. 2023, arXiv:2303.09540): mine cosine-similar pairs, close them
+    transitively into clusters, and elect one keeper per cluster ->
+    (id, cluster_id, cluster_size, is_keeper).
+
+    Pair mining is ``embedding_near_duplicates`` (hyperplane-LSH bucket
+    self-join on the scale path, exact all-pairs for bounded subsets /
+    verification); clustering is the min-label-propagation connected
+    components of operators/graph.py, so chained near-dups ("A~B~C" with
+    cos(A,C) below threshold) still collapse to ONE surviving document —
+    the property pairwise filtering alone cannot give. Keeper = smallest
+    id in the cluster (deterministic, seed-free); filter
+    ``is_keeper`` to materialize the deduplicated corpus.
+    """
+    from codd_spark.operators.graph import dedup_clusters
+
+    pairs = embedding_near_duplicates(
+        df,
+        dim=dim,
+        id_col=id_col,
+        emb_col=emb_col,
+        threshold=threshold,
+        n_planes=n_planes,
+        seed=seed,
+        exact=exact,
+    )
+    return dedup_clusters(df, pairs, id_col, "id_a", "id_b")

@@ -163,3 +163,47 @@ def test_triangle_counts_matches_bruteforce(spark):
             expect[b] += 1
             expect[c] += 1
     assert got == expect
+
+
+def test_semantic_dedup_lsh_and_exact_agree_on_separable_data(spark):
+    """Well-separated clusters: the LSH bucket path must find the same
+    clusters as the exact all-pairs path (duplicate groups are near
+    cos=1, so every bucket agrees across all planes)."""
+    import math
+
+    from codd_spark.operators.similarity import semantic_dedup
+
+    # three tight duplicate groups of 3 vectors each + 3 singletons, dim 8
+    base = [
+        [1, 0, 0, 0, 0, 0, 0, 0],
+        [0, 1, 0, 0, 0, 0, 0, 0],
+        [0, 0, 1, 0, 0, 0, 0, 0],
+    ]
+    rows = []
+    vid = 0
+    for g, b in enumerate(base):
+        for j in range(3):
+            v = [x + (0.001 * j if i == (g + 3) else 0.0) for i, x in enumerate(b)]
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for i in range(3):  # mutually-orthogonal singletons
+        v = [0.0] * 8
+        v[5 + i] = 1.0
+        rows.append((vid, v))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+    for exact in (True, False):
+        out = {
+            r["vec_id"]: (r["cluster_id"], r["cluster_size"], r["is_keeper"])
+            for r in semantic_dedup(
+                df, dim=8, threshold=0.95, exact=exact, n_planes=6
+            ).collect()
+        }
+        assert len(out) == 12
+        for g in range(3):
+            ids = [3 * g, 3 * g + 1, 3 * g + 2]
+            for i in ids:
+                assert out[i] == (ids[0], 3, i == ids[0]), (exact, i, out[i])
+        for i in (9, 10, 11):  # singletons keep themselves
+            assert out[i] == (i, 1, True)
