@@ -56,6 +56,16 @@ FLAGSHIPS = [
     "pagerank_interactions",
 ]
 
+# round-4 operators registered past the scored window: replay with the
+# driver's exact compare every CI run, same discipline as ROTATED_OUT
+ROUND4_ADDITIONS = [
+    "triangle_count",
+    "resample_ffill",
+    "merge_upsert",
+    "scd2_history",
+    "semantic_dedup",
+]
+
 CORE_OPERATORS = [
     "scan_nation",
     "select_lineitem",
@@ -121,6 +131,11 @@ def test_rotated_out_query_matches_oracle(spark, duck, name):
 
 @pytest.mark.parametrize("name", FLAGSHIPS)
 def test_flagship_query_matches_oracle(spark, duck, name):
+    _replay(spark, duck, name)
+
+
+@pytest.mark.parametrize("name", ROUND4_ADDITIONS)
+def test_round4_addition_matches_oracle(spark, duck, name):
     _replay(spark, duck, name)
 
 
