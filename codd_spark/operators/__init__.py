@@ -44,7 +44,7 @@ from codd_spark.operators.similarity import (
     sq_top_k,
     sq_train_encode,
 )
-from codd_spark.operators.cdc import merge_upsert, scd2_history
+from codd_spark.operators.cdc import merge_upsert, scd2_history, snapshot_at
 from codd_spark.operators.timeseries import resample
 from codd_spark.operators.text import (
     add_text_features,
@@ -92,6 +92,7 @@ __all__ = [
     "shuffle_shards",
     "simhash64",
     "simhash_near_duplicates",
+    "snapshot_at",
     "sq_top_k",
     "sq_train_encode",
     "top_k",

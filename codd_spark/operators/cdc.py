@@ -108,3 +108,21 @@ def scd2_history(
             *key_cols, *attr_cols, "valid_from", "valid_to", "version", "is_current"
         )
     )
+
+
+def snapshot_at(history: DataFrame, at, ts_cols=("valid_from", "valid_to")):
+    """Reconstruct the dimension AS OF a point in time from a type-2
+    history: rows whose interval covers ``at`` (``valid_from <= at <
+    valid_to``, open current versions included). The training-cutoff
+    join: build features against the dimension exactly as it stood at
+    the cutoff, no leakage from later attribute changes.
+
+    A pure filter — partition-prunable when the history is written
+    partitioned/clustered by ``valid_from``, so the scan narrows with
+    the cutoff instead of reading the full history.
+    """
+    lo, hi = ts_cols
+    at = F.lit(at)
+    return history.filter(
+        (F.col(lo) <= at) & (F.col(hi).isNull() | (F.col(hi) > at))
+    ).drop("is_current")

@@ -83,3 +83,29 @@ def test_scd2_null_attrs_are_nullsafe(spark):
         key=lambda r: r["version"],
     )
     assert [(r["a"], r["version"]) for r in hist] == [(None, 1), ("x", 2)]
+
+
+def test_snapshot_at_reconstructs_state(spark):
+    from codd_spark.operators.cdc import scd2_history, snapshot_at
+
+    def ts(h):
+        return datetime(2024, 1, 1, h)
+
+    rows = [
+        (1, ts(0), "bronze", 1),
+        (1, ts(2), "gold", 2),
+        (1, ts(4), "silver", 3),
+        (2, ts(1), "gold", 4),
+    ]
+    df = spark.createDataFrame(rows, "k BIGINT, ts TIMESTAMP, tier STRING, eid BIGINT")
+    hist = scd2_history(df, ["k"], ["tier"], "ts", tiebreak_cols=["eid"])
+
+    # at hour 3: key 1 is gold (silver not yet), key 2 is gold
+    snap = {r["k"]: r["tier"] for r in snapshot_at(hist, ts(3)).collect()}
+    assert snap == {1: "gold", 2: "gold"}
+    # before any change for key 2
+    snap0 = {r["k"]: r["tier"] for r in snapshot_at(hist, ts(0)).collect()}
+    assert snap0 == {1: "bronze"}
+    # far future: current versions
+    snap9 = {r["k"]: r["tier"] for r in snapshot_at(hist, ts(23)).collect()}
+    assert snap9 == {1: "silver", 2: "gold"}
