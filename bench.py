@@ -86,6 +86,12 @@ BENCH_QUERIES = [
     "duplicate_spans",          # span-level substring dedup (corpus-linear)
     "cluster_safe_split",       # leakage-safe cluster-aware split
     "robust_outliers",          # median/MAD modified z-score
+    # round-4 additions
+    "triangle_count",           # degree-oriented triangle counting
+    "resample_ffill",           # time-series densify + forward fill
+    "merge_upsert",             # MERGE INTO as anti join + union
+    "scd2_history",             # SCD type-2 interval construction
+    "semantic_dedup",           # embedding clusters -> keeper election
 ]
 
 

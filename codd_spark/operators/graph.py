@@ -47,10 +47,12 @@ def connected_components(
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
+    # iterate over edge ENDPOINTS only: isolated vertices are their own
+    # singleton components by definition and can never change label, so
+    # carrying them through the propagation rounds would scale every
+    # per-round shuffle with the corpus instead of with the (far
+    # smaller) near-dup edge set. They are appended once at the end.
     labels = edges.select(F.col("src").alias("id")).distinct()
-    if nodes is not None:
-        nc = node_col or id_a
-        labels = labels.union(nodes.select(F.col(nc).alias("id"))).distinct()
     labels = labels.select("id", F.col("id").alias("component"))
 
     # edges only need to be shuffled into place once; reuse across rounds
@@ -79,13 +81,23 @@ def connected_components(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
         ).collect()[0].s
         labels = new_labels
-        if prev_sum is not None and cur_sum == prev_sum:
-            return labels
+        # cur_sum is None only when there are no edges at all — every
+        # vertex is isolated and the loop has nothing to propagate
+        if cur_sum is None or (prev_sum is not None and cur_sum == prev_sum):
+            break
         prev_sum = cur_sum
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds "
-        "(pathological graph diameter — raise max_iter)"
-    )
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(pathological graph diameter — raise max_iter)"
+        )
+    if nodes is not None:
+        nc = node_col or id_a
+        isolated = nodes.select(F.col(nc).alias("id")).distinct().join(
+            labels.select("id").hint("shuffle_merge"), on="id", how="left_anti"
+        )
+        labels = labels.union(isolated.select("id", F.col("id").alias("component")))
+    return labels
 
 
 def dedup_clusters(

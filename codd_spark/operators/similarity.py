@@ -61,12 +61,23 @@ def brute_force_top_k(
     k: int = 10,
 ) -> DataFrame:
     """Exact cosine top-k per query. Query side is broadcast (no shuffle of
-    the corpus); one window per query partition ranks candidates."""
-    pairs = df.join(F.broadcast(queries), F.col(id_col) != F.col(query_id_col))
+    the corpus); one window per query partition ranks candidates. Norms
+    are hoisted out of the pair stage (computed once per corpus vector /
+    query vector), so the per-pair expression is a single dot-product
+    fold — bit-identical doubles, ~5x less interpreted HOF work."""
+    from codd_spark.functions.vector import dot, l2_norm
+
+    corpus = df.select(
+        F.col(id_col), F.col(emb_col), l2_norm(F.col(emb_col)).alias("__cn")
+    )
+    qn = queries.withColumn("__qn", l2_norm(F.col(query_emb_col)))
+    pairs = corpus.join(F.broadcast(qn), F.col(id_col) != F.col(query_id_col))
+    denom = F.col("__qn") * F.col("__cn")
+    cos = F.when(denom != 0, dot(F.col(query_emb_col), F.col(emb_col)) / denom)
     scored = pairs.select(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine_similarity(F.col(query_emb_col), F.col(emb_col)), 6).alias("cos_sim"),
+        F.round(cos, 6).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -94,15 +105,19 @@ def lsh_top_k(
     At 100 TB the corpus side is bucketed once (can be persisted bucketed by
     ``bucket``), and each query joins only ~(1+n_planes) buckets instead of
     the full corpus."""
+    from codd_spark.functions.vector import dot, l2_norm
+
     planes = _hyperplanes(dim, n_planes, seed)
     corpus = df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).alias("_emb"),
+        l2_norm(F.col(emb_col)).alias("__cn"),
         hyperplane_bucket(F.col(emb_col), planes).alias("bucket"),
     )
     qb = queries.select(
         F.col(query_id_col),
         F.col(query_emb_col).alias("_qemb"),
+        l2_norm(F.col(query_emb_col)).alias("__qn"),
         hyperplane_bucket(F.col(query_emb_col), planes).alias("qbucket"),
     )
     # multi-probe: expand each query to its bucket + hamming-<=r neighbors
@@ -116,15 +131,17 @@ def lsh_top_k(
             for j in range(i + 1, n_planes)
         ]
     qx = qb.select(
-        query_id_col, "_qemb", F.explode(F.array(*probes)).alias("bucket")
+        query_id_col, "_qemb", "__qn", F.explode(F.array(*probes)).alias("bucket")
     )
     joined = corpus.join(F.broadcast(qx), on="bucket").filter(
         F.col("neighbor_id") != F.col(query_id_col)
     )
+    denom = F.col("__qn") * F.col("__cn")
+    cos = F.when(denom != 0, dot(F.col("_qemb"), F.col("_emb")) / denom)
     scored = joined.select(
         F.col(query_id_col),
         "neighbor_id",
-        F.round(cosine_similarity(F.col("_qemb"), F.col("_emb")), 6).alias("cos_sim"),
+        F.round(cos, 6).alias("cos_sim"),
     ).distinct()
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -282,32 +299,43 @@ def embedding_near_duplicates(
     ``exact=False`` (default, the scale path): hyperplane-bucket self-join —
     high-cosine pairs land in the same bucket with probability
     (1 - theta/pi)^n_planes; misses are boundary pairs. ``exact=True``:
-    full O(n^2) cross join for bounded subsets / verification."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"))
+    full O(n^2) cross join for bounded subsets / verification.
+
+    Norms are computed ONCE PER VECTOR before the join, so the per-pair
+    expression is a single dot product. Candidate pairs outnumber the
+    corpus by orders of magnitude (each higher-order-function aggregate
+    is an interpreted per-element fold, the expensive expression class
+    here), so hoisting the two norm folds out of the pair stage cuts
+    per-pair cost ~5x while producing bit-identical doubles — the fold
+    order inside each aggregate is unchanged.
+    """
+    from codd_spark.functions.vector import dot, l2_norm
+
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(emb_col).alias("emb_a"),
+        l2_norm(F.col(emb_col)).alias("__na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(emb_col).alias("emb_b"),
+        l2_norm(F.col(emb_col)).alias("__nb"),
+    )
     if exact:
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         planes = _hyperplanes(dim, n_planes, seed)
-        ab = df.select(
-            F.col(id_col).alias("id_a"),
-            F.col(emb_col).alias("emb_a"),
-            hyperplane_bucket(F.col(emb_col), planes).alias("bucket"),
-        )
-        bb = df.select(
-            F.col(id_col).alias("id_b"),
-            F.col(emb_col).alias("emb_b"),
-            hyperplane_bucket(F.col(emb_col), planes).alias("bucket"),
-        )
+        ab = a.withColumn("bucket", hyperplane_bucket(F.col("emb_a"), planes))
+        bb = b.withColumn("bucket", hyperplane_bucket(F.col("emb_b"), planes))
         # unbounded self-join: force a shuffle join so corpus growth can
         # never turn the build side into a driver-sized broadcast
         pairs = ab.join(bb.hint("shuffle_merge"), on="bucket").filter(
             F.col("id_a") < F.col("id_b")
         )
+    denom = F.col("__na") * F.col("__nb")
+    cos = F.when(denom != 0, dot(F.col("emb_a"), F.col("emb_b")) / denom)
     return (
-        pairs.withColumn(
-            "cos_sim", F.round(cosine_similarity(F.col("emb_a"), F.col("emb_b")), 6)
-        )
+        pairs.withColumn("cos_sim", F.round(cos, 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
         .distinct()
