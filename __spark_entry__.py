@@ -2260,6 +2260,36 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(emb, dim=64, threshold=0.4, exact=True)
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training
+    (operators/similarity.py::hard_negatives): per query vector, the 5
+    most cosine-similar corpus vectors of a DIFFERENT label — broadcast
+    query side, label inequality inside the join condition, hoisted
+    norms, one dot-product fold per pair. Oracle replays the scoring and
+    per-query ranking in SQL."""
+    from codd_spark.operators.similarity import hard_negatives
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    return hard_negatives(emb, qs, k=5)
+
+
+def q_histogram_prices(spark, sf_dir):
+    """Fixed-width 20-bin histogram of order totals
+    (operators/aggregates.py::histogram): closed-form bin expression,
+    one partial-aggregated shuffle, dense bin spine so empty bins
+    surface with n=0. The distribution probe for quality/length/loss
+    columns; output size is nbins regardless of corpus size."""
+    from codd_spark.operators.aggregates import histogram
+
+    orders = read_table(spark, sf_dir, "orders")
+    return histogram(orders, "o_totalprice", lo=0.0, hi=600000.0, nbins=20)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2399,6 +2429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "scd2_history": q_scd2_history,
         "semantic_dedup": q_semantic_dedup,
+        "hard_negatives": q_hard_negatives,
+        "histogram_prices": q_histogram_prices,
     }
 
 
@@ -3836,6 +3868,43 @@ def oracle_sql() -> dict[str, str]:
                    MAX(last_v) OVER (PARTITION BY user_id, grp) AS value,
                    n_events IS NULL AS is_gap
             FROM f
+        """,
+        "hard_negatives": """
+            WITH c AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+              FROM embeddings
+            ), q AS (
+              SELECT vec_id AS qid, e AS qe, label AS ql FROM c WHERE vec_id < 5
+            ), s AS (
+              SELECT q.qid AS query_id, c.vec_id AS negative_id,
+                     c.label AS negative_label,
+                     ROUND(list_dot_product(q.qe, c.e)
+                           / (sqrt(list_dot_product(q.qe, q.qe))
+                              * sqrt(list_dot_product(c.e, c.e))), 6) AS cos_sim
+              FROM q JOIN c ON c.vec_id <> q.qid AND c.label <> q.ql
+            ), r AS (
+              SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos_sim DESC, negative_id ASC) AS rank
+              FROM s
+            )
+            SELECT query_id, negative_id, negative_label, cos_sim, rank
+            FROM r WHERE rank <= 5
+        """,
+        "histogram_prices": """
+            WITH b AS (
+              SELECT LEAST(19, GREATEST(0,
+                       CAST(FLOOR((o_totalprice - 0.0) / 30000.0) AS BIGINT)
+                     )) AS bin
+              FROM orders WHERE o_totalprice IS NOT NULL
+            ), cnt AS (
+              SELECT bin, COUNT(*) AS n FROM b GROUP BY bin
+            )
+            SELECT r.bin,
+                   0.0 + r.bin * 30000.0 AS bin_lo,
+                   0.0 + (r.bin + 1) * 30000.0 AS bin_hi,
+                   COALESCE(cnt.n, 0) AS n
+            FROM range(0, 20) r(bin) LEFT JOIN cnt ON cnt.bin = r.bin
         """,
         "semantic_dedup": """
             WITH RECURSIVE s AS (

@@ -3,7 +3,7 @@ the LLM-data-pipeline operator set): aggregation/top-k, dedup families,
 decontamination, similarity search, text analysis, graph, pipeline
 assembly, multimodal plumbing."""
 
-from codd_spark.operators.aggregates import grouped_top_k, top_k
+from codd_spark.operators.aggregates import histogram, grouped_top_k, top_k
 from codd_spark.operators.dedup import (
     cross_near_duplicates,
     decontaminate,
@@ -40,6 +40,7 @@ from codd_spark.operators.similarity import (
     lsh_top_k,
     pq_top_k,
     pq_train_encode,
+    hard_negatives,
     semantic_dedup,
     sq_top_k,
     sq_train_encode,
@@ -70,6 +71,8 @@ __all__ = [
     "duplicate_spans",
     "embedding_near_duplicates",
     "grouped_top_k",
+    "hard_negatives",
+    "histogram",
     "ivf_top_k",
     "lang_id",
     "lsh_top_k",

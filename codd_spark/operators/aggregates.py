@@ -76,3 +76,49 @@ def sessionize(
     ).otherwise(F.lit(0))
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(session_col, F.sum(is_new).over(run))
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    *,
+    lo: float,
+    hi: float,
+    nbins: int,
+    dense: bool = True,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column over [lo, hi):
+    (bin, bin_lo, bin_hi, n) — below-range values clamp into bin 0,
+    above-range into the last bin, NULLs are dropped.
+
+    One partial-aggregated groupBy on a closed-form bin expression —
+    the single-shuffle distribution probe for quality-score/length/
+    loss columns at corpus scale. ``dense=True`` left-joins the full
+    bin spine so empty bins appear with n=0 (plot-ready, and the output
+    size is nbins regardless of data size).
+    """
+    if not (hi > lo) or nbins < 1:
+        raise ValueError("need hi > lo and nbins >= 1")
+    width = (hi - lo) / nbins
+    bin_expr = F.least(
+        F.lit(nbins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(col) - F.lit(lo)) / F.lit(width))),
+    ).cast("long")
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bin_expr.alias("bin"))
+        .agg(F.count("*").alias("n"))
+    )
+    if not dense:
+        return counts
+    spark = df.sparkSession
+    spine = spark.range(nbins).select(F.col("id").alias("bin"))
+    return (
+        spine.join(counts, on="bin", how="left")
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )

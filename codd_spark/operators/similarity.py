@@ -718,3 +718,53 @@ def semantic_dedup(
         exact=exact,
     )
     return dedup_clusters(df, pairs, id_col, "id_a", "id_b")
+
+
+def hard_negatives(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_emb_col: str = "q_emb",
+    query_label_col: str = "q_label",
+    k: int = 10,
+) -> DataFrame:
+    """Per query: the k most cosine-similar corpus vectors with a
+    DIFFERENT label — the hard-negative mining step of contrastive /
+    embedding training (high-similarity wrong-class examples carry the
+    gradient signal; random negatives are trivially separable).
+
+    Same shape as ``brute_force_top_k``: the (small) query side is
+    broadcast with its norms precomputed, the corpus streams — one
+    broadcast join, one dot-product fold per surviving pair, one
+    per-query window. The label inequality is part of the join
+    condition, so same-class candidates are dropped before any scoring
+    work. For corpus-scale query sets, swap the broadcast for the
+    bucketed ``lsh_top_k`` candidate stage; the scoring/ranking tail is
+    identical.
+    """
+    from codd_spark.functions.vector import dot, l2_norm
+
+    corpus = df.select(
+        F.col(id_col), F.col(emb_col), F.col(label_col),
+        l2_norm(F.col(emb_col)).alias("__cn"),
+    )
+    qn = queries.withColumn("__qn", l2_norm(F.col(query_emb_col)))
+    pairs = corpus.join(
+        F.broadcast(qn),
+        (F.col(id_col) != F.col(query_id_col))
+        & (F.col(label_col) != F.col(query_label_col)),
+    )
+    denom = F.col("__qn") * F.col("__cn")
+    cos = F.when(denom != 0, dot(F.col(query_emb_col), F.col(emb_col)) / denom)
+    scored = pairs.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("negative_label"),
+        F.round(cos, 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc("negative_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

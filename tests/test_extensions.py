@@ -756,3 +756,45 @@ def test_bm25_top_k(spark):
     assert by_id[1].bm25 > by_id[2].bm25          # density wins
     assert by_id[4].n_matched_terms == 2
     assert [r.rank for r in out] == list(range(1, len(out) + 1))
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from codd_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 1),   # query, label 1
+        (1, [0.99, 0.1], 1),  # same label, very close -> must be excluded
+        (2, [0.9, 0.2], 2),   # different label, close
+        (3, [0.5, 0.5], 2),   # different label, farther
+        (4, [0.0, 1.0], 3),   # different label, orthogonal-ish
+    ]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>, label INT")
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.0], 1)], "query_id BIGINT, q_emb ARRAY<DOUBLE>, q_label INT"
+    )
+    out = sorted(hard_negatives(df, qs, k=2).collect(), key=lambda r: r["rank"])
+    assert [r["negative_id"] for r in out] == [2, 3]
+    assert all(r["negative_label"] != 1 for r in out)
+    assert out[0]["cos_sim"] > out[1]["cos_sim"]
+
+
+def test_histogram_bins_clamp_and_dense(spark):
+    from codd_spark.operators.aggregates import histogram
+
+    import pytest as _pytest
+
+    rows = [(-5.0,), (0.0,), (1.5,), (9.99,), (10.0,), (25.0,), (None,)]
+    df = spark.createDataFrame(rows, "x DOUBLE")
+    out = {r["bin"]: r for r in histogram(df, "x", lo=0.0, hi=10.0, nbins=5).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}          # dense spine
+    assert out[0]["n"] == 3                      # -5 clamps in; 0.0 and 1.5 in [0,2)
+    assert out[0]["bin_lo"] == 0.0 and out[0]["bin_hi"] == 2.0
+    assert out[1]["n"] == 0                      # empty bin surfaces
+    assert out[4]["n"] == 3                      # 9.99 + clamped 10.0 and 25.0
+    assert sum(r["n"] for r in out.values()) == 6  # NULL dropped
+
+    sparse = histogram(df, "x", lo=0.0, hi=10.0, nbins=5, dense=False).collect()
+    assert {r["bin"] for r in sparse} == {0, 4}
+
+    with _pytest.raises(ValueError, match="hi > lo"):
+        histogram(df, "x", lo=1.0, hi=1.0, nbins=5)
