@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "merge_upsert",             # MERGE INTO as anti join + union
     "scd2_history",             # SCD type-2 interval construction
     "semantic_dedup",           # embedding clusters -> keeper election
+    "hard_negatives",           # contrastive hard-negative mining
+    "histogram_prices",         # fixed-width distribution probe
 ]
 
 

@@ -64,6 +64,8 @@ ROUND4_ADDITIONS = [
     "merge_upsert",
     "scd2_history",
     "semantic_dedup",
+    "hard_negatives",
+    "histogram_prices",
 ]
 
 CORE_OPERATORS = [

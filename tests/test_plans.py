@@ -256,3 +256,34 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
         spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_round4_plans_shuffle_pinned_and_pruned(spark):
+    # merge_upsert: anti joins on a growing source must never become a
+    # nested-loop or a driver-sized broadcast of the source
+    plan = plan_of(spark, "merge_upsert")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+    # scd2_history: both windows share one (user_id, ts ...) sort order ->
+    # exactly one exchange for the whole operator
+    plan = plan_of(spark, "scd2_history")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+    # histogram: counting aggregate combines map-side before the shuffle,
+    # and only the aggregated column is read
+    plan = plan_of(spark, "histogram_prices")
+    assert "partial_count" in plan
+    assert "o_orderdate" not in plan and "o_custkey" not in plan
+
+    # triangle_count: wedge/closing joins on growing edge sets stay
+    # shuffle joins
+    plan = plan_of(spark, "triangle_count")
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # hard_negatives: query side broadcast (corpus never shuffles for
+    # the join) and per-query window ranking
+    plan = plan_of(spark, "hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" in plan and "CartesianProduct" not in plan
