@@ -109,3 +109,92 @@ def test_snapshot_at_reconstructs_state(spark):
     # far future: current versions
     snap9 = {r["k"]: r["tier"] for r in snapshot_at(hist, ts(23)).collect()}
     assert snap9 == {1: "silver", 2: "gold"}
+
+
+def test_scd2_random_streams_match_reference_model(spark):
+    """200 random per-(case,key) change streams — including timestamp
+    collisions and immediate repeats — batched into ONE scd2_history
+    call; compared against an independent pure-Python interval model."""
+    import random
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from codd_spark.operators.cdc import scd2_history
+
+    rng = random.Random(42)
+    rows = []
+    for case in range(200):
+        for _ in range(rng.randint(1, 12)):
+            rows.append(
+                (
+                    case,
+                    rng.randint(0, 2),
+                    datetime(2024, 1, 1) + timedelta(hours=rng.randint(0, 8)),
+                    rng.choice(["a", "b", "c"]),
+                    len(rows),
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "case BIGINT, k BIGINT, ts TIMESTAMP, attr STRING, eid BIGINT"
+    )
+    got = {
+        (r["case"], r["k"], r["version"]): (
+            r["attr"], r["valid_from"], r["valid_to"], r["is_current"]
+        )
+        for r in scd2_history(
+            df, ["case", "k"], ["attr"], "ts", tiebreak_cols=["eid"]
+        ).collect()
+    }
+
+    groups = defaultdict(list)
+    for case, k, ts, attr, eid in rows:
+        groups[(case, k)].append((ts, eid, attr))
+    expect = {}
+    for (case, k), evs in groups.items():
+        evs.sort()
+        versions = []
+        prev = object()
+        for ts, _eid, attr in evs:
+            if attr != prev:
+                versions.append([ts, None, attr])
+                prev = attr
+        for i in range(len(versions) - 1):
+            versions[i][1] = versions[i + 1][0]
+        for v, (f, t, attr) in enumerate(versions, 1):
+            expect[(case, k, v)] = (attr, f, t, t is None)
+    assert got == expect
+
+
+def test_merge_upsert_random_batches_match_reference_model(spark):
+    """100 random (target, source) cases in one merge_upsert call,
+    compared against a dict-based MERGE model (update/insert/delete)."""
+    import random
+    from collections import defaultdict
+
+    from codd_spark.operators.cdc import merge_upsert
+
+    rng = random.Random(7)
+    tgt_rows, src_rows, cases = [], [], range(100)
+    for case in cases:
+        for k in rng.sample(range(20), rng.randint(0, 10)):
+            tgt_rows.append((case, k, f"t{case}_{k}"))
+        for k in rng.sample(range(25), rng.randint(0, 10)):
+            src_rows.append((case, k, f"s{case}_{k}", rng.random() < 0.3))
+    target = spark.createDataFrame(tgt_rows, "case BIGINT, k BIGINT, v STRING")
+    source = spark.createDataFrame(
+        src_rows, "case BIGINT, k BIGINT, v STRING, del BOOLEAN"
+    )
+    got = defaultdict(dict)
+    for r in merge_upsert(target, source, ["case", "k"], delete_col="del").collect():
+        got[r["case"]][r["k"]] = r["v"]
+
+    expect = defaultdict(dict)
+    for case, k, v in tgt_rows:
+        expect[case][k] = v
+    for case, k, v, dele in src_rows:
+        if dele:
+            expect[case].pop(k, None)
+        else:
+            expect[case][k] = v
+    expect = {c: d for c, d in expect.items() if d}
+    assert dict(got) == expect
