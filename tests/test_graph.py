@@ -207,3 +207,17 @@ def test_semantic_dedup_lsh_and_exact_agree_on_separable_data(spark):
                 assert out[i] == (ids[0], 3, i == ids[0]), (exact, i, out[i])
         for i in (9, 10, 11):  # singletons keep themselves
             assert out[i] == (i, 1, True)
+
+
+def test_triangle_and_components_on_empty_edges(spark):
+    from codd_spark.operators.graph import connected_components, triangle_counts
+
+    empty = spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
+    assert triangle_counts(empty).count() == 0
+    # no edges + an explicit node set: every node is its own singleton
+    nodes = spark.createDataFrame([(1,), (2,)], "doc_id BIGINT")
+    cc = {
+        r["id"]: r["component"]
+        for r in connected_components(empty, nodes=nodes, node_col="doc_id").collect()
+    }
+    assert cc == {1: 1, 2: 2}

@@ -69,3 +69,10 @@ def test_resample_rejects_unknown_unit(spark):
     df = spark.createDataFrame([(1, _ts(1, 0), 1.0)], "u BIGINT, ts TIMESTAMP, value DOUBLE")
     with pytest.raises(ValueError, match="unit"):
         resample(df, "ts", "value", key_col="u", unit="fortnight")
+
+
+def test_resample_empty_input(spark):
+    from codd_spark.operators.timeseries import resample
+
+    df = spark.createDataFrame([], "user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+    assert resample(df, "ts", "value", key_col="user_id").count() == 0

@@ -37,6 +37,13 @@ PICK = {
     "ngram_jaccard": "Bounded-subset exact Jaccard: the theta-join's streamed side is explicitly repartitioned so the nested-loop compare spreads across cores (a single-partition subset otherwise serializes all |n|^2/2 comparisons onto one task).",
     "sq_codes": "Scalar quantization: per-dim min/max folded into the encode expression as literals — the scan is a pure projection (no join against a stats table), codes computed in whole-stage codegen.",
     "frame_sample": "APNG frame walk: synthesis ids repartitioned before mapInPandas so the CPU-bound Python decode runs on every core; Arrow-batched, bounded memory per batch.",
+    "triangle_count": "Degree-oriented triangle counting: every graph-sized join (degree attach, wedge self-join, closing-edge probe) is SortMergeJoin by hint; orientation bounds the wedge fan-out at O(m^1.5) so no hub explosion.",
+    "resample_ffill": "Time-series densify: per-key sequence+explode grid (no global calendar), left join back to the bucket aggregate, and the fill-group windows share one (user_id) partitioning.",
+    "scd2_history": "SCD2: lag-collapse and lead-interval windows share one (user_id, ts, event_id) sort — a single exchange for the whole operator.",
+    "merge_upsert": "MERGE as algebra: two left-anti SortMergeJoins (match-removal, delete-removal) around a union — no full outer join, the source is never broadcast.",
+    "semantic_dedup": "SemDeDup: hoisted per-vector norms (norm fold runs corpus-linear, before the pair stage), pair mining feeds min-label propagation whose per-round joins are shuffle-pinned; singletons bypass the loop entirely.",
+    "hard_negatives": "Hard-negative mining: broadcast query side (corpus never shuffles), label inequality inside the join condition, one dot-product fold per surviving pair, per-query window rank.",
+    "histogram_prices": "Fixed-width histogram: closed-form bin expression with partial_count before the single exchange; dense bin spine joined at nbins cost.",
 }
 
 
