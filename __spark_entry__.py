@@ -1316,8 +1316,12 @@ def q_decontaminate_lsh(spark, sf_dir):
     """Scale-path decontamination: MinHash cross-table candidates (shared
     hash family, shuffle-pinned bucket join, degenerate-bucket guards) +
     exact verification, over the full documents table vs the eval slice.
-    Rows-only check (LSH recall is probabilistic by design; the exact
-    method above is the oracle-checked contract)."""
+    Oracle: exact all-pairs cross-corpus char-5-shingle Jaccard in
+    DuckDB — at oracle scales the banded-LSH candidate set has recall
+    1.0 (same measurement that backs the minhash_near_dups oracle), and
+    every candidate is exact-verified, so the removed-doc set matches
+    the exact computation. Hashed-shingle vs string-shingle Jaccard
+    diverge only on xxhash64 collisions (~n^2/2^64)."""
     from codd_spark.operators.dedup import decontaminate
 
     docs = read_table(spark, sf_dir, "documents")
@@ -3220,6 +3224,25 @@ def oracle_sql() -> dict[str, str]:
                            / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             ) WHERE jaccard >= 0.5
+        """,
+        "decontaminate_lsh": r"""
+            WITH t AS (
+              SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct([substr(t, i, 5)
+                                    for i in range(1, greatest(len(t)-4, 1)+1)]) AS sh
+              FROM t
+            ), dirty AS (
+              SELECT DISTINCT a.doc_id
+              FROM sh a JOIN sh b
+                ON a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+              WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                          / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+            )
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id % 10 != 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
         """,
         "decontaminate_corpus": """
             WITH g AS (
