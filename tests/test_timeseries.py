@@ -76,3 +76,52 @@ def test_resample_empty_input(spark):
 
     df = spark.createDataFrame([], "user_id BIGINT, ts TIMESTAMP, value DOUBLE")
     assert resample(df, "ts", "value", key_col="user_id").count() == 0
+
+
+def test_resample_random_streams_match_reference_model(spark):
+    """150 random irregular streams (duplicate timestamps, long gaps,
+    single-point series) batched through ONE resample call via the key
+    column; compared against an independent pure-Python LOCF model."""
+    import random
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from codd_spark.operators.timeseries import resample
+
+    rng = random.Random(11)
+    rows = []
+    for key in range(150):
+        for _ in range(rng.randint(1, 10)):
+            rows.append(
+                (
+                    key,
+                    datetime(2024, 1, 1) + timedelta(minutes=rng.randint(0, 600)),
+                    float(rng.randint(0, 50)),
+                )
+            )
+    df = spark.createDataFrame(rows, "user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+    got = {
+        (r["user_id"], r["bucket"]): (r["n_events"], r["value"], r["is_gap"])
+        for r in resample(df, "ts", "value", key_col="user_id", unit="hour").collect()
+    }
+
+    groups = defaultdict(list)
+    for k, ts, v in rows:
+        groups[k].append((ts, v))
+    expect = {}
+    for k, evs in groups.items():
+        buckets = defaultdict(list)
+        for ts, v in evs:
+            buckets[ts.replace(minute=0, second=0, microsecond=0)].append((ts, v))
+        lo, hi = min(buckets), max(buckets)
+        carry = None
+        b = lo
+        while b <= hi:
+            if b in buckets:
+                # deterministic last-in-bucket: max by (ts, value)
+                carry = max(buckets[b])[1]
+                expect[(k, b)] = (len(buckets[b]), carry, False)
+            else:
+                expect[(k, b)] = (0, carry, True)
+            b += timedelta(hours=1)
+    assert got == expect
