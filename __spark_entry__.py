@@ -887,8 +887,10 @@ def q_corpus_curation(spark, sf_dir):
     from codd_spark.operators.pipeline import curate_corpus
 
     docs = read_table(spark, sf_dir, "documents")
+    from codd_spark.operators.dedup import adopt_release
+
     out = curate_corpus(docs, keep_langs=("en", "de"), min_quality=0.7)
-    return out.select("doc_id", "lang", "n_chars")
+    return adopt_release(out.select("doc_id", "lang", "n_chars"), out)
 
 
 def q_corpus_stats(spark, sf_dir):
@@ -1288,11 +1290,13 @@ def q_decontaminate_corpus(spark, sf_dir):
     tested for parity, shares the self-join hash family)."""
     from codd_spark.operators.dedup import decontaminate
 
+    from codd_spark.operators.dedup import adopt_release
+
     docs = read_table(spark, sf_dir, "documents")
     corpus = docs.filter("doc_id < 300")
     evalset = docs.filter("doc_id >= 300 AND doc_id < 400")
     clean = decontaminate(corpus, evalset, threshold=0.5, method="exact", n=3)
-    return clean.select("doc_id", "lang", "n_chars")
+    return adopt_release(clean.select("doc_id", "lang", "n_chars"), clean)
 
 
 def q_decontaminate_containment(spark, sf_dir):
@@ -1324,11 +1328,15 @@ def q_decontaminate_lsh(spark, sf_dir):
     diverge only on xxhash64 collisions (~n^2/2^64)."""
     from codd_spark.operators.dedup import decontaminate
 
+    from codd_spark.operators.dedup import adopt_release
+
     docs = read_table(spark, sf_dir, "documents")
     corpus = docs.filter("doc_id % 10 != 0")
     evalset = docs.filter("doc_id % 10 = 0")
     clean = decontaminate(corpus, evalset, threshold=0.5, method="minhash")
-    return clean.select("doc_id", "lang", "n_chars")
+    # keep the pipeline's shingle caches alive for THIS derived frame —
+    # without adoption the parent's finalizer unpersists them pre-execution
+    return adopt_release(clean.select("doc_id", "lang", "n_chars"), clean)
 
 
 def q_weighted_avg_price(spark, sf_dir):

@@ -82,6 +82,24 @@ def _adopt_release(child: DataFrame, parent: DataFrame) -> DataFrame:
         return child
     return _attach_release(child, *cached)
 
+
+def adopt_release(child: DataFrame, parent: DataFrame) -> DataFrame:
+    """Public face of ``_adopt_release`` — REQUIRED whenever you derive a
+    new DataFrame (``.select``/``.drop``/``.filter``/joins) from a
+    cache-carrying pipeline result and drop the original.
+
+    The pipeline operators (minhash/cross near-dups, decontaminate,
+    curate_corpus) persist their shingle/signature intermediates and tie
+    the unpersist to the RESULT OBJECT's lifetime. A derived frame does
+    not inherit that tie, so ``decontaminate(...).select(...)`` lets the
+    parent die and its finalizer unpersist the caches BEFORE the derived
+    plan ever executes — the expensive signature stage then silently
+    recomputes on every downstream action (measured 5x on the
+    decontamination bench query). ``adopt_release(derived, parent)``
+    moves the obligation onto the frame you actually keep.
+    """
+    return _adopt_release(child, parent)
+
 # Modulus prime for the minhash universal-hash family (fits in 31 bits so
 # a*h+b stays overflow-free in a 64-bit long).
 _P = 2038074743
