@@ -287,3 +287,15 @@ def test_round4_plans_shuffle_pinned_and_pruned(spark):
     plan = plan_of(spark, "hard_negatives")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Window" in plan and "CartesianProduct" not in plan
+
+
+def test_derived_pipeline_results_keep_their_caches(spark):
+    """Regression pin for the premature-release bug: a contract query that
+    DERIVES from a cache-carrying pipeline result (decontaminate_lsh's
+    .select) must still plan against the persisted shingle intermediates
+    — losing them silently recomputes the signature stage (measured 5x)."""
+    plan = plan_of(spark, "decontaminate_lsh")
+    assert "InMemoryTableScan" in plan, (
+        "shingle/bucket caches were unpersisted before execution — "
+        "derived frame did not adopt its parent's release obligation"
+    )
