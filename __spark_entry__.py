@@ -2302,6 +2302,22 @@ def q_histogram_prices(spark, sf_dir):
     return histogram(orders, "o_totalprice", lo=0.0, hi=600000.0, nbins=20)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement, exactly 20 docs per source
+    (operators/pipeline.py::weighted_sample_k — the Efraimidis-Spirakis
+    A-ES scheme, rank by ln(u)/w): inclusion odds proportional to
+    n_chars, output size fixed regardless of weight skew. u rides the
+    shared cross-engine LCG, so the oracle reproduces the exact sample
+    by replaying the hash, the key and the per-group rank in SQL."""
+    from codd_spark.operators.pipeline import weighted_sample_k
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = weighted_sample_k(
+        docs, "n_chars", 20, "doc_id", salt=3, group_col="source"
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2443,6 +2459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "hard_negatives": q_hard_negatives,
         "histogram_prices": q_histogram_prices,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -3899,6 +3916,24 @@ def oracle_sql() -> dict[str, str]:
                    MAX(last_v) OVER (PARTITION BY user_id, grp) AS value,
                    n_events IS NULL AS is_gap
             FROM f
+        """,
+        "weighted_sample": """
+            WITH h AS (
+              SELECT doc_id, source, n_chars,
+                     ((doc_id + 3) % 2147483648 * 1103515245 + 12345)
+                         % 2147483648 % 1000000 AS mills
+              FROM documents
+            ), keyed AS (
+              SELECT doc_id, source, n_chars,
+                     ROUND(LN((mills + 0.5) / 1000000.0) / n_chars, 9) AS aes
+              FROM h
+            ), r AS (
+              SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY aes DESC, doc_id ASC) AS rn
+              FROM keyed
+            )
+            SELECT doc_id, source, n_chars FROM r WHERE rn <= 20
         """,
         "hard_negatives": """
             WITH c AS (

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "semantic_dedup",           # embedding clusters -> keeper election
     "hard_negatives",           # contrastive hard-negative mining
     "histogram_prices",         # fixed-width distribution probe
+    "weighted_sample",          # A-ES weighted sampling w/o replacement
 ]
 
 

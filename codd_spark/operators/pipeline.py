@@ -516,3 +516,50 @@ def write_training_shards(
         .mode("overwrite")
         .save(path)
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    salt: int = 0,
+    *,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement of exactly k
+    rows (per group, if ``group_col`` is given): the Efraimidis-Spirakis
+    A-ES scheme — each row draws u in (0,1) and ranks by ln(u)/w, the
+    top k win. Inclusion probability is proportional to weight, no row
+    repeats, and — unlike weighted-rate filters — the output size is
+    EXACTLY k even when weights are skewed.
+
+    The quality-weighted corpus subsample: w = quality score (or token
+    count, or recency decay) picks the best-k documents stochastically
+    instead of a hard threshold, preserving tail diversity.
+
+    u comes from the shared 31-bit LCG over the row id (the
+    cross-engine deterministic sampler of stratified_sample /
+    train_val_test_split), so reruns and SQL oracles reproduce the
+    sample bit-for-bit. Plan shape: pure projection for the key, one
+    window (or TakeOrderedAndProject when ungrouped) for the top-k.
+    Rows with weight <= 0 or NULL never win (key -> -infinity).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = (_lcg_mills(id_col, salt).cast("double") + F.lit(0.5)) / F.lit(1_000_000.0)
+    key = F.when(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0),
+        F.log(u) / F.col(weight_col).cast("double"),
+    ).otherwise(F.lit(float("-inf")))
+    keyed = df.withColumn("__aes", F.round(key, 9))
+    if group_col is None:
+        out = keyed.orderBy(F.desc("__aes"), F.asc(id_col)).limit(k)
+    else:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(group_col).orderBy(F.desc("__aes"), F.asc(id_col))
+        out = keyed.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= k
+        ).drop("__rn")
+    return out.drop("__aes")

@@ -66,6 +66,7 @@ ROUND4_ADDITIONS = [
     "semantic_dedup",
     "hard_negatives",
     "histogram_prices",
+    "weighted_sample",
 ]
 
 CORE_OPERATORS = [

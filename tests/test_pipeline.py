@@ -294,3 +294,40 @@ def test_robust_outliers_flags_and_mad_zero(spark):
            robust_outliers(df, "value", ["g"], z_max=3.5).collect()}
     assert out[("a", 1000.0)] is True
     assert not any(flag for (g, v), flag in out.items() if v != 1000.0)
+
+
+def test_weighted_sample_k_exact_size_and_bias(spark):
+    from codd_spark.operators.pipeline import weighted_sample_k
+
+    rows = [(i, "g", 1000.0 if i < 10 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id BIGINT, src STRING, w DOUBLE")
+
+    # exactly k, no duplicates, deterministic across reruns
+    a = sorted(r["id"] for r in weighted_sample_k(df, "w", 15, "id", salt=1).collect())
+    b = sorted(r["id"] for r in weighted_sample_k(df, "w", 15, "id", salt=1).collect())
+    assert a == b and len(a) == 15 == len(set(a))
+
+    # inclusion tracks weight: the 10 heavy rows (1000x weight) should
+    # dominate selections across independent salts
+    heavy_hits = 0
+    for salt in range(5):
+        got = {r["id"] for r in weighted_sample_k(df, "w", 15, "id", salt=salt).collect()}
+        heavy_hits += len(got & set(range(10)))
+    assert heavy_hits >= 40  # out of 50 possible
+
+    # per-group: k from EACH group
+    rows2 = [(i, "x" if i % 2 == 0 else "y", 1.0) for i in range(40)]
+    df2 = spark.createDataFrame(rows2, "id BIGINT, src STRING, w DOUBLE")
+    got = weighted_sample_k(df2, "w", 3, "id", group_col="src").collect()
+    from collections import Counter
+    assert Counter(r["src"] for r in got) == {"x": 3, "y": 3}
+
+    # zero/NULL weights never win
+    rows3 = [(1, 0.0), (2, None), (3, 5.0), (4, 5.0)]
+    df3 = spark.createDataFrame(rows3, "id BIGINT, w DOUBLE")
+    got3 = {r["id"] for r in weighted_sample_k(df3, "w", 2, "id").collect()}
+    assert got3 == {3, 4}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must be"):
+        weighted_sample_k(df, "w", 0, "id")
