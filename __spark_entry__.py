@@ -912,6 +912,18 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
 
 
+def q_set_similarity_pairs(spark, sf_dir):
+    """EXACT corpus-scale near-dup pairs via prefix-filtered set-similarity
+    join (AllPairs/PPJoin family) — no LSH recall loss, no O(n^2) cross
+    join. Same >=t word-3-gram Jaccard contract as the brute-force
+    baseline, verified equal by construction (candidates are a superset,
+    verification is exact)."""
+    from codd_spark.operators.dedup import set_similarity_join
+
+    docs = read_table(spark, sf_dir, "documents")
+    return set_similarity_join(docs, "doc_id", "text", threshold=0.35, ngram_n=3)
+
+
 def q_minhash_near_dups(spark, sf_dir):
     """MinHash+LSH near-duplicate pairs (char-5 shingles, 120 hashes,
     20 bands x 6 rows, exact-Jaccard verified >= 0.5)."""
@@ -2417,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "corpus_stats": q_corpus_stats,
         "ngram_jaccard": q_ngram_jaccard,
+        "set_similarity_pairs": q_set_similarity_pairs,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3084,6 +3097,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT f.doc_id, f.lang, f.n_chars
             FROM f JOIN k ON f.fp = k.fp AND f.doc_id = k.doc_id
+        """,
+        "set_similarity_pairs": """
+            WITH g AS (
+              SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(s)-1, 2)),
+                     i -> array_to_string(list_slice(s, i, i+2), ' '))) AS ng
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS s
+                    FROM documents)
+            )
+            SELECT id_a, id_b, jaccard FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     ROUND(len(list_intersect(a.ng, b.ng))::DOUBLE
+                           / len(list_distinct(list_concat(a.ng, b.ng))), 6) AS jaccard
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+            ) WHERE jaccard >= 0.35
         """,
         "ngram_jaccard": """
             WITH g AS (

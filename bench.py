@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "hard_negatives",           # contrastive hard-negative mining
     "histogram_prices",         # fixed-width distribution probe
     "weighted_sample",          # A-ES weighted sampling w/o replacement
+    "set_similarity_pairs",     # exact AllPairs prefix-filter join
 ]
 
 

@@ -585,6 +585,123 @@ def ngram_jaccard_pairs(
     )
 
 
+def set_similarity_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.5,
+    ngram_n: int | None = None,
+) -> DataFrame:
+    """EXACT Jaccard self-join via prefix filtering (AllPairs / PPJoin
+    family) — the scale path for exact set-similarity without LSH's
+    probabilistic recall and without the O(n^2) cross join of
+    ``ngram_jaccard_pairs``.
+
+    Sets are distinct whitespace tokens of the raw text (or word n-grams
+    when ``ngram_n`` is given). Tokens are canonically ordered
+    rarest-first by global document frequency; each set indexes only its
+    PREFIX (the first ``|x| - ceil(t*|x|) + 1`` tokens). Two sets with
+    Jaccard >= t must share at least one prefix token under any common
+    total order, so an equi-join on prefix tokens generates a candidate
+    superset, which a second join verifies with exact Jaccard — output is
+    exactly the >=t pair set, same contract as the brute-force baseline.
+
+    100-TB design: three shuffles (doc-frequency agg, prefix-token
+    candidate join, verify join), all equi-joins pinned to shuffle
+    strategies — nothing broadcasts an unbounded side. The rarest-first
+    ordering is what bounds the candidate join's fan-out: hot tokens sort
+    to the END of every set and never enter a prefix, so bucket sizes
+    shrink as the threshold rises. Tokens travel as xxhash64 longs from
+    the first shuffle on (the minhash discipline: ~8 bytes instead of a
+    string per n-gram, and the verify intersections compare longs) —
+    "exact" is therefore exact up to 64-bit token-hash collisions,
+    ~n_distinct^2/2^65 expected merged token pairs, zero at any tested
+    scale. Candidates pass PPJoin's positional filter before any array
+    is shuffled: with prefix tokens matched at 0-based positions, the
+    overlap can't exceed n_shared + min(|x|-1-max_pos_x, |y|-1-max_pos_y)
+    and a >=t pair needs overlap >= t/(1+t)*(|x|+|y|) (halves the verify
+    load on template-heavy corpora). The prefix length uses floor()
+    rather than ceil() on the double product — one token longer than the
+    exact bound where t*|x| is integral — and the positional/size
+    filters get a +1e-9 slack, so float rounding can only ever ADD
+    candidates, never drop a true pair (verification stays exact either
+    way). Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    toks = tokens(F.col(text_col)) if ngram_n is None else word_ngrams(F.col(text_col), ngram_n)
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(F.array_distinct(toks), lambda s: F.xxhash64(s))
+        ).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    tok = sets.select("id", F.explode("toks").alias("tok"))
+    dfreq = tok.groupBy("tok").agg(F.count("*").alias("dfc"))
+    # rarest-first canonical order: sort each set by (doc freq, token hash)
+    ordered = (
+        tok.hint("shuffle_merge")
+        .join(dfreq, "tok")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("dfc", "tok"))).alias("ord"))
+        .select(
+            "id",
+            F.transform("ord", lambda s: s["tok"]).alias("toks"),
+            F.size("ord").alias("sz"),
+        )
+        .persist()
+    )
+    # prefix join: conservative prefix length |x| - floor(t*|x|) + 1
+    plen = (F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")).cast("int") + 1)
+    prefix = ordered.select(
+        "id", "sz", F.posexplode(F.slice("toks", 1, plen)).alias("pos", "tok")
+    ).repartition(parallelism, "tok")
+    a = prefix.select(
+        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("pos").alias("pos_a"), "tok"
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), F.col("pos").alias("pos_b"), "tok"
+    )
+    eps = 1e-9
+    min_overlap = F.lit(threshold / (1.0 + threshold)) * (F.col("sz_a") + F.col("sz_b"))
+    cands = (
+        a.hint("shuffle_merge")
+        .join(b, "tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_b") + eps >= threshold * F.col("sz_a"))
+            & (F.col("sz_a") + eps >= threshold * F.col("sz_b"))
+        )
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(
+            F.count("*").alias("nsh"),
+            F.max("pos_a").alias("mpa"),
+            F.max("pos_b").alias("mpb"),
+        )
+        .filter(
+            F.col("nsh")
+            + F.least(F.col("sz_a") - F.col("mpa") - 1, F.col("sz_b") - F.col("mpb") - 1)
+            + eps
+            >= min_overlap
+        )
+        .select("id_a", "id_b")
+    )
+    # exact verification — output equals the brute-force >=t pair set
+    ta = ordered.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    tb = ordered.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    out = (
+        cands.hint("shuffle_merge")
+        .join(ta, "id_a")
+        .hint("shuffle_merge")
+        .join(tb, "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("toks_a"), F.col("toks_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return _attach_release(out, ordered)
+
+
 def _minhash_prep(
     df: DataFrame,
     id_col: str,

@@ -107,6 +107,62 @@ def test_ngram_jaccard(docs):
     assert 0.5 < pairs[(0, 1)] < 1.0
 
 
+def test_set_similarity_join_equals_brute_force(spark):
+    """Prefix-filtered AllPairs join must return EXACTLY the brute-force
+    >=t pair set — on word-token sets and on word-3-gram sets, across
+    thresholds including one where t*|x| is integral (the floor/ceil
+    boundary the conservative prefix length exists for)."""
+    from codd_spark.operators.dedup import set_similarity_join
+
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        k = rng.randint(4, 20)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(k))))
+    # planted near-dup pair: differ by one trailing token
+    rows.append((100, "alpha beta gamma delta epsilon zeta"))
+    rows.append((101, "alpha beta gamma delta epsilon eta"))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    for thr, n in ((0.5, None), (0.25, None), (0.4, 3)):
+        pp = sorted(
+            map(tuple, set_similarity_join(docs, "doc_id", "text", threshold=thr, ngram_n=n).collect())
+        )
+        bf = sorted(
+            map(
+                tuple,
+                ngram_jaccard_pairs(docs, "doc_id", "text", n=(n or 1), threshold=thr).collect(),
+            )
+        )
+        assert pp == bf, f"mismatch at threshold={thr} ngram_n={n}"
+    got = {
+        (r.id_a, r.id_b)
+        for r in set_similarity_join(docs, "doc_id", "text", threshold=0.7).collect()
+    }
+    assert (100, 101) in got
+
+
+def test_set_similarity_join_edge_cases(spark):
+    from codd_spark.operators.dedup import set_similarity_join
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "   "), (3, "")],
+        "doc_id LONG, text STRING",
+    )
+    out = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in set_similarity_join(docs, "doc_id", "text", threshold=1.0).collect()
+    )
+    # whitespace-only/empty text tokenizes to {""} in BOTH Spark and DuckDB:
+    # such docs match each other (same contract as the brute-force baseline)
+    assert out == [(0, 1, 1.0), (2, 3, 1.0)]
+    with pytest.raises(ValueError, match="threshold"):
+        set_similarity_join(docs, "doc_id", "text", threshold=0.0)
+
+
 @pytest.fixture()
 def embeddings(spark):
     import random

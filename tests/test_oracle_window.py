@@ -67,6 +67,7 @@ ROUND4_ADDITIONS = [
     "hard_negatives",
     "histogram_prices",
     "weighted_sample",
+    "set_similarity_pairs",
 ]
 
 CORE_OPERATORS = [
