@@ -293,21 +293,31 @@ def embedding_near_duplicates(
     n_planes: int = 8,
     seed: int = 42,
     exact: bool = False,
+    bands: int = 1,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with cosine >= threshold.
 
     ``exact=False`` (default, the scale path): hyperplane-bucket self-join —
-    high-cosine pairs land in the same bucket with probability
-    (1 - theta/pi)^n_planes; misses are boundary pairs. ``exact=True``:
-    full O(n^2) cross join for bounded subsets / verification.
+    a pair at angle theta collides in one band of ``n_planes`` planes with
+    probability (1 - theta/pi)^n_planes. With ``bands`` > 1, ``bands``
+    INDEPENDENT plane groups are drawn and a pair is a candidate if it
+    collides in ANY band — minhash-style amplification,
+    1 - (1 - p^r)^b, which closes the recall gap the single-bucket path
+    has on mid-threshold (non-separable) corpora. ``probe_hamming=1``
+    additionally probes, per band, every bucket at Hamming distance 1
+    from one side's bucket (multi-probe LSH: boundary pairs that one
+    plane splits are recovered without more bands). ``exact=True``: full
+    O(n^2) cross join for bounded subsets / verification.
 
-    Norms are computed ONCE PER VECTOR before the join, so the per-pair
-    expression is a single dot product. Candidate pairs outnumber the
-    corpus by orders of magnitude (each higher-order-function aggregate
-    is an interpreted per-element fold, the expensive expression class
-    here), so hoisting the two norm folds out of the pair stage cuts
-    per-pair cost ~5x while producing bit-identical doubles — the fold
-    order inside each aggregate is unchanged.
+    100-TB design: candidates shuffle on (band, bucket) — the explode
+    costs bands*(1 + probes) rows per vector, NOT per pair — then the
+    distinct pair set (usually orders of magnitude smaller than raw
+    collisions) is verified against the embeddings via two pinned
+    shuffle joins. Norms are computed ONCE PER VECTOR before the pair
+    stage, so the per-pair expression is a single dot-product fold
+    (hoisting measured ~5x on the candidate stage; doubles are
+    bit-identical — the fold order inside each aggregate is unchanged).
     """
     from codd_spark.functions.vector import dot, l2_norm
 
@@ -321,24 +331,63 @@ def embedding_near_duplicates(
         F.col(emb_col).alias("emb_b"),
         l2_norm(F.col(emb_col)).alias("__nb"),
     )
-    if exact:
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    else:
-        planes = _hyperplanes(dim, n_planes, seed)
-        ab = a.withColumn("bucket", hyperplane_bucket(F.col("emb_a"), planes))
-        bb = b.withColumn("bucket", hyperplane_bucket(F.col("emb_b"), planes))
-        # unbounded self-join: force a shuffle join so corpus growth can
-        # never turn the build side into a driver-sized broadcast
-        pairs = ab.join(bb.hint("shuffle_merge"), on="bucket").filter(
-            F.col("id_a") < F.col("id_b")
-        )
     denom = F.col("__na") * F.col("__nb")
     cos = F.when(denom != 0, dot(F.col("emb_a"), F.col("emb_b")) / denom)
+    if exact:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        return (
+            pairs.withColumn("cos_sim", F.round(cos, 6))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim")
+            .distinct()
+        )
+    if probe_hamming not in (0, 1):
+        raise ValueError("probe_hamming must be 0 or 1 (higher radii are combinatorial)")
+    plane_groups = [
+        _hyperplanes(dim, n_planes, seed + 1000003 * i) for i in range(bands)
+    ]
+
+    def band_buckets(emb: Column, probe: bool) -> Column:
+        """array<struct<band,bkt>> — per band, the vector's bucket, plus
+        (probe side only) every bucket one bit-flip away."""
+        structs = []
+        for i, planes in enumerate(plane_groups):
+            bkt = hyperplane_bucket(emb, planes)
+            structs.append(F.struct(F.lit(i).alias("band"), bkt.alias("bkt")))
+            if probe:
+                for j in range(n_planes):
+                    structs.append(
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            bkt.bitwiseXOR(F.lit(1 << j)).alias("bkt"),
+                        )
+                    )
+        return F.array(*structs)
+
+    ab = df.select(
+        F.col(id_col).alias("id_a"),
+        F.explode(band_buckets(F.col(emb_col), probe_hamming == 1)).alias("bb"),
+    ).select("id_a", F.col("bb.band").alias("band"), F.col("bb.bkt").alias("bkt"))
+    bb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.explode(band_buckets(F.col(emb_col), False)).alias("bb"),
+    ).select("id_b", F.col("bb.band").alias("band"), F.col("bb.bkt").alias("bkt"))
+    # unbounded self-join: force a shuffle join so corpus growth can
+    # never turn the build side into a driver-sized broadcast
+    cands = (
+        ab.join(bb.hint("shuffle_merge"), on=["band", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     return (
-        pairs.withColumn("cos_sim", F.round(cos, 6))
+        cands.hint("shuffle_merge")
+        .join(a, "id_a")
+        .hint("shuffle_merge")
+        .join(b, "id_b")
+        .withColumn("cos_sim", F.round(cos, 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
-        .distinct()
     )
 
 

@@ -216,6 +216,57 @@ def test_embedding_near_duplicates(embeddings):
     assert [(r.id_a, r.id_b) for r in approx] == [(0, 1)]
 
 
+def test_embedding_near_dup_banded_multiprobe_recall(spark):
+    """Mid-threshold regime (cos ~0.80-0.95, NOT separable): the single-
+    bucket path misses boundary pairs; banded amplification + hamming-1
+    multi-probe must recover them. Recall is measured against the exact
+    path on the same corpus; banding must strictly dominate and reach
+    >=0.9 where the plain path sits materially lower."""
+    import math
+    import random
+
+    from codd_spark.operators.similarity import embedding_near_duplicates
+
+    rng = random.Random(5)
+    dim = 16
+    rows = []
+    vid = 0
+    for _ in range(40):  # 40 planted pairs at mixed mid-range cosines
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        nb = math.sqrt(sum(x * x for x in base))
+        noise_scale = rng.uniform(0.25, 0.55)  # cos in ~[0.80, 0.97]
+        pert = [x + rng.gauss(0, noise_scale * nb / math.sqrt(dim)) for x in base]
+        rows.append((vid, [float(x) for x in base]))
+        rows.append((vid + 1, [float(x) for x in pert]))
+        vid += 2
+    for _ in range(80):  # background noise vectors
+        rows.append((vid, [float(rng.gauss(0, 1)) for _ in range(dim)]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    kw = dict(dim=dim, threshold=0.8, n_planes=8, seed=42)
+    truth = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_duplicates(emb, exact=True, **kw).collect()
+    }
+    assert len(truth) >= 20
+    plain = {
+        (r.id_a, r.id_b) for r in embedding_near_duplicates(emb, **kw).collect()
+    }
+    banded = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_duplicates(emb, bands=8, probe_hamming=1, **kw).collect()
+    }
+    assert plain <= truth and banded <= truth  # verification stage is exact
+    r_plain = len(plain & truth) / len(truth)
+    r_banded = len(banded & truth) / len(truth)
+    assert r_banded >= r_plain
+    assert r_banded >= 0.9, (r_plain, r_banded)
+    assert r_plain < 0.9  # the regime actually exercises the gap
+    with pytest.raises(ValueError, match="probe_hamming"):
+        embedding_near_duplicates(emb, probe_hamming=2, **kw)
+
+
 def test_lang_id(spark):
     df = spark.createDataFrame(
         [
