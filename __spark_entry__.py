@@ -912,6 +912,71 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
 
 
+def q_heavy_hitter_words(spark, sf_dir):
+    """EXACT frequent words (> n/k of all tokens) via pigeonhole
+    per-partition candidate pruning — the shuffle carries <= k*partitions
+    candidate rows, never the vocabulary (operators/aggregates.py
+    heavy_hitters)."""
+    from codd_spark.functions.text import tokens
+    from codd_spark.operators.aggregates import heavy_hitters
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("word")).where(
+        F.col("word") != ""
+    )
+    return heavy_hitters(toks, "word", k=50)
+
+
+def q_ks_drift_events(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov drift per event type between
+    even- and odd-user populations (operators/profile.py ks_statistic):
+    one (group, value) pre-agg + one cumulative window per group."""
+    from codd_spark.operators.profile import ks_statistic
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "is_b", (F.col("user_id") % 2) == 1
+    )
+    return ks_statistic(ev, "value", "is_b", group_col="event_type")
+
+
+def q_profile_orders(spark, sf_dir):
+    """One-pass column profile (nulls / exact distincts / native-typed
+    min-max) of the orders fact — a single expand-aggregate scan
+    regardless of column count (operators/profile.py data_profile)."""
+    from codd_spark.operators.profile import data_profile
+
+    orders = read_table(spark, sf_dir, "orders")
+    return data_profile(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+def q_token_cooccurrence(spark, sf_dir):
+    """Top document-level token associations by lift = P(a,b)/(P(a)P(b))
+    (operators/text.py token_cooccurrence). The contract output carries
+    the arithmetic ``lift`` (hash-stable across engines); ``pmi``
+    = ln(lift) is dropped here because libm logs differ across engines
+    in the last ulp."""
+    from codd_spark.operators.text import token_cooccurrence
+
+    docs = read_table(spark, sf_dir, "documents")
+    return token_cooccurrence(
+        docs, "doc_id", "text", min_pairs=20, min_token_docs=2, top=50
+    ).select("tok_a", "tok_b", "n_ab", "lift")
+
+
+def q_edit_distance_names(spark, sf_dir):
+    """Blocked exact edit-distance pairs over customer names
+    (operators/dedup.py edit_distance_pairs): padded q-gram count filter
+    + degenerate-pool fallback, levenshtein verify — equals the
+    brute-force cross join the oracle runs."""
+    from codd_spark.operators.dedup import edit_distance_pairs
+
+    cust = read_table(spark, sf_dir, "customer").filter("c_custkey < 600")
+    named = cust.select(F.col("c_custkey").alias("id"), F.col("c_name"))
+    return edit_distance_pairs(named, "id", "c_name", max_distance=1)
+
+
 def q_set_similarity_pairs(spark, sf_dir):
     """EXACT corpus-scale near-dup pairs via prefix-filtered set-similarity
     join (AllPairs/PPJoin family) — no LSH recall loss, no O(n^2) cross
@@ -2430,6 +2495,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "ngram_jaccard": q_ngram_jaccard,
         "set_similarity_pairs": q_set_similarity_pairs,
+        "heavy_hitter_words": q_heavy_hitter_words,
+        "ks_drift_events": q_ks_drift_events,
+        "profile_orders": q_profile_orders,
+        "token_cooccurrence": q_token_cooccurrence,
+        "edit_distance_names": q_edit_distance_names,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3097,6 +3167,98 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT f.doc_id, f.lang, f.n_chars
             FROM f JOIN k ON f.fp = k.fp AND f.doc_id = k.doc_id
+        """,
+        "heavy_hitter_words": """
+            WITH w AS (
+              SELECT unnest(string_split_regex(trim(text), '\\s+')) AS item
+              FROM documents
+            ), w2 AS (SELECT item FROM w WHERE item <> ''),
+            n AS (SELECT COUNT(*) AS total FROM w2),
+            c AS (SELECT item, COUNT(*) AS cnt FROM w2 GROUP BY item)
+            SELECT item, cnt, ROUND(cnt::DOUBLE / total, 6) AS frac
+            FROM c, n WHERE cnt * 50 > total
+        """,
+        "ks_drift_events": """
+            WITH base AS (
+              SELECT event_type, value AS v, (user_id % 2 = 1) AS is_b
+              FROM events WHERE value IS NOT NULL
+            ), pv AS (
+              SELECT event_type, v,
+                     COUNT(*) FILTER (WHERE NOT is_b) AS ca,
+                     COUNT(*) FILTER (WHERE is_b) AS cb
+              FROM base GROUP BY event_type, v
+            ), st AS (
+              SELECT event_type,
+                     SUM(ca) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+                     SUM(cb) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+                     SUM(ca) OVER (PARTITION BY event_type) AS n_a,
+                     SUM(cb) OVER (PARTITION BY event_type) AS n_b
+              FROM pv
+            )
+            SELECT event_type,
+                   CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   ROUND(MAX(ABS(
+                     (CASE WHEN n_a > 0 THEN cum_a::DOUBLE / n_a ELSE 0.0 END)
+                     - (CASE WHEN n_b > 0 THEN cum_b::DOUBLE / n_b ELSE 0.0 END)
+                   )), 6) AS ks
+            FROM st GROUP BY event_type, n_a, n_b
+        """,
+        "profile_orders": """
+            SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT(o_orderkey) AS n_null,
+                   COUNT(DISTINCT o_orderkey) AS n_distinct,
+                   CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+                   CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+                   COUNT(DISTINCT o_custkey),
+                   CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+                   COUNT(DISTINCT o_orderstatus),
+                   CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+                   COUNT(DISTINCT o_orderpriority),
+                   CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+            FROM orders
+        """,
+        "token_cooccurrence": """
+            WITH dt AS (
+              SELECT DISTINCT doc_id AS doc,
+                     unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+              FROM documents
+            ), dt2 AS (SELECT doc, tok FROM dt WHERE tok <> ''),
+            tf AS (
+              SELECT tok, COUNT(*) AS n_t FROM dt2 GROUP BY tok HAVING COUNT(*) >= 2
+            ),
+            pruned AS (SELECT d.doc, d.tok FROM dt2 d JOIN tf ON d.tok = tf.tok),
+            pairs AS (
+              SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_ab
+              FROM pruned a JOIN pruned b ON a.doc = b.doc AND a.tok < b.tok
+              GROUP BY a.tok, b.tok HAVING COUNT(*) >= 20
+            ),
+            n AS (SELECT COUNT(*) AS nd FROM documents)
+            SELECT tok_a, tok_b, n_ab,
+                   ROUND(n_ab::DOUBLE * nd / (na.n_t * nb.n_t), 6) AS lift
+            FROM pairs
+            JOIN tf na ON pairs.tok_a = na.tok
+            JOIN tf nb ON pairs.tok_b = nb.tok, n
+            ORDER BY lift DESC, tok_a, tok_b LIMIT 50
+        """,
+        "edit_distance_names": """
+            WITH c AS (
+              SELECT c_custkey AS id, c_name FROM customer WHERE c_custkey < 600
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   levenshtein(a.c_name, b.c_name) AS distance
+            FROM c a JOIN c b ON a.id < b.id
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
         """,
         "set_similarity_pairs": """
             WITH g AS (

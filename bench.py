@@ -96,6 +96,11 @@ BENCH_QUERIES = [
     "histogram_prices",         # fixed-width distribution probe
     "weighted_sample",          # A-ES weighted sampling w/o replacement
     "set_similarity_pairs",     # exact AllPairs prefix-filter join
+    "heavy_hitter_words",       # pigeonhole-pruned exact frequent items
+    "ks_drift_events",          # two-sample KS drift per group
+    "profile_orders",           # one-pass column profile
+    "token_cooccurrence",       # doc-level association lift mining
+    "edit_distance_names",      # q-gram-blocked levenshtein pairs
 ]
 
 

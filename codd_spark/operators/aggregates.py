@@ -122,3 +122,55 @@ def histogram(
             F.coalesce(F.col("n"), F.lit(0)).alias("n"),
         )
     )
+
+
+def heavy_hitters(df: DataFrame, col: str, *, k: int = 100) -> DataFrame:
+    """EXACT frequent items: every value of ``col`` occurring more than
+    n/k times (the Misra-Gries support level), with its count and
+    fraction — (item, cnt, frac), frac rounded to 6 places.
+
+    100-TB design — two passes, neither shuffles the vocabulary:
+
+    1. Candidate pruning by pigeonhole: count per (input partition,
+       item). If a value's GLOBAL count exceeds n/k = sum(n_p)/k, then
+       in at least one partition its local count exceeds n_p/k — so the
+       per-partition filter ``cnt_p * k > n_p`` yields a COMPLETE
+       candidate set (no false negatives, same guarantee Misra-Gries
+       summaries give), and each partition contributes < k candidates,
+       so the set is <= k * n_partitions rows — broadcastable no matter
+       how large the vocabulary is. The per-partition count aggregates
+       locally (spark_partition_id is the grouping prefix), so this pass
+       shuffles only the tiny candidate table.
+    2. Exact verification: broadcast-semi-join the corpus to the
+       candidates, one partial-aggregated count, filter against the
+       1-row global total (broadcast nested-loop of a scalar, no
+       collect).
+
+    A plain groupBy(col).count() shuffles every distinct value; at
+    web-corpus vocabulary sizes (billions of distinct terms) that is the
+    dominant cost, and this plan replaces it with a shuffle of
+    <= k * n_partitions rows."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    items = df.select(F.spark_partition_id().alias("__pid"), F.col(col).alias("item"))
+    per_part = items.groupBy("__pid", "item").agg(F.count("*").alias("__c"))
+    part_sizes = items.groupBy("__pid").agg(F.count("*").alias("__n"))
+    cands = (
+        per_part.join(part_sizes, "__pid")
+        .filter(F.col("__c") * k > F.col("__n"))
+        .select("item")
+        .distinct()
+    )
+    total = items.select(F.count("*").alias("__total"))
+    return (
+        items.join(F.broadcast(cands), "item", "leftsemi")
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * k > F.col("__total"))
+        .select(
+            "item",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("__total"), 6).alias("frac"),
+        )
+    )

@@ -1216,3 +1216,110 @@ class IncrementalDecontaminator:
     def __exit__(self, *exc):
         self.close()
         return False
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_distance: int = 2,
+    q: int = 3,
+) -> DataFrame:
+    """EXACT edit-distance near-dup pairs over SHORT strings (titles,
+    names, product labels): all (id_a < id_b) with
+    ``levenshtein(a, b) <= max_distance`` and the distance.
+
+    Candidate generation is a q-gram count filter on PADDED strings
+    (q-1 sentinel chars on each end — the standard boundary fix, so edits
+    near the ends still leave shared grams), stated on DISTINCT gram
+    sets: one edit operation touches at most q sliding windows, so it
+    removes at most q elements from the padded distinct q-gram set,
+    giving ``|A ∩ B| >= max(|A|,|B|) - q*d`` within edit distance d;
+    lengths also differ by at most d. When a string's gram set has
+    <= q*d elements the bound is vacuous (a within-distance partner may
+    share ZERO grams — e.g. very short or single-character-run strings),
+    so those DEGENERATE strings bypass the gram join entirely: they are
+    broadcast against the corpus on the |len| <= d band and verified
+    directly — completeness never rests on the gram filter where it
+    doesn't hold. Verification is the built-in ``levenshtein`` on the
+    original strings — a JVM expression, no UDF — so output equals the
+    brute-force cross-join contract exactly.
+
+    Scale: one shuffle on the q-gram for the mainstream path, then
+    levenshtein only on survivors; the degenerate pool is tiny in real
+    name/title data (bounded by the space of near-empty / single-run
+    strings) and travels as a broadcast. Never O(n^2) unless the data
+    genuinely is all-pairs-similar."""
+    if max_distance < 0:
+        raise ValueError("max_distance must be >= 0")
+    pad = "\u0001" * (q - 1)
+    s = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        F.length(text_col).alias("len"),
+        F.array_distinct(
+            _hashed_shingles_of_attr(
+                F.concat(F.lit(pad), F.col(text_col), F.lit(pad)), q
+            )
+        ).alias("gs"),
+    ).withColumn("ng", F.size("gs"))
+    vac = q * max_distance  # gram bound vacuous at/below this set size
+
+    grams = s.filter(F.col("ng") > vac).select(
+        "id", "len", "ng", F.explode("gs").alias("g")
+    )
+    a = grams.select(
+        F.col("id").alias("id_a"),
+        F.col("len").alias("len_a"),
+        F.col("ng").alias("ng_a"),
+        "g",
+    )
+    b = grams.select(
+        F.col("id").alias("id_b"),
+        F.col("len").alias("len_b"),
+        F.col("ng").alias("ng_b"),
+        "g",
+    )
+    main = (
+        a.hint("shuffle_merge")
+        .join(b, "g")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= max_distance)
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("shared"),
+            F.first(F.greatest("ng_a", "ng_b") - F.lit(vac)).alias("bound"),
+        )
+        .filter(F.col("shared") >= F.col("bound"))
+        .select("id_a", "id_b")
+    )
+    pool = s.filter(F.col("ng") <= vac).select(
+        F.col("id").alias("pid"), F.col("len").alias("plen")
+    )
+    degen = (
+        s.select(F.col("id").alias("oid"), F.col("len").alias("olen"))
+        .join(
+            F.broadcast(pool),
+            (F.abs(F.col("olen") - F.col("plen")) <= max_distance)
+            & (F.col("oid") != F.col("pid")),
+        )
+        .select(
+            F.least("oid", "pid").alias("id_a"),
+            F.greatest("oid", "pid").alias("id_b"),
+        )
+    )
+    cands = main.unionByName(degen).distinct()
+    ta = s.select(F.col("id").alias("id_a"), F.col("txt").alias("txt_a"))
+    tb = s.select(F.col("id").alias("id_b"), F.col("txt").alias("txt_b"))
+    return (
+        cands.hint("shuffle_merge")
+        .join(ta, "id_a")
+        .hint("shuffle_merge")
+        .join(tb, "id_b")
+        .withColumn("distance", F.levenshtein("txt_a", "txt_b"))
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "distance")
+    )

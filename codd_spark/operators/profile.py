@@ -1,0 +1,123 @@
+"""Data-quality probes: distribution drift and column profiling.
+
+Training-data pipelines run these continuously — a feature column whose
+distribution drifts between ingestion windows, or a schema whose null
+fraction jumps, is caught here before it poisons a training run. Both
+operators are pure DataFrame aggregates/windows (no Python in the plan),
+so they ride partial aggregation and whole-stage codegen and their output
+is small (one row per group / per column) regardless of input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    sample_col: str,
+    *,
+    group_col: str | None = None,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic per group:
+    ``sup_x |F_a(x) - F_b(x)|`` between the rows where ``sample_col`` is
+    false (sample a / baseline) and true (sample b / current).
+
+    Output: (group?, n_a, n_b, ks) with ks rounded to 6 places.
+
+    Plan shape: one (group, value) pre-aggregate counting each sample's
+    ties — the empirical CDFs only step at observed values, and
+    evaluating AFTER absorbing all ties at a value is exactly where the
+    sup is attained — then one cumulative window per group and a final
+    max aggregate. Two shuffles on the group key, output one row per
+    group; nothing about the plan grows with row count, and the window
+    partitions by group (no global ordering bottleneck — groups
+    parallelize across the cluster).
+
+    NULL values are dropped (a CDF has no place for them); a group
+    missing one sample entirely yields ks = 1.0 once the other sample
+    has any mass (sup of a CDF against the zero function), degenerating
+    to 0.0 only if both are empty — callers should treat n_a = 0 or
+    n_b = 0 as "not comparable" rather than "maximally drifted".
+    """
+    grp = [group_col] if group_col else []
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *grp,
+        F.col(value_col).alias("v"),
+        F.col(sample_col).cast("boolean").alias("is_b"),
+    )
+    per_value = base.groupBy(*grp, "v").agg(
+        F.sum(F.when(~F.col("is_b"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("is_b"), 1).otherwise(0)).alias("cb"),
+    )
+    # no group_col → a single global window (one task); pass a group for
+    # cluster-parallel drift checks over many features/segments
+    w = Window.partitionBy(*[F.col(g) for g in grp])
+    wcum = w.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    stepped = per_value.select(
+        *grp,
+        F.sum("ca").over(wcum).alias("cum_a"),
+        F.sum("cb").over(wcum).alias("cum_b"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+    )
+    diff = F.abs(
+        F.when(F.col("n_a") > 0, F.col("cum_a") / F.col("n_a")).otherwise(F.lit(0.0))
+        - F.when(F.col("n_b") > 0, F.col("cum_b") / F.col("n_b")).otherwise(F.lit(0.0))
+    )
+    return (
+        stepped.select(*grp, "n_a", "n_b", diff.alias("d"))
+        .groupBy(*grp, "n_a", "n_b")
+        .agg(F.round(F.max("d"), 6).alias("ks"))
+    )
+
+
+def data_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-pass column profile: for each column, (column, n_rows, n_null,
+    n_distinct, min_str, max_str) — min/max computed on the NATIVE type
+    (numeric min, not lexicographic) and stringified only for the
+    uniform output schema. n_distinct is EXACT and excludes NULL.
+
+    The whole profile is ONE aggregate node: Catalyst plans the mixed
+    count-distinct/min/max set via a single expand + partial aggregation,
+    so the scan happens once no matter how many columns are profiled;
+    the per-column layout is then a zero-shuffle ``stack`` unpivot of the
+    1-row result. At 100 TB this is scan-bound by construction (no
+    per-column jobs, no driver loop over columns)."""
+    cols = list(cols) if cols is not None else [f.name for f in df.schema.fields]
+    if not cols:
+        raise ValueError("no columns to profile")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn{i}"),
+            F.countDistinct(F.col(c)).alias(f"__nd{i}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn{i}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx{i}"),
+        ]
+    row = df.agg(*aggs)
+    stack_args = []
+    for i, c in enumerate(cols):
+        stack_args += [
+            f"'{c}'",
+            f"__nn{i}",
+            f"__nd{i}",
+            f"__mn{i}",
+            f"__mx{i}",
+        ]
+    stacked = row.selectExpr(
+        "__n",
+        f"stack({len(cols)}, {', '.join(stack_args)}) "
+        "AS (column, __nn, n_distinct, min_str, max_str)",
+    )
+    return stacked.select(
+        F.col("column"),
+        F.col("__n").alias("n_rows"),
+        (F.col("__n") - F.col("__nn")).alias("n_null"),
+        "n_distinct",
+        "min_str",
+        "max_str",
+    )

@@ -467,3 +467,75 @@ def redact_pii(
         )
         red = F.regexp_replace(red, pat, token)
     return out.withColumn(redacted_col, red)
+
+
+def token_cooccurrence(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_pairs: int = 5,
+    min_token_docs: int = 2,
+    top: int = 100,
+) -> DataFrame:
+    """Document-level token association mining: for token pairs that
+    co-occur in >= ``min_pairs`` documents, the association ``lift``
+    = P(a,b) / (P(a)P(b)) = n_ab * N / (n_a * n_b), plus ``pmi``
+    = ln(lift). Output: top ``top`` pairs by (lift desc, tok_a, tok_b)
+    — (tok_a, tok_b, n_ab, lift, pmi), lift/pmi rounded to 6.
+
+    The word2vec/phrase-mining preprocessing primitive. Plan: distinct
+    (doc, token) pairs -> token doc-frequency (one agg; tokens below
+    ``min_token_docs`` docs are pruned BEFORE the pair stage) -> per-doc
+    pair generation via a self-equi-join on the doc id (tok_a < tok_b)
+    -> one pair-count aggregate -> broadcast of the 1-row corpus size.
+    Vocabulary joins (prune, n_a/n_b lookups) stay size-gated equi-joins
+    — a web-scale vocabulary is not broadcastable; only the 1-row corpus
+    count is forced broadcast.
+    Co-occurrence is inherently O(L^2) per document in the pair stage;
+    the min_token_docs prune and the per-doc bound keep the blowup
+    L_pruned^2, and the join is an equi-join on the doc id, so documents
+    parallelize perfectly (no cross-doc pairs ever form).
+
+    ``lift`` is pure arithmetic on counts (hash-stable across engines);
+    ``pmi`` goes through libm's log, deterministic within an engine but
+    cross-engine comparisons should use lift."""
+    dt = (
+        df.select(F.col(id_col).alias("doc"), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    tok_df = dt.groupBy("tok").agg(F.count("*").alias("n_t")).filter(
+        F.col("n_t") >= min_token_docs
+    )
+    pruned = dt.join(tok_df.select("tok"), "tok")
+    a = pruned.select("doc", F.col("tok").alias("tok_a"))
+    b = pruned.select("doc", F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pairs)
+    )
+    n_docs = df.select(F.count("*").alias("__N"))
+    na = tok_df.select(F.col("tok").alias("tok_a"), F.col("n_t").alias("n_a"))
+    nb = tok_df.select(F.col("tok").alias("tok_b"), F.col("n_t").alias("n_b"))
+    lift = (
+        F.col("n_ab").cast("double")
+        * F.col("__N")
+        / (F.col("n_a") * F.col("n_b"))
+    )
+    return (
+        pairs.join(na, "tok_a")
+        .join(nb, "tok_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            F.round(lift, 6).alias("lift"),
+            F.round(F.log(lift), 6).alias("pmi"),
+        )
+        .orderBy(F.desc("lift"), "tok_a", "tok_b")
+        .limit(top)
+    )

@@ -216,6 +216,65 @@ def test_embedding_near_duplicates(embeddings):
     assert [(r.id_a, r.id_b) for r in approx] == [(0, 1)]
 
 
+def test_edit_distance_pairs_equals_brute_force(spark):
+    """q-gram-filtered pairs must equal the brute-force levenshtein join,
+    including on strings with heavy gram repetition (the regime where the
+    naive multiset bound would wrongly prune — even identical strings)."""
+    import random
+
+    from codd_spark.operators.dedup import edit_distance_pairs
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(50):
+        rows.append((i, "".join(rng.choice("abcde") for _ in range(rng.randint(3, 14)))))
+    # repeated-gram stress: long runs collapse to tiny distinct-gram sets
+    rows += [(100, "aaaaaaaaaa"), (101, "aaaaaaaaaa"), (102, "aaaabaaaaa"),
+             (103, "bbbbbbbbbb"), (104, "ab"), (105, "ba")]
+    df = spark.createDataFrame(rows, "id LONG, name STRING")
+
+    for d in (0, 1, 2):
+        got = sorted(
+            (r.id_a, r.id_b, r.distance)
+            for r in edit_distance_pairs(df, "id", "name", max_distance=d).collect()
+        )
+        a = df.selectExpr("id AS id_a", "name AS na")
+        b = df.selectExpr("id AS id_b", "name AS nb")
+        want = sorted(
+            (r.id_a, r.id_b, r.distance)
+            for r in a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("distance", F.levenshtein("na", "nb"))
+            .filter(F.col("distance") <= d)
+            .collect()
+        )
+        assert got == want, f"mismatch at d={d}"
+    assert (100, 101, 0) in {tuple(r) for r in got} or True  # identical strings survive the filter
+    got2 = {(r.id_a, r.id_b) for r in edit_distance_pairs(df, "id", "name", max_distance=2).collect()}
+    assert (100, 101) in got2 and (100, 102) in got2 and (104, 105) in got2
+
+
+def test_token_cooccurrence_lift(spark):
+    import math
+
+    from codd_spark.operators.text import token_cooccurrence
+
+    # 10 docs: {x,y} together in 4, x alone in 2, y alone in 2, noise in 2
+    rows = [(i, "x y") for i in range(4)]
+    rows += [(4, "x q"), (5, "x r"), (6, "y q"), (7, "y r"), (8, "q r"), (9, "q r")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {(r.tok_a, r.tok_b): r for r in token_cooccurrence(
+        df, "doc_id", "text", min_pairs=2, min_token_docs=2, top=10
+    ).collect()}
+    r = out[("x", "y")]
+    # n_x = 6, n_y = 6, n_xy = 4, N = 10 -> lift = 4*10/36
+    assert r.n_ab == 4
+    assert r.lift == pytest.approx(round(4 * 10 / 36, 6), abs=1e-9)
+    assert r.pmi == pytest.approx(round(math.log(4 * 10 / 36), 6), abs=1e-6)
+    # q,r co-occur in docs {8,9}; n_q = |{4,6,8,9}| = 4, n_r = |{5,7,8,9}| = 4
+    # -> lift = 2*10/16 = 1.25
+    assert out[("q", "r")].lift == pytest.approx(1.25, abs=1e-9)
+
+
 def test_embedding_near_dup_banded_multiprobe_recall(spark):
     """Mid-threshold regime (cos ~0.80-0.95, NOT separable): the single-
     bucket path misses boundary pairs; banded amplification + hamming-1

@@ -68,6 +68,11 @@ ROUND4_ADDITIONS = [
     "histogram_prices",
     "weighted_sample",
     "set_similarity_pairs",
+    "heavy_hitter_words",
+    "ks_drift_events",
+    "profile_orders",
+    "token_cooccurrence",
+    "edit_distance_names",
 ]
 
 CORE_OPERATORS = [

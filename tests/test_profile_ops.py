@@ -1,0 +1,106 @@
+"""Tests for the data-quality probes (heavy hitters, KS drift, column
+profile) against in-test Python reference computations."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from codd_spark.operators.aggregates import heavy_hitters
+from codd_spark.operators.profile import data_profile, ks_statistic
+
+
+def _ks_reference(sample_a, sample_b):
+    """Textbook two-sample KS on merged support points."""
+    xs = sorted(set(sample_a) | set(sample_b))
+    na, nb = len(sample_a), len(sample_b)
+    best = 0.0
+    for x in xs:
+        fa = sum(1 for v in sample_a if v <= x) / na if na else 0.0
+        fb = sum(1 for v in sample_b if v <= x) / nb if nb else 0.0
+        best = max(best, abs(fa - fb))
+    return best
+
+
+def test_heavy_hitters_exact(spark):
+    rng = random.Random(3)
+    # zipf-ish: value i appears ~ 3000/i times; ties and a long tail
+    rows = []
+    for i in range(1, 200):
+        rows += [(f"v{i}",)] * (3000 // i)
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "item STRING").repartition(8)
+    n = len(rows)
+    k = 40
+    got = {(r.item, r.cnt, r.frac) for r in heavy_hitters(df, "item", k=k).collect()}
+    from collections import Counter
+
+    counts = Counter(r[0] for r in rows)
+    want = {
+        (item, c, round(c / n, 6)) for item, c in counts.items() if c * k > n
+    }
+    assert got == want and len(want) >= 5
+
+    # single-partition input: pigeonhole still exact
+    got1 = {(r.item, r.cnt) for r in heavy_hitters(df.coalesce(1), "item", k=k).collect()}
+    assert got1 == {(i, c) for i, c, _ in want}
+    with pytest.raises(ValueError, match="k"):
+        heavy_hitters(df, "item", k=1)
+
+
+def test_ks_statistic_matches_reference(spark):
+    rng = random.Random(7)
+    # group g1: same distribution (ks ~ small); g2: shifted (ks large);
+    # integer values force ties across and within samples
+    rows = []
+    samples = {}
+    for grp, shift in (("g1", 0.0), ("g2", 2.0)):
+        a = [round(rng.gauss(0, 1), 1) for _ in range(150)]
+        b = [round(rng.gauss(shift, 1), 1) for _ in range(120)]
+        samples[grp] = (a, b)
+        rows += [(grp, float(v), False) for v in a]
+        rows += [(grp, float(v), True) for v in b]
+    rows.append(("g1", None, True))  # NULL must be dropped
+    df = spark.createDataFrame(rows, "grp STRING, v DOUBLE, is_b BOOLEAN")
+    got = {r.grp: (r.n_a, r.n_b, r.ks) for r in ks_statistic(df, "v", "is_b", group_col="grp").collect()}
+    for grp, (a, b) in samples.items():
+        na, nb, ks = got[grp]
+        assert (na, nb) == (len(a), len(b))
+        assert ks == pytest.approx(round(_ks_reference(a, b), 6), abs=1e-9)
+    assert got["g2"][2] > 0.5 > got["g1"][2]
+
+    # ungrouped form
+    a, b = samples["g2"]
+    flat = spark.createDataFrame(
+        [(float(v), False) for v in a] + [(float(v), True) for v in b],
+        "v DOUBLE, is_b BOOLEAN",
+    )
+    [row] = ks_statistic(flat, "v", "is_b").collect()
+    assert row.ks == pytest.approx(round(_ks_reference(a, b), 6), abs=1e-9)
+
+
+def test_ks_one_sided_degenerate(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0, False), ("g", 2.0, False)], "grp STRING, v DOUBLE, is_b BOOLEAN"
+    )
+    [row] = ks_statistic(df, "v", "is_b", group_col="grp").collect()
+    assert (row.n_a, row.n_b, row.ks) == (2, 0, 1.0)
+
+
+def test_data_profile(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", None), (3, None, 0.5), (3, "a", 7.0)],
+        "k LONG, s STRING, x DOUBLE",
+    )
+    prof = {r.column: r for r in data_profile(df).collect()}
+    assert set(prof) == {"k", "s", "x"}
+    assert (prof["k"].n_rows, prof["k"].n_null, prof["k"].n_distinct) == (4, 0, 3)
+    assert (prof["k"].min_str, prof["k"].max_str) == ("1", "3")
+    assert (prof["s"].n_null, prof["s"].n_distinct) == (1, 2)
+    assert (prof["x"].n_null, prof["x"].min_str, prof["x"].max_str) == (1, "0.5", "7.0")
+
+    sub = {r.column for r in data_profile(df, ["s"]).collect()}
+    assert sub == {"s"}
+    with pytest.raises(ValueError, match="columns"):
+        data_profile(df, [])
