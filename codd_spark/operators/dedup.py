@@ -592,6 +592,7 @@ def set_similarity_join(
     *,
     threshold: float = 0.5,
     ngram_n: int | None = None,
+    order: str = "df",
 ) -> DataFrame:
     """EXACT Jaccard self-join via prefix filtering (AllPairs / PPJoin
     family) — the scale path for exact set-similarity without LSH's
@@ -630,28 +631,57 @@ def set_similarity_join(
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    toks = tokens(F.col(text_col)) if ngram_n is None else word_ngrams(F.col(text_col), ngram_n)
-    sets = df.select(
-        F.col(id_col).alias("id"),
+    # materialize the token array BEHIND an exchange boundary before the
+    # n-gram transform references it: inside transform(), an embedded
+    # split() expression re-evaluates once per n-gram position (measured
+    # 11 s -> 2.5 s on the sf0.1 ordering stage), while an attribute
+    # reference reads the already-computed row value. Same discipline as
+    # _minhash_prep's normalized-text column.
+    base = df.repartition(parallelism, F.col(id_col)).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    raw = (
+        F.col("__toks")
+        if ngram_n is None
+        else _ngrams_of_attr(F.col("__toks"), ngram_n)
+    )
+    sets = base.select(
+        "id",
         F.array_distinct(
-            F.transform(F.array_distinct(toks), lambda s: F.xxhash64(s))
+            F.transform(F.array_distinct(raw), lambda s: F.xxhash64(s))
         ).alias("toks"),
     ).filter(F.size("toks") > 0)
-    tok = sets.select("id", F.explode("toks").alias("tok"))
-    dfreq = tok.groupBy("tok").agg(F.count("*").alias("dfc"))
-    # rarest-first canonical order: sort each set by (doc freq, token hash)
-    ordered = (
-        tok.hint("shuffle_merge")
-        .join(dfreq, "tok")
-        .groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("dfc", "tok"))).alias("ord"))
-        .select(
-            "id",
-            F.transform("ord", lambda s: s["tok"]).alias("toks"),
-            F.size("ord").alias("sz"),
+    if order == "df":
+        # rarest-first canonical order: sort each set by (doc freq, token
+        # hash). Costs a vocabulary aggregate + join-back, and minimizes
+        # candidates on Zipfian vocabularies (hot tokens never enter a
+        # prefix). The robust default for natural-language corpora.
+        tok = sets.select("id", F.explode("toks").alias("tok"))
+        dfreq = tok.groupBy("tok").agg(F.count("*").alias("dfc"))
+        ordered = (
+            tok.hint("shuffle_merge")
+            .join(dfreq, "tok")
+            .groupBy("id")
+            .agg(F.array_sort(F.collect_list(F.struct("dfc", "tok"))).alias("ord"))
+            .select(
+                "id",
+                F.transform("ord", lambda s: s["tok"]).alias("toks"),
+                F.size("ord").alias("sz"),
+            )
+            .persist()
         )
-        .persist()
-    )
+    elif order == "hash":
+        # hash canonical order: any global total order keeps the prefix
+        # theorem (and thus the OUTPUT) exactly correct — only the
+        # candidate count changes. Sorting each set by token hash is a
+        # pure projection (no stats pass, two fewer shuffles); the right
+        # choice when document frequency is near-uniform, where
+        # rarest-first buys nothing.
+        ordered = sets.select(
+            "id", F.array_sort("toks").alias("toks"), F.size("toks").alias("sz")
+        ).persist()
+    else:
+        raise ValueError(f"order must be 'df' or 'hash', got {order!r}")
     # prefix join: conservative prefix length |x| - floor(t*|x|) + 1
     plen = (F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")).cast("int") + 1)
     prefix = ordered.select(
