@@ -977,6 +977,92 @@ def q_edit_distance_names(spark, sf_dir):
     return edit_distance_pairs(named, "id", "c_name", max_distance=1)
 
 
+def q_cusum_value_shift(spark, sf_dir):
+    """Offline CUSUM mean-shift point per event type (operators/profile.py
+    cusum_changepoint): two window passes, one output row per key; the
+    running FP sum evaluates in the same (ts, event_id, value) order in
+    both engines, so the statistic hash-matches bit-for-bit."""
+    from codd_spark.operators.profile import cusum_changepoint
+
+    ev = read_table(spark, sf_dir, "events")
+    return cusum_changepoint(
+        ev, "ts", "value", key_col="event_type", tiebreak_col="event_id"
+    )
+
+
+def q_record_linkage_parts(spark, sf_dir):
+    """Blocked entity-resolution scoring over parts (operators/linkage.py
+    record_linkage): block on p_brand, weighted name-token Jaccard +
+    type edit similarity + exact size; the oracle replays the identical
+    per-attribute expressions."""
+    from codd_spark.operators.linkage import record_linkage
+
+    part = read_table(spark, sf_dir, "part").filter("p_partkey < 800")
+    return record_linkage(
+        part,
+        "p_partkey",
+        block_on="p_brand",
+        attrs=[
+            ("p_name", "jaccard", 0.5),
+            ("p_type", "levenshtein", 0.3),
+            ("p_size", "exact", 0.2),
+        ],
+        threshold=0.55,
+    )
+
+
+def _k_core_oracle_sql(k: int = 3, rounds: int = 10) -> str:
+    """Unrolled peeling oracle: ``rounds`` is a fixed unroll >= the
+    measured convergence depth on the contract datasets (5 rounds at
+    sf0.01, 1 at sf0.001 — pinned by the CI replay), so the final round
+    IS the fixpoint."""
+    ctes = [
+        """pairs AS (
+              SELECT DISTINCT user_id AS a,
+                     1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS b
+              FROM events WHERE event_id % 17 = 0
+            ),
+            e0 AS MATERIALIZED (
+              SELECT a AS src, b AS dst FROM pairs WHERE a <> b
+              UNION
+              SELECT b AS src, a AS dst FROM pairs WHERE a <> b
+            )"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""k{i} AS (
+              SELECT src FROM (SELECT src, COUNT(*) AS c FROM e{i-1} GROUP BY src)
+              WHERE c >= {k}
+            ),
+            e{i} AS MATERIALIZED (
+              SELECT e.src, e.dst FROM e{i-1} e
+              JOIN k{i} ka ON e.src = ka.src
+              JOIN k{i} kb ON e.dst = kb.src
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT src AS id, COUNT(*) AS degree FROM e{rounds} GROUP BY src"
+    )
+
+
+def q_k_core_interactions(spark, sf_dir):
+    """3-core of a sparsified user-property interaction graph
+    (operators/graph.py k_core): iterative peeling with a 1-row fixpoint
+    scalar per round; the oracle unrolls the peel to past-convergence
+    depth, so survivors and in-core degrees hash-match exactly."""
+    from codd_spark.functions.json import json_scalar
+    from codd_spark.operators.graph import k_core
+
+    events = read_table(spark, sf_dir, "events").filter("event_id % 17 = 0")
+    pairs = events.select(
+        F.col("user_id").alias("id_a"),
+        (F.lit(1_000_000) + json_scalar("props", "$.k", "bigint")).alias("id_b"),
+    ).distinct()
+    return k_core(pairs, k=3)
+
+
 def q_set_similarity_pairs(spark, sf_dir):
     """EXACT corpus-scale near-dup pairs via prefix-filtered set-similarity
     join (AllPairs/PPJoin family) — no LSH recall loss, no O(n^2) cross
@@ -2496,6 +2582,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "set_similarity_pairs": q_set_similarity_pairs,
         "heavy_hitter_words": q_heavy_hitter_words,
+        "cusum_value_shift": q_cusum_value_shift,
+        "record_linkage_parts": q_record_linkage_parts,
+        "k_core_interactions": q_k_core_interactions,
         "ks_drift_events": q_ks_drift_events,
         "profile_orders": q_profile_orders,
         "token_cooccurrence": q_token_cooccurrence,
@@ -3168,6 +3257,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.doc_id, f.lang, f.n_chars
             FROM f JOIN k ON f.fp = k.fp AND f.doc_id = k.doc_id
         """,
+        "cusum_value_shift": """
+            WITH base AS (
+              SELECT event_type, ts, value AS v, event_id
+              FROM events WHERE value IS NOT NULL
+            ), st AS (
+              SELECT event_type, ts,
+                     SUM(v) OVER (PARTITION BY event_type ORDER BY ts, event_id, v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_i,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY ts, event_id, v) AS i,
+                     SUM(v) OVER (PARTITION BY event_type) AS s_n,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM base
+            ), d AS (
+              SELECT event_type, ts, n,
+                     ABS(s_i - CAST(i AS DOUBLE) / n * s_n) AS dd,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY ABS(s_i - CAST(i AS DOUBLE) / n * s_n) DESC, ts, i) AS r
+              FROM st
+            )
+            SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS change_ts, n,
+                   ROUND(dd, 6) AS cusum_stat
+            FROM d WHERE r = 1
+        """,
+        "record_linkage_parts": """
+            WITH c AS (
+              SELECT p_partkey AS id, p_brand AS blk, p_name, p_type, p_size
+              FROM part WHERE p_partkey < 800
+            ), p AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                (len(list_intersect(
+                     list_distinct(string_split_regex(trim(a.p_name), '\\s+')),
+                     list_distinct(string_split_regex(trim(b.p_name), '\\s+'))))::DOUBLE
+                 / len(list_distinct(list_concat(
+                     string_split_regex(trim(a.p_name), '\\s+'),
+                     string_split_regex(trim(b.p_name), '\\s+'))))) AS sim_p_name,
+                (1.0 - levenshtein(a.p_type, b.p_type)::DOUBLE
+                       / greatest(length(a.p_type), length(b.p_type))) AS sim_p_type,
+                (CASE WHEN a.p_size = b.p_size THEN 1.0 ELSE 0.0 END) AS sim_p_size
+              FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+            )
+            SELECT id_a, id_b,
+                   ROUND(sim_p_name, 6) AS sim_p_name,
+                   ROUND(sim_p_type, 6) AS sim_p_type,
+                   ROUND(sim_p_size, 6) AS sim_p_size,
+                   ROUND(0.5 * sim_p_name + 0.3 * sim_p_type + 0.2 * sim_p_size, 6) AS score
+            FROM p
+            WHERE ROUND(0.5 * sim_p_name + 0.3 * sim_p_type + 0.2 * sim_p_size, 6) >= 0.55
+        """,
+        "k_core_interactions": _k_core_oracle_sql(k=3, rounds=10),
         "heavy_hitter_words": """
             WITH w AS (
               SELECT unnest(string_split_regex(trim(text), '\\s+')) AS item

@@ -101,6 +101,9 @@ BENCH_QUERIES = [
     "profile_orders",           # one-pass column profile
     "token_cooccurrence",       # doc-level association lift mining
     "edit_distance_names",      # q-gram-blocked levenshtein pairs
+    "cusum_value_shift",        # CUSUM changepoint per key
+    "record_linkage_parts",     # blocked entity-resolution scoring
+    "k_core_interactions",      # iterative k-core peeling
 ]
 
 

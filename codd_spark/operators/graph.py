@@ -312,3 +312,53 @@ def triangle_counts(
             .alias("clustering_coeff"),
         )
     )
+
+
+def k_core(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    k: int = 2,
+    max_iter: int = 100,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where every
+    vertex has degree >= k, found by iterative peeling (repeatedly drop
+    vertices with degree < k until stable). Output: (id, degree) with the
+    degree measured INSIDE the final core.
+
+    Community/quality probe for similarity graphs: the 2-core separates
+    chained mirror clusters from isolated accidental pairs; higher cores
+    find densely inter-duplicated boilerplate families. Per round: one
+    degree aggregate + two semi-joins (edges against surviving vertices),
+    all key-partitioned shuffles; lineage cut per round with
+    localCheckpoint; convergence = a 1-row count (the same fixpoint
+    boundary as connected_components/pagerank). Rounds are bounded by the
+    peeling depth — the degeneracy ordering length — which is tiny on
+    real similarity graphs; ``max_iter`` is a safety rail."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_prev = None
+    for _ in range(max_iter):
+        deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).localCheckpoint(eager=False)
+        n = keep.count()  # 1-row fixpoint scalar
+        if n == n_prev:
+            return keep.select(F.col("src").alias("id"), "degree")
+        n_prev = n
+        if n == 0:
+            return keep.select(F.col("src").alias("id"), "degree")
+        kept_ids = keep.select("src")
+        edges = (
+            edges.join(kept_ids, "src", "leftsemi")
+            .join(kept_ids.select(F.col("src").alias("dst")), "dst", "leftsemi")
+            .localCheckpoint(eager=False)
+        )
+    raise RuntimeError(f"k_core did not converge in {max_iter} rounds")

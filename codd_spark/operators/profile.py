@@ -121,3 +121,62 @@ def data_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         "min_str",
         "max_str",
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    key_col: str | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Offline CUSUM mean-shift detection per key: the point maximizing
+    ``|S_i - (i/n) * S_n|`` over the series ordered by (ts, tiebreak),
+    where ``S_i`` is the running value sum — the classic single-
+    changepoint statistic (large when the mean before i differs from the
+    mean after). Output: (key?, change_ts epoch-seconds BIGINT, n,
+    cusum_stat rounded 6) — one row per key.
+
+    Plan: one cumulative window + one full-partition window per key,
+    then an argmax via rank-1 filter — two window passes and a final
+    shuffle-free filter; output is one row per key regardless of series
+    length, and keys parallelize across the cluster. The running FP sum
+    is evaluated in the same left-to-right order by both this plan and
+    any SQL oracle (same ORDER BY, same window frame), so results are
+    bit-stable cross-engine. Pass ``tiebreak_col`` (an event id) when
+    timestamps can collide, making the argmax deterministic."""
+    grp = [key_col] if key_col else []
+    tie = [F.col(tiebreak_col).alias("__tb")] if tiebreak_col else []
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *grp, F.col(ts_col).alias("__ts"), F.col(value_col).alias("__v"), *tie
+    )
+    order = [F.col("__ts")] + ([F.col("__tb")] if tiebreak_col else []) + [F.col("__v")]
+    w = Window.partitionBy(*[F.col(g) for g in grp])
+    wcum = w.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    stepped = base.select(
+        *grp,
+        "__ts",
+        F.sum("__v").over(wcum).alias("s_i"),
+        F.row_number().over(w.orderBy(*order)).alias("i"),
+        F.sum("__v").over(wall).alias("s_n"),
+        F.count("*").over(wall).alias("n"),
+    )
+    d = F.abs(F.col("s_i") - F.col("i").cast("double") / F.col("n") * F.col("s_n"))
+    ranked = stepped.select(
+        *grp,
+        "__ts",
+        "n",
+        d.alias("d"),
+        F.row_number()
+        .over(w.orderBy(F.desc(d), *[F.col(c) for c in ("__ts", "i")]))
+        .alias("__r"),
+        "i",
+    )
+    return ranked.filter(F.col("__r") == 1).select(
+        *grp,
+        F.unix_timestamp("__ts").alias("change_ts"),
+        "n",
+        F.round(F.col("d"), 6).alias("cusum_stat"),
+    )

@@ -221,3 +221,40 @@ def test_triangle_and_components_on_empty_edges(spark):
         for r in connected_components(empty, nodes=nodes, node_col="doc_id").collect()
     }
     assert cc == {1: 1, 2: 2}
+
+
+def test_k_core_matches_python_peel(spark):
+    import random
+
+    from codd_spark.operators.graph import k_core
+
+    rng = random.Random(23)
+    # dense clique (core) + chains hanging off it + isolated pairs
+    edges = set()
+    clique = list(range(10))
+    for i in clique:
+        for j in clique:
+            if i < j:
+                edges.add((i, j))
+    for s in range(10, 40):  # chains: degree <= 2, peeled at k=3
+        edges.add((rng.choice(clique), s))
+        edges.add((s, s + 100))
+    pairs = spark.createDataFrame(sorted(edges), "id_a LONG, id_b LONG")
+
+    def peel(es, k):
+        es = {frozenset(e) for e in es}
+        while True:
+            deg = {}
+            for e in es:
+                for v in e:
+                    deg[v] = deg.get(v, 0) + 1
+            bad = {v for v, d in deg.items() if d < k}
+            if not bad:
+                return deg
+            es = {e for e in es if not (e & bad)}
+
+    for k in (2, 3, 5, 11):
+        got = {(r.id, r.degree) for r in k_core(pairs, k=k).collect()}
+        assert got == set(peel(edges, k).items()), f"k={k}"
+    with pytest.raises(ValueError, match="k must"):
+        k_core(pairs, k=0)

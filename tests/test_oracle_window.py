@@ -73,6 +73,9 @@ ROUND4_ADDITIONS = [
     "profile_orders",
     "token_cooccurrence",
     "edit_distance_names",
+    "cusum_value_shift",
+    "record_linkage_parts",
+    "k_core_interactions",
 ]
 
 CORE_OPERATORS = [

@@ -104,3 +104,45 @@ def test_data_profile(spark):
     assert sub == {"s"}
     with pytest.raises(ValueError, match="columns"):
         data_profile(df, [])
+
+
+def test_cusum_changepoint_finds_planted_shift(spark):
+    import datetime
+
+    rng = random.Random(41)
+    rows = []
+    base = datetime.datetime(2024, 5, 1)
+    for key, (mu1, mu2, shift_at) in {"a": (0.0, 5.0, 60), "b": (10.0, 10.0, None)}.items():
+        for i in range(120):
+            mu = mu1 if (shift_at is None or i < shift_at) else mu2
+            rows.append((key, base + datetime.timedelta(minutes=i), rng.gauss(mu, 0.5), i))
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP_NTZ, v DOUBLE, i LONG")
+
+    from codd_spark.operators.profile import cusum_changepoint
+
+    got = {r.k: r for r in cusum_changepoint(df, "ts", "v", key_col="k", tiebreak_col="i").collect()}
+    assert got["a"].n == 120 and got["b"].n == 120
+
+    # python reference: argmax |S_i - (i/n) S_n| over the same order
+    def ref(series):
+        s, best, best_i = 0.0, -1.0, None
+        tot = sum(v for _, v in series)
+        n = len(series)
+        for i, (ts, v) in enumerate(series, start=1):
+            s += v
+            d = abs(s - i / n * tot)
+            if d > best:
+                best, best_i = d, ts
+        return best, best_i
+
+    for key in ("a", "b"):
+        series = sorted((r[1], r[2]) for r in rows if r[0] == key)
+        want_stat, want_ts = ref(series)
+        assert got[key].cusum_stat == pytest.approx(round(want_stat, 6), abs=1e-6)
+        assert got[key].change_ts == int(want_ts.replace(tzinfo=datetime.timezone.utc).timestamp())
+    # the planted shift for key a is detected within a few steps of minute 60
+    shift_epoch = int(
+        (datetime.datetime(2024, 5, 1) + datetime.timedelta(minutes=60))
+        .replace(tzinfo=datetime.timezone.utc).timestamp()
+    )
+    assert abs(got["a"].change_ts - shift_epoch) <= 5 * 60
