@@ -1063,6 +1063,17 @@ def q_k_core_interactions(spark, sf_dir):
     return k_core(pairs, k=3)
 
 
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood linkage blocking over customers by account
+    balance (operators/linkage.py sorted_neighborhood_pairs): scalable
+    global rank (range partitions + broadcast offsets — no single-task
+    window), then rank-vs-rank+delta equi-joins."""
+    from codd_spark.operators.linkage import sorted_neighborhood_pairs
+
+    cust = read_table(spark, sf_dir, "customer")
+    return sorted_neighborhood_pairs(cust, "c_custkey", "c_acctbal", window=4)
+
+
 def q_set_similarity_pairs(spark, sf_dir):
     """EXACT corpus-scale near-dup pairs via prefix-filtered set-similarity
     join (AllPairs/PPJoin family) — no LSH recall loss, no O(n^2) cross
@@ -2585,6 +2596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_value_shift": q_cusum_value_shift,
         "record_linkage_parts": q_record_linkage_parts,
         "k_core_interactions": q_k_core_interactions,
+        "sorted_neighborhood": q_sorted_neighborhood,
         "ks_drift_events": q_ks_drift_events,
         "profile_orders": q_profile_orders,
         "token_cooccurrence": q_token_cooccurrence,
@@ -3307,6 +3319,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND(0.5 * sim_p_name + 0.3 * sim_p_type + 0.2 * sim_p_size, 6) >= 0.55
         """,
         "k_core_interactions": _k_core_oracle_sql(k=3, rounds=10),
+        "sorted_neighborhood": """
+            WITH r AS (
+              SELECT c_custkey AS id,
+                     ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) AS rnk
+              FROM customer
+            ), d AS (SELECT unnest([1, 2, 3]) AS gap)
+            SELECT a.id AS id_a, b.id AS id_b, d.gap
+            FROM r a CROSS JOIN d JOIN r b ON b.rnk = a.rnk + d.gap
+        """,
         "heavy_hitter_words": """
             WITH w AS (
               SELECT unnest(string_split_regex(trim(text), '\\s+')) AS item

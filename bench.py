@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "cusum_value_shift",        # CUSUM changepoint per key
     "record_linkage_parts",     # blocked entity-resolution scoring
     "k_core_interactions",      # iterative k-core peeling
+    "sorted_neighborhood",      # scalable global rank + neighbor join
 ]
 
 

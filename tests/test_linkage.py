@@ -62,3 +62,39 @@ def test_record_linkage_scoring(spark):
     assert [(r.id_a, r.id_b) for r in kept] == [(1, 2)]
     with pytest.raises(ValueError, match="attrs"):
         record_linkage(df, "id", block_on="blk", attrs=[])
+
+
+def test_global_rank_matches_single_window(spark):
+    import random
+
+    from codd_spark.operators.linkage import global_rank
+
+    rng = random.Random(31)
+    rows = [(i, rng.randint(0, 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id LONG, k LONG").repartition(8)
+    got = {r.id: r.rank for r in global_rank(df, ["k", "id"]).collect()}
+    want = {
+        i: r + 1
+        for r, (i, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    assert got == want
+
+
+def test_sorted_neighborhood_pairs(spark):
+    from codd_spark.operators.linkage import sorted_neighborhood_pairs
+
+    rows = [(10, 1.0), (20, 1.1), (30, 5.0), (40, 5.05), (50, 99.0)]
+    df = spark.createDataFrame(rows, "id LONG, score DOUBLE")
+    got = sorted(
+        (r.id_a, r.id_b, r.gap)
+        for r in sorted_neighborhood_pairs(df, "id", "score", window=2).collect()
+    )
+    # window=2: only adjacent-in-rank pairs
+    assert got == [(10, 20, 1), (20, 30, 1), (30, 40, 1), (40, 50, 1)]
+    got3 = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(df, "id", "score", window=3).collect()
+    }
+    assert (10, 30) in got3 and (30, 50) in got3 and len(got3) == 7
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, "id", "score", window=1)

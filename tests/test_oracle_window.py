@@ -76,6 +76,7 @@ ROUND4_ADDITIONS = [
     "cusum_value_shift",
     "record_linkage_parts",
     "k_core_interactions",
+    "sorted_neighborhood",
 ]
 
 CORE_OPERATORS = [

@@ -299,3 +299,69 @@ def test_derived_pipeline_results_keep_their_caches(spark):
         "shingle/bucket caches were unpersisted before execution — "
         "derived frame did not adopt its parent's release obligation"
     )
+
+
+def test_new_pair_miners_never_broadcast_or_cartesian(spark):
+    """set_similarity_join / edit_distance_pairs / record_linkage are
+    unbounded self-joins: the candidate and verify joins must plan
+    shuffle strategies, and nothing may degrade to a cartesian product.
+    (edit_distance's degenerate POOL is the one intentional broadcast —
+    bounded by construction — so it is exercised with no degenerate
+    strings to keep the assertion strict.)"""
+    from codd_spark.operators.dedup import edit_distance_pairs, set_similarity_join
+    from codd_spark.operators.linkage import record_linkage
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta iota word{i}") for i in range(20)],
+        "doc_id LONG, text STRING",
+    )
+    ssj = set_similarity_join(docs, "doc_id", "text", threshold=0.5, ngram_n=3)
+    plan = ssj._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" not in plan and "SortMergeJoin" in plan
+    ssj.release_cache()
+
+    names = spark.createDataFrame(
+        [(i, f"customer name number {i:04d}") for i in range(20)],
+        "id LONG, name STRING",
+    )
+    edp = edit_distance_pairs(names, "id", "name", max_distance=1)
+    plan = edp._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan
+
+    rl = record_linkage(
+        names.withColumn("blk", names.id % 3),
+        "id",
+        block_on="blk",
+        attrs=[("name", "levenshtein", 1.0)],
+        threshold=0.0,
+    )
+    plan = rl._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "SortMergeJoin" in plan
+
+
+def test_heavy_hitters_broadcasts_candidates_not_vocab(spark):
+    """The exact-verification semi-join must build on the (bounded)
+    candidate set via broadcast; the global total joins as a 1-row
+    broadcast — the vocabulary itself is never shuffled whole."""
+    from codd_spark.operators.aggregates import heavy_hitters
+
+    df = spark.createDataFrame([(f"w{i % 7}",) for i in range(100)], "item STRING")
+    plan = heavy_hitters(df, "item", k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # candidate semi-join
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row total
+    assert "CartesianProduct" not in plan
+
+
+def test_global_rank_no_single_task_window(spark):
+    """global_rank must not plan a global (empty-partition-spec) window —
+    the whole point is avoiding the single-task sort."""
+    from codd_spark.operators.linkage import global_rank
+
+    df = spark.createDataFrame([(i, i % 13) for i in range(100)], "id LONG, k LONG")
+    plan = global_rank(df, ["k", "id"])._jdf.queryExecution().executedPlan().toString()
+    # windows present must all be partitioned (by __pid); a global window
+    # renders as "Window [...], [...]" with no partition spec between
+    assert "Window" in plan
+    assert "RangePartitioning" in plan or "rangepartitioning" in plan
