@@ -1063,6 +1063,20 @@ def q_k_core_interactions(spark, sf_dir):
     return k_core(pairs, k=3)
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training on the corpus (operators/tokenize.py
+    bpe_train): one corpus shuffle to the word-frequency table, then
+    20 merge iterations over the compact vocab (pair-count agg + 1-row
+    argmax + expression-level merge fold). Rows-only by design: the
+    merge loop is an iterative driver-scalar fixpoint, not expressible
+    as one SQL query; determinism is pinned by tests/test_tokenize.py's
+    pure-Python reference equality."""
+    from codd_spark.operators.tokenize import bpe_merges_df, bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe_merges_df(spark, bpe_train(docs, "text", n_merges=20))
+
+
 def q_sorted_neighborhood(spark, sf_dir):
     """Sorted-neighborhood linkage blocking over customers by account
     balance (operators/linkage.py sorted_neighborhood_pairs): scalable
@@ -2597,6 +2611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_linkage_parts": q_record_linkage_parts,
         "k_core_interactions": q_k_core_interactions,
         "sorted_neighborhood": q_sorted_neighborhood,
+        "bpe_merges": q_bpe_merges,
         "ks_drift_events": q_ks_drift_events,
         "profile_orders": q_profile_orders,
         "token_cooccurrence": q_token_cooccurrence,

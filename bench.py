@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "record_linkage_parts",     # blocked entity-resolution scoring
     "k_core_interactions",      # iterative k-core peeling
     "sorted_neighborhood",      # scalable global rank + neighbor join
+    "bpe_merges",               # BPE tokenizer training (20 merges)
 ]
 
 

@@ -1,0 +1,185 @@
+"""BPE tokenizer training and encoding at corpus scale.
+
+Byte-pair-encoding vocabulary learning (Sennrich et al., ACL 2016 —
+the public algorithm behind GPT/LLaMA-family tokenizers): repeatedly
+merge the most frequent adjacent symbol pair. The scalable shape is the
+classic two-level one:
+
+1. ONE corpus pass aggregates the word-frequency table (the only
+   corpus-sized shuffle; at 100 TB the distinct-word table is orders of
+   magnitude smaller than the corpus and map-side combine does the
+   heavy lifting).
+2. Every merge iteration runs on that compact table: a weighted
+   adjacent-pair count (explode + sum), a 1-row argmax collect (the
+   same driver-scalar fixpoint boundary as pagerank/k_core), and an
+   expression-level merge fold — no Python touches per-word data.
+
+The merge fold is a JVM ``aggregate`` over each word's symbol array that
+rebuilds the array left-to-right, fusing every non-overlapping (a, b)
+occurrence greedily — exactly the reference algorithm's merge semantics,
+pinned by the pure-Python cross-check in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from codd_spark.functions.text import tokens
+
+WORD_END = "\x01"  # end-of-word sentinel (a control char no real token contains)
+
+
+def _word_freq(df: DataFrame, text_col: str) -> DataFrame:
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _symbolize(words: DataFrame) -> DataFrame:
+    """word -> array of single-character symbols + end-of-word marker."""
+    return words.select(
+        F.concat(
+            F.split(F.col("w"), "(?!^)(?!$)"),  # chars (exclude the end split point: Spark keeps trailing empties)
+            F.array(F.lit(WORD_END)),
+        ).alias("syms"),
+        "freq",
+    )
+
+
+def _pair_counts(syms: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over the symbolized vocab."""
+    n = F.size("syms")
+    pairs = F.zip_with(
+        F.slice("syms", 1, n - 1),
+        F.slice("syms", 2, n - 1),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    return (
+        syms.filter(n >= 2)
+        .select(F.explode(pairs).alias("p"), "freq")
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _merge_fold(syms_col, left: str, right: str):
+    """Rebuild the symbol array, fusing adjacent (left, right) pairs
+    greedily left-to-right (non-overlapping) — one JVM fold, no UDF."""
+    merged = left + right
+    return F.aggregate(
+        syms_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    *,
+    n_merges: int = 50,
+    min_pair_count: int = 2,
+    checkpoint_every: int = 8,
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the ordered
+    merge table as [(step, left, right, pair_count), ...] — the
+    tokenizer artifact (apply with ``bpe_encode``). Stops early when the
+    best remaining pair occurs fewer than ``min_pair_count`` times.
+
+    Ties break deterministically by (count desc, left, right). The
+    iterating state is the symbolized word-frequency table; its lineage
+    is cut with localCheckpoint every ``checkpoint_every`` merges so the
+    plan never deepens past a bounded window."""
+    syms = _symbolize(_word_freq(df, text_col)).localCheckpoint(eager=False)
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        best = (
+            _pair_counts(syms)
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_pair_count:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merges.append((step, l, r, cnt))
+        syms = syms.select(_merge_fold(F.col("syms"), l, r).alias("syms"), "freq")
+        if step % checkpoint_every == 0:
+            syms = syms.localCheckpoint(eager=False)
+    return merges
+
+
+def bpe_merges_df(spark, merges: list[tuple[int, str, str, int]]) -> DataFrame:
+    """Merge table as a DataFrame (step, left, right, merged, pair_count)
+    — the persistable tokenizer artifact / contract-query surface."""
+    return spark.createDataFrame(
+        [(s, l, r, l + r, c) for s, l, r, c in merges],
+        "step INT, left STRING, right STRING, merged STRING, pair_count LONG",
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[int, str, str, int]],
+    *,
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned merge table: per word, chars + end marker, then
+    each merge in training order — an Arrow-batched pandas UDF (the
+    per-word loop over ~vocab-rank merges is imperative by nature; the
+    merge list is tiny and ships inside the UDF closure). Adds
+    ``out_col`` as array<string> of BPE tokens for the whole text."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ordered = [(l, r) for _, l, r, _ in merges]
+
+    def _encode(texts):
+        ranks = {pair: i for i, pair in enumerate(ordered)}
+
+        def enc_word(word: str) -> list[str]:
+            syms = list(word) + [WORD_END]
+            while len(syms) >= 2:
+                best_rank, best_i = None, None
+                for i in range(len(syms) - 1):
+                    rk = ranks.get((syms[i], syms[i + 1]))
+                    if rk is not None and (best_rank is None or rk < best_rank):
+                        best_rank, best_i = rk, i
+                if best_rank is None:
+                    break
+                l, r = ordered[best_rank]
+                out, i = [], 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        return texts.map(
+            lambda t: [
+                tok
+                for w in (t or "").split()
+                if w
+                for tok in enc_word(w)
+            ]
+        )
+
+    # no type annotations: `from __future__ import annotations` stringifies
+    # hints, which the pandas_udf signature inspector rejects
+    encode = pandas_udf(_encode, "array<string>")
+    return df.withColumn(out_col, encode(F.col(text_col)))
