@@ -1063,6 +1063,36 @@ def q_k_core_interactions(spark, sf_dir):
     return k_core(pairs, k=3)
 
 
+def q_drift_daily_value(spark, sf_dir):
+    """Day-over-day KS drift series per event type (operators/profile.py
+    drift_series): tagged union (no self-join) + the grouped KS windows;
+    only buckets with both sides of mass survive."""
+    from codd_spark.operators.profile import drift_series
+
+    ev = read_table(spark, sf_dir, "events")
+    return drift_series(ev, "ts", "value", key_col="event_type", unit="day")
+
+
+def q_key_skew_users(spark, sf_dir):
+    """Join-key skew probe on events.user_id (operators/profile.py
+    key_skew): count-per-key agg + scalable global rank + closed-form
+    Gini — the measurement that decides salting vs plain shuffle."""
+    from codd_spark.operators.profile import key_skew
+
+    ev = read_table(spark, sf_dir, "events")
+    return key_skew(ev, ["user_id"])
+
+
+def q_quantile_bins_price(spark, sf_dir):
+    """Equi-depth decile binning of order totals (operators/profile.py
+    quantile_bins): scalable global rank, closed-form bin id, one
+    aggregate."""
+    from codd_spark.operators.profile import quantile_bins
+
+    orders = read_table(spark, sf_dir, "orders")
+    return quantile_bins(orders, "o_totalprice", "o_orderkey", n_bins=10)
+
+
 def q_bpe_merges(spark, sf_dir):
     """BPE tokenizer training on the corpus (operators/tokenize.py
     bpe_train): one corpus shuffle to the word-frequency table, then
@@ -2612,6 +2642,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core_interactions": q_k_core_interactions,
         "sorted_neighborhood": q_sorted_neighborhood,
         "bpe_merges": q_bpe_merges,
+        "drift_daily_value": q_drift_daily_value,
+        "key_skew_users": q_key_skew_users,
+        "quantile_bins_price": q_quantile_bins_price,
         "ks_drift_events": q_ks_drift_events,
         "profile_orders": q_profile_orders,
         "token_cooccurrence": q_token_cooccurrence,
@@ -3334,6 +3367,76 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND(0.5 * sim_p_name + 0.3 * sim_p_type + 0.2 * sim_p_size, 6) >= 0.55
         """,
         "k_core_interactions": _k_core_oracle_sql(k=3, rounds=10),
+        "drift_daily_value": """
+            WITH base AS (
+              SELECT event_type AS k, date_trunc('day', ts) AS b, value AS v
+              FROM events WHERE value IS NOT NULL
+            ), tagged AS (
+              SELECT k, b, v, TRUE AS is_b FROM base
+              UNION ALL
+              SELECT k, b + INTERVAL 1 DAY, v, FALSE FROM base
+            ), pv AS (
+              SELECT k, b, v,
+                     COUNT(*) FILTER (WHERE NOT is_b) AS ca,
+                     COUNT(*) FILTER (WHERE is_b) AS cb
+              FROM tagged GROUP BY k, b, v
+            ), st AS (
+              SELECT k, b,
+                     SUM(ca) OVER (PARTITION BY k, b ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+                     SUM(cb) OVER (PARTITION BY k, b ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+                     SUM(ca) OVER (PARTITION BY k, b) AS n_a,
+                     SUM(cb) OVER (PARTITION BY k, b) AS n_b
+              FROM pv
+            ), r AS (
+              SELECT k, b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                     ROUND(MAX(ABS(
+                       (CASE WHEN n_a > 0 THEN cum_a::DOUBLE / n_a ELSE 0.0 END)
+                       - (CASE WHEN n_b > 0 THEN cum_b::DOUBLE / n_b ELSE 0.0 END)
+                     )), 6) AS ks
+              FROM st GROUP BY k, b, n_a, n_b
+            )
+            SELECT k AS event_type, CAST(FLOOR(epoch(b)) AS BIGINT) AS bucket_epoch,
+                   n_a AS n_prev, n_b AS n_cur, ks
+            FROM r WHERE n_a > 0 AND n_b > 0
+        """,
+        "key_skew_users": """
+            WITH c AS (
+              SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+            ), r AS (
+              SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, user_id) AS rnk FROM c
+            ), a AS (
+              SELECT CAST(SUM(cnt) AS BIGINT) AS nr, COUNT(*) AS nk,
+                     CAST(SUM(rnk * cnt) AS BIGINT) AS sic,
+                     MAX_BY(cnt, rnk) AS top1
+              FROM r
+            ), t AS (
+              SELECT CAST(SUM(cnt) AS BIGINT) AS top10
+              FROM r, (SELECT COUNT(*) AS nk2 FROM r) WHERE rnk > nk2 - 10
+            )
+            SELECT nr AS n_rows, nk AS n_keys,
+                   ROUND(top1::DOUBLE / nr, 6) AS top1_share,
+                   ROUND(top10::DOUBLE / nr, 6) AS top10_share,
+                   ROUND(2.0 * sic / (CAST(nk AS DOUBLE) * nr)
+                         - CAST(nk + 1 AS DOUBLE) / nk, 6) AS gini
+            FROM a, t
+        """,
+        "quantile_bins_price": """
+            WITH b AS (
+              SELECT o_totalprice AS v, o_orderkey AS tb
+              FROM orders WHERE o_totalprice IS NOT NULL
+            ), r AS (
+              SELECT v, ROW_NUMBER() OVER (ORDER BY v, tb) AS rnk FROM b
+            ), n AS (SELECT COUNT(*) AS nt FROM r),
+            x AS (
+              SELECT v,
+                     CAST(FLOOR(CAST(rnk - 1 AS DOUBLE) * 10 / nt) AS BIGINT) AS bin
+              FROM r, n
+            )
+            SELECT bin, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n
+            FROM x GROUP BY bin
+        """,
         "sorted_neighborhood": """
             WITH r AS (
               SELECT c_custkey AS id,

@@ -106,6 +106,9 @@ BENCH_QUERIES = [
     "k_core_interactions",      # iterative k-core peeling
     "sorted_neighborhood",      # scalable global rank + neighbor join
     "bpe_merges",               # BPE tokenizer training (20 merges)
+    "drift_daily_value",        # day-over-day KS drift series
+    "key_skew_users",           # join-key skew probe (Gini/top-share)
+    "quantile_bins_price",      # equi-depth decile binning
 ]
 
 

@@ -19,9 +19,10 @@ def ks_statistic(
     value_col: str,
     sample_col: str,
     *,
-    group_col: str | None = None,
+    group_col: str | list[str] | None = None,
 ) -> DataFrame:
-    """EXACT two-sample Kolmogorov-Smirnov statistic per group:
+    """EXACT two-sample Kolmogorov-Smirnov statistic per group (pass a
+    list to group by several columns, e.g. (feature, day)):
     ``sup_x |F_a(x) - F_b(x)|`` between the rows where ``sample_col`` is
     false (sample a / baseline) and true (sample b / current).
 
@@ -42,7 +43,12 @@ def ks_statistic(
     to 0.0 only if both are empty — callers should treat n_a = 0 or
     n_b = 0 as "not comparable" rather than "maximally drifted".
     """
-    grp = [group_col] if group_col else []
+    if group_col is None:
+        grp = []
+    elif isinstance(group_col, str):
+        grp = [group_col]
+    else:
+        grp = list(group_col)
     base = df.filter(F.col(value_col).isNotNull()).select(
         *grp,
         F.col(value_col).alias("v"),
@@ -179,4 +185,133 @@ def cusum_changepoint(
         F.unix_timestamp("__ts").alias("change_ts"),
         "n",
         F.round(F.col("d"), 6).alias("cusum_stat"),
+    )
+
+
+def drift_series(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    key_col: str,
+    unit: str = "day",
+) -> DataFrame:
+    """Windowed drift monitoring: for every (key, time bucket), the exact
+    two-sample KS statistic between the bucket's values and the PREVIOUS
+    bucket's — the continuous form of ``ks_statistic`` a pipeline runs
+    per ingestion window. Output: (key, bucket_epoch BIGINT, n_prev,
+    n_cur, ks), only for buckets where both sides have mass.
+
+    Plan: the bucketed values participate twice (as themselves and
+    shifted one bucket forward as the "previous" sample) via a tagged
+    union — no self-join — then the ks machinery runs grouped by
+    (key, bucket): one pre-aggregate + one cumulative window. Everything
+    shuffles on (key, bucket); windows parallelize across keys*buckets.
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("k"),
+        bucket.alias("b"),
+        F.col(value_col).alias("v"),
+    )
+    cur = base.select("k", "b", "v", F.lit(True).alias("is_b"))
+    prev = base.select(
+        "k",
+        (F.col("b") + F.expr(f"INTERVAL 1 {unit}")).alias("b"),
+        "v",
+        F.lit(False).alias("is_b"),
+    )
+    tagged = cur.unionByName(prev)
+    out = ks_statistic(tagged, "v", "is_b", group_col=["k", "b"])
+    return (
+        out.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            F.col("k").alias(key_col),
+            F.unix_timestamp("b").alias("bucket_epoch"),
+            F.col("n_a").alias("n_prev"),
+            F.col("n_b").alias("n_cur"),
+            "ks",
+        )
+    )
+
+
+def key_skew(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Join-key skew probe — run this BEFORE choosing a join strategy at
+    scale: one row with (n_rows, n_keys, top1_share, top10_share, gini)
+    for the distribution of rows over the key. ``gini`` near 0 = uniform
+    (shuffle joins fine), near 1 = concentrated (salt the hot keys or
+    let AQE split); ``top1_share`` is the single-straggler bound — the
+    fraction of the join one task would own.
+
+    Plan: one count-per-key aggregate, a scalable global rank of the
+    counts (range partitions + broadcast offsets — no single-task
+    window), and one final 1-row aggregate computing
+    gini = 2*sum(rank*cnt)/(n_keys*n_rows) - (n_keys+1)/n_keys
+    (the closed form over counts sorted ascending)."""
+    from codd_spark.operators.linkage import global_rank
+
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("cnt"))
+    ranked = global_rank(counts, ["cnt", *key_cols])
+    agg = ranked.agg(
+        F.sum("cnt").alias("nr"),
+        F.count("*").alias("nk"),
+        F.sum(F.col("rank") * F.col("cnt")).alias("sic"),
+        F.max_by(F.col("cnt"), F.col("rank")).alias("top1"),
+    )
+    # top-10 share: keys ranked in the last 10 positions (rank ascends)
+    top10 = (
+        ranked.crossJoin(F.broadcast(ranked.agg(F.count("*").alias("nk2"))))
+        .filter(F.col("rank") > F.col("nk2") - 10)
+        .agg(F.sum("cnt").alias("top10"))
+    )
+    n_keys = F.col("nk")
+    gini = (
+        F.lit(2.0) * F.col("sic") / (n_keys.cast("double") * F.col("nr"))
+        - (n_keys + 1).cast("double") / n_keys
+    )
+    return (
+        agg.crossJoin(F.broadcast(top10))
+        .select(
+            F.col("nr").alias("n_rows"),
+            F.col("nk").alias("n_keys"),
+            F.round(F.col("top1").cast("double") / F.col("nr"), 6).alias("top1_share"),
+            F.round(F.col("top10").cast("double") / F.col("nr"), 6).alias("top10_share"),
+            F.round(gini, 6).alias("gini"),
+        )
+    )
+
+
+def quantile_bins(
+    df: DataFrame,
+    col: str,
+    tiebreak_col: str,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Equi-depth (quantile) binning: rank rows by (col, tiebreak)
+    globally — the scalable rank, no single-task window — and split into
+    ``n_bins`` equal-count bins. Output per bin: (bin, lo, hi, n).
+    The tiebreak must make the order total, which also makes bin
+    boundaries deterministic through runs and engines."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    from codd_spark.operators.linkage import global_rank
+
+    base = df.filter(F.col(col).isNotNull()).select(
+        F.col(col).alias("v"), F.col(tiebreak_col).alias("tb")
+    )
+    ranked = global_rank(base, ["v", "tb"])
+    total = ranked.agg(F.count("*").alias("n_total"))
+    binned = ranked.crossJoin(F.broadcast(total)).withColumn(
+        "bin",
+        (
+            (F.col("rank") - 1).cast("double")
+            * n_bins
+            / F.col("n_total")
+        ).cast("bigint"),
+    )
+    return binned.groupBy("bin").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("*").alias("n")
     )

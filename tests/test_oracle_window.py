@@ -77,6 +77,9 @@ ROUND4_ADDITIONS = [
     "record_linkage_parts",
     "k_core_interactions",
     "sorted_neighborhood",
+    "drift_daily_value",
+    "key_skew_users",
+    "quantile_bins_price",
 ]
 
 CORE_OPERATORS = [

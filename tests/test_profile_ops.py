@@ -146,3 +146,73 @@ def test_cusum_changepoint_finds_planted_shift(spark):
         .replace(tzinfo=datetime.timezone.utc).timestamp()
     )
     assert abs(got["a"].change_ts - shift_epoch) <= 5 * 60
+
+
+def test_drift_series_day_over_day(spark):
+    import datetime
+
+    from codd_spark.operators.profile import drift_series
+
+    rng = random.Random(53)
+    base = datetime.datetime(2024, 6, 1)
+    rows = []
+    day_vals = {}
+    # key "m": day 0,1 same distribution; day 2 shifted
+    for d, mu in ((0, 0.0), (1, 0.0), (2, 4.0)):
+        vals = [round(rng.gauss(mu, 1), 2) for _ in range(80)]
+        day_vals[d] = vals
+        rows += [
+            ("m", base + datetime.timedelta(days=d, minutes=i), float(v))
+            for i, v in enumerate(vals)
+        ]
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP_NTZ, v DOUBLE")
+    out = {r.bucket_epoch: r for r in drift_series(df, "ts", "v", key_col="k").collect()}
+    assert len(out) == 2  # day1 vs day0, day2 vs day1 (day0 has no prev)
+    epochs = sorted(out)
+    d1, d2 = out[epochs[0]], out[epochs[1]]
+    assert (d1.n_prev, d1.n_cur) == (80, 80)
+    assert d1.ks == pytest.approx(round(_ks_reference(day_vals[0], day_vals[1]), 6), abs=1e-9)
+    assert d2.ks == pytest.approx(round(_ks_reference(day_vals[1], day_vals[2]), 6), abs=1e-9)
+    assert d2.ks > 0.8 > d1.ks  # the planted day-2 shift is flagged
+
+
+def test_key_skew_stats(spark):
+    from codd_spark.operators.profile import key_skew
+
+    # 4 keys with counts 1, 1, 2, 6 (n=10)
+    rows = [("a",), ("b",), ("c",), ("c",)] + [("d",)] * 6
+    df = spark.createDataFrame(rows, "k STRING")
+    [r] = key_skew(df, ["k"]).collect()
+    assert (r.n_rows, r.n_keys) == (10, 4)
+    assert r.top1_share == pytest.approx(0.6)
+    assert r.top10_share == pytest.approx(1.0)  # <10 keys: everything
+    # gini closed form: counts ascending [1,1,2,6], ranks 1..4
+    sic = 1 * 1 + 2 * 1 + 3 * 2 + 4 * 6
+    gini = 2 * sic / (4 * 10) - 5 / 4
+    assert r.gini == pytest.approx(round(gini, 6))
+
+    uniform = spark.createDataFrame([(f"k{i}",) for i in range(100)], "k STRING")
+    [u] = key_skew(uniform, ["k"]).collect()
+    assert u.gini == pytest.approx(0.0, abs=1e-9)  # perfectly uniform
+    with pytest.raises(ValueError, match="key_cols"):
+        key_skew(df, [])
+
+
+def test_quantile_bins_equal_depth(spark):
+    from codd_spark.operators.profile import quantile_bins
+
+    rng = random.Random(61)
+    rows = [(i, round(rng.uniform(0, 1000), 3)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id LONG, x DOUBLE").repartition(8)
+    out = {r.bin: r for r in quantile_bins(df, "x", "id", n_bins=10).collect()}
+    assert set(out) == set(range(10))
+    assert all(out[b].n == 100 for b in out)
+    # bins tile the sorted order: each bin's lo > previous bin's hi
+    ordered = [out[b] for b in range(10)]
+    for prev, cur in zip(ordered, ordered[1:]):
+        assert cur.lo >= prev.hi
+    # reference: sorted values chunked
+    svals = sorted(v for _, v in rows)
+    for b in range(10):
+        assert out[b].lo == pytest.approx(svals[b * 100])
+        assert out[b].hi == pytest.approx(svals[b * 100 + 99])
