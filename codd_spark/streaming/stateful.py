@@ -35,6 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     DoubleType,
     LongType,
@@ -255,6 +256,119 @@ def streaming_scd2(
                     "valid_from": [pd.Timestamp(r[1] * 1_000, unit="ns") for r in closed],
                     "valid_to": [pd.Timestamp(r[2] * 1_000, unit="ns") for r in closed],
                     "version": [r[3] for r in closed],
+                }
+            )
+
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_drift(
+    sdf: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    key_col: str,
+    unit: str = "day",
+) -> DataFrame:
+    """Streaming counterpart of ``operators.profile.drift_series``: per
+    key, when a time bucket is closed by the arrival of a later one, emit
+    the exact two-sample KS statistic against the PREVIOUS adjacent
+    closed bucket — (key, bucket_epoch, n_prev, n_cur, ks), append mode.
+    Non-adjacent buckets (a silent gap) emit nothing, the batch
+    operator's contract.
+
+    State per key: the previous closed bucket's value sample and the open
+    bucket's accumulating sample (two double arrays). That is O(bucket
+    row count) state — the exact-KS price; cap ingestion upstream or
+    widen the unit if buckets are unbounded. Late rows (bucket older
+    than the open one) are dropped."""
+    if unit not in _UNIT_MICROS:
+        raise ValueError(f"unit must be one of {sorted(_UNIT_MICROS)}, got {unit!r}")
+    step = _UNIT_MICROS[unit]
+    key_field = sdf.schema[key_col]
+
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType),
+            StructField("bucket_epoch", LongType()),
+            StructField("n_prev", LongType()),
+            StructField("n_cur", LongType()),
+            StructField("ks", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("pb", LongType()),  # previous closed bucket (micros); -1 none
+            StructField("pv", ArrayType(DoubleType())),
+            StructField("ob", LongType()),  # open bucket; -1 none
+            StructField("ov", ArrayType(DoubleType())),
+        ]
+    )
+
+    def ks(a, b):
+        import decimal
+
+        xs = sorted(set(a) | set(b))
+        na, nb = len(a), len(b)
+        sa, sb = sorted(a), sorted(b)
+        best = 0.0
+        ia = ib = 0
+        for x in xs:
+            while ia < na and sa[ia] <= x:
+                ia += 1
+            while ib < nb and sb[ib] <= x:
+                ib += 1
+            fa = ia / na if na else 0.0
+            fb = ib / nb if nb else 0.0
+            best = max(best, abs(fa - fb))
+        # HALF_UP to match Spark's round() (python round is banker's)
+        return float(
+            decimal.Decimal(repr(best)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    def update(key, pdfs, state: GroupState):
+        pb, pv, ob, ov = state.get if state.exists else (-1, [], -1, [])
+        pv, ov = list(pv or []), list(ov or [])
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch[batch[value_col].notna()]
+        out = []
+        if len(batch):
+            b = pd.DataFrame(
+                {
+                    "bkt": _floor_micros(batch[ts_col], unit),
+                    "v": batch[value_col].astype("float64"),
+                }
+            ).sort_values("bkt", kind="stable")
+            b = b[b["bkt"] >= ob] if ob >= 0 else b
+            for bkt, grp in b.groupby("bkt", sort=True):
+                vals = grp["v"].tolist()
+                if ob < 0:
+                    ob, ov = int(bkt), vals
+                elif bkt == ob:
+                    ov.extend(vals)
+                else:
+                    # close ob: compare against adjacent previous closed
+                    if pb >= 0 and ob == pb + step:
+                        out.append((ob, len(pv), len(ov), ks(pv, ov)))
+                    pb, pv = ob, ov
+                    ob, ov = int(bkt), vals
+        state.update((pb, pv, ob, ov))
+        if out:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(out),
+                    "bucket_epoch": [r[0] // 1_000_000 for r in out],
+                    "n_prev": [r[1] for r in out],
+                    "n_cur": [r[2] for r in out],
+                    "ks": [r[3] for r in out],
                 }
             )
 

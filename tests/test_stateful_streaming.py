@@ -152,3 +152,48 @@ def test_streaming_resample_rejects_bad_unit(spark):
     sdf = spark.readStream.schema(TS_SCHEMA).parquet(tempfile.mkdtemp())
     with pytest.raises(ValueError, match="unit"):
         streaming_resample(sdf, "ts", "value", key_col="user_id", unit="month")
+
+
+def test_streaming_drift_matches_batch(spark, ts_events):
+    from codd_spark.operators.profile import drift_series
+    from codd_spark.streaming.stateful import streaming_drift
+
+    d = _stream_chunks(spark, ts_events, TS_SCHEMA, n_chunks=4)
+    try:
+        sdf = stream_from_directory(spark, d, TS_SCHEMA)
+        q = run_to_memory(
+            streaming_drift(sdf, "ts", "value", key_col="user_id", unit="day"),
+            "drift_stream",
+            output_mode="append",
+        )
+        _drain(q)
+        got = {
+            (r.user_id, r.bucket_epoch, r.n_prev, r.n_cur, r.ks)
+            for r in spark.table("drift_stream").collect()
+        }
+
+        batch = [
+            (r.user_id, r.bucket_epoch, r.n_prev, r.n_cur, r.ks)
+            for r in drift_series(
+                spark.createDataFrame(ts_events, TS_SCHEMA),
+                "ts",
+                "value",
+                key_col="user_id",
+                unit="day",
+            ).collect()
+        ]
+        # streaming never emits a comparison whose CURRENT bucket is the
+        # key's final (still-open) bucket
+        import datetime
+
+        last_bucket = {}
+        for eid, ts, user, _ in ts_events:
+            b = int(
+                datetime.datetime(ts.year, ts.month, ts.day, tzinfo=datetime.timezone.utc).timestamp()
+            )
+            last_bucket[user] = max(last_bucket.get(user, b), b)
+        want = {row for row in batch if row[1] != last_bucket[row[0]]}
+        assert got == want
+        assert len(got) >= 5
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
