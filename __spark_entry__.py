@@ -1063,6 +1063,19 @@ def q_k_core_interactions(spark, sf_dir):
     return k_core(pairs, k=3)
 
 
+def q_sketch_distinct_users(spark, sf_dir):
+    """Mergeable HLL distinct-count rollup (operators/aggregates.py
+    sketch_rollup/sketch_union): per-(event_type, day) sketches unioned
+    to per-type totals WITHOUT rescanning the fact table. Rows-only by
+    design (sketch estimates are engine-specific); the union-consistency
+    and error-bound properties are pinned in tests/test_profile_ops.py."""
+    from codd_spark.operators.aggregates import sketch_rollup, sketch_union
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = sketch_rollup(ev, ["event_type"], "user_id", ts_col="ts", unit="day")
+    return sketch_union(daily, ["event_type"])
+
+
 def q_drift_daily_value(spark, sf_dir):
     """Day-over-day KS drift series per event type (operators/profile.py
     drift_series): tagged union (no self-join) + the grouped KS windows;
@@ -2643,6 +2656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood": q_sorted_neighborhood,
         "bpe_merges": q_bpe_merges,
         "drift_daily_value": q_drift_daily_value,
+        "sketch_distinct_users": q_sketch_distinct_users,
         "key_skew_users": q_key_skew_users,
         "quantile_bins_price": q_quantile_bins_price,
         "ks_drift_events": q_ks_drift_events,

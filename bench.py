@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "drift_daily_value",        # day-over-day KS drift series
     "key_skew_users",           # join-key skew probe (Gini/top-share)
     "quantile_bins_price",      # equi-depth decile binning
+    "sketch_distinct_users",    # mergeable HLL rollup + union
 ]
 
 

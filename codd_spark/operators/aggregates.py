@@ -174,3 +174,54 @@ def heavy_hitters(df: DataFrame, col: str, *, k: int = 100) -> DataFrame:
             F.round(F.col("cnt").cast("double") / F.col("__total"), 6).alias("frac"),
         )
     )
+
+
+def sketch_rollup(
+    df: DataFrame,
+    key_cols: list[str],
+    distinct_col: str,
+    *,
+    ts_col: str | None = None,
+    unit: str = "day",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Pre-aggregated MERGEABLE distinct-count rollup: one HLL sketch per
+    (key..., bucket) — (key..., bucket?, sketch BINARY, n_rows). The
+    100-TB pattern behind "distinct users for ANY date range without
+    rescanning": materialize this once per ingestion window, then answer
+    range queries by unioning sketches (``sketch_union``), never
+    re-reading the fact table. Sketch union is lossless at equal lg_k —
+    unioned daily sketches give the IDENTICAL estimate a single global
+    sketch would (pinned by tests), ~1.6%/sqrt(2^lg_k / 1.04) relative
+    error vs exact.
+
+    One partial-aggregated shuffle; sketches merge map-side like any
+    monoid, which is the entire point."""
+    bucket = (
+        [F.date_trunc(unit, F.col(ts_col)).alias("bucket")] if ts_col else []
+    )
+    return (
+        df.groupBy(*[F.col(c) for c in key_cols], *bucket)
+        .agg(
+            F.hll_sketch_agg(F.col(distinct_col), F.lit(lg_k)).alias("sketch"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def sketch_union(
+    rollup: DataFrame,
+    group_cols: list[str],
+    *,
+    estimate_col: str = "n_distinct_est",
+) -> DataFrame:
+    """Re-aggregate a ``sketch_rollup`` to coarser groups (drop the
+    bucket, keep a key subset, or group by nothing for a grand total):
+    unions the HLL sketches and reports the estimate — an
+    O(output-groups) aggregate over pre-reduced state, no fact-table
+    rescan. Also keeps the summed row counts."""
+    gb = rollup.groupBy(*[F.col(c) for c in group_cols])
+    return gb.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias(estimate_col),
+        F.sum("n_rows").alias("n_rows"),
+    )

@@ -216,3 +216,50 @@ def test_quantile_bins_equal_depth(spark):
     for b in range(10):
         assert out[b].lo == pytest.approx(svals[b * 100])
         assert out[b].hi == pytest.approx(svals[b * 100 + 99])
+
+
+def test_sketch_rollup_union_lossless_and_bounded(spark):
+    """HLL sketch rollups: (a) unioning per-day sketches must agree with
+    a single global sketch to well within the error bound (datasketches
+    mode transitions make them near- but not bit-identical); (b) the
+    estimate tracks exact distinct within the configured error regime."""
+    import datetime
+
+    from codd_spark.operators.aggregates import sketch_rollup, sketch_union
+    from pyspark.sql import functions as F
+
+    rng = random.Random(71)
+    base = datetime.datetime(2024, 7, 1)
+    rows = []
+    for i in range(4000):
+        rows.append(
+            (
+                base + datetime.timedelta(hours=rng.randint(0, 24 * 14)),
+                "seg%d" % (i % 2),
+                rng.randint(0, 1500),
+            )
+        )
+    df = spark.createDataFrame(rows, "ts TIMESTAMP_NTZ, seg STRING, uid LONG")
+
+    daily = sketch_rollup(df, ["seg"], "uid", ts_col="ts", unit="day")
+    assert daily.count() <= 2 * 15
+    merged = {r.seg: r for r in sketch_union(daily, ["seg"]).collect()}
+
+    direct = {
+        r.seg: r
+        for r in sketch_union(sketch_rollup(df, ["seg"], "uid"), ["seg"]).collect()
+    }
+    exact = {
+        r.seg: (r.d, r.n)
+        for r in df.groupBy("seg").agg(
+            F.countDistinct("uid").alias("d"), F.count("*").alias("n")
+        ).collect()
+    }
+    for seg in exact:
+        rel = abs(merged[seg].n_distinct_est - direct[seg].n_distinct_est) / max(
+            direct[seg].n_distinct_est, 1
+        )
+        assert rel < 0.02  # near-lossless union
+        assert merged[seg].n_rows == exact[seg][1]
+        d = exact[seg][0]
+        assert abs(merged[seg].n_distinct_est - d) / d < 0.1  # lg_k=12 ~1.6% rsd
