@@ -129,3 +129,66 @@ def test_pipeline_is_deterministic(spark, flow):
     assert canon(sharded1, ["doc_id", "shard", "shuffle_order"]) == canon(
         sharded2, ["doc_id", "shard", "shuffle_order"]
     )
+
+
+def test_quality_gate_and_tokenizer_pipeline(spark):
+    """Second composition: the data-quality gate + exact near-dup removal
+    + tokenizer-training flow added in round 4. profile -> skew probe ->
+    drift check -> EXACT set-similarity dedup (clusters -> keeper) ->
+    BPE training on the survivors -> encode. Deterministic end-to-end."""
+    from codd_spark.operators.dedup import set_similarity_join
+    from codd_spark.operators.graph import connected_components
+    from codd_spark.operators.profile import data_profile, key_skew, ks_statistic
+    from codd_spark.operators.tokenize import WORD_END, bpe_encode, bpe_train
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+    # 1. gate: profile must show no nulls in the id/text columns
+    prof = {r.column: r for r in data_profile(docs, ["doc_id", "text"]).collect()}
+    assert prof["doc_id"].n_null == 0 and prof["text"].n_null == 0
+    n_raw = prof["doc_id"].n_rows
+
+    # 2. skew probe on the join key a downstream enrichment would use
+    [skew] = key_skew(events, ["user_id"]).collect()
+    assert skew.top1_share < 0.5  # no single-straggler key: plain shuffle fine
+
+    # 3. drift gate between user parities (a stand-in ingestion split)
+    drift = ks_statistic(
+        events.withColumn("is_b", (F.col("user_id") % 2) == 1),
+        "value",
+        "is_b",
+        group_col="event_type",
+    )
+    assert drift.filter("ks > 0.5").count() == 0  # populations comparable
+
+    # 4. exact near-dup removal: pairs -> components -> keep min id
+    pairs = set_similarity_join(docs, "doc_id", "text", threshold=0.35, ngram_n=3)
+    comp = connected_components(pairs)
+    drop = comp.filter("id != component").select(F.col("id").alias("doc_id"))
+    n_dups = drop.count()
+    clean = docs.join(drop, "doc_id", "left_anti")
+    pairs.release_cache()
+    assert 0 < n_dups < n_raw
+    assert clean.count() == n_raw - n_dups
+    # no surviving pair: rerunning the miner on the cleaned corpus at the
+    # same threshold finds nothing
+    p2 = set_similarity_join(clean, "doc_id", "text", threshold=0.35, ngram_n=3)
+    assert p2.count() == 0
+    p2.release_cache()
+
+    # 5. tokenizer training on survivors + encode roundtrip
+    merges = bpe_train(clean, "text", n_merges=12)
+    assert len(merges) == 12
+    enc = bpe_encode(clean.limit(20), "text", merges)
+    for r in enc.collect():
+        words = [w for w in "".join(r.bpe_tokens).split(WORD_END) if w]
+        assert words == r.text.split()
+
+    # 6. determinism: the dedup decision and the merge table replay
+    merges2 = bpe_train(clean, "text", n_merges=12)
+    assert merges2 == merges
+    drop2 = connected_components(
+        set_similarity_join(docs, "doc_id", "text", threshold=0.35, ngram_n=3)
+    ).filter("id != component")
+    assert drop2.count() == n_dups
