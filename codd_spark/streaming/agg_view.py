@@ -13,11 +13,14 @@ streaming runtime needed), and the same partial-merge shape Spark itself
 uses below every shuffle (partial_sum/partial_count before the
 exchange).
 
-COUNT/SUM merge by addition, MIN/MAX by re-min/re-max — all three are
-commutative monoids, which is what makes the merge order-independent
-and retry-safe. Non-monoid aggregates (exact DISTINCT, medians) need
-either the full-recompute path (Database views) or sketches. Sums run
-in exact DECIMAL so merge order can never change the answer.
+COUNT/SUM merge by addition, MIN/MAX by re-min/re-max, and DISTINCT
+counts by HLL sketch union (``distinct_cols``) — all commutative
+monoids, which is what makes the merge order-independent and
+retry-safe. Sketched distincts are exact while the per-group
+cardinality stays inside the sketch's sparse mode (< ~2^lg_k values)
+and ~1.04/sqrt(2^lg_k) relative beyond; exact medians remain on the
+full-recompute path (Database views). Sums run in exact DECIMAL so
+merge order can never change the answer.
 
 Lineage across many inserts is cut with localCheckpoint every
 _CHECKPOINT_EVERY merges (the same bound the set-IVM instances use).
@@ -49,11 +52,15 @@ class IncrementalAggregateView:
         *,
         sum_cols: tuple[str, ...] = (),
         minmax_cols: tuple[str, ...] = (),
+        distinct_cols: tuple[str, ...] = (),
+        lg_k: int = 12,
     ):
         self.spark = spark
         self.keys = list(keys)
         self.sum_cols = tuple(sum_cols)
         self.minmax_cols = tuple(minmax_cols)
+        self.distinct_cols = tuple(distinct_cols)
+        self.lg_k = lg_k
         self._state: DataFrame | None = None
         self._merges = 0
 
@@ -65,6 +72,8 @@ class IncrementalAggregateView:
         for c in self.minmax_cols:
             aggs.append(F.min(c).alias(f"min_{c}"))
             aggs.append(F.max(c).alias(f"max_{c}"))
+        for c in self.distinct_cols:
+            aggs.append(F.hll_sketch_agg(F.col(c), F.lit(self.lg_k)).alias(f"sk_{c}"))
         return df.groupBy(*self.keys).agg(*aggs)
 
     def _merge(self, a: DataFrame, b: DataFrame) -> DataFrame:
@@ -74,6 +83,8 @@ class IncrementalAggregateView:
         for c in self.minmax_cols:
             aggs.append(F.min(f"min_{c}").alias(f"min_{c}"))
             aggs.append(F.max(f"max_{c}").alias(f"max_{c}"))
+        for c in self.distinct_cols:
+            aggs.append(F.hll_union_agg(F.col(f"sk_{c}")).alias(f"sk_{c}"))
         return a.unionByName(b).groupBy(*self.keys).agg(*aggs)
 
     # -- api --------------------------------------------------------------
@@ -95,6 +106,10 @@ class IncrementalAggregateView:
                 f"avg_{c}",
                 (F.col(f"sum_{c}").cast("double") / F.col("cnt")),
             )
+        for c in self.distinct_cols:
+            out = out.withColumn(
+                f"n_distinct_{c}", F.hll_sketch_estimate(F.col(f"sk_{c}"))
+            ).drop(f"sk_{c}")
         return out
 
     def rows(self) -> list[Row]:

@@ -41,3 +41,32 @@ def test_many_batches_bounded_plan(spark):
     # checkpoint every 8 merges -> plan holds at most ~8 merge layers
     assert plan.count("Aggregate") <= 20
     assert inc.df().count() == 4
+
+
+def test_incremental_distinct_via_sketch(spark):
+    """distinct_cols: HLL-sketch state merges as a monoid across inserts.
+    At small per-group cardinality the sketch is in sparse (exact) mode,
+    so the incrementally-maintained estimate EQUALS the exact distinct
+    count regardless of how the inserts were batched."""
+    import random
+
+    from codd_spark.streaming.agg_view import IncrementalAggregateView
+
+    rng = random.Random(83)
+    rows = [("g%d" % (i % 3), rng.randint(0, 400)) for i in range(3000)]
+    schema = "g STRING, uid LONG"
+
+    view = IncrementalAggregateView(spark, ["g"], distinct_cols=("uid",))
+    for start in range(0, 3000, 700):  # uneven batches
+        view.insert(spark.createDataFrame(rows[start : start + 700], schema))
+    got = {r.g: (r.cnt, r.n_distinct_uid) for r in view.df().collect()}
+
+    from collections import defaultdict
+
+    exact = defaultdict(set)
+    cnt = defaultdict(int)
+    for g, u in rows:
+        exact[g].add(u)
+        cnt[g] += 1
+    for g in exact:
+        assert got[g] == (cnt[g], len(exact[g]))
