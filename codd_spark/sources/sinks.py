@@ -189,3 +189,69 @@ def write_zordered(
         .drop("__z", *[f"__zr{j}" for j in range(len(zorder_by))])
     )
     write_parquet(out, path, mode=mode, max_records_per_file=max_records_per_file)
+
+
+def compact_dataset(
+    spark,
+    path: str,
+    *,
+    target_rows_per_file: int,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Small-files compaction: rewrite a parquet dataset so every file
+    holds ~``target_rows_per_file`` rows — the operational fix for the
+    100-TB killer where streaming/incremental writers leave thousands of
+    KB-sized files and every downstream scan pays per-file open cost +
+    a task per file.
+
+    Safe rewrite discipline: the compacted copy is written NEXT TO the
+    source (``<path>.__compact__``), row counts are verified EQUAL, and
+    only then is the original swapped out (rename, original moved to
+    ``<path>.__old__`` for the caller to delete) — a crash at any point
+    leaves either the intact original or both copies, never a partial
+    dataset. With ``partition_by`` the layout keeps (or introduces)
+    hive-style partition directories, sized per partition by an explicit
+    repartition on the partition columns.
+
+    Returns {"files_before", "files_after", "rows"}."""
+    import glob
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    rows = df.count()
+
+    def count_files(p):
+        return sum(
+            1
+            for f in glob.glob(os.path.join(p, "**", "*"), recursive=True)
+            if os.path.isfile(f) and f.endswith(".parquet")
+        )
+
+    files_before = count_files(path)
+    n_files = max(1, -(-rows // target_rows_per_file))  # ceil
+    tmp = path.rstrip("/") + ".__compact__"
+    writer_df = (
+        df.repartition(n_files)
+        if not partition_by
+        else df.repartition(*partition_by)
+    )
+    w = writer_df.write.mode("overwrite").option(
+        "maxRecordsPerFile", str(target_rows_per_file)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+
+    new_rows = spark.read.parquet(tmp).count()
+    if new_rows != rows:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction row mismatch: {rows} -> {new_rows}; original untouched"
+        )
+    old = path.rstrip("/") + ".__old__"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    files_after = count_files(path)
+    return {"files_before": files_before, "files_after": files_after, "rows": rows}

@@ -123,3 +123,44 @@ def test_write_zordered_prunes_box_queries(spark):
         assert sorted(r.v for r in a.collect()) == sorted(r.v for r in b.collect())
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compact_dataset_small_files(spark, tmp_path):
+    import os
+
+    from codd_spark.sources.sinks import compact_dataset
+
+    path = str(tmp_path / "frag")
+    # simulate an incremental writer: 40 tiny appends
+    for i in range(40):
+        spark.range(i * 25, (i + 1) * 25).selectExpr(
+            "id", "id % 7 AS k", "CAST(id AS DOUBLE) AS v"
+        ).coalesce(1).write.mode("append").parquet(path)
+    before = spark.read.parquet(path)
+    want = sorted((r.id, r.k, r.v) for r in before.collect())
+
+    stats = compact_dataset(spark, path, target_rows_per_file=500)
+    assert stats["rows"] == 1000
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] <= 3
+    after = spark.read.parquet(path)
+    assert sorted((r.id, r.k, r.v) for r in after.collect()) == want
+    assert os.path.isdir(path + ".__old__")  # original preserved for deletion
+
+
+def test_compact_dataset_partitioned(spark, tmp_path):
+    from codd_spark.sources.sinks import compact_dataset
+
+    path = str(tmp_path / "part")
+    for i in range(10):
+        spark.range(i * 100, (i + 1) * 100).selectExpr(
+            "id", "id % 3 AS k"
+        ).coalesce(1).write.mode("append").parquet(path)
+    want = sorted((r.id, r.k) for r in spark.read.parquet(path).collect())
+    stats = compact_dataset(spark, path, target_rows_per_file=400, partition_by=["k"])
+    assert stats["rows"] == 1000
+    after = spark.read.parquet(path)
+    assert sorted((r.id, int(r.k)) for r in after.collect()) == want
+    import glob
+    # hive layout present
+    assert glob.glob(path + "/k=*")
