@@ -1063,6 +1063,37 @@ def q_k_core_interactions(spark, sf_dir):
     return k_core(pairs, k=3)
 
 
+def q_dataset_diff_orders(spark, sf_dir):
+    """Run-over-run snapshot diff (operators/cdc.py dataset_diff): two
+    deterministic derivations of orders full-outer-joined on the key,
+    per-column null-safe compare, rolled up to status counts."""
+    from codd_spark.operators.cdc import dataset_diff
+
+    orders = read_table(spark, sf_dir, "orders")
+    old = orders.filter("o_orderkey % 3 != 0")
+    new = orders.filter("o_orderkey % 5 != 0").withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X-DIFF")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    return (
+        dataset_diff(old, new, ["o_orderkey"])
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_cohort_retention_weekly(spark, sf_dir):
+    """Weekly cohort retention triangle over events (operators/
+    timeseries.py cohort_retention): first-active-week cohorts, closed-
+    form period index, distinct-member cell counts."""
+    from codd_spark.operators.timeseries import cohort_retention
+
+    ev = read_table(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts", unit="week")
+
+
 def q_sketch_distinct_users(spark, sf_dir):
     """Mergeable HLL distinct-count rollup (operators/aggregates.py
     sketch_rollup/sketch_union): per-(event_type, day) sketches unioned
@@ -2657,6 +2688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "drift_daily_value": q_drift_daily_value,
         "sketch_distinct_users": q_sketch_distinct_users,
+        "dataset_diff_orders": q_dataset_diff_orders,
+        "cohort_retention_weekly": q_cohort_retention_weekly,
         "key_skew_users": q_key_skew_users,
         "quantile_bins_price": q_quantile_bins_price,
         "ks_drift_events": q_ks_drift_events,
@@ -3381,6 +3414,46 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND(0.5 * sim_p_name + 0.3 * sim_p_type + 0.2 * sim_p_size, 6) >= 0.55
         """,
         "k_core_interactions": _k_core_oracle_sql(k=3, rounds=10),
+        "dataset_diff_orders": """
+            WITH old AS (
+              SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+            ), nw AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                     o_orderdate,
+                     CASE WHEN o_orderkey % 7 = 0 THEN 'X-DIFF'
+                          ELSE o_orderpriority END AS o_orderpriority
+              FROM orders WHERE o_orderkey % 5 <> 0
+            ), d AS (
+              SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+                     CASE
+                       WHEN o.o_orderkey IS NULL THEN 'added'
+                       WHEN n.o_orderkey IS NULL THEN 'removed'
+                       WHEN (o.o_custkey IS NOT DISTINCT FROM n.o_custkey)
+                        AND (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+                        AND (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+                        AND (o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate)
+                        AND (o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+                       THEN 'unchanged'
+                       ELSE 'changed'
+                     END AS status
+              FROM old o FULL OUTER JOIN nw n ON o.o_orderkey = n.o_orderkey
+            )
+            SELECT status, COUNT(*) AS n FROM d GROUP BY status
+        """,
+        "cohort_retention_weekly": """
+            WITH act AS (
+              SELECT DISTINCT user_id AS u,
+                     CAST(FLOOR(epoch(date_trunc('week', ts))) AS BIGINT) AS b
+              FROM events
+            ), c AS (
+              SELECT u, MIN(b) AS cohort FROM act GROUP BY u
+            )
+            SELECT cohort AS cohort_epoch,
+                   CAST(FLOOR((b - cohort) / 604800.0) AS BIGINT) AS period,
+                   COUNT(DISTINCT u) AS n_users
+            FROM act JOIN c USING (u)
+            GROUP BY cohort, CAST(FLOOR((b - cohort) / 604800.0) AS BIGINT)
+        """,
         "drift_daily_value": """
             WITH base AS (
               SELECT event_type AS k, date_trunc('day', ts) AS b, value AS v

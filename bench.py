@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "key_skew_users",           # join-key skew probe (Gini/top-share)
     "quantile_bins_price",      # equi-depth decile binning
     "sketch_distinct_users",    # mergeable HLL rollup + union
+    "dataset_diff_orders",      # run-over-run snapshot diff
+    "cohort_retention_weekly",  # cohort retention triangle
 ]
 
 

@@ -126,3 +126,45 @@ def snapshot_at(history: DataFrame, at, ts_cols=("valid_from", "valid_to")):
     return history.filter(
         (F.col(lo) <= at) & (F.col(hi).isNull() | (F.col(hi) > at))
     ).drop("is_current")
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    *,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff between two versions of a keyed dataset: one row per
+    key present in either side, with ``status`` in {'added', 'removed',
+    'changed', 'unchanged'} — the run-over-run regression probe a
+    pipeline runs before promoting an output (a rewrite that silently
+    drops or mutates rows is caught here, not in production).
+
+    ``compare_cols`` defaults to all shared non-key columns. Comparison
+    is null-safe per column (NULL == NULL holds). One full-outer
+    shuffle join on the key — both sides grow with the data, so the
+    join is pinned to a shuffle strategy."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(key_cols)]
+    o = old.select(
+        *key_cols,
+        F.lit(True).alias("__in_old"),
+        F.struct(*[F.col(c) for c in compare_cols]).alias("__ov"),
+    )
+    nw = new.select(
+        *key_cols,
+        F.lit(True).alias("__in_new"),
+        F.struct(*[F.col(c) for c in compare_cols]).alias("__nv"),
+    )
+    joined = o.hint("shuffle_merge").join(nw, key_cols, "full_outer")
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.col("__ov").eqNullSafe(F.col("__nv")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(*key_cols, status.alias("status"))

@@ -96,3 +96,43 @@ def resample(
             F.col("n_events").isNull().alias("is_gap"),
         )
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    unit: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by their FIRST active
+    bucket; for each (cohort, periods-since-cohort) cell, the number of
+    distinct cohort members active in that bucket. Output:
+    (cohort_epoch BIGINT, period BIGINT, n_users) — the classic
+    retention triangle, period 0 = the cohort's own bucket.
+
+    Restricted to fixed-width units (hour/day/week) so the period index
+    is a closed-form division — no calendar join. Two aggregates and one
+    key-partitioned join: distinct (user, bucket) activity, per-user min
+    bucket (one agg), join back on the user (shuffle-pinned — both sides
+    grow with users), then the cell count."""
+    if unit not in ("hour", "day", "week"):
+        raise ValueError("unit must be hour/day/week (fixed-width)")
+    width = {"hour": 3600, "day": 86_400, "week": 7 * 86_400}[unit]
+    act = (
+        df.select(
+            F.col(user_col).alias("u"),
+            F.unix_timestamp(F.date_trunc(unit, F.col(ts_col))).alias("b"),
+        )
+        .distinct()
+    )
+    cohorts = act.groupBy("u").agg(F.min("b").alias("cohort"))
+    return (
+        act.hint("shuffle_merge")
+        .join(cohorts, "u")
+        .groupBy(
+            F.col("cohort").alias("cohort_epoch"),
+            ((F.col("b") - F.col("cohort")) / width).cast("bigint").alias("period"),
+        )
+        .agg(F.count_distinct("u").alias("n_users"))
+    )

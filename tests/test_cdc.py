@@ -198,3 +198,31 @@ def test_merge_upsert_random_batches_match_reference_model(spark):
             expect[case][k] = v
     expect = {c: d for c, d in expect.items() if d}
     assert dict(got) == expect
+
+
+def test_dataset_diff_statuses(spark):
+    from codd_spark.operators.cdc import dataset_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "id LONG, s STRING, v DOUBLE",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 2.0), (3, "c", None), (4, "D", 4.0), (5, "e", 5.0)],
+        "id LONG, s STRING, v DOUBLE",
+    )
+    got = {r.id: r.status for r in dataset_diff(old, new, ["id"]).collect()}
+    assert got == {
+        1: "removed",
+        2: "unchanged",
+        3: "unchanged",  # NULL == NULL is null-safe
+        4: "changed",
+        5: "added",
+    }
+    # compare_cols subset: value-only comparison ignores the s change
+    got_v = {r.id: r.status for r in dataset_diff(old, new, ["id"], compare_cols=["v"]).collect()}
+    assert got_v[4] == "unchanged"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="key_cols"):
+        dataset_diff(old, new, [])

@@ -80,6 +80,8 @@ ROUND4_ADDITIONS = [
     "drift_daily_value",
     "key_skew_users",
     "quantile_bins_price",
+    "dataset_diff_orders",
+    "cohort_retention_weekly",
 ]
 
 CORE_OPERATORS = [

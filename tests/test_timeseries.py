@@ -125,3 +125,37 @@ def test_resample_random_streams_match_reference_model(spark):
                 expect[(k, b)] = (0, carry, True)
             b += timedelta(hours=1)
     assert got == expect
+
+
+def test_cohort_retention_matrix(spark):
+    import datetime
+
+    from codd_spark.operators.timeseries import cohort_retention
+
+    w0 = datetime.datetime(2024, 1, 1)  # a Monday
+    rows = []
+    # cohort A (week 0): users 1,2,3 — 1,2 return week 1; 1 returns week 2
+    for u in (1, 2, 3):
+        rows.append((u, w0 + datetime.timedelta(days=u)))
+    for u in (1, 2):
+        rows.append((u, w0 + datetime.timedelta(days=8)))
+    rows.append((1, w0 + datetime.timedelta(days=15)))
+    # cohort B (week 1): user 4
+    rows.append((4, w0 + datetime.timedelta(days=9)))
+    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP_NTZ")
+    got = {
+        (r.cohort_epoch, r.period): r.n_users
+        for r in cohort_retention(df, "user_id", "ts", unit="week").collect()
+    }
+    e0 = int(w0.replace(tzinfo=datetime.timezone.utc).timestamp())
+    wk = 7 * 86400
+    assert got == {
+        (e0, 0): 3,
+        (e0, 1): 2,
+        (e0, 2): 1,
+        (e0 + wk, 0): 1,
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unit"):
+        cohort_retention(df, "user_id", "ts", unit="month")
