@@ -1063,6 +1063,36 @@ def q_k_core_interactions(spark, sf_dir):
     return k_core(pairs, k=3)
 
 
+def q_join_cardinality_events(spark, sf_dir):
+    """Exact pre-join explosion probe (operators/profile.py
+    join_cardinality): the events self-join on user_id would produce
+    n_out rows with max_key_out on one task — measured from two per-key
+    count aggregates, no per-pair row ever materialized."""
+    from codd_spark.operators.profile import join_cardinality
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k")
+    )
+    return join_cardinality(ev, ev, ["k"])
+
+
+def q_validate_orders_rules(spark, sf_dir):
+    """Declarative data-quality rules in one scan (operators/profile.py
+    validate_rules): NULL predicate results count as violations."""
+    from codd_spark.operators.profile import validate_rules
+
+    orders = read_table(spark, sf_dir, "orders")
+    return validate_rules(
+        orders,
+        {
+            "price_nonneg": "o_totalprice >= 0",
+            "status_domain": "o_orderstatus IN ('O', 'F', 'P')",
+            "custkey_present": "o_custkey IS NOT NULL",
+            "priority_format": "o_orderpriority LIKE '%-%'",
+        },
+    )
+
+
 def q_dataset_diff_orders(spark, sf_dir):
     """Run-over-run snapshot diff (operators/cdc.py dataset_diff): two
     deterministic derivations of orders full-outer-joined on the key,
@@ -2689,6 +2719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_daily_value": q_drift_daily_value,
         "sketch_distinct_users": q_sketch_distinct_users,
         "dataset_diff_orders": q_dataset_diff_orders,
+        "join_cardinality_events": q_join_cardinality_events,
+        "validate_orders_rules": q_validate_orders_rules,
         "cohort_retention_weekly": q_cohort_retention_weekly,
         "key_skew_users": q_key_skew_users,
         "quantile_bins_price": q_quantile_bins_price,
@@ -3414,6 +3446,49 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND(0.5 * sim_p_name + 0.3 * sim_p_type + 0.2 * sim_p_size, 6) >= 0.55
         """,
         "k_core_interactions": _k_core_oracle_sql(k=3, rounds=10),
+        "join_cardinality_events": """
+            WITH lc AS (
+              SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+            ), j AS (
+              SELECT a.c * b.c AS o FROM lc a JOIN lc b ON a.user_id = b.user_id
+            )
+            SELECT (SELECT COUNT(*) FROM events) AS n_left,
+                   (SELECT COUNT(*) FROM events) AS n_right,
+                   COUNT(*) AS n_matching_keys,
+                   CAST(COALESCE(SUM(o), 0) AS BIGINT) AS n_out,
+                   CAST(COALESCE(MAX(o), 0) AS BIGINT) AS max_key_out
+            FROM j
+        """,
+        "validate_orders_rules": """
+            SELECT 'price_nonneg' AS rule, COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN (o_totalprice >= 0) IS NOT TRUE
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+                   ROUND(SUM(CASE WHEN (o_totalprice >= 0) IS NOT TRUE
+                                  THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+                     AS violation_frac
+            FROM orders
+            UNION ALL
+            SELECT 'status_domain', COUNT(*),
+                   CAST(SUM(CASE WHEN (o_orderstatus IN ('O','F','P')) IS NOT TRUE
+                                 THEN 1 ELSE 0 END) AS BIGINT),
+                   ROUND(SUM(CASE WHEN (o_orderstatus IN ('O','F','P')) IS NOT TRUE
+                                  THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+            FROM orders
+            UNION ALL
+            SELECT 'custkey_present', COUNT(*),
+                   CAST(SUM(CASE WHEN (o_custkey IS NOT NULL) IS NOT TRUE
+                                 THEN 1 ELSE 0 END) AS BIGINT),
+                   ROUND(SUM(CASE WHEN (o_custkey IS NOT NULL) IS NOT TRUE
+                                  THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+            FROM orders
+            UNION ALL
+            SELECT 'priority_format', COUNT(*),
+                   CAST(SUM(CASE WHEN (o_orderpriority LIKE '%-%') IS NOT TRUE
+                                 THEN 1 ELSE 0 END) AS BIGINT),
+                   ROUND(SUM(CASE WHEN (o_orderpriority LIKE '%-%') IS NOT TRUE
+                                  THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+            FROM orders
+        """,
         "dataset_diff_orders": """
             WITH old AS (
               SELECT * FROM orders WHERE o_orderkey % 3 <> 0

@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "sketch_distinct_users",    # mergeable HLL rollup + union
     "dataset_diff_orders",      # run-over-run snapshot diff
     "cohort_retention_weekly",  # cohort retention triangle
+    "join_cardinality_events",  # exact pre-join explosion probe
+    "validate_orders_rules",    # one-scan declarative quality rules
 ]
 
 

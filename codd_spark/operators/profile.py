@@ -315,3 +315,77 @@ def quantile_bins(
     return binned.groupBy("bin").agg(
         F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("*").alias("n")
     )
+
+
+def join_cardinality(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """EXACT pre-join output-size diagnosis — run this before a join you
+    suspect will explode: one row with (n_left, n_right, n_matching_keys,
+    n_out, max_key_out), where ``n_out`` is exactly the row count the
+    inner equi-join would produce (sum over keys of count_l * count_r)
+    and ``max_key_out`` is the largest single key's contribution — the
+    task that will own that key's entire cross product if you go ahead.
+
+    Cost: two per-key count aggregates + a join of the (small) count
+    tables — a tiny fraction of running the join itself, because no
+    per-pair row ever materializes. Pair with ``key_skew`` to decide
+    salting; a max_key_out in the billions is the plan-killer this
+    probe exists to catch."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    lc = left.groupBy(*key_cols).agg(F.count("*").alias("__cl"))
+    rc = right.groupBy(*key_cols).agg(F.count("*").alias("__cr"))
+    both = lc.hint("shuffle_merge").join(rc, key_cols)
+    totals_l = left.select(F.count("*").alias("n_left"))
+    totals_r = right.select(F.count("*").alias("n_right"))
+    per_key = both.select((F.col("__cl") * F.col("__cr")).alias("__o"))
+    stats = per_key.agg(
+        F.count("*").alias("n_matching_keys"),
+        F.coalesce(F.sum("__o"), F.lit(0)).alias("n_out"),
+        F.coalesce(F.max("__o"), F.lit(0)).alias("max_key_out"),
+    )
+    return (
+        totals_l.crossJoin(F.broadcast(totals_r))
+        .crossJoin(F.broadcast(stats))
+        .select("n_left", "n_right", "n_matching_keys", "n_out", "max_key_out")
+    )
+
+
+def validate_rules(df: DataFrame, rules: dict[str, str]) -> DataFrame:
+    """Declarative row-level data-quality rules: ``rules`` maps a rule
+    name to a BOOLEAN SQL expression that must hold; output one row per
+    rule — (rule, n_rows, n_violations, violation_frac) — where a NULL
+    predicate result counts as a violation (unknown is not a pass).
+
+    All rules evaluate in ONE scan (a single aggregate of conditional
+    counts — no per-rule jobs); the expressions are Catalyst-compiled,
+    so pushable work stays in codegen."""
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    names = list(rules)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, name in enumerate(names):
+        ok = F.expr(rules[name])
+        aggs.append(
+            F.sum(F.when(ok.isNull() | ~ok, 1).otherwise(0)).alias(f"__v{i}")
+        )
+    row = df.agg(*aggs)
+    stack_args = []
+    for i, name in enumerate(names):
+        stack_args += [f"'{name}'", f"__v{i}"]
+    return (
+        row.selectExpr(
+            "__n", f"stack({len(names)}, {', '.join(stack_args)}) AS (rule, __v)"
+        )
+        .select(
+            "rule",
+            F.col("__n").alias("n_rows"),
+            F.col("__v").alias("n_violations"),
+            F.round(F.col("__v").cast("double") / F.col("__n"), 6).alias(
+                "violation_frac"
+            ),
+        )
+    )

@@ -82,6 +82,8 @@ ROUND4_ADDITIONS = [
     "quantile_bins_price",
     "dataset_diff_orders",
     "cohort_retention_weekly",
+    "join_cardinality_events",
+    "validate_orders_rules",
 ]
 
 CORE_OPERATORS = [

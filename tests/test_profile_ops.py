@@ -263,3 +263,51 @@ def test_sketch_rollup_union_lossless_and_bounded(spark):
         assert merged[seg].n_rows == exact[seg][1]
         d = exact[seg][0]
         assert abs(merged[seg].n_distinct_est - d) / d < 0.1  # lg_k=12 ~1.6% rsd
+
+
+def test_join_cardinality_exact(spark):
+    from codd_spark.operators.profile import join_cardinality
+
+    left = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 2, 3, 9]], "k LONG"
+    )
+    right = spark.createDataFrame(
+        [(k,) for k in [1, 1, 2, 4, 4, 4]], "k LONG"
+    )
+    [r] = join_cardinality(left, right, ["k"]).collect()
+    # key 1: 3*2=6, key 2: 2*1=2 -> 8 rows; max single key 6
+    assert (r.n_left, r.n_right, r.n_matching_keys, r.n_out, r.max_key_out) == (
+        7, 6, 2, 8, 6,
+    )
+    assert r.n_out == left.join(right, "k").count()
+    # disjoint keys: zero out, no nulls
+    [z] = join_cardinality(left, spark.createDataFrame([(77,)], "k LONG"), ["k"]).collect()
+    assert (z.n_matching_keys, z.n_out, z.max_key_out) == (0, 0, 0)
+    with pytest.raises(ValueError, match="key_cols"):
+        join_cardinality(left, right, [])
+
+
+def test_validate_rules(spark):
+    from codd_spark.operators.profile import validate_rules
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, -5.0, "F"), (3, None, "X"), (4, 2.0, "O")],
+        "id LONG, price DOUBLE, status STRING",
+    )
+    out = {
+        r.rule: (r.n_rows, r.n_violations, r.violation_frac)
+        for r in validate_rules(
+            df,
+            {
+                "price_nonneg": "price >= 0",
+                "status_domain": "status IN ('O','F','P')",
+                "id_positive": "id > 0",
+            },
+        ).collect()
+    }
+    # NULL price is a violation (unknown is not a pass)
+    assert out["price_nonneg"] == (4, 2, 0.5)
+    assert out["status_domain"] == (4, 1, 0.25)
+    assert out["id_positive"] == (4, 0, 0.0)
+    with pytest.raises(ValueError, match="rules"):
+        validate_rules(df, {})
