@@ -1063,6 +1063,20 @@ def q_k_core_interactions(spark, sf_dir):
     return k_core(pairs, k=3)
 
 
+def q_containment_evidence(spark, sf_dir):
+    """Containment detection WITH the matched token span (operators/
+    dedup.py containment_evidence): same pairs and hit counts as
+    decontaminate_containment, plus the 1-based token window inside the
+    corpus doc that holds every verbatim hit — the reviewer/span-removal
+    surface."""
+    from codd_spark.operators.dedup import containment_evidence
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id < 300")
+    evalset = docs.filter("doc_id >= 300 AND doc_id < 400")
+    return containment_evidence(corpus, evalset, n=3, min_hits=2)
+
+
 def q_join_cardinality_events(spark, sf_dir):
     """Exact pre-join explosion probe (operators/profile.py
     join_cardinality): the events self-join on user_id would produce
@@ -2720,6 +2734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct_users": q_sketch_distinct_users,
         "dataset_diff_orders": q_dataset_diff_orders,
         "join_cardinality_events": q_join_cardinality_events,
+        "containment_evidence": q_containment_evidence,
         "validate_orders_rules": q_validate_orders_rules,
         "cohort_retention_weekly": q_cohort_retention_weekly,
         "key_skew_users": q_key_skew_users,
@@ -3446,6 +3461,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND(0.5 * sim_p_name + 0.3 * sim_p_type + 0.2 * sim_p_size, 6) >= 0.55
         """,
         "k_core_interactions": _k_core_oracle_sql(k=3, rounds=10),
+        "containment_evidence": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS s
+              FROM documents WHERE doc_id < 400
+            ), cg AS (
+              SELECT doc_id AS id_l, len(s) AS nt, i AS pos,
+                     array_to_string(list_slice(s, i, i+2), ' ') AS gram
+              FROM toks, UNNEST(range(1, greatest(len(s)-1, 2))) AS t(i)
+              WHERE doc_id < 300
+            ), eg AS (
+              SELECT doc_id AS id_r,
+                     UNNEST(list_distinct(list_transform(range(1, greatest(len(s)-1, 2)),
+                            i -> array_to_string(list_slice(s, i, i+2), ' ')))) AS gram
+              FROM toks WHERE doc_id >= 300
+            )
+            SELECT id_l, id_r, COUNT(DISTINCT gram) AS n_hits,
+                   CAST(MIN(pos) AS BIGINT) AS span_start,
+                   CAST(LEAST(MAX(pos) + 2, ANY_VALUE(nt)) AS BIGINT) AS span_end
+            FROM cg JOIN eg USING (gram)
+            GROUP BY id_l, id_r
+            HAVING COUNT(DISTINCT gram) >= 2
+        """,
         "join_cardinality_events": """
             WITH lc AS (
               SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id

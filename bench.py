@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "cohort_retention_weekly",  # cohort retention triangle
     "join_cardinality_events",  # exact pre-join explosion probe
     "validate_orders_rules",    # one-scan declarative quality rules
+    "containment_evidence",     # contamination spans (reviewer surface)
 ]
 
 

@@ -940,6 +940,69 @@ def ngram_containment_matches(
     )
 
 
+def containment_evidence(
+    corpus: DataFrame,
+    contaminants: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """``ngram_containment_matches`` with WHERE: per (corpus doc,
+    contaminant) pair, the token span inside the corpus document that
+    contains every verbatim n-gram hit — (id_l, id_r, n_hits,
+    span_start, span_end), positions 1-based inclusive over whitespace
+    tokens. The interpretability surface of decontamination: a reviewer
+    (or an automated span-removal pass, see ``remove_spans``) sees
+    exactly which passage quotes the benchmark instead of a bare doc id.
+
+    Same single-shuffle shape as the detector — corpus grams carry their
+    token position through the hash join (still longs, positions are
+    ints), one (pair)-keyed aggregate computes distinct-hit count and
+    the min/max matched position. ``n_hits`` equals the detector's count
+    (distinct matched grams)."""
+    from codd_spark.functions.text import tokens
+
+    toked = corpus.select(
+        F.col(id_col).alias("id_l"), tokens(F.col(text_col)).alias("__toks")
+    )
+    cnt = F.greatest(F.size("__toks") - (n - 1), F.lit(1))
+    pos_grams = toked.select(
+        "id_l",
+        F.size("__toks").alias("__nt"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(F.concat_ws(" ", F.slice(F.col("__toks"), i, n))).alias(
+                        "gh"
+                    ),
+                ),
+            )
+        ).alias("pg"),
+    ).select("id_l", "__nt", F.col("pg.pos").alias("pos"), F.col("pg.gh").alias("gh"))
+
+    rt = contaminants.select(
+        F.col(id_col).alias("id_r"), tokens(F.col(text_col)).alias("__toks")
+    )
+    rg = rt.select(
+        "id_r", F.explode(_ngrams_of_attr(F.col("__toks"), n)).alias("__g")
+    ).select("id_r", F.xxhash64("__g").alias("gh"))
+
+    return (
+        pos_grams.join(rg.hint("shuffle_merge"), on="gh")
+        .groupBy("id_l", "id_r")
+        .agg(
+            F.count_distinct("gh").alias("n_hits"),
+            F.min("pos").alias("span_start"),
+            F.least(F.max("pos") + (n - 1), F.first("__nt")).alias("span_end"),
+        )
+        .filter(F.col("n_hits") >= min_hits)
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -964,3 +964,37 @@ def test_histogram_bins_clamp_and_dense(spark):
 
     with _pytest.raises(ValueError, match="hi > lo"):
         histogram(df, "x", lo=1.0, hi=1.0, nbins=5)
+
+
+def test_containment_evidence_spans(spark):
+    from codd_spark.operators.dedup import (
+        containment_evidence,
+        ngram_containment_matches,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words here the exact benchmark question text appears now and more filler"),
+            (2, "totally unrelated content with no overlap whatsoever in this document"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    evalset = spark.createDataFrame(
+        [(100, "the exact benchmark question text appears")],
+        "doc_id LONG, text STRING",
+    )
+    ev = containment_evidence(corpus, evalset, n=4, min_hits=1).collect()
+    assert len(ev) == 1
+    [r] = ev
+    assert (r.id_l, r.id_r) == (1, 100)
+    # eval has 6 tokens -> 3 distinct 4-grams, all verbatim in doc 1
+    assert r.n_hits == 3
+    # matched passage: tokens 4 ("the") .. 9 ("appears")
+    assert (r.span_start, r.span_end) == (4, 9)
+    # n_hits agrees with the detector
+    [d] = ngram_containment_matches(corpus, evalset, n=4).collect()
+    assert d.n_hits == r.n_hits
+    # the flagged span can be cut: tokens outside it reconstruct clean text
+    toks = corpus.filter("doc_id = 1").collect()[0].text.split()
+    cleaned = toks[: r.span_start - 1] + toks[r.span_end :]
+    assert "benchmark" not in cleaned

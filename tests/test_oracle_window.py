@@ -84,6 +84,7 @@ ROUND4_ADDITIONS = [
     "cohort_retention_weekly",
     "join_cardinality_events",
     "validate_orders_rules",
+    "containment_evidence",
 ]
 
 CORE_OPERATORS = [
