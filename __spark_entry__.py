@@ -2631,8 +2631,8 @@ def q_weighted_sample(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver scores the first 50 entries against the
     # DuckDB oracle. The window is curated (round 3) to hold the 14 core
-    # reference-algebra operators, the 10 LLM-data-pipeline flagships, the
-    # 5 event-time queries, and one representative per join/agg/window
+    # reference-algebra operators, the LLM-data-pipeline flagships, the
+    # event-time queries, and one representative per join/agg/window
     # class. Rotated OUT of the window r2->r3 (all driver-green in r2, all
     # still oracle-backed by tests/test_oracle_window.py so regressions
     # remain detectable): argmax_customer_per_nation, ntile_order_quartiles,
@@ -2640,6 +2640,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # nation_order_statuses, shipping_volume, rollup_grouping_id,
     # waiting_suppliers, top_supplier, parts_from_nation_suppliers,
     # late_orders_by_priority.
+    # Rotated r4->r5 (VERDICT r4 item 3): IN six round-4 flagships
+    # (set_similarity_pairs, semantic_dedup, triangle_count, merge_upsert,
+    # heavy_hitter_words, scd2_history) so they earn driver-green rows;
+    # OUT six redundant representatives whose operator class stays covered
+    # (range_join_sessions ~ range_join_value_bands, cube_pricing ~
+    # rollup_pricing, topk_orders ~ top_revenue_orders, latest_event_per_user
+    # ~ window_top3_orders_per_cust, stratified_sample_events ~
+    # split_train_val_test, lang_distribution ~ word_count_top) — all six
+    # remain oracle-replayed every CI run in tests/test_oracle_window.py.
     return {
         # --- core reference algebra (SURVEY.md §2, 14 rows) ---
         "scan_nation": q_scan_nation,
@@ -2656,7 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "view_over_select": q_view_over_select,
         "incremental_view": q_incremental_view,
-        # --- LLM-data-pipeline flagships (10 rows) ---
+        # --- LLM-data-pipeline flagships (16 rows, r4 additions rotated in) ---
         "minhash_near_dups": q_minhash_near_dups,
         "decontaminate_corpus": q_decontaminate_corpus,
         "dedup_clusters": q_dedup_clusters,
@@ -2667,17 +2676,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "pagerank_interactions": q_pagerank_interactions,
-        # --- event-time queries (5 rows) ---
+        "set_similarity_pairs": q_set_similarity_pairs,
+        "semantic_dedup": q_semantic_dedup,
+        "triangle_count": q_triangle_count,
+        "merge_upsert": q_merge_upsert,
+        "heavy_hitter_words": q_heavy_hitter_words,
+        "scd2_history": q_scd2_history,
+        # --- event-time queries (3 rows) ---
         "user_sessions": q_user_sessions,
-        "range_join_sessions": q_range_join_sessions,
         "event_gap_stats": q_event_gap_stats,
         "rolling_hour_value": q_rolling_hour_value,
-        "latest_event_per_user": q_latest_event_per_user,
-        # --- one representative per join/agg/window/text class (21 rows) ---
+        # --- one representative per join/agg/window/text class (17 rows) ---
         "agg_pricing_summary": q_agg_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_revenue_orders": q_top_revenue_orders,
-        "lang_distribution": q_lang_distribution,
         "median_order_price": q_median_order_price,
         "asof_join_events": q_asof_join_events,
         "left_join_nation_suppliers": q_left_join_nation_suppliers,
@@ -2685,17 +2697,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_per_type": q_distinct_users_per_type,
         "token_count_bpe": q_token_count_bpe,
         "window_top3_orders_per_cust": q_window_top3_orders_per_cust,
-        "topk_orders": q_topk_orders,
         "events_hourly": q_events_hourly,
         "range_join_value_bands": q_range_join_value_bands,
         "pivot_order_priority": q_pivot_order_priority,
-        "cube_pricing": q_cube_pricing,
         "split_train_val_test": q_split_train_val_test,
         "word_count_top": q_word_count_top,
-        "stratified_sample_events": q_stratified_sample_events,
         "dedup_exact_documents": q_dedup_exact_documents,
         "frame_sample": q_frame_sample,
         # ---------------- end of the driver's 50-query window ----------------
+        "range_join_sessions": q_range_join_sessions,
+        "latest_event_per_user": q_latest_event_per_user,
+        "lang_distribution": q_lang_distribution,
+        "cube_pricing": q_cube_pricing,
+        "topk_orders": q_topk_orders,
+        "stratified_sample_events": q_stratified_sample_events,
         "text_features": q_text_features,
         "argmax_customer_per_nation": q_argmax_customer_per_nation,
         "ntile_order_quartiles": q_ntile_order_quartiles,
@@ -2723,8 +2738,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "corpus_stats": q_corpus_stats,
         "ngram_jaccard": q_ngram_jaccard,
-        "set_similarity_pairs": q_set_similarity_pairs,
-        "heavy_hitter_words": q_heavy_hitter_words,
         "cusum_value_shift": q_cusum_value_shift,
         "record_linkage_parts": q_record_linkage_parts,
         "k_core_interactions": q_k_core_interactions,
@@ -2778,11 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_safe_split": q_cluster_safe_split,
         "robust_outliers": q_robust_outliers,
         "training_shards": q_training_shards,
-        "triangle_count": q_triangle_count,
         "resample_ffill": q_resample_ffill,
-        "merge_upsert": q_merge_upsert,
-        "scd2_history": q_scd2_history,
-        "semantic_dedup": q_semantic_dedup,
         "hard_negatives": q_hard_negatives,
         "histogram_prices": q_histogram_prices,
         "weighted_sample": q_weighted_sample,

@@ -107,6 +107,18 @@ class _Instance:
     def all_df(self) -> DataFrame:
         return self.stable.union(self.recent)
 
+    def snapshot(self) -> "_Instance":
+        """Independent copy of this instance's state. DataFrames are
+        immutable, so sharing them is safe; the mutable containers
+        (to_add list) are copied. Subclasses whose stable set reads live
+        external storage must decouple it (see _ParquetInstance)."""
+        inst = _Instance(self.stable.limit(0))
+        inst.stable = self.stable
+        inst.recent = self.recent
+        inst.to_add = list(self.to_add)
+        inst.merges = self.merges
+        return inst
+
 
 class _ViewEntry:
     __slots__ = ("expr", "instance", "dependents", "stabilizing")
@@ -229,6 +241,27 @@ class IncrementalDatabase:
         entry = self._views[vid]
         delta = self._eval(entry.expr, which="recent")
         entry.instance.insert(delta)
+
+    # -- snapshots ---------------------------------------------------------
+    def clone(self) -> "IncrementalDatabase":
+        """Snapshot copy with isolation, INCLUDING materialized view state:
+        later inserts into either copy do not affect the other's views
+        (reference: core/src/database.rs:345-363, isolation test
+        database.rs:410-441). Cheap — DataFrames are immutable, so only
+        the instance containers and the view DAG are copied; no view is
+        recomputed. Persistent subclasses return an in-memory snapshot
+        fork (the clone does not write to the original's storage_dir)."""
+        other = IncrementalDatabase(self.spark)
+        for name, entry in self._relations.items():
+            rel = _RelEntry(entry.instance.snapshot())
+            rel.dependents = set(entry.dependents)
+            other._relations[name] = rel
+        for vid, view in self._views.items():
+            ve = _ViewEntry(view.expr, view.instance.snapshot())
+            ve.dependents = set(view.dependents)
+            other._views[vid] = ve
+        other._view_counter = self._view_counter
+        return other
 
     # -- evaluation --------------------------------------------------------
     def df(self, expr: ast.Expression) -> DataFrame:

@@ -61,10 +61,27 @@ class _ParquetInstance(_Instance):
         self.path = path
         self.spark = empty.sparkSession
         self.schema = empty.schema
+        self._recover_interrupted_compaction()
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             # seed the directory so reads always succeed with the schema
             empty.write.mode("overwrite").parquet(path)
         self.stable = self._read()
+
+    def _recover_interrupted_compaction(self) -> None:
+        """Crash recovery: if the process died inside compact()'s rename
+        window (live dir moved to .old, replacement not yet renamed in),
+        the previous generation at .old is complete — restore it. The
+        .compacting dir is never trusted as the only copy and is always
+        discarded (compaction is a pure rewrite, so no data is lost)."""
+        import shutil
+
+        old = self.path + ".old"
+        if (not os.path.exists(os.path.join(self.path, "_SUCCESS"))
+                and os.path.exists(os.path.join(old, "_SUCCESS"))):
+            shutil.rmtree(self.path, ignore_errors=True)
+            os.rename(old, self.path)
+        shutil.rmtree(self.path + ".compacting", ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
 
     def _read(self) -> DataFrame:
         return self.spark.read.schema(self.schema).parquet(self.path)
@@ -83,10 +100,22 @@ class _ParquetInstance(_Instance):
     def _file_count(self) -> int:
         return sum(1 for f in os.listdir(self.path) if f.endswith(".parquet"))
 
+    def snapshot(self) -> _Instance:
+        """Snapshot for clone(): the live stable reads this directory, which
+        compact() rewrites in place — decouple the copy via an eager
+        localCheckpoint so the clone survives later compactions."""
+        inst = super().snapshot()
+        inst.stable = self.stable.localCheckpoint(eager=True)
+        return inst
+
     def compact(self) -> None:
-        """Rewrite the fragmented directory as few files. Crash-safe order:
-        the new directory is fully written beside the old one before the
-        swap, and the old is removed last."""
+        """Rewrite the fragmented directory as few files. Crash-safe: the
+        new directory is fully written beside the old one before the swap;
+        a failure between the two renames rolls the old generation back
+        into place, and a hard crash there is repaired at open time by
+        _recover_interrupted_compaction (the .old dir is complete until
+        the swap finishes). Tested by the kill-between-steps test in
+        tests/test_persistent_store.py."""
         import shutil
 
         tmp, old = self.path + ".compacting", self.path + ".old"
@@ -94,7 +123,13 @@ class _ParquetInstance(_Instance):
         self._read().coalesce(_APPEND_FILES).write.mode("overwrite").parquet(tmp)
         shutil.rmtree(old, ignore_errors=True)
         os.rename(self.path, old)
-        os.rename(tmp, self.path)
+        try:
+            os.rename(tmp, self.path)
+        except OSError:
+            os.rename(old, self.path)  # roll back: old generation is intact
+            shutil.rmtree(tmp, ignore_errors=True)
+            self.stable = self._read()
+            raise
         shutil.rmtree(old, ignore_errors=True)
         self.stable = self._read()
 

@@ -191,3 +191,44 @@ def test_incremental_range_join_view(spark):
     db.insert("points", [(7.0,)])
     got = sorted((r.p, r.name) for r in db.view_rows(ref))
     assert got == [(5.0, "low"), (7.0, "low"), (25.0, "mid")]
+
+
+def test_incremental_clone_snapshot_isolation(idb):
+    """IVM twin of test_clone_snapshot_isolation (reference:
+    core/src/database.rs:345-363, test database.rs:410-441): the clone
+    carries the maintained view STATE (no recompute), and inserts into
+    either copy leave the other's relations AND views untouched."""
+    idb.add_relation("nums", "n LONG")
+    idb.insert("nums", [(1,), (2,), (3,)])
+    v = idb.store_view(Relation("nums").select("n % 2 = 1"))
+    assert vals(idb.view_rows(v)) == [1, 3]
+
+    snap = idb.clone()
+
+    # insert into the ORIGINAL: clone's relation and view stay frozen
+    idb.insert("nums", [(5,)])
+    assert vals(idb.view_rows(v)) == [1, 3, 5]
+    assert vals(snap.view_rows(v)) == [1, 3]
+    assert vals(snap.evaluate(Relation("nums"))) == [1, 2, 3]
+
+    # insert into the CLONE: its views maintain incrementally, original
+    # unaffected (including the row the original already took)
+    snap.insert("nums", [(7,)])
+    assert vals(snap.view_rows(v)) == [1, 3, 7]
+    assert vals(idb.view_rows(v)) == [1, 3, 5]
+    assert vals(idb.evaluate(Relation("nums"))) == [1, 2, 3, 5]
+
+
+def test_incremental_clone_carries_pending_batches(idb):
+    """Batches queued on to_add at clone time belong to the snapshot:
+    both copies see them after their own next stabilize, independently."""
+    idb.add_relation("nums", "n LONG")
+    idb.insert("nums", [(1,), (2,)])
+    v = idb.store_view(Relation("nums").project("n * 10 AS n"))
+    idb.insert("nums", [(3,)])          # pending, not yet stabilized
+    snap = idb.clone()
+    assert vals(snap.view_rows(v)) == [10, 20, 30]
+    assert vals(idb.view_rows(v)) == [10, 20, 30]
+    snap.insert("nums", [(4,)])
+    assert vals(snap.view_rows(v)) == [10, 20, 30, 40]
+    assert vals(idb.view_rows(v)) == [10, 20, 30]

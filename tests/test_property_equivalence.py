@@ -436,3 +436,46 @@ def test_asof_join_to_sql_matches_duckdb(spark, db, left, right, with_select):
     assert [d[0] for d in cur.description] == ["k", "v", "lts", "v_r", "rts"]
     want = [tuple(r) for r in cur.fetchall()]
     assert got == want
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(expr=exprs())
+def test_view_safety_gate_matches_monotonicity(spark, expr):
+    """Complement of the IVM fuzz above: over the FULL grammar (which
+    includes Difference, AsofJoin, and outer/anti Join.how — all
+    non-monotone), store_view must accept an expression IFF every node
+    in its tree has an insert-only delta rule. A silently-accepted
+    AsofJoin view is exactly the class of bug the Join.how fuzz caught
+    in round 4 (reference: core/src/database/validate.rs:21-48; AsofJoin
+    is non-monotone because a later-inserted right row can re-match an
+    already-joined left row)."""
+    from codd_spark.errors import UnsupportedExpressionError
+    from codd_spark.plans.validate import _MONOTONE_JOIN_HOWS, walk
+    from codd_spark.streaming.incremental import IncrementalDatabase
+
+    def monotone(e):
+        for node in walk(e):
+            if isinstance(node, (ast.Difference, ast.AsofJoin, ast.Full)):
+                return False
+            if isinstance(node, ast.Join) and (
+                node.how or "inner"
+            ).lower() not in _MONOTONE_JOIN_HOWS:
+                return False
+        return True
+
+    idb = IncrementalDatabase(spark)
+    idb.add_relation("t_a", "n LONG")
+    idb.add_relation("t_b", "n LONG")
+    idb.insert("t_a", [(1,), (2,)])
+    idb.insert("t_b", [(2,), (3,)])
+
+    if monotone(expr):
+        ref = idb.store_view(expr)  # must not raise
+        idb.view_rows(ref)          # and must evaluate
+    else:
+        with pytest.raises(UnsupportedExpressionError):
+            idb.store_view(expr)
