@@ -138,9 +138,17 @@ def heavy_hitters(df: DataFrame, col: str, *, k: int = 100) -> DataFrame:
        candidate set (no false negatives, same guarantee Misra-Gries
        summaries give), and each partition contributes < k candidates,
        so the set is <= k * n_partitions rows — broadcastable no matter
-       how large the vocabulary is. The per-partition count aggregates
-       locally (spark_partition_id is the grouping prefix), so this pass
-       shuffles only the tiny candidate table.
+       how large the vocabulary is. Crucially, n_p is a window sum over
+       the SAME rows that carry cnt_p (one evaluation of the (pid, item)
+       aggregate), so the guarantee is self-consistent by construction —
+       spark_partition_id is documented non-deterministic across
+       re-evaluations (AQE replans, round-robin repartition, sample), so
+       cnt_p and n_p from two independent evaluations of the lineage
+       could disagree and silently drop a true heavy hitter. The
+       (pid, item) groupBy does still shuffle ~one row per distinct item
+       per partition (map-side combined); what the plan avoids is
+       shuffling raw rows and running a vocabulary-wide global
+       aggregate — only candidates reach pass 2.
     2. Exact verification: broadcast-semi-join the corpus to the
        candidates, one partial-aggregated count, filter against the
        1-row global total (broadcast nested-loop of a scalar, no
@@ -152,11 +160,16 @@ def heavy_hitters(df: DataFrame, col: str, *, k: int = 100) -> DataFrame:
     <= k * n_partitions rows."""
     if k < 2:
         raise ValueError("k must be >= 2")
+    from pyspark.sql import Window
+
     items = df.select(F.spark_partition_id().alias("__pid"), F.col(col).alias("item"))
     per_part = items.groupBy("__pid", "item").agg(F.count("*").alias("__c"))
-    part_sizes = items.groupBy("__pid").agg(F.count("*").alias("__n"))
+    # n_p from the same evaluation as cnt_p (window over the aggregate
+    # rows themselves) — never a second evaluation of the items lineage
     cands = (
-        per_part.join(part_sizes, "__pid")
+        per_part.withColumn(
+            "__n", F.sum("__c").over(Window.partitionBy("__pid"))
+        )
         .filter(F.col("__c") * k > F.col("__n"))
         .select("item")
         .distinct()

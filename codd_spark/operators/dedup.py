@@ -682,25 +682,52 @@ def set_similarity_join(
         ).persist()
     else:
         raise ValueError(f"order must be 'df' or 'hash', got {order!r}")
-    # prefix join: conservative prefix length |x| - floor(t*|x|) + 1
-    plen = (F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")).cast("int") + 1)
-    prefix = ordered.select(
-        "id", "sz", F.posexplode(F.slice("toks", 1, plen)).alias("pos", "tok")
-    ).repartition(parallelism, "tok")
-    a = prefix.select(
+    # Asymmetric PPJoin prefixes: every candidate pair is oriented
+    # smaller-set-first (size, then id tie-break), so the indexed
+    # (smaller) side a only explodes its INDEX prefix of length
+    # |x| - floor(2t/(1+t)*|x|) + 1 while the probing (larger) side b
+    # explodes the standard probe prefix |x| - floor(t*|x|) + 1.
+    # Soundness: for an oriented pair with Jaccard >= t the required
+    # overlap is a = t/(1+t)*(sz_a+sz_b) >= 2t/(1+t)*sz_a (since
+    # sz_b >= sz_a) and >= t*sz_b (since sz_a >= t*sz_b for any >=t
+    # pair), so both exploded prefixes reach position sz - a + 1 and
+    # the shared-prefix-token theorem applies. At t=0.35 the index
+    # fraction is 1 - 0.7/1.35 = 0.48 vs the probe's 0.65 — candidate
+    # buckets shrink from n^2 to n_idx*n_prb per token (PPJoin's
+    # indexing-prefix optimization, Xiao et al. WWW'08 §3.1). The
+    # - 1e-9 before floor() keeps integral products conservative
+    # (prefix gets LONGER, never shorter, under float rounding).
+    eps = 1e-9
+    plen_probe = (
+        F.col("sz")
+        - F.floor(F.lit(threshold) * F.col("sz") - eps).cast("int")
+        + 1
+    )
+    idx_frac = 2.0 * threshold / (1.0 + threshold)
+    plen_idx = (
+        F.col("sz")
+        - F.floor(F.lit(idx_frac) * F.col("sz") - eps).cast("int")
+        + 1
+    )
+    a = ordered.select(
+        "id", "sz", F.posexplode(F.slice("toks", 1, plen_idx)).alias("pos", "tok")
+    ).select(
         F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("pos").alias("pos_a"), "tok"
     )
-    b = prefix.select(
+    b = ordered.select(
+        "id", "sz", F.posexplode(F.slice("toks", 1, plen_probe)).alias("pos", "tok")
+    ).select(
         F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), F.col("pos").alias("pos_b"), "tok"
     )
-    eps = 1e-9
     min_overlap = F.lit(threshold / (1.0 + threshold)) * (F.col("sz_a") + F.col("sz_b"))
     cands = (
         a.hint("shuffle_merge")
         .join(b, "tok")
         .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.col("sz_b") + eps >= threshold * F.col("sz_a"))
+            (
+                (F.col("sz_a") < F.col("sz_b"))
+                | ((F.col("sz_a") == F.col("sz_b")) & (F.col("id_a") < F.col("id_b")))
+            )
             & (F.col("sz_a") + eps >= threshold * F.col("sz_b"))
         )
         .groupBy("id_a", "id_b", "sz_a", "sz_b")
@@ -709,6 +736,9 @@ def set_similarity_join(
             F.max("pos_a").alias("mpa"),
             F.max("pos_b").alias("mpb"),
         )
+        # positional filter: shared tokens keep their relative (canonical)
+        # order in both sets, so every uncounted shared token lies past
+        # BOTH maxima — the bound holds for any pair of prefix lengths
         .filter(
             F.col("nsh")
             + F.least(F.col("sz_a") - F.col("mpa") - 1, F.col("sz_b") - F.col("mpb") - 1)
@@ -739,7 +769,12 @@ def set_similarity_join(
         .join(tb, "id_b")
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        # candidates are size-oriented; the output contract is id-ordered
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "jaccard",
+        )
     )
     return _attach_release(out, ordered)
 

@@ -111,28 +111,42 @@ def cohort_retention(
     (cohort_epoch BIGINT, period BIGINT, n_users) — the classic
     retention triangle, period 0 = the cohort's own bucket.
 
-    Restricted to fixed-width units (hour/day/week) so the period index
-    is a closed-form division — no calendar join. Two aggregates and one
-    key-partitioned join: distinct (user, bucket) activity, per-user min
-    bucket (one agg), join back on the user (shuffle-pinned — both sides
-    grow with users), then the cell count."""
+    Restricted to hour/day/week so the period index is closed-form — no
+    calendar join. Two aggregates and one key-partitioned join: distinct
+    (user, bucket) activity, per-user min bucket (one agg), join back on
+    the user (shuffle-pinned — both sides grow with users), then the
+    cell count.
+
+    DST-safe: day/week periods use calendar arithmetic (``datediff`` on
+    the truncated dates, divided by 7 for weeks), so a 23/25-hour DST
+    day cannot shift the index off-by-one the way truncating
+    epoch-second division would. Hour periods divide epoch seconds by
+    3600, which is exact in any session timezone whose DST transitions
+    are whole-hour (i.e. everywhere but the handful of half-hour-DST
+    zones — run those under UTC/TIMESTAMP_NTZ)."""
     if unit not in ("hour", "day", "week"):
         raise ValueError("unit must be hour/day/week (fixed-width)")
-    width = {"hour": 3600, "day": 86_400, "week": 7 * 86_400}[unit]
     act = (
         df.select(
             F.col(user_col).alias("u"),
-            F.unix_timestamp(F.date_trunc(unit, F.col(ts_col))).alias("b"),
+            F.date_trunc(unit, F.col(ts_col)).alias("bt"),
         )
         .distinct()
     )
-    cohorts = act.groupBy("u").agg(F.min("b").alias("cohort"))
+    cohorts = act.groupBy("u").agg(F.min("bt").alias("ct"))
+    if unit == "hour":
+        period = (
+            (F.unix_timestamp("bt") - F.unix_timestamp("ct")) / 3600
+        ).cast("bigint")
+    else:
+        days = F.datediff(F.to_date("bt"), F.to_date("ct"))
+        period = (days / (7 if unit == "week" else 1)).cast("bigint")
     return (
         act.hint("shuffle_merge")
         .join(cohorts, "u")
         .groupBy(
-            F.col("cohort").alias("cohort_epoch"),
-            ((F.col("b") - F.col("cohort")) / width).cast("bigint").alias("period"),
+            F.unix_timestamp("ct").alias("cohort_epoch"),
+            period.alias("period"),
         )
         .agg(F.count_distinct("u").alias("n_users"))
     )

@@ -140,10 +140,17 @@ def bpe_encode(
     per-word loop over ~vocab-rank merges is imperative by nature; the
     merge list is tiny and ships inside the UDF closure). Adds
     ``out_col`` as array<string> of BPE tokens for the whole text."""
+    import re
+
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     ordered = [(l, r) for _, l, r, _ in merges]
+    # EXACTLY the whitespace class of functions/text.py::tokens() (Java
+    # \s+ = ASCII [ \t\n\x0B\f\r]) — Python str.split() would also break
+    # on Unicode whitespace (NBSP, U+2028), segmenting words at encode
+    # time that training never saw
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def _encode(texts):
         ranks = {pair: i for i, pair in enumerate(ordered)}
@@ -173,7 +180,7 @@ def bpe_encode(
         return texts.map(
             lambda t: [
                 tok
-                for w in (t or "").split()
+                for w in ws.split((t or "").strip(" \t\n\x0b\f\r"))
                 if w
                 for tok in enc_word(w)
             ]

@@ -207,11 +207,23 @@ def compact_dataset(
     Safe rewrite discipline: the compacted copy is written NEXT TO the
     source (``<path>.__compact__``), row counts are verified EQUAL, and
     only then is the original swapped out (rename, original moved to
-    ``<path>.__old__`` for the caller to delete) — a crash at any point
-    leaves either the intact original or both copies, never a partial
-    dataset. With ``partition_by`` the layout keeps (or introduces)
-    hive-style partition directories, sized per partition by an explicit
-    repartition on the partition columns.
+    ``<path>.__old__`` for the caller to delete). A failure of the
+    second rename rolls the original back into place; a hard crash
+    inside the rename window leaves the complete original at
+    ``<path>.__old__`` (restore by renaming it back) — never a partial
+    dataset at either name. With ``partition_by`` the layout keeps (or
+    introduces) hive-style partition directories, sized per partition by
+    an explicit repartition on the partition columns.
+
+    Constraints (by design, documented per ADVICE): the swap uses
+    POSIX ``os.rename``, so ``path`` must be a LOCAL filesystem
+    directory and tmp/old must land on the same filesystem (cross-device
+    rename raises and the rollback restores the original). There is a
+    brief window during the swap when no dataset exists at ``path`` —
+    do not run concurrent readers against a dataset being compacted; on
+    an object store / HDFS, route the swap through the Hadoop FileSystem
+    API or use a manifest-pointer layout (see streaming/store.py for the
+    manifest-based variant this engine uses for its own state).
 
     Returns {"files_before", "files_after", "rows"}."""
     import glob
@@ -252,6 +264,11 @@ def compact_dataset(
     old = path.rstrip("/") + ".__old__"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # roll back: the original is intact
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     files_after = count_files(path)
     return {"files_before": files_before, "files_after": files_after, "rows": rows}

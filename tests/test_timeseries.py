@@ -159,3 +159,31 @@ def test_cohort_retention_matrix(spark):
 
     with _pytest.raises(ValueError, match="unit"):
         cohort_retention(df, "user_id", "ts", unit="month")
+
+
+def test_cohort_retention_dst_day_periods(spark):
+    """ADVICE r4: with a DST session timezone, day buckets from
+    date_trunc are 23/25h apart — epoch-second division would yield
+    (24d - 1h)/86400 -> period off-by-one. Calendar arithmetic
+    (datediff) must index periods correctly across the 2024-03-10 US
+    spring-forward transition."""
+    import datetime
+
+    from codd_spark.operators.timeseries import cohort_retention
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        rows = [
+            (1, datetime.datetime(2024, 3, 9, 12, 0)),   # cohort day
+            (1, datetime.datetime(2024, 3, 10, 12, 0)),  # 23h day (DST)
+            (1, datetime.datetime(2024, 3, 12, 12, 0)),
+        ]
+        df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP")
+        got = sorted(
+            r.period
+            for r in cohort_retention(df, "user_id", "ts", unit="day").collect()
+        )
+        assert got == [0, 1, 3], got
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

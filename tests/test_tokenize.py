@@ -87,3 +87,22 @@ def test_bpe_merges_df_schema(spark):
     assert mdf.columns == ["step", "left", "right", "merged", "pair_count"]
     rows = mdf.collect()
     assert rows[0].merged == rows[0].left + rows[0].right
+
+
+def test_bpe_encode_whitespace_class_matches_training(spark):
+    """ADVICE r4: encode must segment words with the SAME whitespace
+    class as training (Java \\s+ = ASCII). A text containing NBSP
+    (U+00A0, not ASCII whitespace) is ONE word to tokens(); Python
+    str.split() would have split it into two, producing tokens the
+    merge table never saw."""
+    from codd_spark.operators.tokenize import bpe_encode
+
+    df = spark.createDataFrame([("ab cd ef",)], "text STRING")
+    # empty merge table -> pure char+end-marker segmentation exposes the
+    # word boundaries directly
+    out = bpe_encode(df, "text", []).collect()[0].bpe_tokens
+    # two words: 'ab\xa0cd' (NBSP kept inside) and 'ef'
+    from codd_spark.operators.tokenize import WORD_END
+
+    assert out.count(WORD_END) == 2, out
+    assert "\xa0" in "".join(out), out
