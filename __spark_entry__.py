@@ -1185,14 +1185,79 @@ def q_bpe_merges(spark, sf_dir):
     """BPE tokenizer training on the corpus (operators/tokenize.py
     bpe_train): one corpus shuffle to the word-frequency table, then
     20 merge iterations over the compact vocab (pair-count agg + 1-row
-    argmax + expression-level merge fold). Rows-only by design: the
-    merge loop is an iterative driver-scalar fixpoint, not expressible
-    as one SQL query; determinism is pinned by tests/test_tokenize.py's
-    pure-Python reference equality."""
+    argmax + expression-level merge fold). Oracle-backed since r5:
+    _bpe_oracle_sql() replays the whole training loop in DuckDB as 20
+    unrolled argmax+greedy-merge steps (determinism is additionally
+    pinned by tests/test_tokenize.py's pure-Python reference
+    equality)."""
     from codd_spark.operators.tokenize import bpe_merges_df, bpe_train
 
     docs = read_table(spark, sf_dir, "documents")
     return bpe_merges_df(spark, bpe_train(docs, "text", n_merges=20))
+
+
+def _bpe_oracle_sql(n_merges: int = 20, min_pair_count: int = 2) -> str:
+    """Independent DuckDB replay of bpe_train: word-frequency aggregate,
+    char+end-marker symbolization, then ``n_merges`` UNROLLED steps, each
+    a pair-count aggregate, a (cnt DESC, l, r) argmax, and the greedy
+    left-to-right non-overlapping merge rewrite (gaps-and-islands picks
+    every other candidate inside runs of adjacent starts — only possible
+    when l = r — exactly the fold semantics of tokenize._merge_fold).
+    The SQL is generated by this helper but is plain ANSI SQL by the
+    time DuckDB sees it; MATERIALIZED CTEs stop DuckDB from inlining the
+    per-step state 4^20 times."""
+    ctes = [r"""words AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+)""", """s0 AS MATERIALIZED (
+  SELECT w, f, CAST(i AS BIGINT) AS pos,
+         CASE WHEN i <= length(w) THEN substr(w, i, 1) ELSE chr(1) END AS s
+  FROM (SELECT w, f, unnest(generate_series(1, length(w) + 1)) AS i FROM words)
+)"""]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        ctes.append(f"""pc{k} AS MATERIALIZED (
+  SELECT a.s AS l, b.s AS r, CAST(SUM(a.f) AS BIGINT) AS cnt
+  FROM s{p} a JOIN s{p} b ON a.w = b.w AND b.pos = a.pos + 1
+  GROUP BY a.s, b.s
+)""")
+        ctes.append(f"""best{k} AS MATERIALIZED (
+  SELECT l, r, cnt FROM pc{k} ORDER BY cnt DESC, l, r LIMIT 1
+)""")
+        ctes.append(f"""pick{k} AS MATERIALIZED (
+  SELECT w, pos FROM (
+    SELECT w, pos, MIN(pos) OVER (PARTITION BY w, isl) AS head FROM (
+      SELECT c.w, c.pos, c.pos - ROW_NUMBER() OVER (PARTITION BY c.w ORDER BY c.pos) AS isl
+      FROM (
+        SELECT a.w, a.pos FROM s{p} a
+        JOIN s{p} b ON a.w = b.w AND b.pos = a.pos + 1
+        CROSS JOIN best{k}
+        WHERE a.s = best{k}.l AND b.s = best{k}.r AND best{k}.cnt >= {min_pair_count}
+      ) c
+    ) d
+  ) e WHERE (pos - head) % 2 = 0
+)""")
+        ctes.append(f"""s{k} AS MATERIALIZED (
+  SELECT w, f, CAST(ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS BIGINT) AS pos, s FROM (
+    SELECT a.w, a.f, a.pos,
+           CASE WHEN pk.pos IS NOT NULL THEN a.s || b.s ELSE a.s END AS s
+    FROM s{p} a
+    LEFT JOIN s{p} b ON a.w = b.w AND b.pos = a.pos + 1
+    LEFT JOIN pick{k} pk ON a.w = pk.w AND a.pos = pk.pos
+    LEFT JOIN pick{k} pd ON a.w = pd.w AND a.pos = pd.pos + 1
+    WHERE pd.pos IS NULL
+  ) t
+)""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT {k} AS step, l, r, cnt FROM best{k} WHERE cnt >= {min_pair_count}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + '\nSELECT CAST(step AS INT) AS step, l AS "left", r AS "right",'
+          f' l || r AS merged, cnt AS pair_count FROM ({unions})'
+    )
 
 
 def q_sorted_neighborhood(spark, sf_dir):
@@ -1295,11 +1360,14 @@ def q_text_quality(spark, sf_dir):
 
 
 def q_winnowing(spark, sf_dir):
-    """Winnowing fingerprint sketch sizes (position-robust overlap keys)."""
+    """Winnowing fingerprint sketch sizes (position-robust overlap keys).
+    Contract variant uses the md5_60 k-gram hash so DuckDB replays the
+    whole sketch bit-identically (oracle-backed since r5); the default
+    xxhash64 path stays the production-speed route."""
     from codd_spark.operators.text import winnowing_fingerprints
 
     docs = read_table(spark, sf_dir, "documents")
-    out = winnowing_fingerprints(docs, "doc_id", "text", k=8, w=4)
+    out = winnowing_fingerprints(docs, "doc_id", "text", k=8, w=4, hash_fn="md5_60")
     return out.select(
         "doc_id",
         F.size("fingerprints").alias("n_fingerprints"),
@@ -4711,5 +4779,39 @@ def oracle_sql() -> dict[str, str]:
                    LEAD(ts) OVER w IS NULL AS is_current
             FROM v
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        # r5: full DuckDB replay of the BPE training loop (was rows-only)
+        "bpe_merges": _bpe_oracle_sql(),
+        # r5: winnowing replay via the portable md5_60 k-gram hash
+        # (k=8, w=4; sliding window min as ROWS BETWEEN CURRENT AND 3
+        # FOLLOWING, trailing partial windows excluded exactly like the
+        # engine's n_win = greatest(size - w + 1, 1) slice bound)
+        "winnowing": r"""
+            WITH normed AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents
+            ),
+            grams AS MATERIALIZED (
+              SELECT doc_id, i,
+                     CAST(CONCAT('0x', substr(md5(substr(t, i, 8)), 1, 15)) AS BIGINT) AS h,
+                     greatest(length(t) - 7, 1) AS ng
+              FROM (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, greatest(length(t) - 7, 1))) AS i
+                FROM normed
+              )
+            ),
+            wins AS (
+              SELECT doc_id, i, ng,
+                     MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+              FROM grams
+            )
+            SELECT doc_id,
+                   CAST(COUNT(DISTINCT m) AS INT) AS n_fingerprints,
+                   MIN(m) AS min_fingerprint
+            FROM wins WHERE i <= greatest(ng - 3, 1)
+            GROUP BY doc_id
         """,
     }

@@ -86,7 +86,13 @@ def quality_score(text_col: Column, n_tok: Column | None = None) -> Column:
 
 
 def winnowing_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    *,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash
     every k-gram, slide a window of w hashes, keep each window's minimum —
@@ -101,13 +107,29 @@ def winnowing_fingerprints(
     and re-hashes the whole gram array per window — O(n²) per document,
     measured 450+ s for 500 docs vs 0.3 s for this shape. (CollapseProject
     keeps these stages separate because the staged aliases are referenced
-    more than once downstream.)"""
+    more than once downstream.)
+
+    ``hash_fn`` picks the k-gram hash: ``"xxhash64"`` (default — fastest,
+    JVM-native) or ``"md5_60"`` (the top 60 bits of md5 as a BIGINT via
+    conv(substring(md5(g),1,15),16,10) — bit-identical in DuckDB as
+    CAST('0x'||substr(md5(g),1,15) AS BIGINT), which makes the contract
+    query independently oracle-replayable). Same sketch guarantees
+    either way; fingerprints from different hash_fn values don't mix."""
     from codd_spark.functions.text import normalize_ws
+
+    if hash_fn == "xxhash64":
+        def h(c):
+            return F.xxhash64(c)
+    elif hash_fn == "md5_60":
+        def h(c):
+            return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5_60', got {hash_fn!r}")
 
     normed = df.select(F.col(id_col).alias("id"), normalize_ws(F.col(text_col)).alias("t"))
     t = F.col("t")
     n = F.greatest(F.length(t) - (k - 1), F.lit(1))
-    kh_expr = F.transform(F.sequence(F.lit(1), n), lambda i: F.xxhash64(t.substr(i, F.lit(k))))
+    kh_expr = F.transform(F.sequence(F.lit(1), n), lambda i: h(t.substr(i, F.lit(k))))
     khdf = normed.select("id", kh_expr.alias("kh"))
 
     kh = F.col("kh")

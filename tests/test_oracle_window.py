@@ -201,3 +201,13 @@ def test_decimal_vs_float_still_matches(duck):
     # but int-vs-float kind drift is still a mismatch
     assert dcmp.compare(["v"], [(38273,)], *dcmp.fetch_duck(
         duck, "SELECT CAST(38273 AS DECIMAL(12,0)) AS v"))
+
+# round-5: previously rows-only queries upgraded to full oracle replay
+# (bpe_merges: 20 unrolled argmax+merge steps in DuckDB; winnowing: the
+# portable md5_60 k-gram hash makes the sketch bit-replayable)
+ROUND5_UPGRADES = ["bpe_merges", "winnowing"]
+
+
+@pytest.mark.parametrize("name", ROUND5_UPGRADES)
+def test_round5_upgrade_matches_oracle(spark, duck, name):
+    _replay(spark, duck, name)
