@@ -1690,6 +1690,23 @@ def q_decontaminate_containment(spark, sf_dir):
     return ngram_containment_matches(corpus, evalset, n=3, min_hits=2)
 
 
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-prefiltered containment decontamination (operators/dedup.py::
+    bloom_decontaminate): contaminant word-3-grams -> 7-hash Bloom bitmap
+    (assembled distributively, collected as a bounded sketch), corpus
+    probed MAP-ONLY by a vectorized Arrow UDF, bloom-positive docs
+    exact-verified through the hashed-gram equi-join. Output = the clean
+    corpus, EXACTLY the documents method='containment' keeps (Bloom has
+    no false negatives; verification removes its false positives)."""
+    from codd_spark.operators.dedup import bloom_decontaminate
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id < 300")
+    evalset = docs.filter("doc_id >= 300 AND doc_id < 400")
+    clean = bloom_decontaminate(corpus, evalset, n=3, min_hits=2)
+    return clean.select("doc_id", F.length("text").alias("text_len"))
+
+
 def q_decontaminate_lsh(spark, sf_dir):
     """Scale-path decontamination: MinHash cross-table candidates (shared
     hash family, shuffle-pinned bucket join, degenerate-bucket guards) +
@@ -2840,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_avg_price": q_weighted_avg_price,
         "doc_sentences": q_doc_sentences,
         "decontaminate_containment": q_decontaminate_containment,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "decontaminate_lsh": q_decontaminate_lsh,
         "forecast_revenue": q_forecast_revenue,
         "market_share": q_market_share,
@@ -4782,6 +4800,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         # r5: full DuckDB replay of the BPE training loop (was rows-only)
         "bpe_merges": _bpe_oracle_sql(),
+        # r5: bloom-prefiltered decontamination — exact-verified, so the
+        # oracle is the clean-side complement of the containment rule
+        "decontaminate_bloom": """
+            WITH g AS (
+              SELECT doc_id,
+                     UNNEST(list_distinct(list_transform(range(1, greatest(len(s)-1, 2)),
+                            i -> array_to_string(list_slice(s, i, i+2), ' ')))) AS gram
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS s
+                    FROM documents WHERE doc_id < 400)
+            ),
+            dirty AS (
+              SELECT a.doc_id FROM g a JOIN g b ON a.gram = b.gram
+              WHERE a.doc_id < 300 AND b.doc_id >= 300
+              GROUP BY a.doc_id, b.doc_id
+              HAVING COUNT(*) >= 2
+            )
+            SELECT doc_id, CAST(length(text) AS INT) AS text_len
+            FROM documents
+            WHERE doc_id < 300 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+        """,
         # r5: winnowing replay via the portable md5_60 k-gram hash
         # (k=8, w=4; sliding window min as ROWS BETWEEN CURRENT AND 3
         # FOLLOWING, trailing partial windows excluded exactly like the

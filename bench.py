@@ -116,13 +116,18 @@ BENCH_QUERIES = [
     "join_cardinality_events",  # exact pre-join explosion probe
     "validate_orders_rules",    # one-scan declarative quality rules
     "containment_evidence",     # contamination spans (reviewer surface)
+    # round-5 additions
+    "decontaminate_bloom",      # Bloom-prefiltered map-only decontamination
 ]
 
 # Snapshot of the round-4 bench set (87 + flagship = 88 timed entries).
 # BENCH_SUMMARY.json reports the subtotal over this set as
 # ``value_comparable_prev_round`` so round-over-round regression checks
 # need no set algebra even when later rounds grow BENCH_QUERIES.
-ROUND4_QUERIES = frozenset(BENCH_QUERIES) | {"flagship_revenue_by_nation"}
+ROUND5_ADDITIONS = frozenset({"decontaminate_bloom"})
+ROUND4_QUERIES = (
+    frozenset(BENCH_QUERIES) | {"flagship_revenue_by_nation"}
+) - ROUND5_ADDITIONS
 
 
 def run_noop(df) -> None:

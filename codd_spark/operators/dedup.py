@@ -1234,6 +1234,141 @@ def decontaminate(
     return _adopt_release(clean, pairs)
 
 
+def bloom_decontaminate(
+    corpus: DataFrame,
+    contaminants: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 13,
+    min_hits: int = 1,
+    bits_per_item: int = 16,
+    n_hashes: int = 7,
+    exact_verify: bool = True,
+) -> DataFrame:
+    """Containment decontamination with a Bloom-filter prefilter — the
+    Dolma/CCNet-style shape for "check a 100-TB corpus against every
+    benchmark" where even ONE shuffle of the corpus's n-gram stream is
+    the dominant cost (compare ``decontaminate(method='containment')``,
+    which equi-joins hashed corpus grams against contaminant grams).
+
+    Build: every distinct contaminant word-n-gram sets ``n_hashes`` bits
+    (Kirsch-Mitzenmacher double hashing over two independent xxhash64
+    values) in an m-bit filter, m = next power of two >= grams *
+    ``bits_per_item`` (16 bits/item + 7 hashes ~ 0.04% fp). The bitmap
+    is assembled DISTRIBUTIVELY (explode k positions -> bit_or per
+    64-bit word) and only the finished sketch is collected — bounded by
+    the BENCHMARK size by construction (capped at 2^27 bits = 16 MB),
+    never by the corpus, the same boundary class as a 1-row scalar.
+
+    Probe: the corpus side is MAP-ONLY — a vectorized Arrow UDF tests
+    each document's gram hashes against the broadcast bitmap; no corpus
+    gram ever shuffles. No false negatives (Bloom guarantee + a doc
+    whose best per-contaminant hit count reaches ``min_hits`` certainly
+    has >= min_hits hits in the union filter), so the flagged set is a
+    complete candidate superset; with ``exact_verify=True`` (default)
+    candidates — typically a vanishing fraction of the corpus — go
+    through the exact hashed-gram equi-join and per-contaminant
+    ``min_hits`` rule of ``ngram_containment_matches``, making the
+    output EXACT (oracle-replayable). ``exact_verify=False`` skips the
+    join and removes on union-filter hits alone (false-positive rate
+    applies; cheapest possible full-corpus pass).
+
+    Returns the clean corpus (original columns)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    if n_hashes < 1 or bits_per_item < 1:
+        raise ValueError("n_hashes and bits_per_item must be >= 1")
+
+    def gram_pair_hashes(df: DataFrame, keep_id: bool) -> DataFrame:
+        cols = [F.col(id_col).alias("__id")] if keep_id else []
+        toked = df.select(*cols, tokens(F.col(text_col)).alias("__toks"))
+        return toked.select(
+            *(["__id"] if keep_id else []),
+            F.transform(
+                _ngrams_of_attr(F.col("__toks"), n), lambda g: F.xxhash64(g)
+            ).alias("gh1"),
+            F.transform(
+                _ngrams_of_attr(F.col("__toks"), n), lambda g: F.xxhash64(g, F.lit(1))
+            ).alias("gh2"),
+        )
+
+    # -- build the filter from the contaminant gram set ------------------
+    cg = (
+        gram_pair_hashes(contaminants, keep_id=False)
+        .select(F.explode(F.arrays_zip("gh1", "gh2")).alias("z"))
+        .select(F.col("z.gh1").alias("g1"), F.col("z.gh2").alias("g2"))
+        .distinct()
+    )
+    n_grams = cg.count()  # sketch sizing: one count over the benchmark side
+    m_bits = 1 << 10
+    while m_bits < n_grams * bits_per_item and m_bits < (1 << 27):
+        m_bits <<= 1
+    mask = m_bits - 1
+    g1m = F.col("g1").bitwiseAND(F.lit(mask))
+    g2m = F.col("g2").bitwiseAND(F.lit(mask))
+    pos = F.explode(
+        F.array(*[(g1m + F.lit(j) * g2m).bitwiseAND(F.lit(mask)) for j in range(n_hashes)])
+    ).alias("pos")
+    bm_rows = (
+        cg.select(pos)
+        .select(
+            F.shiftright("pos", 6).alias("word"),
+            F.expr("shiftleft(cast(1 as bigint), cast(pmod(pos, 64) as int))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+        .collect()  # bounded: <= m_bits/64 rows (16 MB cap), sketch-sized
+    )
+    bitmap = np.zeros(m_bits // 64, dtype=np.int64)
+    for r in bm_rows:
+        bitmap[r.word] = r.bits
+
+    k = n_hashes
+
+    def _hits(gh1s, gh2s):
+        import pandas as pd
+
+        out = np.empty(len(gh1s), dtype=np.int32)
+        for i in range(len(gh1s)):
+            a1 = np.asarray(gh1s.iloc[i], dtype=np.int64)
+            if a1.size == 0:
+                out[i] = 0
+                continue
+            a2 = np.asarray(gh2s.iloc[i], dtype=np.int64)
+            p1, p2 = a1 & mask, a2 & mask
+            ok = np.ones(a1.size, dtype=bool)
+            for j in range(k):
+                p = (p1 + j * p2) & mask
+                ok &= ((bitmap[p >> 6] >> (p & 63)) & 1).astype(bool)
+            out[i] = np.unique(a1[ok]).size
+        return pd.Series(out)
+
+    # no type annotations: `from __future__ import annotations` stringifies
+    # hints, which the pandas_udf signature inspector rejects — the
+    # 2-arg no-hint form is a plain SCALAR (batch Series -> Series) UDF
+    hits_udf = pandas_udf(_hits, "integer")
+
+    corpus_g = gram_pair_hashes(corpus, keep_id=True)
+    flagged_ids = (
+        corpus_g.select("__id", hits_udf("gh1", "gh2").alias("__bloom_hits"))
+        .filter(F.col("__bloom_hits") >= min_hits)
+        .select(F.col("__id").alias(id_col))
+    )
+    if exact_verify:
+        cand_docs = corpus.join(
+            flagged_ids.hint("shuffle_merge"), on=id_col, how="left_semi"
+        )
+        pairs = ngram_containment_matches(
+            cand_docs, contaminants, id_col, text_col, n=n, min_hits=min_hits
+        )
+        dirty = pairs.select(F.col("id_l").alias(id_col)).distinct()
+    else:
+        dirty = flagged_ids
+    return corpus.join(dirty.hint("shuffle_merge"), on=id_col, how="left_anti")
+
+
 class IncrementalDecontaminator:
     """Decontamination at eval-set-arrival granularity: prepare the
     corpus ONCE, then check each arriving contaminant batch in O(batch).

@@ -998,3 +998,50 @@ def test_containment_evidence_spans(spark):
     toks = corpus.filter("doc_id = 1").collect()[0].text.split()
     cleaned = toks[: r.span_start - 1] + toks[r.span_end :]
     assert "benchmark" not in cleaned
+
+
+def test_bloom_decontaminate_equals_exact_containment(spark):
+    """The Bloom prefilter + exact verify must keep EXACTLY the documents
+    method='containment' keeps (no false negatives by the Bloom
+    guarantee; verification removes false positives)."""
+    from codd_spark.operators.dedup import bloom_decontaminate, decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter("doc_id < 300")
+    evalset = docs.filter("doc_id >= 300 AND doc_id < 400")
+    got = sorted(r.doc_id for r in bloom_decontaminate(
+        corpus, evalset, n=3, min_hits=2).select("doc_id").collect())
+    want = sorted(r.doc_id for r in decontaminate(
+        corpus, evalset, method="containment", min_hits=2, n=3
+    ).select("doc_id").collect())
+    assert got == want
+    assert len(got) > 0
+
+
+def test_bloom_decontaminate_fast_mode_is_conservative(spark):
+    """exact_verify=False removes on union-filter hits alone: its clean
+    set must be a SUBSET of the exact clean set (it may only remove
+    more — bloom false positives and cross-contaminant hit pooling)."""
+    from codd_spark.operators.dedup import bloom_decontaminate, decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter("doc_id < 300")
+    evalset = docs.filter("doc_id >= 300 AND doc_id < 400")
+    fast = {r.doc_id for r in bloom_decontaminate(
+        corpus, evalset, n=3, min_hits=2, exact_verify=False
+    ).select("doc_id").collect()}
+    exact = {r.doc_id for r in decontaminate(
+        corpus, evalset, method="containment", min_hits=2, n=3
+    ).select("doc_id").collect()}
+    assert fast <= exact
+
+
+def test_bloom_decontaminate_empty_contaminants(spark):
+    """No contaminants -> nothing removed (minimum-size filter, no bits
+    set, map-only pass keeps every document)."""
+    from codd_spark.operators.dedup import bloom_decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter("doc_id < 50")
+    empty = docs.filter("doc_id < 0")
+    assert bloom_decontaminate(corpus, empty, n=3).count() == corpus.count()
