@@ -344,10 +344,18 @@ def embedding_near_duplicates(
         if bands == "auto":
             p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
             p_band = max(p ** n_planes, 1e-12)
+            if probe_hamming == 1:
+                # a probe recovers any pair that exactly one plane of the
+                # band splits: collision prob rises to p^P + P*p^(P-1)(1-p)
+                p_band = min(1.0, p_band + n_planes * (p ** (n_planes - 1)) * (1.0 - p))
             bands = min(64, max(1, math.ceil(
                 math.log(max(1.0 - target_recall, 1e-12))
                 / math.log(max(1.0 - p_band, 1e-12))
             )))
+        # NOTE: plain bands (probe_hamming=0) are usually the cheaper way
+        # to buy recall at auto plane counts — per vector, B bands cost
+        # B bucket rows per side, while Hamming-1 probing costs (1+P)*B
+        # probe rows, and candidates scale with probe rows x occupancy.
     elif bands == "auto":
         raise ValueError('bands="auto" requires n_planes="auto"')
 

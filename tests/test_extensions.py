@@ -1045,3 +1045,54 @@ def test_bloom_decontaminate_empty_contaminants(spark):
     corpus = docs.filter("doc_id < 50")
     empty = docs.filter("doc_id < 0")
     assert bloom_decontaminate(corpus, empty, n=3).count() == corpus.count()
+
+
+def test_embedding_near_dup_auto_scaling_params(spark):
+    """n_planes='auto' + bands='auto' (the supported scale mode): planes
+    sized so bucket occupancy stays ~target, bands from the LSH
+    amplification identity so expected recall stays >= target_recall.
+    Pin (a) measured recall >= 0.85 on a planted mid-threshold corpus
+    (formula targets 0.9 in expectation) and (b) the guard that
+    bands='auto' without auto planes is rejected."""
+    import math
+    import random
+
+    import pytest as _pytest
+
+    from codd_spark.operators.similarity import embedding_near_duplicates
+
+    rng = random.Random(11)
+    dim = 16
+    rows, vid = [], 0
+    for _ in range(40):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        nb = math.sqrt(sum(x * x for x in base))
+        noise_scale = rng.uniform(0.25, 0.55)
+        pert = [x + rng.gauss(0, noise_scale * nb / math.sqrt(dim)) for x in base]
+        rows.append((vid, [float(x) for x in base]))
+        rows.append((vid + 1, [float(x) for x in pert]))
+        vid += 2
+    for _ in range(80):
+        rows.append((vid, [float(rng.gauss(0, 1)) for _ in range(dim)]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    kw = dict(dim=dim, threshold=0.8, seed=42)
+    truth = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_duplicates(emb, exact=True, **kw).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_duplicates(
+            emb, exact=False, n_planes="auto", bands="auto", **kw
+        ).collect()
+    }
+    assert truth, "planted corpus must produce exact pairs"
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.85, f"auto-LSH recall {recall:.3f} below target"
+    # LSH candidates are exact-verified, so no false positives
+    assert got <= truth
+
+    with _pytest.raises(ValueError, match="auto"):
+        embedding_near_duplicates(emb, exact=False, bands="auto", **kw)

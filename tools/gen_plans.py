@@ -44,14 +44,15 @@ PICK = {
     "semantic_dedup": "SemDeDup: hoisted per-vector norms (norm fold runs corpus-linear, before the pair stage), pair mining feeds min-label propagation whose per-round joins are shuffle-pinned; singletons bypass the loop entirely.",
     "hard_negatives": "Hard-negative mining: broadcast query side (corpus never shuffles), label inequality inside the join condition, one dot-product fold per surviving pair, per-query window rank.",
     "histogram_prices": "Fixed-width histogram: closed-form bin expression with partial_count before the single exchange; dense bin spine joined at nbins cost.",
-    "set_similarity_pairs": "Exact AllPairs join: doc-frequency aggregate + rarest-first ordering (one vocab-keyed SMJ), prefix-token candidate SMJ with the positional overlap bound applied in the same aggregate as the pair dedup, exact verify on hashed-long arrays — three pinned shuffles, never a cross join.",
-    "heavy_hitter_words": "Pigeonhole heavy hitters: per-(partition, item) counts aggregate LOCALLY (spark_partition_id prefix), only the <=k*partitions candidate table shuffles; exact verify is a broadcast semi-join plus a 1-row-total broadcast — the vocabulary is never shuffled whole.",
+    "set_similarity_pairs": "Exact AllPairs/PPJoin: doc-frequency aggregate + rarest-first ordering (one vocab-keyed SMJ); ASYMMETRIC prefixes — the size-smaller side explodes only the 2t/(1+t) indexing prefix, the larger side the t probe prefix — meet in a candidate SMJ whose positional overlap bound rides the pair-dedup aggregate; exact verify on hashed-long arrays. Three pinned shuffles, never a cross join.",
+    "heavy_hitter_words": "Pigeonhole heavy hitters: the (partition, item) count shuffles ~one map-side-combined row per distinct item per partition; partition sizes come from a window over the SAME aggregate rows (no second lineage evaluation -> completeness survives AQE replans); only the <=k*partitions candidate table is broadcast for the exact verify, so no vocabulary-wide global aggregate ever runs.",
     "ks_drift_events": "Two-sample KS: (group, value) tie-absorbing partial-agg, then cumulative + full-partition windows sharing ONE group-keyed exchange; output one row per group.",
     "profile_orders": "One-pass profile: all per-column count/distinct/min/max in a single expand-aggregate (one scan regardless of column count); the stack unpivot is shuffle-free.",
     "token_cooccurrence": "Association lift: distinct (doc, token) explode, vocab prune via size-gated equi-join, per-doc pair self-join on the doc id (documents parallelize, cross-doc pairs never form), one pair-count aggregate, 1-row corpus-size broadcast.",
     "edit_distance_names": "Blocked levenshtein: padded q-gram explode meets in one gram-keyed SMJ, count filter per pair, verify on survivors only; the degenerate-string pool is the one (bounded) broadcast.",
     "cusum_value_shift": "CUSUM: cumulative + full-partition windows share one event_type exchange; argmax is a rank-1 filter, no second shuffle.",
     "record_linkage_parts": "Record linkage: ONE equi-join on the blocking key (shuffle-pinned), all attribute similarities evaluated as codegen expressions inside the pair projection.",
+    "decontaminate_bloom": "Bloom decontamination: bitmap assembled distributively (explode k positions, bit_or per word) and collected as a benchmark-bounded sketch; the corpus pass is MAP-ONLY (Arrow membership UDF, no corpus-gram shuffle); only bloom-positive docs reach the exact containment equi-join.",
     "k_core_interactions": "k-core peeling: per round one degree aggregate + two semi-joins against survivors, lineage cut per round; the only driver value is the 1-row convergence count.",
     "sorted_neighborhood": "Sorted-neighborhood: global rank via RangePartitioning + per-partition row_number + broadcast offsets (no single-task window), then rank-vs-rank+delta equi-joins.",
 }
