@@ -1276,11 +1276,17 @@ def q_set_similarity_pairs(spark, sf_dir):
     join (AllPairs/PPJoin family) — no LSH recall loss, no O(n^2) cross
     join. Same >=t word-3-gram Jaccard contract as the brute-force
     baseline, verified equal by construction (candidates are a superset,
-    verification is exact)."""
+    verification is exact). order='hash' because this corpus's 3-gram
+    document frequency is near-uniform (~10 avg df, tiny spread), where
+    the docstring's guidance applies: rarest-first buys no candidate
+    reduction, so the df-aggregate's two extra shuffles are pure cost —
+    the OUTPUT is identical under any total order (prefix theorem)."""
     from codd_spark.operators.dedup import set_similarity_join
 
     docs = read_table(spark, sf_dir, "documents")
-    return set_similarity_join(docs, "doc_id", "text", threshold=0.35, ngram_n=3)
+    return set_similarity_join(
+        docs, "doc_id", "text", threshold=0.35, ngram_n=3, order="hash"
+    )
 
 
 def q_minhash_near_dups(spark, sf_dir):
