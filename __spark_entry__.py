@@ -1298,6 +1298,19 @@ def q_minhash_near_dups(spark, sf_dir):
     return minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
 
 
+def q_fuzzy_dedup(spark, sf_dir):
+    """MinHash fuzzy dedup end-to-end (operators/dedup.py::fuzzy_dedup):
+    LSH pairs (char-5 shingles, exact-Jaccard >= 0.5 verified) ->
+    transitive closure -> keeper election. The oracle recomputes exact
+    all-pairs shingle Jaccard and closes it with a recursive CTE —
+    valid because LSH recall is 1.0 at oracle scales (the same
+    measurement that backs the minhash_near_dups oracle)."""
+    from codd_spark.operators.dedup import fuzzy_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    return fuzzy_dedup(docs, "doc_id", "text", threshold=0.5)
+
+
 def q_simhash_near_dups(spark, sf_dir):
     """SimHash near-duplicate pairs (hamming <= 7 of 64 bits, 8-chunk
     pigeonhole candidates)."""
@@ -2848,6 +2861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_cooccurrence": q_token_cooccurrence,
         "edit_distance_names": q_edit_distance_names,
         "simhash_near_dups": q_simhash_near_dups,
+        "fuzzy_dedup_docs": q_fuzzy_dedup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_quality": q_text_quality,
@@ -4016,6 +4030,39 @@ def oracle_sql() -> dict[str, str]:
                            / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             ) WHERE jaccard >= 0.5
+        """,
+        # r5: end-to-end fuzzy dedup — exact shingle-Jaccard pairs closed
+        # transitively by a recursive CTE, keeper = min id per component
+        "fuzzy_dedup_docs": r"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct([substr(t, i, 5)
+                                    for i in range(1, greatest(len(t)-4, 1)+1)]) AS sh
+              FROM t
+            ), e AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                          / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM e
+              UNION SELECT id_b AS src, id_a AS dst FROM e
+            ), r(id, comp) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT edges.dst, r.comp FROM r JOIN edges ON edges.src = r.id
+              WHERE r.comp < edges.dst
+            ), cc AS (
+              SELECT id, MIN(comp) AS comp FROM r GROUP BY id
+            ), sizes AS (
+              SELECT comp, COUNT(*) AS cluster_size FROM cc GROUP BY comp
+            )
+            SELECT cc.id AS doc_id, cc.comp AS cluster_id, sizes.cluster_size,
+                   cc.id = cc.comp AS is_keeper
+            FROM cc JOIN sizes ON cc.comp = sizes.comp
         """,
         "decontaminate_lsh": r"""
             WITH t AS (

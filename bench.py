@@ -118,13 +118,14 @@ BENCH_QUERIES = [
     "containment_evidence",     # contamination spans (reviewer surface)
     # round-5 additions
     "decontaminate_bloom",      # Bloom-prefiltered map-only decontamination
+    "fuzzy_dedup_docs",         # MinHash pairs -> closure -> keeper election
 ]
 
 # Snapshot of the round-4 bench set (87 + flagship = 88 timed entries).
 # BENCH_SUMMARY.json reports the subtotal over this set as
 # ``value_comparable_prev_round`` so round-over-round regression checks
 # need no set algebra even when later rounds grow BENCH_QUERIES.
-ROUND5_ADDITIONS = frozenset({"decontaminate_bloom"})
+ROUND5_ADDITIONS = frozenset({"decontaminate_bloom", "fuzzy_dedup_docs"})
 ROUND4_QUERIES = (
     frozenset(BENCH_QUERIES) | {"flagship_revenue_by_nation"}
 ) - ROUND5_ADDITIONS

@@ -1234,6 +1234,44 @@ def decontaminate(
     return _adopt_release(clean, pairs)
 
 
+def fuzzy_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    threshold: float = 0.5,
+    num_hashes: int = 120,
+    bands: int = 20,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """MinHash fuzzy dedup END-TO-END (the standard web-corpus recipe —
+    e.g. SlimPajama/Dolma-style fuzzy dedup): banded one-permutation
+    MinHash near-dup pairs (exact-Jaccard verified), closed transitively
+    into clusters by min-label propagation, one keeper elected per
+    cluster. Returns (id, cluster_id, cluster_size, is_keeper) —
+    ``semantic_dedup``'s text twin; filter ``is_keeper`` for the
+    deduplicated corpus.
+
+    The transitive closure is the point: chained near-dups (A~B~C with
+    J(A,C) < t) still collapse to ONE surviving document, which pairwise
+    filtering alone cannot guarantee. Scale bounds are inherited from
+    the stages — banded bucket self-join (no all-pairs stage), label
+    propagation over edge endpoints only (graph.py::dedup_clusters),
+    bounded driver fixpoint with per-round lineage cuts."""
+    from codd_spark.operators.graph import dedup_clusters
+
+    pairs = minhash_near_duplicates(
+        df,
+        id_col,
+        text_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+    )
+    return dedup_clusters(df, pairs, id_col, "id_a", "id_b")
+
+
 def bloom_decontaminate(
     corpus: DataFrame,
     contaminants: DataFrame,

@@ -205,7 +205,7 @@ def test_decimal_vs_float_still_matches(duck):
 # round-5: previously rows-only queries upgraded to full oracle replay
 # (bpe_merges: 20 unrolled argmax+merge steps in DuckDB; winnowing: the
 # portable md5_60 k-gram hash makes the sketch bit-replayable)
-ROUND5_UPGRADES = ["bpe_merges", "winnowing", "decontaminate_bloom"]
+ROUND5_UPGRADES = ["bpe_merges", "winnowing", "decontaminate_bloom", "fuzzy_dedup_docs"]
 
 
 @pytest.mark.parametrize("name", ROUND5_UPGRADES)
