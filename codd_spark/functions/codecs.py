@@ -67,11 +67,16 @@ def decode_image(data: bytes) -> np.ndarray:
 
 
 def image_info(data: bytes) -> tuple[int, int, int]:
-    """(width, height, channels) without a full decode. PNG headers are
-    parsed directly (O(header) either way); other formats need PIL."""
+    """(width, height, channels) without a full decode. PNG and JPEG
+    headers are parsed directly by the pure backends (O(header), and the
+    JPEG SOF scan is cheaper than a PIL open — component counts match
+    PIL's band counts, so backends report identically); other containers
+    (WebP/GIF/...) need PIL."""
     if data[:8] == _PNG_SIG:
         w, h, _depth, _color, ch = imaging.png_info(data)
         return w, h, ch
+    if data[:2] == b"\xff\xd8":
+        return imaging.jpeg_info(data)
     if _CAPS["image"] == "pil":
         from PIL import Image
 

@@ -295,6 +295,39 @@ def apng_frames(data: bytes) -> list[np.ndarray]:
     return frames
 
 
+def jpeg_info(data: bytes) -> tuple[int, int, int]:
+    """(width, height, n_components) from a JPEG's SOF marker — an
+    O(header) scan, no decode, no native codec (ITU T.81 B.2.2). Works
+    for baseline and progressive (any SOF0-SOF15 except the DHT/JPG/DAC
+    marker codes that reuse the 0xC x range). n_components matches
+    PIL's band count for the common encodings (1 grayscale, 3 YCbCr,
+    4 CMYK), so the pure and PIL backends report identically."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI marker)")
+    i, n = 2, len(data)
+    while i + 3 < n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:  # standalone
+            i += 2
+            continue
+        if marker == 0xD9 or marker == 0xDA:
+            # EOI, or entropy-coded scan began without a frame header
+            break
+        seglen = int.from_bytes(data[i + 2 : i + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            height = int.from_bytes(data[i + 5 : i + 7], "big")
+            width = int.from_bytes(data[i + 7 : i + 9], "big")
+            return width, height, data[i + 9]
+        i += 2 + seglen
+    raise ValueError("no SOF marker found (truncated or corrupt JPEG)")
+
+
 def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbor resize via index gather (pure numpy)."""
     h, w = arr.shape[:2]

@@ -141,3 +141,48 @@ def test_apng_offset_composite_and_errors():
         im.apng_frames(b"junk")
     with pytest.raises(ValueError, match="acTL"):
         im.apng_frames(im.encode_png(base))  # plain PNG is not an APNG
+
+
+def _jpeg_bytes(w, h, ncomp, sof=0xC0):
+    """Minimal structurally-valid JPEG header stream: SOI, APP0, a DHT
+    (must be SKIPPED by the scanner despite its 0xC4 code), the SOF, a
+    bogus SOS, EOI. Not decodable — jpeg_info only reads markers."""
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+    dht = b"\xff\xc4" + (19).to_bytes(2, "big") + bytes(17)
+    sof_body = (
+        bytes([8])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([ncomp])
+        + bytes(3 * ncomp)
+    )
+    sof_seg = bytes([0xFF, sof]) + (2 + len(sof_body)).to_bytes(2, "big") + sof_body
+    sos = b"\xff\xda" + (8).to_bytes(2, "big") + bytes(6)
+    return b"\xff\xd8" + app0 + dht + sof_seg + sos + b"\x00\xff\x00" + b"\xff\xd9"
+
+
+def test_jpeg_info_baseline_and_progressive():
+    from codd_spark.functions.imaging import jpeg_info
+
+    assert jpeg_info(_jpeg_bytes(640, 480, 3)) == (640, 480, 3)
+    assert jpeg_info(_jpeg_bytes(31, 17, 1, sof=0xC2)) == (31, 17, 1)  # progressive
+    assert jpeg_info(_jpeg_bytes(100, 50, 4)) == (100, 50, 4)  # CMYK
+
+
+def test_jpeg_info_rejects_non_jpeg_and_truncated():
+    import pytest as _pytest
+
+    from codd_spark.functions.imaging import jpeg_info
+
+    with _pytest.raises(ValueError, match="SOI"):
+        jpeg_info(b"\x89PNG\r\n\x1a\n")
+    with _pytest.raises(ValueError, match="SOF"):
+        jpeg_info(b"\xff\xd8\xff\xd9")  # SOI + EOI, no frame
+
+
+def test_codec_dispatch_routes_jpeg_header_pure():
+    """image_info must answer JPEG dims via the pure SOF scan — no PIL
+    needed (and identical to PIL's bands when PIL exists)."""
+    from codd_spark.functions.codecs import image_info
+
+    assert image_info(_jpeg_bytes(320, 200, 3)) == (320, 200, 3)
