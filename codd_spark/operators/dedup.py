@@ -1291,8 +1291,11 @@ def bloom_decontaminate(
     which equi-joins hashed corpus grams against contaminant grams).
 
     Build: every distinct contaminant word-n-gram sets ``n_hashes`` bits
-    (Kirsch-Mitzenmacher double hashing over two independent xxhash64
-    values) in an m-bit filter, m = next power of two >= grams *
+    (Kirsch-Mitzenmacher double hashing: h1 = xxhash64 of the gram, h2 =
+    a xorshift64 mix of h1 — XOR/shift only, so the JVM build side and
+    the numpy probe side compute it bit-identically with no wrapping
+    multiply under ANSI, and only ONE hash array ships through Arrow)
+    in an m-bit filter, m = next power of two >= grams *
     ``bits_per_item`` (16 bits/item + 7 hashes ~ 0.04% fp). The bitmap
     is assembled DISTRIBUTIVELY (explode k positions -> bit_or per
     64-bit word) and only the finished sketch is collected — bounded by
@@ -1319,7 +1322,11 @@ def bloom_decontaminate(
     if n_hashes < 1 or bits_per_item < 1:
         raise ValueError("n_hashes and bits_per_item must be >= 1")
 
-    def gram_pair_hashes(df: DataFrame, keep_id: bool) -> DataFrame:
+    def gram_hashes(df: DataFrame, keep_id: bool) -> DataFrame:
+        """One xxhash64 long per gram. The SECOND Kirsch-Mitzenmacher
+        hash is a xorshift64 mix of this one (see _xs_mix), derived
+        identically JVM-side (build) and in numpy (probe) — so only ONE
+        gram pass runs and only ONE array ships through Arrow."""
         cols = [F.col(id_col).alias("__id")] if keep_id else []
         toked = df.select(*cols, tokens(F.col(text_col)).alias("__toks"))
         return toked.select(
@@ -1327,17 +1334,21 @@ def bloom_decontaminate(
             F.transform(
                 _ngrams_of_attr(F.col("__toks"), n), lambda g: F.xxhash64(g)
             ).alias("gh1"),
-            F.transform(
-                _ngrams_of_attr(F.col("__toks"), n), lambda g: F.xxhash64(g, F.lit(1))
-            ).alias("gh2"),
         )
+
+    def _xs_mix_col(c):
+        # xorshift64 step — XOR/shift only, so it is wrap-free under
+        # ANSI SQL and bit-identical to the numpy uint64 version below
+        z = c.bitwiseXOR(F.shiftleft(c, 13))
+        z = z.bitwiseXOR(F.shiftrightunsigned(z, 7))
+        return z.bitwiseXOR(F.shiftleft(z, 17))
 
     # -- build the filter from the contaminant gram set ------------------
     cg = (
-        gram_pair_hashes(contaminants, keep_id=False)
-        .select(F.explode(F.arrays_zip("gh1", "gh2")).alias("z"))
-        .select(F.col("z.gh1").alias("g1"), F.col("z.gh2").alias("g2"))
+        gram_hashes(contaminants, keep_id=False)
+        .select(F.explode("gh1").alias("g1"))
         .distinct()
+        .select("g1", _xs_mix_col(F.col("g1")).alias("g2"))
     )
     n_grams = cg.count()  # sketch sizing: one count over the benchmark side
     m_bits = 1 << 10
@@ -1365,32 +1376,49 @@ def bloom_decontaminate(
 
     k = n_hashes
 
-    def _hits(gh1s, gh2s):
+    def _hits(gh1s):
         import pandas as pd
 
-        out = np.empty(len(gh1s), dtype=np.int32)
-        for i in range(len(gh1s)):
-            a1 = np.asarray(gh1s.iloc[i], dtype=np.int64)
-            if a1.size == 0:
-                out[i] = 0
-                continue
-            a2 = np.asarray(gh2s.iloc[i], dtype=np.int64)
-            p1, p2 = a1 & mask, a2 & mask
-            ok = np.ones(a1.size, dtype=bool)
-            for j in range(k):
-                p = (p1 + j * p2) & mask
-                ok &= ((bitmap[p >> 6] >> (p & 63)) & 1).astype(bool)
-            out[i] = np.unique(a1[ok]).size
-        return pd.Series(out)
+        n_rows = len(gh1s)
+        l1 = [np.asarray(v, dtype=np.int64) for v in gh1s]
+        lens = np.fromiter((a.size for a in l1), dtype=np.int64, count=n_rows)
+        if lens.sum() == 0:
+            return pd.Series(np.zeros(n_rows, dtype=np.int32))
+        # one flat membership pass over the WHOLE Arrow batch (no per-row
+        # Python loop): k probes on the concatenated gram stream, then a
+        # lexsort gives distinct (row, gram) hit counts vectorized
+        flat1 = np.concatenate(l1)
+        row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+        # second hash = the same xorshift64 mix the build side applied
+        # JVM-side (_xs_mix_col) — uint64 domain makes >> logical
+        u = flat1.astype(np.uint64)
+        z = u ^ (u << np.uint64(13))
+        z = z ^ (z >> np.uint64(7))
+        z = z ^ (z << np.uint64(17))
+        p1 = flat1 & mask
+        p2 = (z & np.uint64(mask)).astype(np.int64)
+        ok = np.ones(flat1.size, dtype=bool)
+        for j in range(k):
+            p = (p1 + j * p2) & mask
+            ok &= ((bitmap[p >> 6] >> (p & 63)) & 1).astype(bool)
+        r, g = row_ids[ok], flat1[ok]
+        out = np.zeros(n_rows, dtype=np.int64)
+        if r.size:
+            order = np.lexsort((g, r))
+            r, g = r[order], g[order]
+            first = np.ones(r.size, dtype=bool)
+            first[1:] = (r[1:] != r[:-1]) | (g[1:] != g[:-1])
+            out = np.bincount(r[first], minlength=n_rows)
+        return pd.Series(out.astype(np.int32))
 
     # no type annotations: `from __future__ import annotations` stringifies
     # hints, which the pandas_udf signature inspector rejects — the
-    # 2-arg no-hint form is a plain SCALAR (batch Series -> Series) UDF
+    # 1-arg no-hint form is a plain SCALAR (batch Series -> Series) UDF
     hits_udf = pandas_udf(_hits, "integer")
 
-    corpus_g = gram_pair_hashes(corpus, keep_id=True)
+    corpus_g = gram_hashes(corpus, keep_id=True)
     flagged_ids = (
-        corpus_g.select("__id", hits_udf("gh1", "gh2").alias("__bloom_hits"))
+        corpus_g.select("__id", hits_udf("gh1").alias("__bloom_hits"))
         .filter(F.col("__bloom_hits") >= min_hits)
         .select(F.col("__id").alias(id_col))
     )
