@@ -1272,9 +1272,147 @@ def fuzzy_dedup(
     return dedup_clusters(df, pairs, id_col, "id_a", "id_b")
 
 
+def _gram_hash_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int, keep_id: bool
+) -> DataFrame:
+    """One xxhash64 long per word-n-gram, as an array column. The SECOND
+    Kirsch-Mitzenmacher hash is a xorshift64 mix of this one (_xs_mix_col
+    / its numpy twin), derived identically on the JVM build side and the
+    numpy probe side — so only ONE gram pass runs and only ONE array
+    ships through Arrow."""
+    cols = [F.col(id_col).alias("__id")] if keep_id else []
+    toked = df.select(*cols, tokens(F.col(text_col)).alias("__toks"))
+    return toked.select(
+        *(["__id"] if keep_id else []),
+        F.transform(
+            _ngrams_of_attr(F.col("__toks"), n), lambda g: F.xxhash64(g)
+        ).alias("gh1"),
+    )
+
+
+def _xs_mix_col(c):
+    """xorshift64 step — XOR/shift only, so it is wrap-free under ANSI
+    SQL and bit-identical to the numpy uint64 version in the probe."""
+    z = c.bitwiseXOR(F.shiftleft(c, 13))
+    z = z.bitwiseXOR(F.shiftrightunsigned(z, 7))
+    return z.bitwiseXOR(F.shiftleft(z, 17))
+
+
+class GramBloom:
+    """Serializable Bloom sketch of a document set's word-n-grams — the
+    build half of ``bloom_decontaminate``, separable so one corpus pass
+    can be probed against MANY benchmarks: build one sketch per
+    benchmark as it arrives, ``union`` them (bitwise OR — lossless, the
+    defining monoid property of Bloom filters), persist with
+    ``to_bytes``/``from_bytes``, and pass the union as ``prebuilt``.
+    Sketches are union-compatible iff built with identical
+    (m_bits, n_hashes, ngram_n) — pin ``m_bits`` explicitly when
+    building a family of sketches to union."""
+
+    __slots__ = ("bitmap", "m_bits", "n_hashes", "ngram_n", "n_items")
+
+    def __init__(self, bitmap, m_bits: int, n_hashes: int, ngram_n: int, n_items: int):
+        self.bitmap = bitmap  # np.int64[m_bits // 64]
+        self.m_bits = m_bits
+        self.n_hashes = n_hashes
+        self.ngram_n = ngram_n
+        self.n_items = n_items
+
+    def union(self, other: "GramBloom") -> "GramBloom":
+        import numpy as np
+
+        if (self.m_bits, self.n_hashes, self.ngram_n) != (
+            other.m_bits, other.n_hashes, other.ngram_n,
+        ):
+            raise ValueError(
+                "union requires identical (m_bits, n_hashes, ngram_n): "
+                f"{(self.m_bits, self.n_hashes, self.ngram_n)} vs "
+                f"{(other.m_bits, other.n_hashes, other.ngram_n)}"
+            )
+        return GramBloom(
+            np.bitwise_or(self.bitmap, other.bitmap),
+            self.m_bits, self.n_hashes, self.ngram_n,
+            self.n_items + other.n_items,
+        )
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        return (
+            struct.pack("<QQQQ", self.m_bits, self.n_hashes, self.ngram_n, self.n_items)
+            + self.bitmap.tobytes()
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "GramBloom":
+        import struct
+
+        import numpy as np
+
+        m_bits, n_hashes, ngram_n, n_items = struct.unpack("<QQQQ", data[:32])
+        bitmap = np.frombuffer(data[32:], dtype=np.int64).copy()
+        return cls(bitmap, int(m_bits), int(n_hashes), int(ngram_n), int(n_items))
+
+
+def build_gram_bloom(
+    contaminants: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 13,
+    bits_per_item: int = 16,
+    n_hashes: int = 7,
+    m_bits: int | None = None,
+) -> GramBloom:
+    """Build the n-gram Bloom sketch of a contaminant set. The bitmap is
+    assembled DISTRIBUTIVELY (every distinct gram explodes to n_hashes
+    bit positions, bit_or per 64-bit word) and only the finished sketch
+    is collected — bounded by the BENCHMARK size by construction (capped
+    at 2^27 bits = 16 MB), never by the corpus; the same boundary class
+    as a 1-row scalar. ``m_bits`` (power of two) overrides auto-sizing —
+    pin it when building sketches meant to be ``GramBloom.union``ed."""
+    import numpy as np
+
+    if n_hashes < 1 or bits_per_item < 1:
+        raise ValueError("n_hashes and bits_per_item must be >= 1")
+    cg = (
+        _gram_hash_arrays(contaminants, id_col, text_col, n, keep_id=False)
+        .select(F.explode("gh1").alias("g1"))
+        .distinct()
+        .select("g1", _xs_mix_col(F.col("g1")).alias("g2"))
+    )
+    n_grams = cg.count()  # sketch sizing: one count over the benchmark side
+    if m_bits is None:
+        m_bits = 1 << 10
+        while m_bits < n_grams * bits_per_item and m_bits < (1 << 27):
+            m_bits <<= 1
+    elif m_bits & (m_bits - 1) or m_bits < 64:
+        raise ValueError("m_bits must be a power of two >= 64")
+    mask = m_bits - 1
+    g1m = F.col("g1").bitwiseAND(F.lit(mask))
+    g2m = F.col("g2").bitwiseAND(F.lit(mask))
+    pos = F.explode(
+        F.array(*[(g1m + F.lit(j) * g2m).bitwiseAND(F.lit(mask)) for j in range(n_hashes)])
+    ).alias("pos")
+    bm_rows = (
+        cg.select(pos)
+        .select(
+            F.shiftright("pos", 6).alias("word"),
+            F.expr("shiftleft(cast(1 as bigint), cast(pmod(pos, 64) as int))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+        .collect()  # bounded: <= m_bits/64 rows (16 MB cap), sketch-sized
+    )
+    bitmap = np.zeros(m_bits // 64, dtype=np.int64)
+    for r in bm_rows:
+        bitmap[r.word] = r.bits
+    return GramBloom(bitmap, m_bits, n_hashes, n, n_grams)
+
+
 def bloom_decontaminate(
     corpus: DataFrame,
-    contaminants: DataFrame,
+    contaminants: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     *,
@@ -1283,6 +1421,7 @@ def bloom_decontaminate(
     bits_per_item: int = 16,
     n_hashes: int = 7,
     exact_verify: bool = True,
+    prebuilt: GramBloom | None = None,
 ) -> DataFrame:
     """Containment decontamination with a Bloom-filter prefilter — the
     Dolma/CCNet-style shape for "check a 100-TB corpus against every
@@ -1315,66 +1454,34 @@ def bloom_decontaminate(
     join and removes on union-filter hits alone (false-positive rate
     applies; cheapest possible full-corpus pass).
 
+    A prebuilt/unioned ``GramBloom`` (see ``build_gram_bloom``) skips
+    the build pass — the many-benchmarks pattern: one corpus probe
+    against the OR-union of every benchmark's sketch. With ``prebuilt``,
+    ``contaminants`` is only needed for ``exact_verify``.
+
     Returns the clean corpus (original columns)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    if n_hashes < 1 or bits_per_item < 1:
-        raise ValueError("n_hashes and bits_per_item must be >= 1")
-
-    def gram_hashes(df: DataFrame, keep_id: bool) -> DataFrame:
-        """One xxhash64 long per gram. The SECOND Kirsch-Mitzenmacher
-        hash is a xorshift64 mix of this one (see _xs_mix), derived
-        identically JVM-side (build) and in numpy (probe) — so only ONE
-        gram pass runs and only ONE array ships through Arrow."""
-        cols = [F.col(id_col).alias("__id")] if keep_id else []
-        toked = df.select(*cols, tokens(F.col(text_col)).alias("__toks"))
-        return toked.select(
-            *(["__id"] if keep_id else []),
-            F.transform(
-                _ngrams_of_attr(F.col("__toks"), n), lambda g: F.xxhash64(g)
-            ).alias("gh1"),
+    if prebuilt is None:
+        if contaminants is None:
+            raise ValueError("pass contaminants or a prebuilt GramBloom")
+        prebuilt = build_gram_bloom(
+            contaminants, id_col, text_col,
+            n=n, bits_per_item=bits_per_item, n_hashes=n_hashes,
         )
-
-    def _xs_mix_col(c):
-        # xorshift64 step — XOR/shift only, so it is wrap-free under
-        # ANSI SQL and bit-identical to the numpy uint64 version below
-        z = c.bitwiseXOR(F.shiftleft(c, 13))
-        z = z.bitwiseXOR(F.shiftrightunsigned(z, 7))
-        return z.bitwiseXOR(F.shiftleft(z, 17))
-
-    # -- build the filter from the contaminant gram set ------------------
-    cg = (
-        gram_hashes(contaminants, keep_id=False)
-        .select(F.explode("gh1").alias("g1"))
-        .distinct()
-        .select("g1", _xs_mix_col(F.col("g1")).alias("g2"))
-    )
-    n_grams = cg.count()  # sketch sizing: one count over the benchmark side
-    m_bits = 1 << 10
-    while m_bits < n_grams * bits_per_item and m_bits < (1 << 27):
-        m_bits <<= 1
-    mask = m_bits - 1
-    g1m = F.col("g1").bitwiseAND(F.lit(mask))
-    g2m = F.col("g2").bitwiseAND(F.lit(mask))
-    pos = F.explode(
-        F.array(*[(g1m + F.lit(j) * g2m).bitwiseAND(F.lit(mask)) for j in range(n_hashes)])
-    ).alias("pos")
-    bm_rows = (
-        cg.select(pos)
-        .select(
-            F.shiftright("pos", 6).alias("word"),
-            F.expr("shiftleft(cast(1 as bigint), cast(pmod(pos, 64) as int))").alias("bit"),
+    elif prebuilt.ngram_n != n:
+        raise ValueError(
+            f"prebuilt sketch holds {prebuilt.ngram_n}-grams, probe asked for {n}"
         )
-        .groupBy("word")
-        .agg(F.expr("bit_or(bit)").alias("bits"))
-        .collect()  # bounded: <= m_bits/64 rows (16 MB cap), sketch-sized
-    )
-    bitmap = np.zeros(m_bits // 64, dtype=np.int64)
-    for r in bm_rows:
-        bitmap[r.word] = r.bits
-
-    k = n_hashes
+    if exact_verify and contaminants is None:
+        raise ValueError(
+            "exact_verify needs the contaminants DataFrame "
+            "(pass exact_verify=False for sketch-only removal)"
+        )
+    bitmap = prebuilt.bitmap
+    mask = prebuilt.m_bits - 1
+    k = prebuilt.n_hashes
 
     def _hits(gh1s):
         import pandas as pd
@@ -1416,7 +1523,7 @@ def bloom_decontaminate(
     # 1-arg no-hint form is a plain SCALAR (batch Series -> Series) UDF
     hits_udf = pandas_udf(_hits, "integer")
 
-    corpus_g = gram_hashes(corpus, keep_id=True)
+    corpus_g = _gram_hash_arrays(corpus, id_col, text_col, n, keep_id=True)
     flagged_ids = (
         corpus_g.select("__id", hits_udf("gh1").alias("__bloom_hits"))
         .filter(F.col("__bloom_hits") >= min_hits)

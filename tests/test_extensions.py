@@ -1096,3 +1096,46 @@ def test_embedding_near_dup_auto_scaling_params(spark):
 
     with _pytest.raises(ValueError, match="auto"):
         embedding_near_duplicates(emb, exact=False, bands="auto", **kw)
+
+
+def test_gram_bloom_build_union_roundtrip(spark):
+    """Separable Bloom API: per-benchmark sketches with pinned m_bits
+    union losslessly (bitwise OR monoid), survive to_bytes/from_bytes,
+    and probing the union flags exactly what probing each benchmark
+    would — verified end-to-end against the one-shot operator."""
+    from codd_spark.operators.dedup import (
+        GramBloom,
+        bloom_decontaminate,
+        build_gram_bloom,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter("doc_id < 300")
+    bench_a = docs.filter("doc_id >= 300 AND doc_id < 350")
+    bench_b = docs.filter("doc_id >= 350 AND doc_id < 400")
+    both = docs.filter("doc_id >= 300 AND doc_id < 400")
+
+    kw = dict(n=3, m_bits=1 << 20)
+    fa = build_gram_bloom(bench_a, **kw)
+    fb = build_gram_bloom(bench_b, **kw)
+    fu = GramBloom.from_bytes(fa.union(fb).to_bytes())
+
+    got = sorted(r.doc_id for r in bloom_decontaminate(
+        corpus, both, n=3, min_hits=2, prebuilt=fu
+    ).select("doc_id").collect())
+    want = sorted(r.doc_id for r in bloom_decontaminate(
+        corpus, both, n=3, min_hits=2
+    ).select("doc_id").collect())
+    assert got == want
+    assert fu.n_items == fa.n_items + fb.n_items
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="union requires"):
+        fa.union(build_gram_bloom(bench_b, n=3, m_bits=1 << 16))
+    with _pytest.raises(ValueError, match="contaminants"):
+        bloom_decontaminate(corpus, None, n=3, prebuilt=fu)  # verify needs df
+    # sketch-only removal with just the filter works
+    assert bloom_decontaminate(
+        corpus, None, n=3, min_hits=2, prebuilt=fu, exact_verify=False
+    ).count() > 0

@@ -365,3 +365,38 @@ def test_global_rank_no_single_task_window(spark):
     # renders as "Window [...], [...]" with no partition spec between
     assert "Window" in plan
     assert "RangePartitioning" in plan or "rangepartitioning" in plan
+
+
+def test_bloom_probe_corpus_side_is_map_only(spark):
+    """bloom_decontaminate's claim is that NO corpus gram ever shuffles:
+    the probe (scan -> gram hashes -> Arrow membership UDF -> filter)
+    must plan with zero Exchange operators. Build the probe fragment the
+    way the operator does and assert its plan is exchange-free."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from codd_spark.functions.text import tokens
+    from codd_spark.operators.dedup import _ngrams_of_attr
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(10)],
+        "doc_id LONG, text STRING",
+    )
+
+    def _h(s):
+        import pandas as pd
+
+        return pd.Series(np.zeros(len(s), dtype=np.int32))
+
+    hits = pandas_udf(_h, "integer")
+    probe = (
+        docs.select(F.col("doc_id").alias("__id"), tokens(F.col("text")).alias("__toks"))
+        .select("__id", F.transform(_ngrams_of_attr(F.col("__toks"), 3),
+                                    lambda g: F.xxhash64(g)).alias("gh1"))
+        .select("__id", hits("gh1").alias("__bloom_hits"))
+        .filter(F.col("__bloom_hits") >= 1)
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan or "PythonEval" in plan, plan
