@@ -83,3 +83,42 @@ def test_edit_distance_pairs_equals_brute_force_random(sess, names, d):
         .collect()
     )
     assert pruned == brute
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    corpus_texts=docs_strategy,
+    bench_texts=st.lists(
+        st.lists(words, min_size=0, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    n=st.sampled_from([1, 2, 3]),
+    min_hits=st.sampled_from([1, 2]),
+)
+def test_bloom_decontaminate_equals_containment(
+    sess, corpus_texts, bench_texts, n, min_hits
+):
+    """On random corpora/benchmarks, the Bloom-prefiltered route must
+    keep EXACTLY the docs method='containment' keeps — the no-false-
+    negative guarantee composed with exact verification, fuzzed across
+    gram sizes and hit thresholds (degenerate texts included)."""
+    from codd_spark.operators.dedup import bloom_decontaminate, decontaminate
+
+    corpus = sess.createDataFrame(
+        list(enumerate(corpus_texts)), "doc_id LONG, text STRING"
+    )
+    bench = sess.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(bench_texts)], "doc_id LONG, text STRING"
+    )
+    got = sorted(r.doc_id for r in bloom_decontaminate(
+        corpus, bench, n=n, min_hits=min_hits
+    ).select("doc_id").collect())
+    want = sorted(r.doc_id for r in decontaminate(
+        corpus, bench, method="containment", min_hits=min_hits, n=n
+    ).select("doc_id").collect())
+    assert got == want
