@@ -90,17 +90,40 @@ def bpe_train(
     n_merges: int = 50,
     min_pair_count: int = 2,
     checkpoint_every: int = 8,
+    driver_vocab_threshold: int = 262_144,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the ordered
     merge table as [(step, left, right, pair_count), ...] — the
     tokenizer artifact (apply with ``bpe_encode``). Stops early when the
     best remaining pair occurs fewer than ``min_pair_count`` times.
 
-    Ties break deterministically by (count desc, left, right). The
-    iterating state is the symbolized word-frequency table; its lineage
-    is cut with localCheckpoint every ``checkpoint_every`` merges so the
-    plan never deepens past a bounded window."""
-    syms = _symbolize(_word_freq(df, text_col)).localCheckpoint(eager=False)
+    Ties break deterministically by (count desc, left, right).
+
+    The corpus is touched ONCE (the word-frequency aggregate — the only
+    corpus-sized shuffle); every merge iteration runs on that compact
+    vocabulary table. When the vocabulary fits comfortably on the driver
+    (<= ``driver_vocab_threshold`` distinct words — the aggregate is
+    vocabulary-bounded, not corpus-bounded, which is how production BPE
+    trainers operate too), the merge loop folds LOCALLY over the
+    collected table: identical merges (the local fold is the same
+    greedy-non-overlap semantics, cross-checked in CI against the
+    distributed path and the pure-Python reference) without paying ~2
+    Spark stages of scheduling latency per merge. Beyond the threshold
+    the distributed expression-level fold runs, its lineage cut with
+    localCheckpoint every ``checkpoint_every`` merges so the plan never
+    deepens past a bounded window. Pass ``driver_vocab_threshold=0`` to
+    force the distributed loop."""
+    wf = _word_freq(df, text_col)
+    if driver_vocab_threshold > 0:
+        n_words = wf.count()
+        if n_words <= driver_vocab_threshold:
+            rows = wf.collect()  # vocabulary-bounded by the gate above
+            return _bpe_train_local(
+                [(r["w"], int(r["freq"])) for r in rows],
+                n_merges=n_merges,
+                min_pair_count=min_pair_count,
+            )
+    syms = _symbolize(wf).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
         best = (
@@ -116,6 +139,44 @@ def bpe_train(
         syms = syms.select(_merge_fold(F.col("syms"), l, r).alias("syms"), "freq")
         if step % checkpoint_every == 0:
             syms = syms.localCheckpoint(eager=False)
+    return merges
+
+
+def _bpe_train_local(
+    word_freqs: list[tuple[str, int]],
+    *,
+    n_merges: int,
+    min_pair_count: int,
+) -> list[tuple[int, str, str, int]]:
+    """Driver-local merge loop over an already-aggregated (word, freq)
+    table — the same (count desc, left, right) argmax and greedy
+    left-to-right non-overlapping fold as the distributed path, merge
+    for merge (pinned by tests)."""
+    syms = [(list(w) + [WORD_END], f) for w, f in word_freqs]
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for s, f in syms:
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (l, r), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        merges.append((step, l, r, cnt))
+        merged = l + r
+        for idx, (s, f) in enumerate(syms):
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == l and s[i + 1] == r:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[idx] = (out, f)
     return merges
 
 

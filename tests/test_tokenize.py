@@ -106,3 +106,16 @@ def test_bpe_encode_whitespace_class_matches_training(spark):
 
     assert out.count(WORD_END) == 2, out
     assert "\xa0" in "".join(out), out
+
+
+def test_bpe_local_and_distributed_paths_identical(spark):
+    """The driver-local merge loop (vocab under the threshold) and the
+    distributed expression-level fold must produce the SAME merge table,
+    merge for merge — on the real testdata corpus."""
+    from codd_spark.operators.tokenize import bpe_train
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    local = bpe_train(docs, "text", n_merges=15)
+    dist = bpe_train(docs, "text", n_merges=15, driver_vocab_threshold=0)
+    assert local == dist
+    assert len(local) == 15
