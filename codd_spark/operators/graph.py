@@ -42,10 +42,16 @@ def connected_components(
     for dedup that means every document gets a cluster id, not only the
     ones with a near-duplicate.
     """
+    # edges only need to be shuffled into place once; reuse across rounds.
+    # Checkpoint BEFORE deriving labels: the edge list's lineage is the
+    # whole upstream pair miner (e.g. the full MinHash pipeline), and a
+    # labels chain rooted at the UNcheckpointed edges would re-run that
+    # miner once more in round 1 (measured: fuzzy_dedup 21 -> 9 s warm)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     # iterate over edge ENDPOINTS only: isolated vertices are their own
     # singleton components by definition and can never change label, so
@@ -54,9 +60,6 @@ def connected_components(
     # smaller) near-dup edge set. They are appended once at the end.
     labels = edges.select(F.col("src").alias("id")).distinct()
     labels = labels.select("id", F.col("id").alias("component"))
-
-    # edges only need to be shuffled into place once; reuse across rounds
-    edges = edges.localCheckpoint(eager=False)
     prev_sum = None
     for _ in range(max_iter):
         # candidate labels flowing along edges: neighbor's component -> me.
