@@ -1726,6 +1726,58 @@ def q_decontaminate_bloom(spark, sf_dir):
     return clean.select("doc_id", F.length("text").alias("text_len"))
 
 
+def q_decontaminate_bloom_stream(spark, sf_dir):
+    """STREAMING decontamination against a prebuilt GramBloom sketch
+    (streaming/structured.py::bloom_decontaminate_batch_fn): the corpus
+    arrives as a file-source stream, each micro-batch is probed map-only
+    against the broadcast sketch and bloom-positive docs exact-verified
+    per batch (valid: the containment decision is per-document, so
+    per-batch application == the whole-corpus pass — equivalence also
+    engine-tested with multi-batch replay in tests/test_streaming_bloom.py).
+    Same survivor set, and same oracle, as `decontaminate_bloom` — the
+    driver-visible proof the in-flight arrival path computes the batch
+    answer exactly."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from codd_spark.operators.dedup import build_gram_bloom
+    from codd_spark.streaming.structured import (
+        bloom_decontaminate_batch_fn,
+        stream_from_directory,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    evalset = docs.filter("doc_id >= 300 AND doc_id < 400")
+    bloom = build_gram_bloom(evalset, "doc_id", "text", n=3)
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = stream_from_directory(
+        spark, sf_dir, raw_schema, fmt="parquet",
+        max_files_per_trigger=None, glob_filter="documents.parquet",
+    ).filter("doc_id < 300")
+
+    out_dir = _tempfile.mkdtemp(prefix="codd_bloom_stream_out_")
+
+    def sink(clean_df, epoch_id):
+        clean_df.select(
+            "doc_id", F.length("text").alias("text_len")
+        ).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(
+            bloom_decontaminate_batch_fn(evalset, bloom, sink, min_hits=2)
+        )
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(120)
+    result = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    _shutil.rmtree(out_dir, ignore_errors=True)
+    return result
+
+
 def q_decontaminate_lsh(spark, sf_dir):
     """Scale-path decontamination: MinHash cross-table candidates (shared
     hash family, shuffle-pinned bucket join, degenerate-bucket guards) +
@@ -2878,6 +2930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sentences": q_doc_sentences,
         "decontaminate_containment": q_decontaminate_containment,
         "decontaminate_bloom": q_decontaminate_bloom,
+        "decontaminate_bloom_stream": q_decontaminate_bloom_stream,
         "decontaminate_lsh": q_decontaminate_lsh,
         "forecast_revenue": q_forecast_revenue,
         "market_share": q_market_share,
@@ -4856,6 +4909,27 @@ def oracle_sql() -> dict[str, str]:
         # r5: bloom-prefiltered decontamination — exact-verified, so the
         # oracle is the clean-side complement of the containment rule
         "decontaminate_bloom": """
+            WITH g AS (
+              SELECT doc_id,
+                     UNNEST(list_distinct(list_transform(range(1, greatest(len(s)-1, 2)),
+                            i -> array_to_string(list_slice(s, i, i+2), ' ')))) AS gram
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS s
+                    FROM documents WHERE doc_id < 400)
+            ),
+            dirty AS (
+              SELECT a.doc_id FROM g a JOIN g b ON a.gram = b.gram
+              WHERE a.doc_id < 300 AND b.doc_id >= 300
+              GROUP BY a.doc_id, b.doc_id
+              HAVING COUNT(*) >= 2
+            )
+            SELECT doc_id, CAST(length(text) AS INT) AS text_len
+            FROM documents
+            WHERE doc_id < 300 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+        """,
+        # r5: streaming arrival path of the same exact-verified rule —
+        # identical survivor set, so the oracle is the same containment
+        # complement as decontaminate_bloom
+        "decontaminate_bloom_stream": """
             WITH g AS (
               SELECT doc_id,
                      UNNEST(list_distinct(list_transform(range(1, greatest(len(s)-1, 2)),

@@ -1410,6 +1410,82 @@ def build_gram_bloom(
     return GramBloom(bitmap, m_bits, n_hashes, n, n_grams)
 
 
+def bloom_hits_udf(bloom: GramBloom):
+    """Vectorized Arrow UDF over an ``array<long>`` gram-hash column:
+    returns how many DISTINCT grams have all ``bloom.n_hashes`` probe
+    bits set in the sketch. Stateless scalar pandas UDF — the map-only
+    probe half of ``bloom_decontaminate``, factored out so batch and
+    STREAMING plans share one kernel (see ``bloom_probe``)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    bitmap = bloom.bitmap
+    mask = bloom.m_bits - 1
+    k = bloom.n_hashes
+
+    def _hits(gh1s):
+        import pandas as pd
+
+        n_rows = len(gh1s)
+        l1 = [np.asarray(v, dtype=np.int64) for v in gh1s]
+        lens = np.fromiter((a.size for a in l1), dtype=np.int64, count=n_rows)
+        if lens.sum() == 0:
+            return pd.Series(np.zeros(n_rows, dtype=np.int32))
+        # one flat membership pass over the WHOLE Arrow batch (no per-row
+        # Python loop): k probes on the concatenated gram stream, then a
+        # lexsort gives distinct (row, gram) hit counts vectorized
+        flat1 = np.concatenate(l1)
+        row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+        # second hash = the same xorshift64 mix the build side applied
+        # JVM-side (_xs_mix_col) — uint64 domain makes >> logical
+        u = flat1.astype(np.uint64)
+        z = u ^ (u << np.uint64(13))
+        z = z ^ (z >> np.uint64(7))
+        z = z ^ (z << np.uint64(17))
+        p1 = flat1 & mask
+        p2 = (z & np.uint64(mask)).astype(np.int64)
+        ok = np.ones(flat1.size, dtype=bool)
+        for j in range(k):
+            p = (p1 + j * p2) & mask
+            ok &= ((bitmap[p >> 6] >> (p & 63)) & 1).astype(bool)
+        r, g = row_ids[ok], flat1[ok]
+        out = np.zeros(n_rows, dtype=np.int64)
+        if r.size:
+            order = np.lexsort((g, r))
+            r, g = r[order], g[order]
+            first = np.ones(r.size, dtype=bool)
+            first[1:] = (r[1:] != r[:-1]) | (g[1:] != g[:-1])
+            out = np.bincount(r[first], minlength=n_rows)
+        return pd.Series(out.astype(np.int32))
+
+    # no type annotations: `from __future__ import annotations` stringifies
+    # hints, which the pandas_udf signature inspector rejects — the
+    # 1-arg no-hint form is a plain SCALAR (batch Series -> Series) UDF
+    return pandas_udf(_hits, "integer")
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: GramBloom,
+    *,
+    text_col: str = "text",
+    hits_col: str = "bloom_hits",
+) -> DataFrame:
+    """Append ``hits_col`` = number of the document's distinct
+    word-``bloom.ngram_n``-grams that are (probably) in ``bloom``'s gram
+    set. MAP-ONLY: one JVM gram-hash pass feeding one Arrow batch probe
+    per partition — no shuffle, no state — so the same expression applies
+    unchanged to a STREAMING DataFrame (wrapped by
+    streaming/structured.py::streaming_bloom_decontaminate). No false
+    negatives (Bloom guarantee); hits over-count only at the sketch's
+    false-positive rate."""
+    gh1 = F.transform(
+        _ngrams_of_attr(tokens(F.col(text_col)), bloom.ngram_n),
+        lambda g: F.xxhash64(g),
+    )
+    return df.withColumn(hits_col, bloom_hits_udf(bloom)(gh1))
+
+
 def bloom_decontaminate(
     corpus: DataFrame,
     contaminants: DataFrame | None = None,
@@ -1460,9 +1536,6 @@ def bloom_decontaminate(
     ``contaminants`` is only needed for ``exact_verify``.
 
     Returns the clean corpus (original columns)."""
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
     if prebuilt is None:
         if contaminants is None:
             raise ValueError("pass contaminants or a prebuilt GramBloom")
@@ -1479,55 +1552,15 @@ def bloom_decontaminate(
             "exact_verify needs the contaminants DataFrame "
             "(pass exact_verify=False for sketch-only removal)"
         )
-    bitmap = prebuilt.bitmap
-    mask = prebuilt.m_bits - 1
-    k = prebuilt.n_hashes
-
-    def _hits(gh1s):
-        import pandas as pd
-
-        n_rows = len(gh1s)
-        l1 = [np.asarray(v, dtype=np.int64) for v in gh1s]
-        lens = np.fromiter((a.size for a in l1), dtype=np.int64, count=n_rows)
-        if lens.sum() == 0:
-            return pd.Series(np.zeros(n_rows, dtype=np.int32))
-        # one flat membership pass over the WHOLE Arrow batch (no per-row
-        # Python loop): k probes on the concatenated gram stream, then a
-        # lexsort gives distinct (row, gram) hit counts vectorized
-        flat1 = np.concatenate(l1)
-        row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
-        # second hash = the same xorshift64 mix the build side applied
-        # JVM-side (_xs_mix_col) — uint64 domain makes >> logical
-        u = flat1.astype(np.uint64)
-        z = u ^ (u << np.uint64(13))
-        z = z ^ (z >> np.uint64(7))
-        z = z ^ (z << np.uint64(17))
-        p1 = flat1 & mask
-        p2 = (z & np.uint64(mask)).astype(np.int64)
-        ok = np.ones(flat1.size, dtype=bool)
-        for j in range(k):
-            p = (p1 + j * p2) & mask
-            ok &= ((bitmap[p >> 6] >> (p & 63)) & 1).astype(bool)
-        r, g = row_ids[ok], flat1[ok]
-        out = np.zeros(n_rows, dtype=np.int64)
-        if r.size:
-            order = np.lexsort((g, r))
-            r, g = r[order], g[order]
-            first = np.ones(r.size, dtype=bool)
-            first[1:] = (r[1:] != r[:-1]) | (g[1:] != g[:-1])
-            out = np.bincount(r[first], minlength=n_rows)
-        return pd.Series(out.astype(np.int32))
-
-    # no type annotations: `from __future__ import annotations` stringifies
-    # hints, which the pandas_udf signature inspector rejects — the
-    # 1-arg no-hint form is a plain SCALAR (batch Series -> Series) UDF
-    hits_udf = pandas_udf(_hits, "integer")
-
-    corpus_g = _gram_hash_arrays(corpus, id_col, text_col, n, keep_id=True)
     flagged_ids = (
-        corpus_g.select("__id", hits_udf("gh1").alias("__bloom_hits"))
+        bloom_probe(
+            corpus.select(id_col, text_col),
+            prebuilt,
+            text_col=text_col,
+            hits_col="__bloom_hits",
+        )
         .filter(F.col("__bloom_hits") >= min_hits)
-        .select(F.col("__id").alias(id_col))
+        .select(id_col)
     )
     if exact_verify:
         cand_docs = corpus.join(

@@ -85,6 +85,76 @@ def session_windows(
     )
 
 
+def streaming_bloom_decontaminate(
+    sdf: DataFrame,
+    bloom,
+    *,
+    text_col: str = "text",
+    min_hits: int = 1,
+    hits_col: str | None = None,
+) -> DataFrame:
+    """Decontaminate a document STREAM against a prebuilt ``GramBloom``
+    sketch (operators/dedup.py): drop every document whose count of
+    distinct word-n-grams present in the sketch reaches ``min_hits``.
+
+    The probe is the same map-only Arrow kernel as the batch operator
+    (``bloom_probe``) — stateless and shuffle-free, so it is append-mode
+    safe with no watermark and no state store; and because the decision
+    is per-document, chunked streaming replay produces EXACTLY the batch
+    pass's survivor set (tested in tests/test_streaming_bloom.py).
+
+    Sketch-only semantics: no false negatives (every doc the exact
+    containment rule flags is flagged here), false positives at the
+    sketch's fp rate (~0.04% at the 16-bits/item default). For EXACT
+    streaming removal, run the verifying batch operator per micro-batch
+    via ``bloom_decontaminate_batch_fn`` (foreachBatch) instead.
+
+    This is the 100-TB arrival shape: build sketches once per benchmark,
+    OR-union them (GramBloom.union), and every newly crawled shard is
+    cleaned in-flight with zero corpus-side shuffle."""
+    from codd_spark.operators.dedup import bloom_probe
+
+    probe_col = hits_col or "__bloom_hits"
+    out = bloom_probe(sdf, bloom, text_col=text_col, hits_col=probe_col).filter(
+        F.col(probe_col) < min_hits
+    )
+    return out if hits_col else out.drop(probe_col)
+
+
+def bloom_decontaminate_batch_fn(
+    contaminants: DataFrame,
+    bloom,
+    sink,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_hits: int = 1,
+):
+    """foreachBatch callable for EXACT streaming decontamination: each
+    micro-batch runs the verifying batch operator
+    (``bloom_decontaminate(..., prebuilt=bloom, exact_verify=True)``) and
+    hands the cleaned batch to ``sink(clean_df, epoch_id)``. Per-batch
+    application equals the whole-corpus pass because the containment
+    decision is per-document — no cross-document interaction exists to
+    lose at batch boundaries. Use as
+    ``sdf.writeStream.foreachBatch(bloom_decontaminate_batch_fn(...))``."""
+    from codd_spark.operators.dedup import bloom_decontaminate
+
+    def _fn(batch_df: DataFrame, epoch_id: int) -> None:
+        clean = bloom_decontaminate(
+            batch_df,
+            contaminants,
+            id_col,
+            text_col,
+            n=bloom.ngram_n,
+            min_hits=min_hits,
+            prebuilt=bloom,
+        )
+        sink(clean, epoch_id)
+
+    return _fn
+
+
 def streaming_dedup(
     sdf: DataFrame, keys: list[str], ts_col: str | None = None, watermark: str = "10 minutes"
 ) -> DataFrame:
