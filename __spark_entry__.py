@@ -1973,6 +1973,18 @@ def q_unigram_surprisal(spark, sf_dir):
     return unigram_surprisal(docs, "doc_id", "text")
 
 
+def q_bigram_surprisal(spark, sf_dir):
+    """Mean bigram surprisal per doc under a corpus-trained Laplace
+    bigram LM (-avg ln p(w2|w1)) — the CCNet-style n-gram-LM quality
+    score that catches corpus-typical tokens in atypical ORDER. Model
+    tables (bigram + context counts) join each other first; the fact
+    table shuffles once on (w1,w2); vocab size is a 1-row broadcast."""
+    from codd_spark.operators.text import bigram_surprisal
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bigram_surprisal(docs, "doc_id", "text")
+
+
 def q_click_purchase_stream_join(spark, sf_dir):
     """Stream-stream join contract evidence: clicks and purchases read as
     two watermarked streams from the same file source, inner-joined per
@@ -2924,6 +2936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "click_purchase_stream_join": q_click_purchase_stream_join,
         "unigram_surprisal": q_unigram_surprisal,
+        "bigram_surprisal": q_bigram_surprisal,
         "incremental_agg_view": q_incremental_agg_view,
         "concurrent_orders": q_concurrent_orders,
         "weighted_avg_price": q_weighted_avg_price,
@@ -4252,6 +4265,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, COUNT(*) AS n_tokens,
                    ROUND(-AVG(ln(tf::DOUBLE / n_total)), 6) AS mean_surprisal
             FROM term_rows JOIN freq USING (term) CROSS JOIN tot
+            GROUP BY doc_id
+        """,
+        # r5: Laplace bigram LM replay — same tokenization, 1-indexed
+        # consecutive pairs, add-1 smoothing over the unigram vocab
+        "bigram_surprisal": """
+            WITH toked AS (
+              SELECT doc_id,
+                     list_filter(list_transform(string_split_regex(trim(text), '\\s+'),
+                                 t -> lower(t)), t -> t <> '') AS toks
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+              FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM toked)
+            ),
+            c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+            c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+            v AS (SELECT COUNT(DISTINCT t) AS v
+                  FROM (SELECT unnest(toks) AS t FROM toked)),
+            model AS (
+              SELECT w1, w2, (c12 + 1.0) / (c1 + 1.0 * v) AS p
+              FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+            )
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   ROUND(-AVG(ln(p)), 6) AS mean_surprisal
+            FROM bg JOIN model USING (w1, w2)
             GROUP BY doc_id
         """,
         # Spark runs this as a watermarked stream-stream join; the oracle

@@ -444,6 +444,75 @@ def unigram_surprisal(
     )
 
 
+def bigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: float = 1.0,
+) -> DataFrame:
+    """Mean bigram surprisal per document: -avg(ln p(w2 | w1)) under a
+    corpus-trained add-k (Laplace) bigram model ->
+    (id, n_bigrams, mean_surprisal).
+
+    One rung above ``unigram_surprisal`` on the LM-quality-filter ladder
+    (the CCNet/Gopher recipe scores documents with an n-gram LM before
+    any neural model): word-salad that passes the unigram filter —
+    corpus-typical tokens in corpus-atypical ORDER — scores high here.
+    p(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V), with c(w1) the count of
+    bigrams starting with w1 and V the corpus unigram vocabulary, so the
+    estimate is a proper conditional distribution per context.
+
+    Shape at scale: one explode into bigram rows (corpus-linear); the
+    (w1,w2) count and the w1 context count are vocabulary-keyed
+    aggregates JOINED TO EACH OTHER first (model-sized, never the fact
+    table twice); the single fact-table join shuffles on (w1,w2); V is a
+    1-row broadcast; final per-doc aggregate has map-side combine.
+    Documents with fewer than two tokens have no bigrams and are absent
+    from the output (no conditional to score)."""
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.transform(tokens(F.col(text_col)), F.lower), lambda t: t != ""
+        ).alias("toks"),
+    )
+    bigram_rows = toked.select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))).alias("w1"),
+                F.slice("toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("bg"),
+    ).select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c12 = bigram_rows.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bigram_rows.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = toked.select(F.explode("toks").alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    model = (
+        c12.join(c1.hint("shuffle_merge"), on="w1")
+        .join(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            (
+                (F.col("c12") + F.lit(k))
+                / (F.col("c1") + F.lit(k) * F.col("v"))
+            ).alias("p"),
+        )
+    )
+    return (
+        bigram_rows.join(model.hint("shuffle_merge"), on=["w1", "w2"])
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(-F.avg(F.log("p")), 6).alias("mean_surprisal"),
+        )
+        .select(F.col("id").alias(id_col), "n_bigrams", "mean_surprisal")
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------

@@ -1139,3 +1139,48 @@ def test_gram_bloom_build_union_roundtrip(spark):
     assert bloom_decontaminate(
         corpus, None, n=3, min_hits=2, prebuilt=fu, exact_verify=False
     ).count() > 0
+
+
+def test_bigram_surprisal_matches_python_model(spark):
+    """Operator vs a pure-Python Laplace bigram LM on a tiny corpus —
+    same tokenization, same conditional, same add-1 smoothing."""
+    import math
+
+    from codd_spark.operators.text import bigram_surprisal
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ate the fish"),
+        (3, "fish the ate cat the"),  # same tokens, scrambled order
+        (4, "solo"),  # single token: no bigram, absent from output
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    toks = {i: t.lower().split() for i, t in rows}
+    bigrams = {i: list(zip(ts, ts[1:])) for i, ts in toks.items()}
+    all_bg = [b for bs in bigrams.values() for b in bs]
+    c12 = {}
+    c1 = {}
+    for w1, w2 in all_bg:
+        c12[(w1, w2)] = c12.get((w1, w2), 0) + 1
+        c1[w1] = c1.get(w1, 0) + 1
+    vocab = {w for ts in toks.values() for w in ts}
+    v = len(vocab)
+
+    def surprisal(i):
+        ps = [
+            (c12[(w1, w2)] + 1.0) / (c1[w1] + 1.0 * v)
+            for w1, w2 in bigrams[i]
+        ]
+        return round(-sum(math.log(p) for p in ps) / len(ps), 6)
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.mean_surprisal)
+        for r in bigram_surprisal(df).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    for i in (1, 2, 3):
+        assert got[i][0] == len(bigrams[i])
+        assert abs(got[i][1] - surprisal(i)) < 1e-9, (i, got[i], surprisal(i))
+    # scrambled word order scores strictly higher than its natural twin
+    assert got[3][1] > got[2][1]
