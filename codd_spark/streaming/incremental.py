@@ -48,11 +48,36 @@ from codd_spark.plans.compile import (
 from codd_spark.plans.validate import assert_view_safe, dependencies
 from codd_spark.database import ViewRef
 
+import contextlib
 import functools
 
 # Truncate DataFrame lineage after this many merges into a stable set; keeps
 # the logical plan bounded across long insert/stabilize histories.
 _CHECKPOINT_EVERY = 8
+
+
+@contextlib.contextmanager
+def _no_constraint_propagation(spark: SparkSession):
+    """Catalyst's InferFiltersFromConstraints crashes with
+    ``NoSuchElementException: key not found: <attr>`` (in
+    Union.rewriteConstraints) on the plan shape semi-naive maintenance
+    builds for self-joins: a union of semi-join delta branches whose
+    subtrees share leaf attributes, stacked on an unpromoted stable set
+    that embeds earlier deltas of the same shape (caught by the IVM fuzz
+    on a semi(σ(t) ⋉ σ(t)) view). Constraint propagation buys nothing on
+    these short, checkpoint-bounded internal plans, so it is switched off
+    strictly around the engine's OWN materialization actions and restored
+    after — user-facing plans keep the session default."""
+    key = "spark.sql.constraintPropagation.enabled"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = "true"
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 class _Instance:
@@ -72,7 +97,8 @@ class _Instance:
 
     def seed_stable(self, df: DataFrame) -> None:
         """Install an initial stable set (view seeding)."""
-        self.stable = df.localCheckpoint(eager=True)
+        with _no_constraint_propagation(df.sparkSession):
+            self.stable = df.localCheckpoint(eager=True)
 
     def promote(self) -> None:
         """Merge the nonempty recent set into stable."""
@@ -80,28 +106,34 @@ class _Instance:
         self.stable = self.stable.union(self.recent)
         self.merges += 1
         if self.merges % _CHECKPOINT_EVERY == 0:
-            self.stable = self.stable.localCheckpoint(eager=True)
+            with _no_constraint_propagation(self.stable.sparkSession):
+                self.stable = self.stable.localCheckpoint(eager=True)
 
     def changed(self) -> bool:
         """Promote recent->stable, then (to_add minus stable)->recent.
         Returns True iff there is a new nonempty recent to propagate.
         Reference: core/src/database/instance.rs:173-206."""
-        if not self.recent.isEmpty():
-            self.promote()
-        self.recent = self.recent.limit(0)
-        if self.to_add:
-            pending = self.to_add[0]
-            for b in self.to_add[1:]:
-                pending = pending.union(b)
-            self.to_add = []
-            # checkpoint BEFORE the emptiness probe: recent is read several
-            # times (emptiness, delta eval per dependent view, promotion
-            # next round) and each read would otherwise recompute the full
-            # distinct-minus-stable pipeline
-            fresh = pending.distinct().subtract(self.stable).localCheckpoint(eager=True)
-            if not fresh.isEmpty():
-                self.recent = fresh
-                return True
+        with _no_constraint_propagation(self.stable.sparkSession):
+            if not self.recent.isEmpty():
+                self.promote()
+            self.recent = self.recent.limit(0)
+            if self.to_add:
+                pending = self.to_add[0]
+                for b in self.to_add[1:]:
+                    pending = pending.union(b)
+                self.to_add = []
+                # checkpoint BEFORE the emptiness probe: recent is read
+                # several times (emptiness, delta eval per dependent view,
+                # promotion next round) and each read would otherwise
+                # recompute the full distinct-minus-stable pipeline
+                fresh = (
+                    pending.distinct()
+                    .subtract(self.stable)
+                    .localCheckpoint(eager=True)
+                )
+                if not fresh.isEmpty():
+                    self.recent = fresh
+                    return True
         return False
 
     def all_df(self) -> DataFrame:
@@ -288,7 +320,10 @@ class IncrementalDatabase:
         """Stabilize affected state, then return sorted deduplicated tuples
         (reference: core/src/database.rs:179-185 + evaluate.rs:541-546)."""
         out = self.df(expr)
-        return out.orderBy(*out.columns).collect()
+        # the "all" plan can embed the same self-join union shapes the
+        # maintenance actions guard against — same Catalyst workaround
+        with _no_constraint_propagation(self.spark):
+            return out.orderBy(*out.columns).collect()
 
     def view_rows(self, ref: ViewRef) -> list[Row]:
         return self.evaluate(ref.scan())
@@ -360,11 +395,24 @@ class IncrementalDatabase:
         if isinstance(expr, ast.Join):
             how = (expr.how or "inner").lower()
 
-            def keyed(l: DataFrame, r: DataFrame):
+            def keyed(l: DataFrame, r: DataFrame, right_keys_only: bool = False):
                 lkeys = _resolve_cols(expr.left_key, l)
                 rkeys = _resolve_cols(expr.right_key, r)
                 lk = l.select("*", *[k.alias(f"__codd_k{i}") for i, k in enumerate(lkeys)]).alias("l")
-                rk = r.select("*", *[k.alias(f"__codd_k{i}") for i, k in enumerate(rkeys)]).alias("r")
+                if right_keys_only:
+                    # semi/anti output carries no right columns, so project
+                    # the probe side down to freshly-aliased keys only.
+                    # Besides narrowing the build side, the fresh exprIds
+                    # break the leaf-attribute sharing a self-join's delta
+                    # branches otherwise have — unioning those branches
+                    # crashes Catalyst's Union constraint rewriting
+                    # (NoSuchElementException at localCheckpoint; caught by
+                    # the IVM fuzz on semi(σ(t) ⋉ σ(t)))
+                    rk = r.select(
+                        *[k.alias(f"__codd_k{i}") for i, k in enumerate(rkeys)]
+                    ).alias("r")
+                else:
+                    rk = r.select("*", *[k.alias(f"__codd_k{i}") for i, k in enumerate(rkeys)]).alias("r")
                 pairs = [
                     lk[f"__codd_k{i}"].eqNullSafe(rk[f"__codd_k{i}"])
                     if expr.null_safe
@@ -383,9 +431,12 @@ class IncrementalDatabase:
 
             def run_how(l: DataFrame, r: DataFrame) -> DataFrame:
                 # mirror compile.py's batch semantics exactly
-                lk, rk, cond, nk = keyed(l, r)
+                keys_only = how in (
+                    "semi", "left_semi", "leftsemi", "anti", "left_anti", "leftanti"
+                )
+                lk, rk, cond, nk = keyed(l, r, right_keys_only=keys_only)
                 joined = lk.join(rk, on=cond, how=how)
-                if how in ("semi", "left_semi", "leftsemi", "anti", "left_anti", "leftanti"):
+                if keys_only:
                     return joined.drop(*[f"__codd_k{i}" for i in range(nk)])
                 return joined.select(*_apply_mapper(expr.mapper, lk, rk))
 

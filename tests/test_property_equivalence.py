@@ -8,7 +8,7 @@ each operator chained on itself; we test random chains of all of them).
 
 import duckdb
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from codd_spark import Database
@@ -190,6 +190,25 @@ def test_random_expression_matches_duckdb(setup, expr):
         min_size=1,
         max_size=3,
     ),
+)
+# regression: null-safe SEMI self-join of the same filtered relation —
+# its delta union stacked on an unpromoted stable set crashed Catalyst's
+# InferFiltersFromConstraints (NoSuchElementException in
+# Union.rewriteConstraints); fixed by scoping constraint propagation off
+# around the engine's materialization actions (incremental.py)
+@example(
+    expr=ast.Join(
+        left=ast.Select(child=ast.Relation(name="t_b"), predicate="n % 2 = 0"),
+        right=ast.Select(child=ast.Relation(name="t_b"), predicate="n % 2 = 0"),
+        left_key=["n"],
+        right_key=["n"],
+        mapper=None,
+        how="semi",
+        null_safe=True,
+    ),
+    init_a=[],
+    init_b=[0],
+    schedule=[("t_b", [1])],
 )
 def test_random_monotone_view_maintained_incrementally(
     spark, expr, init_a, init_b, schedule
