@@ -119,13 +119,22 @@ BENCH_QUERIES = [
     # round-5 additions
     "decontaminate_bloom",      # Bloom-prefiltered map-only decontamination
     "fuzzy_dedup_docs",         # MinHash pairs -> closure -> keeper election
+    "decontaminate_bloom_stream",  # streaming arrival path (foreachBatch verify)
+    "bigram_surprisal",         # Laplace bigram LM quality scoring
 ]
 
 # Snapshot of the round-4 bench set (87 + flagship = 88 timed entries).
 # BENCH_SUMMARY.json reports the subtotal over this set as
 # ``value_comparable_prev_round`` so round-over-round regression checks
 # need no set algebra even when later rounds grow BENCH_QUERIES.
-ROUND5_ADDITIONS = frozenset({"decontaminate_bloom", "fuzzy_dedup_docs"})
+ROUND5_ADDITIONS = frozenset(
+    {
+        "decontaminate_bloom",
+        "fuzzy_dedup_docs",
+        "decontaminate_bloom_stream",
+        "bigram_surprisal",
+    }
+)
 ROUND4_QUERIES = (
     frozenset(BENCH_QUERIES) | {"flagship_revenue_by_nation"}
 ) - ROUND5_ADDITIONS
