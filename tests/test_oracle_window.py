@@ -205,7 +205,14 @@ def test_decimal_vs_float_still_matches(duck):
 # round-5: previously rows-only queries upgraded to full oracle replay
 # (bpe_merges: 20 unrolled argmax+merge steps in DuckDB; winnowing: the
 # portable md5_60 k-gram hash makes the sketch bit-replayable)
-ROUND5_UPGRADES = ["bpe_merges", "winnowing", "decontaminate_bloom", "fuzzy_dedup_docs"]
+ROUND5_UPGRADES = [
+    "bpe_merges",
+    "winnowing",
+    "decontaminate_bloom",
+    "fuzzy_dedup_docs",
+    "decontaminate_bloom_stream",
+    "bigram_surprisal",
+]
 
 
 @pytest.mark.parametrize("name", ROUND5_UPGRADES)
