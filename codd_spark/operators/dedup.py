@@ -1699,6 +1699,186 @@ class IncrementalDecontaminator:
         return False
 
 
+class IncrementalDeduplicator:
+    """Arrival-order fuzzy dedup for a GROWING corpus: each arriving
+    batch keeps only documents that are not near-duplicates (char-shingle
+    Jaccard >= threshold) of anything ALREADY KEPT — the continuous-crawl
+    production shape, where re-running ``fuzzy_dedup`` over the whole
+    corpus per shard would cost O(corpus) per arrival.
+
+    The kept corpus's MinHash state (banded buckets + hashed shingle
+    sets, the two tables ``_minhash_prep`` builds) persists across
+    arrivals; each ``add_batch`` shingles/signs ONLY the batch, resolves
+    duplicates in two steps, and appends the survivors' state:
+
+    1. WITHIN the batch: banded self-join -> exact-Jaccard verify ->
+       transitive closure -> min-id keeper per cluster (identical
+       semantics to ``fuzzy_dedup`` on the batch alone).
+    2. AGAINST the kept corpus: batch-keeper buckets probe the state
+       buckets (shuffle-pinned equi-join), candidates exact-verified;
+       matched keepers are dropped (greedy arrival-order rule: earlier
+       kept wins).
+
+    Batch boundaries matter only for CHAINS that span them: A~B~C with
+    J(A,C) < t collapses to one survivor when it arrives together
+    (closure) but keeps A and C when B arrives in between and is dropped
+    against A — inherent to any one-pass dedup that never revisits kept
+    documents (same contract as the streaming dedup in CCNet-style
+    pipelines). When everything arrives in one batch the result equals
+    ``fuzzy_dedup`` keepers exactly (tested). Signatures computed in
+    separate passes are comparable because one-permutation signatures
+    are a per-document closed form of (text, num_hashes, shingle_k) —
+    same shared-hash-family argument as ``IncrementalDecontaminator``.
+
+    State lineage is cut with an eager localCheckpoint per arrival
+    (MEMORY_AND_DISK — spill-safe); at true corpus scale swap the state
+    tables for (band,h)-bucketed parquet (sinks.write_bucketed) and the
+    probe join co-locates on bucket files. ``seed`` installs an
+    already-deduplicated kept corpus as the initial state.
+    """
+
+    def __init__(
+        self,
+        spark,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        *,
+        num_hashes: int = 120,
+        bands: int = 20,
+        shingle_k: int = 5,
+        threshold: float = 0.5,
+        max_bucket_size: int = 1000,
+        seed: DataFrame | None = None,
+    ):
+        if num_hashes % bands != 0:
+            raise ValueError("num_hashes must be divisible by bands")
+        self.id_col, self.text_col = id_col, text_col
+        self.params = dict(num_hashes=num_hashes, bands=bands, shingle_k=shingle_k)
+        self.threshold = threshold
+        self.max_bucket_size = max_bucket_size
+        self.n_kept = 0
+        empty_b = spark.createDataFrame([], "id LONG, band INT, h LONG")
+        empty_s = spark.createDataFrame([], "id LONG, sh ARRAY<LONG>")
+        self._buckets, self._shingled = empty_b, empty_s
+        if seed is not None:
+            sb, ss = _minhash_prep(seed, id_col, text_col, **self.params)
+            self._buckets = self._guard(sb).localCheckpoint(eager=True)
+            self._shingled = ss.localCheckpoint(eager=True)
+            _safe_unpersist(ss)
+            self.n_kept = self._shingled.count()
+
+    def _guard(self, buckets: DataFrame) -> DataFrame:
+        return (
+            buckets.withColumn(
+                "bsz", F.count("*").over(Window.partitionBy("band", "h"))
+            )
+            .filter(F.col("bsz") <= self.max_bucket_size)
+            .select("id", "band", "h")
+        )
+
+    def _verify(self, cand: DataFrame, sh_l: DataFrame, sh_r: DataFrame) -> DataFrame:
+        """Exact-Jaccard filter of candidate (id_l, id_r) pairs."""
+        return (
+            cand.join(
+                sh_l.select(F.col("id").alias("id_l"), F.col("sh").alias("sh_l"))
+                .hint("shuffle_merge"),
+                on="id_l",
+            )
+            .join(
+                sh_r.select(F.col("id").alias("id_r"), F.col("sh").alias("sh_r"))
+                .hint("shuffle_merge"),
+                on="id_r",
+            )
+            # same rounded comparison as minhash_near_duplicates, so the
+            # one-batch case matches fuzzy_dedup pair-for-pair
+            .filter(
+                F.round(jaccard(F.col("sh_l"), F.col("sh_r")), 6) >= self.threshold
+            )
+            .select("id_l", "id_r")
+        )
+
+    def add_batch(self, batch: DataFrame) -> DataFrame:
+        """Process one arriving batch; returns the KEPT rows (original
+        columns) and appends their MinHash state for future arrivals."""
+        from codd_spark.operators.graph import dedup_clusters
+
+        bb_raw, bsh = _minhash_prep(batch, self.id_col, self.text_col, **self.params)
+        bb = self._guard(bb_raw)
+
+        # 1. within-batch closure -> min-id keeper per cluster
+        cand_in = (
+            bb.select("band", "h", F.col("id").alias("id_l"))
+            .join(
+                bb.select("band", "h", F.col("id").alias("id_r")).hint(
+                    "shuffle_merge"
+                ),
+                on=["band", "h"],
+            )
+            .filter(F.col("id_l") < F.col("id_r"))
+            .select("id_l", "id_r")
+            .distinct()
+        )
+        pairs_in = self._verify(cand_in, bsh, bsh)
+        keepers = (
+            dedup_clusters(
+                batch.select(self.id_col), pairs_in, self.id_col, "id_l", "id_r"
+            )
+            .filter("is_keeper")
+            .select(self.id_col)
+        )
+
+        # 2. batch keepers vs the kept corpus (state scans are
+        # checkpointed — O(batch) probe, no corpus recompute)
+        kb = bb.join(
+            keepers.withColumnRenamed(self.id_col, "id").hint("shuffle_merge"),
+            on="id",
+            how="left_semi",
+        )
+        cand_x = (
+            self._buckets.select("band", "h", F.col("id").alias("id_l"))
+            .join(
+                kb.select("band", "h", F.col("id").alias("id_r")).hint(
+                    "shuffle_merge"
+                ),
+                on=["band", "h"],
+            )
+            .select("id_l", "id_r")
+            .distinct()
+        )
+        dropped = (
+            self._verify(cand_x, self._shingled, bsh)
+            .select(F.col("id_r").alias(self.id_col))
+            .distinct()
+        )
+        survivors = keepers.join(
+            dropped.hint("shuffle_merge"), on=self.id_col, how="left_anti"
+        ).localCheckpoint(eager=True)
+
+        # 3. append survivor state; cut lineage so arrival cost stays
+        # O(batch) regardless of history length
+        sid = survivors.withColumnRenamed(self.id_col, "id")
+        new_b = kb.join(sid.hint("shuffle_merge"), on="id", how="left_semi")
+        new_s = bsh.join(sid.hint("shuffle_merge"), on="id", how="left_semi")
+        self._buckets = self._buckets.union(new_b).localCheckpoint(eager=True)
+        self._shingled = self._shingled.union(new_s).localCheckpoint(eager=True)
+        _safe_unpersist(bsh)
+        self.n_kept += survivors.count()
+
+        return batch.join(
+            survivors.hint("shuffle_merge"), on=self.id_col, how="left_semi"
+        )
+
+    def close(self) -> None:
+        """Idempotent; state checkpoints are GC-managed, nothing pinned."""
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str,

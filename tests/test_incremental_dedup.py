@@ -1,0 +1,124 @@
+"""IncrementalDeduplicator: arrival-order fuzzy dedup with persistent
+MinHash state.
+
+Contract under test:
+- ONE batch == ``fuzzy_dedup`` keepers exactly (same pairs, same
+  closure, same min-id keeper election);
+- chunked arrival == one-shot when batches respect cluster boundaries
+  (the only divergence any one-pass dedup can have is a chain SPLIT
+  across batches);
+- a later arrival that near-duplicates an already-kept document is
+  dropped; novel documents are kept; seeding installs an existing kept
+  corpus as state.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from codd_spark.operators.dedup import IncrementalDeduplicator, fuzzy_dedup
+
+PARAMS = dict(num_hashes=120, bands=20, shingle_k=5, threshold=0.5)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _keeper_ids(docs):
+    return {
+        r.doc_id
+        for r in fuzzy_dedup(docs, threshold=PARAMS["threshold"]).filter(
+            "is_keeper"
+        ).collect()
+    }
+
+
+def test_one_batch_equals_fuzzy_dedup(spark, docs):
+    dd = IncrementalDeduplicator(spark, **PARAMS)
+    kept = {r.doc_id for r in dd.add_batch(docs).collect()}
+    assert kept == _keeper_ids(docs)
+    assert dd.n_kept == len(kept)
+
+
+def test_cluster_respecting_chunks_equal_one_shot(spark, docs):
+    """Split the corpus into two batches along CLUSTER boundaries (every
+    near-dup cluster arrives whole): incremental == one-shot keepers."""
+    clusters = fuzzy_dedup(docs, threshold=PARAMS["threshold"])
+    assign = clusters.select(
+        "doc_id", (F.col("cluster_id") % 2 == 0).alias("first_half")
+    )
+    tagged = docs.join(assign, "doc_id").localCheckpoint(eager=True)
+    b1 = tagged.filter("first_half").select("doc_id", "text")
+    b2 = tagged.filter("NOT first_half").select("doc_id", "text")
+    assert b1.count() > 0 and b2.count() > 0
+
+    dd = IncrementalDeduplicator(spark, **PARAMS)
+    kept = {r.doc_id for r in dd.add_batch(b1).collect()}
+    kept |= {r.doc_id for r in dd.add_batch(b2).collect()}
+    assert kept == _keeper_ids(docs)
+
+
+def test_later_near_dup_dropped_novel_kept(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog tonight again"),
+        (2, "completely unrelated text about spark shuffle partitions here"),
+    ]
+    arriving = [
+        # near-copy of doc 1 (one word changed)
+        (10, "the quick brown fox jumps over the lazy cat tonight again"),
+        # novel
+        (11, "fresh document with entirely new vocabulary and content"),
+    ]
+    schema = "doc_id LONG, text STRING"
+    dd = IncrementalDeduplicator(spark, **PARAMS)
+    first = {r.doc_id for r in dd.add_batch(spark.createDataFrame(base, schema)).collect()}
+    assert first == {1, 2}
+    second = {
+        r.doc_id
+        for r in dd.add_batch(spark.createDataFrame(arriving, schema)).collect()
+    }
+    assert second == {11}
+    assert dd.n_kept == 3
+
+
+def test_seed_state(spark):
+    schema = "doc_id LONG, text STRING"
+    seed = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight again")], schema
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy cat tonight again"),
+            (11, "fresh document with entirely new vocabulary and content"),
+        ],
+        schema,
+    )
+    dd = IncrementalDeduplicator(spark, seed=seed, **PARAMS)
+    assert dd.n_kept == 1
+    kept = {r.doc_id for r in dd.add_batch(batch).collect()}
+    assert kept == {11}
+
+
+def test_within_batch_closure(spark):
+    """Chained near-dups arriving TOGETHER collapse to one survivor
+    (the closure property pairwise streaming dedup lacks)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    a = base
+    b = base.replace("mu", "nu")          # near-dup of a
+    c = b.replace("alpha", "omega")       # near-dup of b (chains to a)
+    dd = IncrementalDeduplicator(spark, **PARAMS)
+    kept = {
+        r.doc_id
+        for r in dd.add_batch(
+            spark.createDataFrame(
+                [(1, a), (2, b), (3, c)], "doc_id LONG, text STRING"
+            )
+        ).collect()
+    }
+    # all three chain into one cluster at t=0.5 -> min id survives
+    assert kept == {1}
