@@ -155,6 +155,31 @@ def bloom_decontaminate_batch_fn(
     return _fn
 
 
+def incremental_dedup_batch_fn(dedup, sink):
+    """foreachBatch callable that drives an
+    ``operators.dedup.IncrementalDeduplicator`` from a document stream:
+    each micro-batch is deduplicated within itself (MinHash closure +
+    min-id keeper) and against everything previously kept, then the
+    surviving novel rows go to ``sink(kept_df, epoch_id)`` and their
+    MinHash state is appended for future batches. The streaming form of
+    the continuous-crawl arrival pipeline:
+
+        dd = IncrementalDeduplicator(spark)
+        q = (docs_stream.writeStream
+             .foreachBatch(incremental_dedup_batch_fn(dd, sink))
+             .start())
+
+    Semantics are exactly ``IncrementalDeduplicator.add_batch`` per
+    micro-batch (greedy earlier-kept-wins across batches, closure within
+    one); batch boundaries only affect near-dup CHAINS that span them —
+    see the class docstring."""
+
+    def _fn(batch_df: DataFrame, epoch_id: int) -> None:
+        sink(dedup.add_batch(batch_df), epoch_id)
+
+    return _fn
+
+
 def streaming_dedup(
     sdf: DataFrame, keys: list[str], ts_col: str | None = None, watermark: str = "10 minutes"
 ) -> DataFrame:
