@@ -1394,6 +1394,20 @@ def q_winnowing(spark, sf_dir):
     )
 
 
+def q_winnowing_pairs(spark, sf_dir):
+    """MOSS-style overlap mining: document pairs sharing >= 25 winnowing
+    fingerprints, with shared counts and per-side overlap fractions.
+    ONE fingerprint-keyed equi-join (shuffle-pinned, hot-fingerprint
+    buckets guarded) + one pair aggregate; md5_60 hash so DuckDB replays
+    the full sketch AND the pair mining bit-identically."""
+    from codd_spark.operators.text import winnowing_overlap_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return winnowing_overlap_pairs(
+        docs, "doc_id", "text", k=8, w=4, min_shared=25, hash_fn="md5_60"
+    )
+
+
 def q_doc_repetition_stats(spark, sf_dir):
     """Gopher-style repetition signals per document: type/token ratio,
     top-token share, duplicate 2-/3-gram fractions. Linear explode →
@@ -2930,6 +2944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_quality": q_text_quality,
         "winnowing": q_winnowing,
+        "winnowing_pairs": q_winnowing_pairs,
         "audio_metadata": q_audio_metadata,
         "events_hourly_stream": q_events_hourly_stream,
         "embedding_centroids": q_embedding_centroids,
@@ -5017,5 +5032,53 @@ def oracle_sql() -> dict[str, str]:
                    MIN(m) AS min_fingerprint
             FROM wins WHERE i <= greatest(ng - 3, 1)
             GROUP BY doc_id
+        """,
+        # r5: MOSS-style pair mining over the same md5_60 sketch — the
+        # bucket guard (fingerprints in > 1000 docs skip pair
+        # generation) is replicated so the replay is exact at ANY sf
+        "winnowing_pairs": r"""
+            WITH normed AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents
+            ),
+            grams AS MATERIALIZED (
+              SELECT doc_id, i,
+                     CAST(CONCAT('0x', substr(md5(substr(t, i, 8)), 1, 15)) AS BIGINT) AS h,
+                     greatest(length(t) - 7, 1) AS ng
+              FROM (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, greatest(length(t) - 7, 1))) AS i
+                FROM normed
+              )
+            ),
+            wins AS (
+              SELECT doc_id, i, ng,
+                     MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+              FROM grams
+            ),
+            fps AS MATERIALIZED (
+              SELECT DISTINCT doc_id, m
+              FROM wins WHERE i <= greatest(ng - 3, 1)
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS nf FROM fps GROUP BY doc_id),
+            guarded AS (
+              SELECT doc_id, m FROM fps
+              WHERE m IN (SELECT m FROM fps GROUP BY m HAVING COUNT(*) <= 1000)
+            ),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+              FROM guarded a JOIN guarded b
+                ON a.m = b.m AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+              HAVING COUNT(*) >= 25
+            )
+            SELECT p.id_a, p.id_b, p.n_shared,
+                   ROUND(p.n_shared::DOUBLE / sa.nf, 6) AS frac_a,
+                   ROUND(p.n_shared::DOUBLE / sb.nf, 6) AS frac_b
+            FROM pairs p
+            JOIN sizes sa ON sa.doc_id = p.id_a
+            JOIN sizes sb ON sb.doc_id = p.id_b
         """,
     }

@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "fuzzy_dedup_docs",         # MinHash pairs -> closure -> keeper election
     "decontaminate_bloom_stream",  # streaming arrival path (foreachBatch verify)
     "bigram_surprisal",         # Laplace bigram LM quality scoring
+    "winnowing_pairs",          # MOSS-style fingerprint overlap mining
 ]
 
 # Snapshot of the round-4 bench set (87 + flagship = 88 timed entries).
@@ -133,6 +134,7 @@ ROUND5_ADDITIONS = frozenset(
         "fuzzy_dedup_docs",
         "decontaminate_bloom_stream",
         "bigram_surprisal",
+        "winnowing_pairs",
     }
 )
 ROUND4_QUERIES = (

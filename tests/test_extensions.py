@@ -1184,3 +1184,39 @@ def test_bigram_surprisal_matches_python_model(spark):
         assert abs(got[i][1] - surprisal(i)) < 1e-9, (i, got[i], surprisal(i))
     # scrambled word order scores strictly higher than its natural twin
     assert got[3][1] > got[2][1]
+
+
+def test_winnowing_overlap_pairs_planted(spark):
+    """A verbatim shared passage of length >= k+w-1 guarantees shared
+    fingerprints (the winnowing guarantee); unrelated docs at zero."""
+    from codd_spark.operators.text import winnowing_overlap_pairs
+
+    shared = "the identical plagiarized passage lives in both documents word for word"
+    rows = [
+        (1, f"intro alpha. {shared} outro beta."),
+        (2, f"different opening here! {shared} and a different close."),
+        (3, "completely unrelated content about bucketed shuffle joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = winnowing_overlap_pairs(df, "doc_id", "text", min_shared=2)
+    got = {(r.id_a, r.id_b): r for r in out.collect()}
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r.n_shared >= 2 and 0 < r.frac_a <= 1 and 0 < r.frac_b <= 1
+    assert not any(3 in pair for pair in got)
+
+
+def test_winnowing_overlap_pairs_bucket_guard(spark):
+    """A fingerprint present in more than max_bucket_size docs is dropped
+    from pair generation (boilerplate guard) — with a tiny cap, the
+    all-shared corpus yields no pairs."""
+    from codd_spark.operators.text import winnowing_overlap_pairs
+
+    boiler = "this exact shared boilerplate sentence appears everywhere verbatim"
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(6)], "doc_id LONG, text STRING"
+    )
+    n = winnowing_overlap_pairs(
+        df, "doc_id", "text", min_shared=1, max_bucket_size=2
+    ).count()
+    assert n == 0

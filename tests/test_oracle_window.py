@@ -212,6 +212,7 @@ ROUND5_UPGRADES = [
     "fuzzy_dedup_docs",
     "decontaminate_bloom_stream",
     "bigram_surprisal",
+    "winnowing_pairs",
 ]
 
 
