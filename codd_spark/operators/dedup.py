@@ -1489,11 +1489,22 @@ def bloom_probe(
     streaming/structured.py::streaming_bloom_decontaminate). No false
     negatives (Bloom guarantee); hits over-count only at the sketch's
     false-positive rate."""
+    # stage the token array as a real column first: higher-order
+    # functions evaluate INTERPRETED (no codegen subexpression
+    # elimination), so an inline tokens() would re-split the text once
+    # per n-gram position — quadratic in document length. The staged
+    # column survives CollapseProject because _ngrams_of_attr references
+    # it twice (size + slice).
+    tok_col = f"__{hits_col}_toks"
     gh1 = F.transform(
-        _ngrams_of_attr(tokens(F.col(text_col)), bloom.ngram_n),
+        _ngrams_of_attr(F.col(tok_col), bloom.ngram_n),
         lambda g: F.xxhash64(g),
     )
-    return df.withColumn(hits_col, bloom_hits_udf(bloom)(gh1))
+    return (
+        df.withColumn(tok_col, tokens(F.col(text_col)))
+        .withColumn(hits_col, bloom_hits_udf(bloom)(gh1))
+        .drop(tok_col)
+    )
 
 
 def bloom_decontaminate(
