@@ -1394,6 +1394,17 @@ def q_winnowing(spark, sf_dir):
     )
 
 
+def q_zipf_stats(spark, sf_dir):
+    """Vocabulary-shape diagnostics per source: token/vocab counts, TTR,
+    top-token share, Zipf slope (OLS of ln f vs ln rank over the full
+    vocabulary, deterministic tie-broken ranks). One corpus-linear
+    explode; everything after is vocabulary-sized."""
+    from codd_spark.operators.text import zipf_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    return zipf_stats(docs, "text", "source")
+
+
 def q_winnowing_pairs(spark, sf_dir):
     """MOSS-style overlap mining: document pairs sharing >= 25 winnowing
     fingerprints, with shared counts and per-side overlap fractions.
@@ -2945,6 +2956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "winnowing": q_winnowing,
         "winnowing_pairs": q_winnowing_pairs,
+        "zipf_stats": q_zipf_stats,
         "audio_metadata": q_audio_metadata,
         "events_hourly_stream": q_events_hourly_stream,
         "embedding_centroids": q_embedding_centroids,
@@ -5080,5 +5092,33 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p
             JOIN sizes sa ON sa.doc_id = p.id_a
             JOIN sizes sb ON sb.doc_id = p.id_b
+        """,
+        # r5: Zipf slope replay — identical tokenization, deterministic
+        # (tf DESC, term ASC) tie-broken ranks, OLS over the vocabulary
+        "zipf_stats": """
+            WITH term_rows AS (
+              SELECT source, lower(tok) AS term FROM (
+                SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                FROM documents
+              ) WHERE tok <> ''
+            ),
+            freq AS (
+              SELECT source, term, COUNT(*) AS tf
+              FROM term_rows GROUP BY source, term
+            ),
+            ranked AS (
+              SELECT source, tf,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY tf DESC, term ASC) AS rk
+              FROM freq
+            )
+            SELECT source,
+                   CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                   COUNT(*) AS vocab_size,
+                   ROUND(COUNT(*)::DOUBLE / SUM(tf), 6) AS type_token_ratio,
+                   ROUND(MAX(tf)::DOUBLE / SUM(tf), 6) AS top_token_share,
+                   ROUND(regr_slope(ln(tf::DOUBLE), ln(rk::DOUBLE)), 6) AS zipf_slope
+            FROM ranked
+            GROUP BY source
         """,
     }

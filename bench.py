@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "decontaminate_bloom_stream",  # streaming arrival path (foreachBatch verify)
     "bigram_surprisal",         # Laplace bigram LM quality scoring
     "winnowing_pairs",          # MOSS-style fingerprint overlap mining
+    "zipf_stats",               # vocabulary-shape diagnostics per source
 ]
 
 # Snapshot of the round-4 bench set (87 + flagship = 88 timed entries).
@@ -135,6 +136,7 @@ ROUND5_ADDITIONS = frozenset(
         "decontaminate_bloom_stream",
         "bigram_surprisal",
         "winnowing_pairs",
+        "zipf_stats",
     }
 )
 ROUND4_QUERIES = (

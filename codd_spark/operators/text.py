@@ -240,6 +240,47 @@ def winnowing_overlap_pairs(
     )
 
 
+def zipf_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = "source",
+) -> DataFrame:
+    """Vocabulary-shape diagnostics per group (or one corpus-wide row
+    with ``group_col=None``): token count, vocabulary size, type-token
+    ratio, top-token share, and the Zipf slope — the OLS slope of
+    ln(frequency) against ln(rank) over the full vocabulary (a healthy
+    natural-language corpus sits near -1; templated/boilerplate slices
+    flatten toward 0, key-value dumps steepen). The standard quick probe
+    for "does this source look like language?" before expensive quality
+    models.
+
+    Shape at scale: one explode (corpus-linear) -> (group, term)
+    frequency aggregate with map-side combine (vocabulary-sized) ->
+    per-group rank window + regression AGGREGATES over the vocabulary
+    table only. Ranks use row_number ordered (freq DESC, term ASC) so
+    ties are deterministic and any SQL engine replays them exactly."""
+    gcols = [group_col] if group_col else []
+    term_rows = df.select(
+        *gcols, F.explode(F.transform(tokens(F.col(text_col)), F.lower)).alias("term")
+    ).where(F.col("term") != "")
+    freq = term_rows.groupBy(*gcols, "term").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy(*gcols).orderBy(F.col("tf").desc(), F.col("term").asc())
+    ranked = freq.select(
+        *gcols, "tf", F.row_number().over(w).alias("rk")
+    )
+    out = ranked.groupBy(*gcols).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count("*").alias("vocab_size"),
+        F.round(F.count("*") / F.sum("tf"), 6).alias("type_token_ratio"),
+        F.round(F.max("tf") / F.sum("tf"), 6).alias("top_token_share"),
+        F.round(
+            F.regr_slope(F.log(F.col("tf").cast("double")), F.log(F.col("rk").cast("double"))),
+            6,
+        ).alias("zipf_slope"),
+    )
+    return out
+
+
 def ngram_array(toks: Column, n: int) -> Column:
     """Token n-grams (space-joined) from a token-array column via
     zip_with over shifted slices — pure codegen, no explode."""

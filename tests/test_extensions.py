@@ -1220,3 +1220,29 @@ def test_winnowing_overlap_pairs_bucket_guard(spark):
         df, "doc_id", "text", min_shared=1, max_bucket_size=2
     ).count()
     assert n == 0
+
+
+def test_zipf_stats_closed_form(spark):
+    """Operator vs a hand-computed OLS slope on a tiny corpus."""
+    import math
+
+    from codd_spark.operators.text import zipf_stats
+
+    #   a:4  b:2  c:1  (one group)
+    df = spark.createDataFrame(
+        [(1, "a a b c", "s1"), (2, "a a b", "s1")],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    r = zipf_stats(df, "text", "source").collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.n_tokens == 7 and row.vocab_size == 3
+    assert abs(row.type_token_ratio - round(3 / 7, 6)) < 1e-9
+    assert abs(row.top_token_share - round(4 / 7, 6)) < 1e-9
+    xs = [math.log(1), math.log(2), math.log(3)]
+    ys = [math.log(4), math.log(2), math.log(1)]
+    mx, my = sum(xs) / 3, sum(ys) / 3
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    assert abs(row.zipf_slope - round(slope, 6)) < 1e-9

@@ -213,6 +213,7 @@ ROUND5_UPGRADES = [
     "decontaminate_bloom_stream",
     "bigram_surprisal",
     "winnowing_pairs",
+    "zipf_stats",
 ]
 
 
