@@ -1196,6 +1196,65 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_merges_df(spark, bpe_train(docs, "text", n_merges=20))
 
 
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 3, dim: int = 64, levels: int = 255) -> str:
+    """Unrolled DuckDB replay of kmeans_quantized: SQ encoding (same
+    double arithmetic and rounding as the sq_codes oracle), k lowest-id
+    singleton centroids, then per iteration an exact-integer distance
+    argmin (D = ||n*x - s||^2 / n^2 — identical integers, identical IEEE
+    division, identical argmin) and an elementwise integer sum update
+    with empty-cluster carry-forward. Returns the n_iter-th assignment,
+    exactly like the operator."""
+    parts = [f"""
+        WITH x AS (
+          SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+          FROM embeddings, (SELECT UNNEST(range(1, {dim + 1})) AS i) t
+        ), sc AS (
+          SELECT pos, MIN(v) AS lo, MAX(v) AS hi FROM x GROUP BY pos
+        ), codes AS MATERIALIZED (
+          SELECT vec_id,
+                 list(CAST(CASE WHEN hi = lo THEN 0
+                           ELSE ROUND((v - lo) / (hi - lo) * {levels}, 0)
+                      END AS BIGINT) ORDER BY pos) AS qv
+          FROM x JOIN sc USING (pos) GROUP BY vec_id
+        ), c0 AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
+                 qv AS s, CAST(1 AS BIGINT) AS n
+          FROM (SELECT vec_id, qv FROM codes ORDER BY vec_id LIMIT {k})
+        )"""]
+    for t in range(1, n_iter + 1):
+        prev = f"c{t - 1}"
+        parts.append(f""", a{t} AS MATERIALIZED (
+          SELECT vec_id, c, qv FROM (
+            SELECT codes.vec_id, p.c, codes.qv,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY codes.vec_id
+                     ORDER BY
+                       CAST(list_sum(list_transform(range(1, {dim + 1}),
+                            i -> (p.n * codes.qv[i] - p.s[i])
+                               * (p.n * codes.qv[i] - p.s[i]))) AS DOUBLE)
+                       / CAST(p.n * p.n AS DOUBLE) ASC,
+                       p.c ASC) AS rn
+            FROM codes CROSS JOIN {prev} p
+          ) WHERE rn = 1
+        )""")
+        if t < n_iter:
+            parts.append(f""", s{t} AS (
+          SELECT c, list(sv ORDER BY pos) AS s, ANY_VALUE(cnt) AS n FROM (
+            SELECT a.c, t.i AS pos,
+                   CAST(SUM(a.qv[t.i]) AS BIGINT) AS sv,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM a{t} a, (SELECT UNNEST(range(1, {dim + 1})) AS i) t
+            GROUP BY a.c, t.i
+          ) GROUP BY c
+        ), c{t} AS (
+          SELECT p.c, COALESCE(u.s, p.s) AS s, COALESCE(u.n, p.n) AS n
+          FROM {prev} p LEFT JOIN s{t} u ON u.c = p.c
+        )""")
+    parts.append(f"""
+        SELECT vec_id, c AS cluster FROM a{n_iter}""")
+    return "".join(parts)
+
+
 def _bpe_oracle_sql(n_merges: int = 20, min_pair_count: int = 2) -> str:
     """Independent DuckDB replay of bpe_train: word-frequency aggregate,
     char+end-marker symbolization, then ``n_merges`` UNROLLED steps, each
@@ -2625,6 +2684,20 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_top_k(encoded, books, queries_df, k=10, rerank=emb)
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Exact-replay Lloyd's k-means (operators/similarity.py::
+    kmeans_quantized): scalar-quantized integer codes, centroid state as
+    (sum, count) — never divided — distance argmin via
+    ||n·x − s||²/n² on exact integers, 3 unrolled iterations. The
+    oracle (_kmeans_oracle_sql) replays the ENTIRE training loop in
+    DuckDB; every assignment hash-matches — iterative ML with a SQL
+    oracle, the same discipline as bpe_merges."""
+    from codd_spark.operators.similarity import kmeans_quantized
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans_quantized(emb, dim=64, k=8, n_iter=3)
+
+
 def q_sq_codes(spark, sf_dir):
     """Scalar-quantization encoding contract: per-dimension (min, max)
     over the corpus (one aggregate scan), then each value maps to
@@ -2982,6 +3055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "ann_pq_topk": q_ann_pq_topk,
         "sq_codes": q_sq_codes,
+        "kmeans_clusters": q_kmeans_clusters,
         "ann_sq_topk": q_ann_sq_topk,
         "bm25_search": q_bm25_search,
         "dedup_exact_best": q_dedup_exact_best,
@@ -4972,6 +5046,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # r5: full DuckDB replay of the BPE training loop (was rows-only)
         "bpe_merges": _bpe_oracle_sql(),
+        "kmeans_clusters": _kmeans_oracle_sql(),
         # r5: bloom-prefiltered decontamination — exact-verified, so the
         # oracle is the clean-side complement of the containment rule
         "decontaminate_bloom": """

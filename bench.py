@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "bigram_surprisal",         # Laplace bigram LM quality scoring
     "winnowing_pairs",          # MOSS-style fingerprint overlap mining
     "zipf_stats",               # vocabulary-shape diagnostics per source
+    "kmeans_clusters",          # exact-replay integer-state Lloyd's k-means
 ]
 
 # Snapshot of the round-4 bench set (87 + flagship = 88 timed entries).
@@ -137,6 +138,7 @@ ROUND5_ADDITIONS = frozenset(
         "bigram_surprisal",
         "winnowing_pairs",
         "zipf_stats",
+        "kmeans_clusters",
     }
 )
 ROUND4_QUERIES = (

@@ -859,3 +859,105 @@ def hard_negatives(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc("negative_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    *,
+    dim: int,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """Lloyd's k-means over scalar-quantized embeddings with EXACT
+    integer state -> (id, cluster): a deterministic, engine-replayable
+    clustering pass (the building block behind IVF list assignment,
+    corpus bucketing for SemDeDup-style pipelines, and mixture capping
+    by content cluster).
+
+    Floating-point k-means is not replayable across engines: centroid
+    means depend on float summation ORDER, and one low-bit difference
+    can flip an argmin. This variant never leaves integers until the
+    final comparison: vectors are scalar-quantized to codes in
+    [0, levels] (``sq_train_encode`` — itself a closed form of the
+    corpus), centroid state is (elementwise SUM vector, COUNT) — never
+    divided — and the distance to a centroid MEAN compares via
+
+        D_c = ||n_c·x - s_c||² / n_c²
+
+    whose numerator and denominator are exact integers; the single
+    double division of identical integers is IEEE-identical in any
+    engine, so the argmin (ties -> smallest cluster id) is bit-stable
+    and the WHOLE training loop replays in SQL (oracle `kmeans_clusters`
+    unrolls every iteration in DuckDB). Initialization = the k
+    lowest-id vectors as singleton centroids.
+
+    Scale shape: per iteration, ONE broadcast of the k-row centroid
+    table against the corpus (k·dim longs — bounded by the model, not
+    the data), a corpus-linear argmin window keyed by id, and an
+    elementwise (cluster, dim) sum with map-side combine; centroid
+    state collects k rows to the driver per iteration (the same bounded
+    boundary as IVF's trained centroids). Overflow bound: |n·x - s| <=
+    2·levels·n, so Q <= dim·(2·levels·n)² — under 2^63 for corpora up to
+    ~2M vectors at levels=255, dim=64; raise to DECIMAL beyond that.
+    Empty clusters carry their previous state."""
+    spark = df.sparkSession
+    encoded, _scales = sq_train_encode(
+        df, dim=dim, id_col=id_col, emb_col=emb_col, levels=levels
+    )
+    q = encoded.select(
+        F.col(id_col).alias("id"), F.col("codes").cast("array<long>").alias("qv")
+    ).localCheckpoint(eager=True)
+
+    init = [
+        (int(i), [int(v) for v in r.qv], 1)
+        for i, r in enumerate(q.orderBy("id").limit(k).collect())
+    ]
+    cent_schema = "c INT, s ARRAY<LONG>, n LONG"
+    cents = spark.createDataFrame(init, cent_schema)
+
+    assigned = None
+    for _ in range(n_iter):
+        qq = F.col("qv")
+        quad = F.aggregate(
+            F.zip_with(qq, F.col("s"), lambda x, si: F.col("n") * x - si),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v * v,
+        )
+        scored = (
+            q.crossJoin(F.broadcast(cents))
+            .withColumn("__d", quad.cast("double") / (F.col("n") * F.col("n")).cast("double"))
+        )
+        w = Window.partitionBy("id").orderBy(F.col("__d").asc(), F.col("c").asc())
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+            .select("id", "c", "qv")
+            .localCheckpoint(eager=True)
+        )
+        sums = (
+            assigned.select("c", F.posexplode("qv").alias("pos", "v"))
+            .groupBy("c", "pos")
+            .agg(F.sum("v").alias("sv"))
+            .groupBy("c")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sv"))),
+                    lambda st: st["sv"],
+                ).alias("s")
+            )
+        )
+        counts = assigned.groupBy("c").agg(F.count("*").alias("n"))
+        new_rows = {
+            r.c: (r.c, [int(v) for v in r.s], int(r.n))
+            for r in sums.join(counts, "c").collect()
+        }
+        carried = [
+            new_rows.get(c, (c, [int(v) for v in s], int(n)))
+            for c, s, n in [(r.c, r.s, r.n) for r in cents.collect()]
+        ]
+        cents = spark.createDataFrame(carried, cent_schema)
+
+    return assigned.select(F.col("id").alias(id_col), F.col("c").alias("cluster"))

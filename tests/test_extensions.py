@@ -1246,3 +1246,33 @@ def test_zipf_stats_closed_form(spark):
         (x - mx) ** 2 for x in xs
     )
     assert abs(row.zipf_slope - round(slope, 6)) < 1e-9
+
+
+def test_kmeans_quantized_recovers_planted_clusters(spark):
+    """Two tight planted groups -> k=2 recovers the partition; output is
+    deterministic across runs; empty-cluster carry keeps k rows of state
+    (exercised via k=3 on 2 groups)."""
+    import random
+
+    from codd_spark.operators.similarity import kmeans_quantized
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(30):
+        center = 0.9 if i % 2 else -0.9
+        rows.append(
+            (i, [center + rng.uniform(-0.05, 0.05) for _ in range(8)], i % 2)
+        )
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+
+    out = {r.vec_id: r.cluster for r in kmeans_quantized(df, dim=8, k=2, n_iter=4).collect()}
+    # a cluster id maps 1:1 onto a planted group
+    groups = {0: {out[i] for i in range(0, 30, 2)}, 1: {out[i] for i in range(1, 30, 2)}}
+    assert len(groups[0]) == 1 and len(groups[1]) == 1 and groups[0] != groups[1]
+
+    again = {r.vec_id: r.cluster for r in kmeans_quantized(df, dim=8, k=2, n_iter=4).collect()}
+    assert out == again
+
+    # k=3 on 2 real groups: still assigns every vector, clusters <= 3
+    o3 = kmeans_quantized(df, dim=8, k=3, n_iter=3).collect()
+    assert len(o3) == 30 and {r.cluster for r in o3} <= {0, 1, 2}

@@ -214,6 +214,7 @@ ROUND5_UPGRADES = [
     "bigram_surprisal",
     "winnowing_pairs",
     "zipf_stats",
+    "kmeans_clusters",
 ]
 
 
