@@ -237,6 +237,7 @@ def ivf_top_k(
     n_lists: int = 16,
     n_probe: int = 3,
     seed: int = 42,
+    trainer: str = "mllib",
 ) -> DataFrame:
     """IVF-style approximate top-k: cluster the corpus with KMeans
     (the 'inverted lists'), assign each vector to its nearest centroid,
@@ -247,22 +248,65 @@ def ivf_top_k(
     centroid set is tiny and broadcast; the corpus is scanned once for
     assignment (persist the assigned table for repeated query batches at
     scale). Query->list routing switches physical strategy on n_lists —
-    see route_queries_to_lists."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    see route_queries_to_lists.
 
-    corpus_vec = df.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(emb_col).alias("_emb"),
-        array_to_vector(F.col(emb_col).cast("array<double>")).alias("features"),
+    ``trainer`` picks the clustering pass: ``"mllib"`` (Spark ML KMeans,
+    k-means||-seeded) or ``"sq_kmeans"`` (``kmeans_quantized`` — the
+    exact-integer-state Lloyd's in this module: deterministic list
+    assignment with no MLlib dependency, replayable end to end; list
+    geometry is computed on the quantized codes, routing centroids are
+    the float means of each list)."""
+    corpus_base = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("_emb")
     )
-    km = KMeans(k=n_lists, seed=seed, maxIter=20)
-    model = km.fit(corpus_vec.select("features"))
-    assigned = model.transform(corpus_vec).select(
-        "neighbor_id", "_emb", F.col("prediction").alias("list_id")
-    )
+    if trainer == "sq_kmeans":
+        dim = len(df.select(emb_col).first()[0])
+        assign = kmeans_quantized(
+            df, dim=dim, k=n_lists, n_iter=5, id_col=id_col, emb_col=emb_col
+        ).withColumnRenamed(id_col, "neighbor_id")
+        assigned = corpus_base.join(assign, on="neighbor_id").withColumnRenamed(
+            "cluster", "list_id"
+        )
+        cent_rows = (
+            assigned.select(
+                "list_id", F.posexplode(F.col("_emb").cast("array<double>")).alias("pos", "v")
+            )
+            .groupBy("list_id", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("list_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda st: st["m"],
+                ).alias("centroid")
+            )
+            .orderBy("list_id")
+            .collect()
+        )
+        # clusters can be fewer than n_lists (empty lists dropped);
+        # routing indexes must match list_id values, so densify by
+        # remapping list ids to the centroid row order
+        remap = {r.list_id: i for i, r in enumerate(cent_rows)}
+        centroids = [list(map(float, r.centroid)) for r in cent_rows]
+        mapping = F.create_map(
+            *[F.lit(x) for kv in remap.items() for x in kv]
+        )
+        assigned = assigned.withColumn("list_id", mapping[F.col("list_id")])
+    elif trainer == "mllib":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+        corpus_vec = corpus_base.withColumn(
+            "features", array_to_vector(F.col("_emb").cast("array<double>"))
+        )
+        km = KMeans(k=n_lists, seed=seed, maxIter=20)
+        model = km.fit(corpus_vec.select("features"))
+        assigned = model.transform(corpus_vec).select(
+            "neighbor_id", "_emb", F.col("prediction").alias("list_id")
+        )
+        centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    else:
+        raise ValueError(f"trainer must be 'mllib' or 'sq_kmeans', got {trainer!r}")
     qx = route_queries_to_lists(
         queries,
         centroids,

