@@ -162,3 +162,45 @@ def test_streaming_foreach_batch_drives_dedup(spark, tmp_path):
     # boundary the file source picked; everything else is novel
     assert sorted(kept) == [1, 2, 11]
     assert dd.n_kept == 3
+
+
+def test_no_two_kept_docs_are_near_dups_any_batching(spark):
+    """Batching-independent invariant: whatever the batch split, the
+    FINAL kept set contains no near-duplicate pair. (Within a batch the
+    closure elects one keeper per component — representatives of
+    different components share no edge; across batches a keeper survives
+    only if it matches nothing already kept.)"""
+    from codd_spark.operators.dedup import minhash_near_duplicates
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa"]
+    import random
+
+    rng = random.Random(31)
+    docs = []
+    base_docs = []
+    for i in range(12):
+        base = " ".join(rng.choice(words) for _ in range(12))
+        base_docs.append(base)
+        docs.append((i, base))
+    # planted near-dups of earlier docs
+    for j in range(12, 20):
+        src = base_docs[rng.randrange(len(base_docs))]
+        toks = src.split()
+        toks[rng.randrange(len(toks))] = rng.choice(words)
+        docs.append((j, " ".join(toks)))
+
+    schema = "doc_id LONG, text STRING"
+    for split in ([5, 15], [10, 5, 5], [1] * 20, [20]):
+        dd = IncrementalDeduplicator(spark, **PARAMS)
+        kept_rows = []
+        start = 0
+        for size in split:
+            batch = spark.createDataFrame(docs[start : start + size], schema)
+            kept_rows.extend(dd.add_batch(batch).collect())
+            start += size
+        kept_df = spark.createDataFrame(kept_rows, schema)
+        n_pairs = minhash_near_duplicates(
+            kept_df, "doc_id", "text", **{k: v for k, v in PARAMS.items()}
+        ).count()
+        assert n_pairs == 0, f"near-dup pair among kept docs (split={split})"

@@ -53,6 +53,9 @@ PICK = {
     "cusum_value_shift": "CUSUM: cumulative + full-partition windows share one event_type exchange; argmax is a rank-1 filter, no second shuffle.",
     "record_linkage_parts": "Record linkage: ONE equi-join on the blocking key (shuffle-pinned), all attribute similarities evaluated as codegen expressions inside the pair projection.",
     "decontaminate_bloom": "Bloom decontamination: bitmap assembled distributively (explode k positions, bit_or per word) and collected as a benchmark-bounded sketch; the corpus pass is MAP-ONLY (Arrow membership UDF, no corpus-gram shuffle); only bloom-positive docs reach the exact containment equi-join.",
+    "kmeans_clusters": "Exact-replay k-means: per iteration one k-row centroid BROADCAST against the corpus, linear argmin window keyed by id, elementwise (cluster, dim) integer sum with map-side combine; centroid state is k rows on the driver (model-sized, not data-sized).",
+    "zipf_stats": "Zipf diagnostics: corpus-linear explode, vocabulary-sized frequency aggregate, per-group rank window + regression aggregate over the vocab table only.",
+    "winnowing_pairs": "Fingerprint overlap mining: grams as rows (collapse-proof), window min per doc reuses the id partitioning for the groupBy; ONE fingerprint-keyed shuffle-pinned equi-join + pair aggregate; hot buckets guarded.",
     "bigram_surprisal": "Bigram LM scoring: the (w1,w2) count and w1 context count tables (both model-sized) join EACH OTHER first, then the single fact-table join shuffles once on (w1,w2); vocab size is a 1-row broadcast; per-doc aggregate has map-side combine.",
     "k_core_interactions": "k-core peeling: per round one degree aggregate + two semi-joins against survivors, lineage cut per round; the only driver value is the 1-row convergence count.",
     "sorted_neighborhood": "Sorted-neighborhood: global rank via RangePartitioning + per-partition row_number + broadcast offsets (no single-task window), then rank-vs-rank+delta equi-joins.",
