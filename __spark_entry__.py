@@ -1468,13 +1468,16 @@ def q_winnowing_pairs(spark, sf_dir):
     """MOSS-style overlap mining: document pairs sharing >= 25 winnowing
     fingerprints, with shared counts and per-side overlap fractions.
     ONE fingerprint-keyed equi-join (shuffle-pinned, hot-fingerprint
-    buckets guarded) + one pair aggregate; md5_60 hash so DuckDB replays
-    the full sketch AND the pair mining bit-identically."""
+    buckets guarded at 200 docs — this synthetic corpus is all-pairs-
+    similar, so boilerplate fingerprints dominate without a tight guard)
+    + one pair aggregate; md5_60 hash so DuckDB replays the full sketch
+    AND the pair mining bit-identically."""
     from codd_spark.operators.text import winnowing_overlap_pairs
 
     docs = read_table(spark, sf_dir, "documents")
     return winnowing_overlap_pairs(
-        docs, "doc_id", "text", k=8, w=4, min_shared=25, hash_fn="md5_60"
+        docs, "doc_id", "text", k=8, w=4, min_shared=25,
+        max_bucket_size=200, hash_fn="md5_60"
     )
 
 
@@ -5152,7 +5155,7 @@ def oracle_sql() -> dict[str, str]:
             sizes AS (SELECT doc_id, COUNT(*) AS nf FROM fps GROUP BY doc_id),
             guarded AS (
               SELECT doc_id, m FROM fps
-              WHERE m IN (SELECT m FROM fps GROUP BY m HAVING COUNT(*) <= 1000)
+              WHERE m IN (SELECT m FROM fps GROUP BY m HAVING COUNT(*) <= 200)
             ),
             pairs AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared

@@ -229,6 +229,21 @@ def main():
                 timings[name] = round(time.time() - t0, 3)
             except Exception as e:  # noqa: BLE001 — isolate per query
                 errors[name] = f"{type(e).__name__}: {e}"[:500]
+            # drop the query's leftover state before the next one: Python
+            # GC fires the operators' weakref cache finalizers and frees
+            # localCheckpoint RDD blocks deterministically instead of
+            # whenever the driver heap feels pressure mid-query — without
+            # this, late heavyweights absorb old-gen GC from 90 earlier
+            # queries' blocks and their timings swing ~2x run to run
+            # (outside the timer: cleanup is harness hygiene, not query
+            # cost).
+            import gc
+
+            gc.collect()
+            try:
+                spark.catalog.clearCache()
+            except Exception:  # noqa: BLE001
+                pass
 
         def one_pass(timings: dict[str, float]) -> None:
             timed("flagship_revenue_by_nation",

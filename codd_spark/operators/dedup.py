@@ -640,26 +640,24 @@ def set_similarity_join(
     base = df.repartition(parallelism, F.col(id_col)).select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
     )
-    if ngram_n is None:
-        hashed = F.transform(
-            F.array_distinct(F.col("__toks")), lambda s: F.xxhash64(s)
-        )
-    else:
-        # hash the n token fields directly (multi-arg xxhash64 chains
-        # per-field hashes — no boundary ambiguity) instead of
-        # materializing a concat_ws gram string per position: the gram
-        # SET is identical (same grams -> same hash), measured ~2x
-        # faster, and the string-side array_distinct is obsolete.
-        # F.get (0-based) returns null past the end — ANSI-safe for
-        # docs shorter than n tokens, unlike element_at.
-        tk = F.col("__toks")
-        cnt = F.greatest(F.size(tk) - (ngram_n - 1), F.lit(1))
-        hashed = F.transform(
-            F.sequence(F.lit(0), cnt - 1),
-            lambda i: F.xxhash64(*[F.get(tk, i + j) for j in range(ngram_n)]),
-        )
+    # gram strings via concat_ws, then one hash per distinct gram. The
+    # tempting "hash n token fields directly per position" variant
+    # (multi-arg xxhash64 over F.get(toks, i+j)) measured 2.3x SLOWER on
+    # the real filtered plan (8 vs 3 s at sf0.1): higher-order lambdas
+    # evaluate interpreted, and 3 bounds-checked gets + a 3-field hash
+    # per position costs more tree-walking than one concat + one hash —
+    # beware microbenchmarks here, Catalyst folds size(transform(...))
+    # without running the lambda.
+    raw = (
+        F.col("__toks")
+        if ngram_n is None
+        else _ngrams_of_attr(F.col("__toks"), ngram_n)
+    )
     sets = base.select(
-        "id", F.array_distinct(hashed).alias("toks")
+        "id",
+        F.array_distinct(
+            F.transform(F.array_distinct(raw), lambda s: F.xxhash64(s))
+        ).alias("toks"),
     ).filter(F.size("toks") > 0)
     if order == "df":
         # rarest-first canonical order: sort each set by (doc freq, token
