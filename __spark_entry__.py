@@ -1372,12 +1372,15 @@ def q_fuzzy_dedup(spark, sf_dir):
 
 def q_simhash_near_dups(spark, sf_dir):
     """SimHash near-duplicate pairs (hamming <= 7 of 64 bits, 8-chunk
-    pigeonhole candidates)."""
+    pigeonhole candidates). Contract variant uses the portable md5_60
+    token hash, so the SIGNATURES and the pair set replay bit-exactly in
+    DuckDB (upgraded from rows-only in r5 — the same portability move as
+    winnowing); xxhash64 stays the production default."""
     from codd_spark.operators.dedup import simhash_near_duplicates
 
     docs = read_table(spark, sf_dir, "documents")
     return simhash_near_duplicates(
-        docs, "doc_id", "text", max_hamming=7, n_chunks=8
+        docs, "doc_id", "text", max_hamming=7, n_chunks=8, hash_fn="md5_60"
     )
 
 
@@ -5170,6 +5173,47 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p
             JOIN sizes sa ON sa.doc_id = p.id_a
             JOIN sizes sb ON sb.doc_id = p.id_b
+        """,
+        # r5: SimHash replay via the portable md5_60 token hash — votes,
+        # signature bits, chunk buckets, guard, and hamming all in SQL
+        "simhash_near_dups": r"""
+            WITH th AS (
+              SELECT doc_id,
+                     CAST(CONCAT('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+              FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents
+              )
+            ),
+            votes AS (
+              SELECT doc_id, b.b AS bit,
+                     SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM th, (SELECT unnest(range(0, 64)) AS b) b
+              GROUP BY doc_id, b.b
+            ),
+            sig AS MATERIALIZED (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                              ELSE 0 END) AS BIGINT) AS sig
+              FROM votes GROUP BY doc_id
+            ),
+            chunks AS MATERIALIZED (
+              SELECT doc_id, sig, c.c AS chunk, (sig >> (c.c * 8)) & 255 AS v
+              FROM sig, (SELECT unnest(range(0, 8)) AS c) c
+            ),
+            ok_buckets AS (
+              SELECT chunk, v FROM chunks GROUP BY chunk, v
+              HAVING COUNT(*) <= 1000
+            ),
+            guarded AS (
+              SELECT chunks.* FROM chunks JOIN ok_buckets USING (chunk, v)
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+            FROM guarded a JOIN guarded b
+              ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 7
         """,
         # r5: Zipf slope replay — identical tokenization, deterministic
         # (tf DESC, term ASC) tie-broken ranks, OLS over the vocabulary

@@ -445,13 +445,28 @@ def minhash_near_duplicates(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(text_col: Column) -> Column:
+def simhash64(text_col: Column, hash_fn: str = "xxhash64") -> Column:
     """64-bit SimHash over whitespace tokens (token multiplicity counts).
 
-    One aggregate pass: each token's xxhash64 votes +1/-1 per bit; the
+    One aggregate pass: each token's hash votes +1/-1 per bit; the
     signature sets bit b iff the vote is positive. Pure expression tree —
-    runs in codegen, no UDF."""
+    runs in codegen, no UDF.
+
+    ``hash_fn``: ``"xxhash64"`` (default, fastest) or ``"md5_60"`` (top
+    60 bits of md5 as BIGINT — the same portable hash as winnowing's
+    contract variant, making the whole signature, and therefore the
+    near-dup pair set, bit-replayable in any SQL engine; bits 60-63 are
+    always 0, a 4-bit resolution cost only the oracle path pays)."""
     masks = [1 << b for b in range(63)] + [-(1 << 63)]  # bit 63 as signed long
+
+    if hash_fn == "xxhash64":
+        def hfn(t):
+            return F.xxhash64(t)
+    elif hash_fn == "md5_60":
+        def hfn(t):
+            return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5_60', got {hash_fn!r}")
 
     def bits_of(h: Column) -> Column:
         return F.array(
@@ -462,7 +477,7 @@ def simhash64(text_col: Column) -> Column:
         )
 
     votes = F.aggregate(
-        F.transform(tokens(text_col), lambda t: F.xxhash64(t)),
+        F.transform(tokens(text_col), lambda t: hfn(t)),
         F.array_repeat(F.lit(0), 64),
         lambda acc, h: F.zip_with(acc, bits_of(h), lambda a, v: a + v),
     )
@@ -489,6 +504,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     n_chunks: int = 4,
     max_bucket_size: int = 1000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance <= max_hamming.
 
@@ -511,7 +527,8 @@ def simhash_near_duplicates(
 
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     sigs = df.repartition(parallelism, F.col(id_col)).select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig")
+        F.col(id_col).alias("id"),
+        simhash64(F.col(text_col), hash_fn=hash_fn).alias("sig"),
     )
 
     chunks = sigs.select(

@@ -215,6 +215,7 @@ ROUND5_UPGRADES = [
     "winnowing_pairs",
     "zipf_stats",
     "kmeans_clusters",
+    "simhash_near_dups",
 ]
 
 
