@@ -1456,6 +1456,49 @@ def q_winnowing(spark, sf_dir):
     )
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc 3-gram novelty (fraction of the doc's distinct grams
+    found in no other document) — the inverse lens of boilerplate
+    mining. One gram-keyed count + one join-back, grams as hashed
+    longs."""
+    from codd_spark.operators.text import ngram_novelty
+
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_novelty(docs, "doc_id", "text", n=3)
+
+
+def q_pii_stats(spark, sf_dir):
+    """PII audit counts per document (emails / IPv4 / SSN / phone) via
+    regexp_count column expressions — one scan, no shuffle. The corpus
+    is synthetic word salad with no PII, so the contract SYNTHESIZES
+    deterministic PII-laden text from doc ids (the image_metadata
+    pattern: closed-form inputs an oracle can reconstruct) and audits
+    that."""
+    from codd_spark.operators.text import pii_stats
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    txt = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or call 555-123-4567 now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("server 192.168."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 holds ssn 123-45-6789"),
+            ),
+        )
+        .otherwise(F.lit("clean text with no identifiers at all"))
+    )
+    return pii_stats(docs.withColumn("text", txt), "doc_id", "text")
+
+
 def q_zipf_stats(spark, sf_dir):
     """Vocabulary-shape diagnostics per source: token/vocab counts, TTR,
     top-token share, Zipf slope (OLS of ln f vs ln rank over the full
@@ -3036,6 +3079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": q_winnowing,
         "winnowing_pairs": q_winnowing_pairs,
         "zipf_stats": q_zipf_stats,
+        "ngram_novelty": q_ngram_novelty,
+        "pii_stats": q_pii_stats,
         "audio_metadata": q_audio_metadata,
         "events_hourly_stream": q_events_hourly_stream,
         "embedding_centroids": q_embedding_centroids,
@@ -5242,5 +5287,66 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(regr_slope(ln(tf::DOUBLE), ln(rk::DOUBLE)), 6) AS zipf_slope
             FROM ranked
             GROUP BY source
+        """,
+        # r5: novelty replay — same tokenization, per-doc distinct grams,
+        # df==1 test on string grams (hashed-long grams collide only at
+        # ~n^2/2^64)
+        "ngram_novelty": r"""
+            WITH toked AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS s
+              FROM documents
+            ),
+            grams AS MATERIALIZED (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(s, i, i + 2), ' ') AS g
+              FROM (
+                SELECT doc_id, s,
+                       unnest(range(1, greatest(len(s) - 1, 1))) AS i
+                FROM toked
+              )
+            ),
+            freq AS (SELECT g, COUNT(*) AS df_ FROM grams GROUP BY g)
+            SELECT doc_id,
+                   COUNT(*) AS n_grams,
+                   ROUND(SUM(CASE WHEN df_ = 1 THEN 1 ELSE 0 END)::DOUBLE
+                         / COUNT(*), 6) AS novel_frac
+            FROM grams JOIN freq USING (g)
+            GROUP BY doc_id
+        """,
+        # r5: PII audit over deterministically synthesized text — the
+        # oracle reconstructs the same text and counts the same RE2/Java
+        # dual-valid patterns
+        "pii_stats": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN doc_id % 3 = 0 THEN
+                         'reach user' || doc_id ||
+                         '@example.com or call 555-123-4567 now'
+                       WHEN doc_id % 3 = 1 THEN
+                         'server 192.168.' || (doc_id % 256) ||
+                         '.7 holds ssn 123-45-6789'
+                       ELSE 'clean text with no identifiers at all'
+                     END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text,
+                        '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
+                   CAST(len(regexp_extract_all(text,
+                        '\+?\d{3}[-. ]\d{3}[-. ]\d{4}')) AS INT) AS n_phone,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                      + len(regexp_extract_all(text,
+                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                      + len(regexp_extract_all(text,
+                        '\b\d{3}-\d{2}-\d{4}\b'))
+                      + len(regexp_extract_all(text,
+                        '\+?\d{3}[-. ]\d{3}[-. ]\d{4}')) AS INT) AS pii_total
+            FROM t
         """,
     }

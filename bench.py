@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "winnowing_pairs",          # MOSS-style fingerprint overlap mining
     "zipf_stats",               # vocabulary-shape diagnostics per source
     "kmeans_clusters",          # exact-replay integer-state Lloyd's k-means
+    "ngram_novelty",            # per-doc boilerplate-vs-original signal
+    "pii_stats",                # regexp_count PII audit (synthesized text)
 ]
 
 # Snapshot of the round-4 bench set (87 + flagship = 88 timed entries).
@@ -139,6 +141,8 @@ ROUND5_ADDITIONS = frozenset(
         "winnowing_pairs",
         "zipf_stats",
         "kmeans_clusters",
+        "ngram_novelty",
+        "pii_stats",
     }
 )
 ROUND4_QUERIES = (

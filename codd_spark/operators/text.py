@@ -240,6 +240,75 @@ def winnowing_overlap_pairs(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty -> (id, n_grams, novel_frac): the
+    fraction of the document's DISTINCT word-n-grams that appear in no
+    other document. The inverse lens of ``boilerplate_ngrams`` — that
+    ranks shared templates corpus-wide, this scores each document:
+    near-0 means assembled from corpus boilerplate (SEO spam, mirror
+    chrome), near-1 means mostly original text. A standard cheap
+    curation signal between exact dedup and MinHash.
+
+    Scale shape: per-doc distinct BEFORE the explode (no multiplicity
+    inflation), grams travel as xxhash64 longs, ONE gram-keyed count
+    aggregate with map-side combine, one gram-keyed join back, per-doc
+    aggregate. All corpus-linear; nothing broadcasts."""
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    grams = toked.select(
+        "id",
+        F.explode(
+            F.array_distinct(ngram_array(F.col("__toks"), n))
+        ).alias("g"),
+    ).select("id", F.xxhash64("g").alias("gh"))
+    freq = grams.groupBy("gh").agg(F.count("*").alias("df_"))
+    return (
+        grams.join(freq.hint("shuffle_merge"), on="gh")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(
+                F.sum(F.when(F.col("df_") == 1, 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("novel_frac"),
+        )
+        .select(F.col("id").alias(id_col), "n_grams", "novel_frac")
+    )
+
+
+def pii_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Per-document PII hit counts -> (id, <one count column per
+    pattern>, pii_total): the measurement half of ``redact_pii`` — run
+    it first to decide drop-vs-redact thresholds and to audit a corpus
+    before release. Pure ``regexp_count`` column expressions (one scan,
+    no explode, no shuffle beyond the caller's)."""
+    pats = patterns or PII_PATTERNS
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(rx)).alias(f"n_{name}")
+        for name, rx in pats.items()
+    ]
+    out = df.select(F.col(id_col), *counts)
+    total = None
+    for name in pats:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("pii_total", total)
+
+
 def zipf_stats(
     df: DataFrame,
     text_col: str = "text",

@@ -1295,3 +1295,36 @@ def test_ivf_sq_kmeans_trainer(spark, embeddings):
         embeddings, queries, k=5, n_lists=4, n_probe=2, trainer="sq_kmeans"
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ngram_novelty_planted(spark):
+    """Doc sharing all its grams with another scores 0; a fully original
+    doc scores 1."""
+    from codd_spark.operators.text import ngram_novelty
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e f"),          # exact copy: all grams shared
+        (3, "q r s t u v w"),        # fully original
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in ngram_novelty(df, n=3).collect()}
+    assert got[1].novel_frac == 0.0 and got[2].novel_frac == 0.0
+    assert got[3].novel_frac == 1.0
+    assert got[3].n_grams == 5
+
+
+def test_pii_stats_counts(spark):
+    from codd_spark.operators.text import pii_stats
+
+    rows = [
+        (1, "mail a@b.com and c@d.org, ip 10.0.0.1, ssn 123-45-6789"),
+        (2, "call 555-123-4567 or 555 987 6543"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in pii_stats(df).collect()}
+    assert (got[1].n_email, got[1].n_ipv4, got[1].n_ssn) == (2, 1, 1)
+    assert got[1].pii_total == 4
+    assert got[2].n_phone == 2 and got[2].pii_total == 2
+    assert got[3].pii_total == 0

@@ -216,6 +216,8 @@ ROUND5_UPGRADES = [
     "zipf_stats",
     "kmeans_clusters",
     "simhash_near_dups",
+    "ngram_novelty",
+    "pii_stats",
 ]
 
 
