@@ -50,6 +50,18 @@ ROTATED_OUT = [
     "cube_pricing",
     "topk_orders",
     "stratified_sample_events",
+    # r5 -> r6 (made room for six round-5 flagships; class coverage kept
+    # by a sibling query that stayed in the window: pack_sequences ~
+    # chunk_documents, event_gap_stats ~ rolling_hour_value,
+    # median_order_price ~ agg_pricing_summary, top_revenue_orders ~
+    # window_top3_orders_per_cust, word_count_top ~ tf_idf_top_terms,
+    # revenue_by_nation ~ join_orders_customer_nation)
+    "pack_sequences",
+    "event_gap_stats",
+    "median_order_price",
+    "top_revenue_orders",
+    "word_count_top",
+    "revenue_by_nation",
 ]
 
 FLAGSHIPS = [
@@ -61,7 +73,6 @@ FLAGSHIPS = [
     "embedding_near_dups",
     "image_metadata",
     "chunk_documents",
-    "pack_sequences",
     "pagerank_interactions",
     # rotated into the scored window r4 -> r5
     "set_similarity_pairs",
@@ -70,6 +81,13 @@ FLAGSHIPS = [
     "merge_upsert",
     "heavy_hitter_words",
     "scd2_history",
+    # rotated into the scored window r5 -> r6
+    "fuzzy_dedup_docs",
+    "kmeans_clusters",
+    "simhash_near_dups",
+    "winnowing_pairs",
+    "decontaminate_bloom",
+    "bigram_surprisal",
 ]
 
 # round-4 operators registered past the scored window: replay with the
@@ -137,7 +155,6 @@ def test_window_contains_core_and_flagships():
     window = list(entry.queries())[:50]
     for name in CORE_OPERATORS + FLAGSHIPS + [
         "user_sessions",
-        "event_gap_stats",
         "rolling_hour_value",
     ]:
         assert name in window, f"{name} fell out of the driver's 50-query window"
@@ -206,16 +223,13 @@ def test_decimal_vs_float_still_matches(duck):
 # (bpe_merges: 20 unrolled argmax+merge steps in DuckDB; winnowing: the
 # portable md5_60 k-gram hash makes the sketch bit-replayable)
 ROUND5_UPGRADES = [
+    # (fuzzy_dedup_docs, kmeans_clusters, simhash_near_dups,
+    # winnowing_pairs, decontaminate_bloom, bigram_surprisal moved to
+    # FLAGSHIPS when they rotated into the scored window r5 -> r6)
     "bpe_merges",
     "winnowing",
-    "decontaminate_bloom",
-    "fuzzy_dedup_docs",
     "decontaminate_bloom_stream",
-    "bigram_surprisal",
-    "winnowing_pairs",
     "zipf_stats",
-    "kmeans_clusters",
-    "simhash_near_dups",
     "ngram_novelty",
     "pii_stats",
 ]
