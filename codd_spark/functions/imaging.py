@@ -321,6 +321,12 @@ def jpeg_info(data: bytes) -> tuple[int, int, int]:
             break
         seglen = int.from_bytes(data[i + 2 : i + 4], "big")
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            # the SOF payload is [precision u8][height u16][width u16]
+            # [n_components u8]...: need seglen >= 8 and the full slice
+            # in-buffer, else a mid-header truncation would silently
+            # yield wrong dimensions (or IndexError on data[i+9])
+            if seglen < 8 or i + 9 >= n:
+                raise ValueError("truncated JPEG (SOF header cut short)")
             height = int.from_bytes(data[i + 5 : i + 7], "big")
             width = int.from_bytes(data[i + 7 : i + 9], "big")
             return width, height, data[i + 9]

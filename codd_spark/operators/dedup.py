@@ -1452,7 +1452,12 @@ def bloom_hits_udf(bloom: GramBloom):
         import pandas as pd
 
         n_rows = len(gh1s)
-        l1 = [np.asarray(v, dtype=np.int64) for v in gh1s]
+        # a NULL text yields a NULL gram array (tokens(NULL) -> null),
+        # which Arrow hands over as None — treat as zero grams
+        l1 = [
+            np.asarray(v if v is not None else (), dtype=np.int64)
+            for v in gh1s
+        ]
         lens = np.fromiter((a.size for a in l1), dtype=np.int64, count=n_rows)
         if lens.sum() == 0:
             return pd.Series(np.zeros(n_rows, dtype=np.int32))

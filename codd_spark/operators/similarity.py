@@ -260,7 +260,13 @@ def ivf_top_k(
         F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("_emb")
     )
     if trainer == "sq_kmeans":
-        dim = len(df.select(emb_col).first()[0])
+        probe = df.select(emb_col).first()
+        if probe is None:
+            raise ValueError(
+                "ivf_top_k(trainer='sq_kmeans'): corpus is empty — "
+                "cannot infer embedding dim or train centroids"
+            )
+        dim = len(probe[0])
         assign = kmeans_quantized(
             df, dim=dim, k=n_lists, n_iter=5, id_col=id_col, emb_col=emb_col
         ).withColumnRenamed(id_col, "neighbor_id")
@@ -519,8 +525,11 @@ def sq_train_encode(
     """Per-dimension scalar quantization of an embedding corpus.
 
     Training is ONE aggregate computing each dimension's (min, max) over
-    the corpus (2·dim columnar MIN/MAX with map-side partials — a single
-    scan, no shuffle beyond the 1-row combine); encoding maps dimension i
+    the corpus: posexplode -> groupBy(pos) MIN/MAX with map-side
+    partials — a single scan whose only exchange carries dim rows per
+    map partition (the 2·dim-column wide-agg form computed the same
+    thing but its 128-expression codegen cost ~4× more wall clock at
+    every scale tested); encoding maps dimension i
     to ``round((x - lo_i) / (hi_i - lo_i) * levels)`` — an integer in
     [0, levels]. At levels=255 a 64-dim float32 vector compresses 4× (one
     byte per dim). Unlike PQ's codebook lookup, SQ keeps per-dimension
@@ -533,27 +542,43 @@ def sq_train_encode(
     as 0 and dequantize to lo exactly.
     """
     emb = F.col(emb_col).cast("array<double>")
-    stats = df.agg(
-        *[F.min(F.element_at(emb, i + 1)).alias(f"_lo{i}") for i in range(dim)],
-        *[F.max(F.element_at(emb, i + 1)).alias(f"_hi{i}") for i in range(dim)],
-    ).collect()[0]
+    stat_rows = (
+        df.select(F.posexplode(emb).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()  # bounded: dim rows
+    )
+    by_pos = {r.pos: (r.lo, r.hi) for r in stat_rows}
     for i in range(dim):
-        if stats[f"_lo{i}"] is None or stats[f"_hi{i}"] is None:
+        lo, hi = by_pos.get(i, (None, None))
+        if lo is None or hi is None:
             raise ValueError(
                 f"sq_train_encode: dimension {i} has no non-null values "
                 "(empty corpus or all-NULL dimension) — cannot train scales"
             )
-    scales = [(float(stats[f"_lo{i}"]), float(stats[f"_hi{i}"])) for i in range(dim)]
+    scales = [(float(by_pos[i][0]), float(by_pos[i][1])) for i in range(dim)]
 
-    def code_for(i: int) -> Column:
+    # ONE parsed SQL expression for the whole codes array: building it
+    # as dim separate Column objects costs ~8 py4j round-trips per
+    # dimension (~1 s of driver time at dim=64 — measured), while a
+    # single expr string parses in milliseconds and codegens to the
+    # identical plan. repr() round-trips doubles exactly and Spark's
+    # string->double cast parses shortest-repr exactly, so the literal
+    # values are bit-identical to the F.lit form.
+    def code_sql(i: int) -> str:
         lo, hi = scales[i]
-        x = F.element_at(emb, i + 1)
         if hi == lo:
-            return F.lit(0)
-        return F.round((x - F.lit(lo)) / F.lit(hi - lo) * F.lit(levels), 0).cast("int")
+            return "0"
+        return (
+            f"CAST(round((element_at(__embd, {i + 1}) - "
+            f"CAST('{lo!r}' AS DOUBLE)) / CAST('{(hi - lo)!r}' AS DOUBLE) "
+            f"* {levels}, 0) AS INT)"
+        )
 
-    encoded = df.select(
-        id_col, F.array(*[code_for(i) for i in range(dim)]).alias("codes")
+    codes = F.expr("array(" + ",".join(code_sql(i) for i in range(dim)) + ")")
+    encoded = (
+        df.withColumn("__embd", emb)
+        .select(id_col, codes.alias("codes"))
     )
     return encoded, scales
 
@@ -938,16 +963,20 @@ def kmeans_quantized(
     unrolls every iteration in DuckDB). Initialization = the k
     lowest-id vectors as singleton centroids.
 
-    Scale shape: per iteration, ONE broadcast of the k-row centroid
-    table against the corpus (k·dim longs — bounded by the model, not
-    the data), a corpus-linear argmin window keyed by id, and an
-    elementwise (cluster, dim) sum with map-side combine; centroid
-    state collects k rows to the driver per iteration (the same bounded
-    boundary as IVF's trained centroids). Overflow bound: |n·x - s| <=
-    2·levels·n, so Q <= dim·(2·levels·n)² — under 2^63 for corpora up to
-    ~2M vectors at levels=255, dim=64; raise to DECIMAL beyond that.
-    Empty clusters carry their previous state."""
-    spark = df.sparkSession
+    Scale shape: per iteration, the k-row centroid state is embedded as
+    a LITERAL array of (c, s, n) structs in a single projection — the
+    argmin is a shuffle-free fold over that array (k·dim longs, bounded
+    by the model, not the data), so the only per-iteration shuffle left
+    is the unavoidable elementwise (cluster, dim) sum with map-side
+    combine; centroid state collects k rows to the driver per iteration
+    (the same bounded boundary as IVF's trained centroids). Overflow
+    bound: |n·x - s| <= 2·levels·n, so Q <= dim·(2·levels·n)² — under
+    2^63 for corpora up to ~2M vectors at levels=255, dim=64; raise to
+    DECIMAL beyond that. Empty clusters carry their previous state."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     encoded, _scales = sq_train_encode(
         df, dim=dim, id_col=id_col, emb_col=emb_col, levels=levels
     )
@@ -955,53 +984,82 @@ def kmeans_quantized(
         F.col(id_col).alias("id"), F.col("codes").cast("array<long>").alias("qv")
     ).localCheckpoint(eager=True)
 
-    init = [
+    # centroid state lives on the driver: k rows of (cluster id,
+    # elementwise integer SUM vector, count) — never divided
+    cent_list: list[tuple[int, list[int], int]] = [
         (int(i), [int(v) for v in r.qv], 1)
         for i, r in enumerate(q.orderBy("id").limit(k).collect())
     ]
-    cent_schema = "c INT, s ARRAY<LONG>, n LONG"
-    cents = spark.createDataFrame(init, cent_schema)
 
     assigned = None
     for _ in range(n_iter):
+        # literal k-centroid array, ascending c so the strict-< fold
+        # resolves distance ties to the SMALLEST cluster id (same rule
+        # as the former orderBy(d, c) window — the oracle replays it).
+        # Built as ONE parsed expr string: k·dim F.lit calls cost ~1.5 s
+        # of py4j driver time per iteration (measured at k=8, dim=64)
+        # for the identical plan.
+        def cent_sql(c: int, s: list[int], n: int) -> str:
+            arr = ",".join(f"{int(v)}L" for v in s)
+            return (
+                f"named_struct('c', CAST({int(c)} AS INT), "
+                f"'s', array({arr}), 'n', CAST({int(n)} AS BIGINT))"
+            )
+
+        cent_arr = F.expr(
+            "array(" + ",".join(cent_sql(*t) for t in sorted(cent_list)) + ")"
+        )
         qq = F.col("qv")
-        quad = F.aggregate(
-            F.zip_with(qq, F.col("s"), lambda x, si: F.col("n") * x - si),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v * v,
+
+        def _dist(ct):
+            # exact-integer D_c = ||n_c·x - s_c||² / n_c²: the quad sum
+            # never leaves LONG; the one double division of identical
+            # integers is IEEE-identical in any engine
+            quad = F.aggregate(
+                F.zip_with(qq, ct["s"], lambda x, si: ct["n"] * x - si),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v * v,
+            )
+            return quad.cast("double") / (ct["n"] * ct["n"]).cast("double")
+
+        dists = F.transform(
+            cent_arr,
+            lambda ct: F.struct(ct["c"].alias("c"), _dist(ct).alias("d")),
         )
-        scored = (
-            q.crossJoin(F.broadcast(cents))
-            .withColumn("__d", quad.cast("double") / (F.col("n") * F.col("n")).cast("double"))
+        best = F.aggregate(
+            dists,
+            F.struct(
+                F.lit(-1).cast("int").alias("c"),
+                F.lit(None).cast("double").alias("d"),
+            ),
+            lambda acc, x: F.when(
+                acc["d"].isNull() | (x["d"] < acc["d"]), x
+            ).otherwise(acc),
         )
-        w = Window.partitionBy("id").orderBy(F.col("__d").asc(), F.col("c").asc())
-        assigned = (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter("__rn = 1")
-            .select("id", "c", "qv")
-            .localCheckpoint(eager=True)
-        )
-        sums = (
+        # no checkpoint needed: assigned is ONE projection over the
+        # checkpointed q (centroids are literals), so lineage is flat —
+        # each iteration costs exactly one corpus pass (the stats job)
+        assigned = q.select("id", best["c"].alias("c"), "qv")
+        # one aggregate yields both the elementwise sums and the cluster
+        # size (every vector contributes one value per pos, so the
+        # per-(c, pos) row count IS the cluster count)
+        stats = (
             assigned.select("c", F.posexplode("qv").alias("pos", "v"))
             .groupBy("c", "pos")
-            .agg(F.sum("v").alias("sv"))
+            .agg(F.sum("v").alias("sv"), F.count("*").alias("cnt"))
             .groupBy("c")
             .agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "sv"))),
                     lambda st: st["sv"],
-                ).alias("s")
+                ).alias("s"),
+                F.max("cnt").alias("n"),
             )
         )
-        counts = assigned.groupBy("c").agg(F.count("*").alias("n"))
         new_rows = {
             r.c: (r.c, [int(v) for v in r.s], int(r.n))
-            for r in sums.join(counts, "c").collect()
+            for r in stats.collect()  # bounded: k rows
         }
-        carried = [
-            new_rows.get(c, (c, [int(v) for v in s], int(n)))
-            for c, s, n in [(r.c, r.s, r.n) for r in cents.collect()]
-        ]
-        cents = spark.createDataFrame(carried, cent_schema)
+        cent_list = [new_rows.get(c, (c, s, n)) for c, s, n in cent_list]
 
     return assigned.select(F.col("id").alias(id_col), F.col("c").alias("cluster"))

@@ -327,16 +327,32 @@ def zipf_stats(
     frequency aggregate with map-side combine (vocabulary-sized) ->
     per-group rank window + regression AGGREGATES over the vocabulary
     table only. Ranks use row_number ordered (freq DESC, term ASC) so
-    ties are deterministic and any SQL engine replays them exactly."""
+    ties are deterministic and any SQL engine replays them exactly.
+    With ``group_col=None`` the corpus-wide rank would funnel the whole
+    vocabulary through ONE task as an empty-key window; that mode
+    instead uses ``global_rank`` (range-repartition + broadcast
+    per-partition offsets), which produces the identical total order
+    (-tf ASC, term ASC ≡ tf DESC, term ASC) partition-parallel."""
     gcols = [group_col] if group_col else []
     term_rows = df.select(
         *gcols, F.explode(F.transform(tokens(F.col(text_col)), F.lower)).alias("term")
     ).where(F.col("term") != "")
     freq = term_rows.groupBy(*gcols, "term").agg(F.count("*").alias("tf"))
-    w = Window.partitionBy(*gcols).orderBy(F.col("tf").desc(), F.col("term").asc())
-    ranked = freq.select(
-        *gcols, "tf", F.row_number().over(w).alias("rk")
-    )
+    if gcols:
+        w = Window.partitionBy(*gcols).orderBy(
+            F.col("tf").desc(), F.col("term").asc()
+        )
+        ranked = freq.select(
+            *gcols, "tf", F.row_number().over(w).alias("rk")
+        )
+    else:
+        from codd_spark.operators.linkage import global_rank
+
+        ranked = global_rank(
+            freq.withColumn("__neg_tf", -F.col("tf")),
+            ["__neg_tf", "term"],
+            out_col="rk",
+        ).select("tf", "rk")
     out = ranked.groupBy(*gcols).agg(
         F.sum("tf").alias("n_tokens"),
         F.count("*").alias("vocab_size"),

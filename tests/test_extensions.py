@@ -1141,6 +1141,26 @@ def test_gram_bloom_build_union_roundtrip(spark):
     ).count() > 0
 
 
+def test_bloom_probe_null_text_counts_zero(spark):
+    """ADVICE r5: a NULL text (tokens -> NULL gram array, Arrow None)
+    must probe as zero hits, not crash the pandas UDF."""
+    from codd_spark.operators.dedup import bloom_probe, build_gram_bloom
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id LONG, text STRING"
+    )
+    corpus = spark.createDataFrame(
+        [(10, "alpha beta gamma delta"), (11, None), (12, "")],
+        "doc_id LONG, text STRING",
+    )
+    bloom = build_gram_bloom(bench, n=3, m_bits=1 << 16)
+    hits = {
+        r.doc_id: r.bloom_hits
+        for r in bloom_probe(corpus, bloom).collect()
+    }
+    assert hits[10] >= 1 and hits[11] == 0 and hits[12] == 0
+
+
 def test_bigram_surprisal_matches_python_model(spark):
     """Operator vs a pure-Python Laplace bigram LM on a tiny corpus —
     same tokenization, same conditional, same add-1 smoothing."""
@@ -1248,7 +1268,29 @@ def test_zipf_stats_closed_form(spark):
     assert abs(row.zipf_slope - round(slope, 6)) < 1e-9
 
 
-def test_kmeans_quantized_recovers_planted_clusters(spark):
+def test_zipf_stats_corpus_wide_matches_grouped(spark):
+    """ADVICE r5: group_col=None now ranks via global_rank (no empty-key
+    single-task window). The corpus-wide row must equal the grouped run
+    on a single-source corpus, and the plan must not contain an
+    empty-partition window."""
+    from codd_spark.operators.text import zipf_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b b c word word token", "s1"),
+            (2, "a b c d e word again", "s1"),
+            (3, "c c a a b token again more", "s1"),
+        ],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    wide = zipf_stats(df, "text", group_col=None)
+    grouped = zipf_stats(df, "text", "source").drop("source")
+    w_row, g_row = wide.collect()[0], grouped.collect()[0]
+    assert w_row.asDict() == g_row.asDict()
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    # global_rank windows partition by __pid; an empty partitionBy would
+    # render as "Window [...rk...], [tf DESC..." with no partition spec
+    assert "__pid" in plan
     """Two tight planted groups -> k=2 recovers the partition; output is
     deterministic across runs; empty-cluster carry keeps k rows of state
     (exercised via k=3 on 2 groups)."""
@@ -1276,6 +1318,52 @@ def test_kmeans_quantized_recovers_planted_clusters(spark):
     # k=3 on 2 real groups: still assigns every vector, clusters <= 3
     o3 = kmeans_quantized(df, dim=8, k=3, n_iter=3).collect()
     assert len(o3) == 30 and {r.cluster for r in o3} <= {0, 1, 2}
+
+
+def test_kmeans_quantized_argmin_is_shuffle_free(spark):
+    """VERDICT r5 item 3: the per-iteration argmin folds over a literal
+    broadcast-free centroid array — no crossJoin, no window shuffle. The
+    ONLY exchanges in the assignment plan come from the (cluster, pos)
+    sum aggregate, so a 1-iteration run's final plan (post-checkpoint
+    projection) must contain no Exchange at all."""
+    import random
+
+    from codd_spark.operators.similarity import kmeans_quantized
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = kmeans_quantized(df, dim=4, k=2, n_iter=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # assigned is localCheckpoint'ed; the returned projection reads it
+    # straight through — any Exchange here would mean the argmin still
+    # shuffles per-id
+    assert "Exchange" not in plan, plan
+
+
+def test_kmeans_quantized_validates_inputs(spark):
+    """ADVICE r5: n_iter < 1 previously returned assigned=None and blew
+    up with AttributeError; k < 1 similarly. Both must raise ValueError
+    up front. An empty corpus through ivf_top_k(trainer='sq_kmeans')
+    must raise a clear ValueError, not a NoneType subscript."""
+    import pytest as _pytest
+
+    from codd_spark.operators.similarity import ivf_top_k, kmeans_quantized
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    with _pytest.raises(ValueError, match="n_iter"):
+        kmeans_quantized(df, dim=2, k=1, n_iter=0)
+    with _pytest.raises(ValueError, match="k must"):
+        kmeans_quantized(df, dim=2, k=0, n_iter=1)
+
+    empty = df.filter("vec_id < 0")
+    queries = spark.createDataFrame(
+        [(9, [0.1, 0.2])], "query_id LONG, q_emb ARRAY<FLOAT>"
+    )
+    with _pytest.raises(ValueError, match="empty"):
+        ivf_top_k(empty, queries, k=3, n_lists=2, trainer="sq_kmeans")
 
 
 def test_ivf_sq_kmeans_trainer(spark, embeddings):

@@ -180,6 +180,26 @@ def test_jpeg_info_rejects_non_jpeg_and_truncated():
         jpeg_info(b"\xff\xd8\xff\xd9")  # SOI + EOI, no frame
 
 
+def test_jpeg_info_rejects_mid_sof_truncation():
+    """ADVICE r5: a JPEG cut mid-SOF-header must raise, not IndexError or
+    silently parse garbage dimensions from the short slice."""
+    import pytest as _pytest
+
+    from codd_spark.functions.imaging import jpeg_info
+
+    full = _jpeg_bytes(640, 480, 3)
+    sof_at = full.index(b"\xff\xc0")
+    # cut inside the SOF payload, before the n_components byte
+    for cut in (sof_at + 4, sof_at + 6, sof_at + 8, sof_at + 9):
+        with _pytest.raises(ValueError, match="truncated|SOF"):
+            jpeg_info(full[:cut])
+    # a SOF whose declared seglen is too short for the payload
+    bad = bytearray(full)
+    bad[sof_at + 2 : sof_at + 4] = (5).to_bytes(2, "big")
+    with _pytest.raises(ValueError, match="truncated"):
+        jpeg_info(bytes(bad))
+
+
 def test_codec_dispatch_routes_jpeg_header_pure():
     """image_info must answer JPEG dims via the pure SOF scan — no PIL
     needed (and identical to PIL's bands when PIL exists)."""
