@@ -1616,6 +1616,185 @@ def bloom_decontaminate(
     return corpus.join(dirty.hint("shuffle_merge"), on=id_col, how="left_anti")
 
 
+class _BucketedMinhashState:
+    """Restart-surviving MinHash state as EXTERNAL (band,h)-bucketed
+    parquet tables — the durable backend behind
+    ``IncrementalDeduplicator(state_dir=...)`` and
+    ``IncrementalDecontaminator(state_dir=...)``.
+
+    Layout under ``state_dir``: ``buckets/`` (id, band, h, gen) bucketed
+    by (band, h); ``shingles/`` (id, sh, gen) bucketed by id;
+    ``manifest.json`` with the MinHash params and the last COMMITTED
+    generation. Tables are ``CREATE TABLE ... USING PARQUET CLUSTERED BY
+    ... LOCATION`` externals, re-registered idempotently on every open —
+    so a brand-new SparkSession (a real process restart) recovers both
+    data and the bucket spec from the directory alone.
+
+    Why bucketed: the per-arrival probe joins state on (band, h) / (id).
+    With the state side bucketed, the executed plan carries exactly ONE
+    Exchange — the O(batch) probe side — and the state side reads
+    ``Bucketed: true`` with no shuffle ever again (verified by plan
+    assertion in test_incremental_dedup). Pay the clustering once per
+    append, probe shuffle-free forever — the 100-TB shape the in-memory
+    localCheckpoint path cannot give across restarts.
+
+    Crash safety (same contract as streaming/store.py): each append
+    writes both tables under ``gen = committed + 1`` and only then
+    commits the manifest (atomic tmp + rename). Readers filter
+    ``gen <= committed``, so a crash between the two inserts leaves only
+    invisible orphan rows; the next open resumes gen numbering PAST any
+    orphans (max-gen scan, parquet-stats cheap) so they can never be
+    adopted by a later commit. A batch whose commit never landed is
+    simply "not processed" — replay it.
+    """
+
+    def __init__(
+        self,
+        spark,
+        state_dir: str,
+        *,
+        n_buckets: int = 32,
+        params: dict | None = None,
+        extra: dict | None = None,
+    ):
+        import hashlib
+        import json
+        import os
+
+        self.spark = spark
+        self.state_dir = os.path.abspath(state_dir)
+        self._manifest_path = os.path.join(self.state_dir, "manifest.json")
+        tag = hashlib.md5(self.state_dir.encode()).hexdigest()[:12]
+        self._tb = f"inc_minhash_{tag}_buckets"
+        self._ts = f"inc_minhash_{tag}_shingles"
+
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                m = json.load(f)
+            if params is not None and dict(m["params"]) != dict(params):
+                raise ValueError(
+                    f"state_dir {self.state_dir} was built with MinHash "
+                    f"params {m['params']}, got {params} — signatures "
+                    "would not be comparable"
+                )
+            self.params = dict(m["params"])
+            self.extra = dict(m.get("extra", {}))
+            self.n_buckets = int(m["n_buckets"])
+            self.committed = int(m["committed_gen"])
+            self._register()
+            # resume past any uncommitted orphan generations
+            mx = (
+                self.spark.table(self._tb)
+                .agg(F.max("gen"))
+                .union(self.spark.table(self._ts).agg(F.max("gen")))
+                .agg(F.max("max(gen)"))
+                .first()[0]
+            )
+            self._next_gen = max(self.committed, mx if mx is not None else -1) + 1
+        else:
+            if params is None:
+                raise ValueError(
+                    f"no manifest at {self.state_dir} — pass params to "
+                    "create a fresh state dir"
+                )
+            if os.path.isdir(self.state_dir) and os.listdir(self.state_dir):
+                raise ValueError(
+                    f"{self.state_dir} is non-empty but has no "
+                    "manifest.json — refusing to adopt a foreign directory"
+                )
+            os.makedirs(self.state_dir, exist_ok=True)
+            self.params = dict(params)
+            self.extra = dict(extra or {})
+            self.n_buckets = n_buckets
+            self.committed = -1
+            self._next_gen = 0
+            # a stale catalog entry may point at a DELETED old dir with
+            # the same path hash — drop before (re)creating
+            spark.sql(f"DROP TABLE IF EXISTS {self._tb}")
+            spark.sql(f"DROP TABLE IF EXISTS {self._ts}")
+            self._register()
+            self._write_manifest()
+
+    @staticmethod
+    def exists(state_dir: str) -> bool:
+        import os
+
+        return os.path.exists(
+            os.path.join(os.path.abspath(state_dir), "manifest.json")
+        )
+
+    def _register(self) -> None:
+        d = self.state_dir
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self._tb} "
+            "(id BIGINT, band INT, h BIGINT, gen BIGINT) USING PARQUET "
+            f"CLUSTERED BY (band, h) SORTED BY (band, h) "
+            f"INTO {self.n_buckets} BUCKETS LOCATION '{d}/buckets'"
+        )
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self._ts} "
+            "(id BIGINT, sh ARRAY<BIGINT>, gen BIGINT) USING PARQUET "
+            f"CLUSTERED BY (id) SORTED BY (id) "
+            f"INTO {self.n_buckets} BUCKETS LOCATION '{d}/shingles'"
+        )
+
+    def _write_manifest(self) -> None:
+        import json
+        import os
+
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "params": self.params,
+                    "extra": self.extra,
+                    "n_buckets": self.n_buckets,
+                    "committed_gen": self.committed,
+                },
+                f,
+            )
+        os.replace(tmp, self._manifest_path)
+
+    def buckets(self) -> DataFrame:
+        """Committed (id, band, h) state — bucketed scan, no Exchange."""
+        return (
+            self.spark.table(self._tb)
+            .filter(F.col("gen") <= F.lit(self.committed))
+            .drop("gen")
+        )
+
+    def shingles(self) -> DataFrame:
+        """Committed (id, sh) state — bucketed scan, no Exchange."""
+        return (
+            self.spark.table(self._ts)
+            .filter(F.col("gen") <= F.lit(self.committed))
+            .drop("gen")
+        )
+
+    def append(self, buckets_df: DataFrame, shingles_df: DataFrame) -> None:
+        """Durably append one arrival's survivor state: write both
+        tables at the next generation, then commit the manifest."""
+        g = self._next_gen
+        (
+            buckets_df.select(
+                F.col("id").cast("long"),
+                F.col("band").cast("int"),
+                F.col("h").cast("long"),
+                F.lit(g).cast("long").alias("gen"),
+            ).write.mode("append").insertInto(self._tb)
+        )
+        (
+            shingles_df.select(
+                F.col("id").cast("long"),
+                F.col("sh").cast("array<long>"),
+                F.lit(g).cast("long").alias("gen"),
+            ).write.mode("append").insertInto(self._ts)
+        )
+        self.committed = g
+        self._next_gen = g + 1
+        self._write_manifest()
+
+
 class IncrementalDecontaminator:
     """Decontamination at eval-set-arrival granularity: prepare the
     corpus ONCE, then check each arriving contaminant batch in O(batch).
@@ -1633,19 +1812,23 @@ class IncrementalDecontaminator:
     separate passes are identical to union-pass signatures — the shared
     hash family holds by construction, not by co-processing.
 
-    At true corpus scale, swap the ``persist()`` boundary for a write to
-    a (band, h)-bucketed parquet table (sinks.write_bucketed): the probe
-    join then co-locates on bucket files and arrival cost stays O(batch)
-    end-to-end. The incremental-view machinery (streaming/incremental.py)
-    covers the same need when the CORPUS side is what grows.
+    At true corpus scale, pass ``state_dir=...``: the prepared corpus
+    state is written ONCE to (band,h)-bucketed external parquet tables
+    (``_BucketedMinhashState``) and every later
+    ``IncrementalDecontaminator.open(spark, state_dir)`` — including
+    after a process restart — probes it with zero corpus recompute and
+    zero Exchange on the corpus side of the probe join. The
+    incremental-view machinery (streaming/incremental.py) covers the
+    same need when the CORPUS side is what grows.
 
     Call ``close()`` (or use ``contextlib.closing``) when done — the
-    corpus tables stay cached across checks by design.
+    corpus tables stay cached across checks by design (in-memory mode;
+    persistent state needs no release).
     """
 
     def __init__(
         self,
-        corpus: DataFrame,
+        corpus: DataFrame | None,
         id_col: str = "doc_id",
         text_col: str = "text",
         *,
@@ -1654,6 +1837,8 @@ class IncrementalDecontaminator:
         shingle_k: int = 5,
         threshold: float = 0.5,
         max_bucket_size: int = 1000,
+        state_dir: str | None = None,
+        state_buckets: int = 32,
     ):
         if num_hashes % bands != 0:
             raise ValueError("num_hashes must be divisible by bands")
@@ -1661,6 +1846,48 @@ class IncrementalDecontaminator:
         self.params = dict(num_hashes=num_hashes, bands=bands, shingle_k=shingle_k)
         self.threshold = threshold
         self.max_bucket_size = max_bucket_size
+        self._state = None
+        if state_dir is not None:
+            resuming = _BucketedMinhashState.exists(state_dir)
+            if not resuming and corpus is None:
+                raise ValueError(
+                    f"no prepared state at {state_dir} and no corpus to "
+                    "prepare it from"
+                )
+            spark = corpus.sparkSession if corpus is not None else None
+            if spark is None:
+                from pyspark.sql import SparkSession
+
+                spark = SparkSession.getActiveSession()
+            self._state = _BucketedMinhashState(
+                spark,
+                state_dir,
+                n_buckets=state_buckets,
+                params=self.params,
+                extra=dict(
+                    kind="decontaminate",
+                    id_col=id_col,
+                    text_col=text_col,
+                    threshold=threshold,
+                    max_bucket_size=max_bucket_size,
+                ),
+            )
+            if not resuming:
+                buckets, sh = _minhash_prep(
+                    corpus, id_col, text_col, **self.params
+                )
+                guarded = (
+                    buckets.withColumn(
+                        "bsz", F.count("*").over(Window.partitionBy("band", "h"))
+                    )
+                    .filter(F.col("bsz") <= max_bucket_size)
+                    .select("id", "band", "h")
+                )
+                self._state.append(guarded, sh)
+                _safe_unpersist(sh)
+            self._buckets = self._state.buckets()
+            self._shingled = self._state.shingles()
+            return
         buckets, self._shingled = _minhash_prep(
             corpus, id_col, text_col, **self.params
         )
@@ -1673,6 +1900,24 @@ class IncrementalDecontaminator:
             .select("id", "band", "h")
             .persist()
         )
+
+    @classmethod
+    def open(cls, spark, state_dir: str) -> "IncrementalDecontaminator":
+        """Reopen prepared corpus state (possibly from an earlier
+        process) without touching the corpus again."""
+        if not _BucketedMinhashState.exists(state_dir):
+            raise ValueError(f"no prepared decontamination state at {state_dir}")
+        st = _BucketedMinhashState(spark, state_dir)
+        e = st.extra
+        inst = cls.__new__(cls)
+        inst.id_col, inst.text_col = e["id_col"], e["text_col"]
+        inst.params = dict(st.params)
+        inst.threshold = e["threshold"]
+        inst.max_bucket_size = e["max_bucket_size"]
+        inst._state = st
+        inst._buckets = st.buckets()
+        inst._shingled = st.shingles()
+        return inst
 
     def check(self, contaminants: DataFrame) -> DataFrame:
         """(id_l = corpus doc, id_r = contaminant doc, jaccard) pairs for
@@ -1771,11 +2016,20 @@ class IncrementalDeduplicator:
     are a per-document closed form of (text, num_hashes, shingle_k) —
     same shared-hash-family argument as ``IncrementalDecontaminator``.
 
-    State lineage is cut with an eager localCheckpoint per arrival
-    (MEMORY_AND_DISK — spill-safe); at true corpus scale swap the state
-    tables for (band,h)-bucketed parquet (sinks.write_bucketed) and the
-    probe join co-locates on bucket files. ``seed`` installs an
-    already-deduplicated kept corpus as the initial state.
+    Two state backends:
+
+    - **In-memory** (default): lineage cut with an eager localCheckpoint
+      per arrival (MEMORY_AND_DISK — spill-safe). Dies with the process.
+    - **Persistent** (``state_dir=...``): (band,h)-bucketed external
+      parquet tables via ``_BucketedMinhashState`` — the state side of
+      every probe join reads ``Bucketed: true`` with ZERO Exchange (only
+      the O(batch) side shuffles), appends commit generation-wise so a
+      crash between writes is invisible, and
+      ``IncrementalDeduplicator.open(spark, state_dir)`` resumes after a
+      process restart with batch N+1 ≡ the uninterrupted run (tested).
+
+    ``seed`` installs an already-deduplicated kept corpus as the initial
+    state (fresh state dirs only).
     """
 
     def __init__(
@@ -1790,6 +2044,8 @@ class IncrementalDeduplicator:
         threshold: float = 0.5,
         max_bucket_size: int = 1000,
         seed: DataFrame | None = None,
+        state_dir: str | None = None,
+        state_buckets: int = 32,
     ):
         if num_hashes % bands != 0:
             raise ValueError("num_hashes must be divisible by bands")
@@ -1798,6 +2054,35 @@ class IncrementalDeduplicator:
         self.threshold = threshold
         self.max_bucket_size = max_bucket_size
         self.n_kept = 0
+        self._state = None
+        if state_dir is not None:
+            resuming = _BucketedMinhashState.exists(state_dir)
+            self._state = _BucketedMinhashState(
+                spark,
+                state_dir,
+                n_buckets=state_buckets,
+                params=self.params,
+                extra=dict(
+                    kind="dedup",
+                    id_col=id_col,
+                    text_col=text_col,
+                    threshold=threshold,
+                    max_bucket_size=max_bucket_size,
+                ),
+            )
+            if resuming:
+                if seed is not None:
+                    raise ValueError(
+                        "seed only applies to a FRESH state_dir — this one "
+                        "already holds kept-corpus state"
+                    )
+                self.n_kept = self._state.shingles().count()
+            elif seed is not None:
+                sb, ss = _minhash_prep(seed, id_col, text_col, **self.params)
+                self._state.append(self._guard(sb), ss)
+                _safe_unpersist(ss)
+                self.n_kept = self._state.shingles().count()
+            return
         empty_b = spark.createDataFrame([], "id LONG, band INT, h LONG")
         empty_s = spark.createDataFrame([], "id LONG, sh ARRAY<LONG>")
         self._buckets, self._shingled = empty_b, empty_s
@@ -1807,6 +2092,37 @@ class IncrementalDeduplicator:
             self._shingled = ss.localCheckpoint(eager=True)
             _safe_unpersist(ss)
             self.n_kept = self._shingled.count()
+
+    @classmethod
+    def open(cls, spark, state_dir: str) -> "IncrementalDeduplicator":
+        """Reopen a persistent state dir after a (real or simulated)
+        process restart: params, id/text columns, threshold and guard
+        come from the manifest; kept-corpus state from the bucketed
+        tables."""
+        if not _BucketedMinhashState.exists(state_dir):
+            raise ValueError(f"no incremental-dedup state at {state_dir}")
+        st = _BucketedMinhashState(spark, state_dir)
+        e = st.extra
+        return cls(
+            spark,
+            e["id_col"],
+            e["text_col"],
+            num_hashes=st.params["num_hashes"],
+            bands=st.params["bands"],
+            shingle_k=st.params["shingle_k"],
+            threshold=e["threshold"],
+            max_bucket_size=e["max_bucket_size"],
+            state_dir=state_dir,
+            state_buckets=st.n_buckets,
+        )
+
+    @property
+    def _kept_buckets(self) -> DataFrame:
+        return self._state.buckets() if self._state is not None else self._buckets
+
+    @property
+    def _kept_shingles(self) -> DataFrame:
+        return self._state.shingles() if self._state is not None else self._shingled
 
     def _guard(self, buckets: DataFrame) -> DataFrame:
         return (
@@ -1876,7 +2192,7 @@ class IncrementalDeduplicator:
             how="left_semi",
         )
         cand_x = (
-            self._buckets.select("band", "h", F.col("id").alias("id_l"))
+            self._kept_buckets.select("band", "h", F.col("id").alias("id_l"))
             .join(
                 kb.select("band", "h", F.col("id").alias("id_r")).hint(
                     "shuffle_merge"
@@ -1887,7 +2203,7 @@ class IncrementalDeduplicator:
             .distinct()
         )
         dropped = (
-            self._verify(cand_x, self._shingled, bsh)
+            self._verify(cand_x, self._kept_shingles, bsh)
             .select(F.col("id_r").alias(self.id_col))
             .distinct()
         )
@@ -1895,13 +2211,17 @@ class IncrementalDeduplicator:
             dropped.hint("shuffle_merge"), on=self.id_col, how="left_anti"
         ).localCheckpoint(eager=True)
 
-        # 3. append survivor state; cut lineage so arrival cost stays
-        # O(batch) regardless of history length
+        # 3. append survivor state; lineage stays O(batch) per arrival —
+        # localCheckpoint in memory mode, a generation-committed parquet
+        # append in persistent mode
         sid = survivors.withColumnRenamed(self.id_col, "id")
         new_b = kb.join(sid.hint("shuffle_merge"), on="id", how="left_semi")
         new_s = bsh.join(sid.hint("shuffle_merge"), on="id", how="left_semi")
-        self._buckets = self._buckets.union(new_b).localCheckpoint(eager=True)
-        self._shingled = self._shingled.union(new_s).localCheckpoint(eager=True)
+        if self._state is not None:
+            self._state.append(new_b, new_s)
+        else:
+            self._buckets = self._buckets.union(new_b).localCheckpoint(eager=True)
+            self._shingled = self._shingled.union(new_s).localCheckpoint(eager=True)
         _safe_unpersist(bsh)
         self.n_kept += survivors.count()
 

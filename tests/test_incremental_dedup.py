@@ -204,3 +204,137 @@ def test_no_two_kept_docs_are_near_dups_any_batching(spark):
             kept_df, "doc_id", "text", **{k: v for k, v in PARAMS.items()}
         ).count()
         assert n_pairs == 0, f"near-dup pair among kept docs (split={split})"
+
+
+# ---------------------------------------------------------------------------
+# persistent (band,h)-bucketed parquet state (VERDICT r5 item 2)
+# ---------------------------------------------------------------------------
+
+def _simulate_restart(spark, state_dir):
+    """Drop the catalog entries (external tables: data survives) — what a
+    brand-new SparkSession would look like before reopening."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(os.path.abspath(state_dir).encode()).hexdigest()[:12]
+    spark.sql(f"DROP TABLE IF EXISTS inc_minhash_{tag}_buckets")
+    spark.sql(f"DROP TABLE IF EXISTS inc_minhash_{tag}_shingles")
+
+
+def test_persistent_restart_equals_uninterrupted(spark, docs, tmp_path):
+    """Kill-and-reopen: batches 1+2, 'restart' (catalog dropped, state
+    reopened from the directory alone), batch 3 — kept set must equal
+    the uninterrupted in-memory run batch for batch."""
+    d = str(tmp_path / "ded_state")
+    half = docs.count() // 3
+    b1 = docs.filter(F.col("doc_id") < half)
+    b2 = docs.filter((F.col("doc_id") >= half) & (F.col("doc_id") < 2 * half))
+    b3 = docs.filter(F.col("doc_id") >= 2 * half)
+
+    mem = IncrementalDeduplicator(spark, **PARAMS)
+    want = [
+        {r.doc_id for r in mem.add_batch(b).collect()} for b in (b1, b2, b3)
+    ]
+
+    dd = IncrementalDeduplicator(spark, state_dir=d, **PARAMS)
+    got1 = {r.doc_id for r in dd.add_batch(b1).collect()}
+    got2 = {r.doc_id for r in dd.add_batch(b2).collect()}
+    n_before = dd.n_kept
+    del dd
+    _simulate_restart(spark, d)
+
+    dd2 = IncrementalDeduplicator.open(spark, d)
+    assert dd2.n_kept == n_before
+    got3 = {r.doc_id for r in dd2.add_batch(b3).collect()}
+    assert [got1, got2, got3] == want
+    assert dd2.n_kept == sum(len(w) for w in want)
+
+
+def test_persistent_crash_between_writes_is_invisible(spark, docs, tmp_path):
+    """Orphan rows from an uncommitted generation (a crash between the
+    buckets and shingles inserts) must never surface: reads filter to
+    the committed generation and the next arrival numbers PAST them."""
+    d = str(tmp_path / "crash_state")
+    b1 = docs.filter("doc_id < 150")
+    b2 = docs.filter("doc_id >= 150 AND doc_id < 300")
+
+    dd = IncrementalDeduplicator(spark, state_dir=d, **PARAMS)
+    kept1 = {r.doc_id for r in dd.add_batch(b1).collect()}
+    committed = dd._state.committed
+
+    # simulate a crash mid-append: bucket rows land at gen committed+1,
+    # shingle rows never make it, manifest never commits
+    spark.sql(
+        f"INSERT INTO {dd._state._tb} "
+        f"SELECT 999999 AS id, 0 AS band, 42 AS h, {committed + 1} AS gen"
+    )
+    del dd
+    _simulate_restart(spark, d)
+
+    dd2 = IncrementalDeduplicator.open(spark, d)
+    assert dd2._state.committed == committed
+    # orphan is invisible to reads
+    assert dd2._kept_buckets.filter("id = 999999").count() == 0
+    # next arrival skips past the orphan generation and commits cleanly
+    kept2 = {r.doc_id for r in dd2.add_batch(b2).collect()}
+    assert dd2._state.committed > committed + 1
+
+    mem = IncrementalDeduplicator(spark, **PARAMS)
+    want1 = {r.doc_id for r in mem.add_batch(b1).collect()}
+    want2 = {r.doc_id for r in mem.add_batch(b2).collect()}
+    assert (kept1, kept2) == (want1, want2)
+
+
+def test_persistent_probe_is_zero_exchange_on_state_side(spark, docs, tmp_path):
+    """The whole point of bucketed state: the cross-probe join's state
+    side reads Bucketed: true with no Exchange — only the O(batch) side
+    shuffles."""
+    d = str(tmp_path / "plan_state")
+    dd = IncrementalDeduplicator(spark, state_dir=d, **PARAMS)
+    dd.add_batch(docs.filter("doc_id < 200"))
+
+    probe = spark.createDataFrame(
+        [(7, 3, 123456789)], "id LONG, band INT, h LONG"
+    )
+    j = dd._kept_buckets.select(
+        "band", "h", F.col("id").alias("id_l")
+    ).join(
+        probe.select("band", "h", F.col("id").alias("id_r")).hint("shuffle_merge"),
+        on=["band", "h"],
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_persistent_state_rejects_param_drift(spark, docs, tmp_path):
+    d = str(tmp_path / "drift_state")
+    IncrementalDeduplicator(spark, state_dir=d, **PARAMS)
+    bad = dict(PARAMS, shingle_k=7)
+    with pytest.raises(ValueError, match="params"):
+        IncrementalDeduplicator(spark, state_dir=d, **bad)
+
+
+def test_persistent_decontaminator_reopen_skips_prep(spark, docs, tmp_path):
+    """Prepare-once decontamination state: a reopened instance (corpus
+    never touched again) flags the same pairs as the cached in-memory
+    preparation."""
+    from codd_spark.operators.dedup import IncrementalDecontaminator
+
+    d = str(tmp_path / "dec_state")
+    corpus = docs.filter("doc_id < 300")
+    batch = docs.filter("doc_id >= 300 AND doc_id < 360")
+
+    mem = IncrementalDecontaminator(corpus, threshold=0.5)
+    want = {(r.id_l, r.id_r) for r in mem.check(batch).collect()}
+    mem.close()
+
+    dec = IncrementalDecontaminator(corpus, threshold=0.5, state_dir=d)
+    got = {(r.id_l, r.id_r) for r in dec.check(batch).collect()}
+    assert got == want
+    del dec
+    _simulate_restart(spark, d)
+
+    dec2 = IncrementalDecontaminator.open(spark, d)
+    got2 = {(r.id_l, r.id_r) for r in dec2.check(batch).collect()}
+    assert got2 == want
