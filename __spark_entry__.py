@@ -1196,14 +1196,10 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_merges_df(spark, bpe_train(docs, "text", n_merges=20))
 
 
-def _kmeans_oracle_sql(k: int = 8, n_iter: int = 3, dim: int = 64, levels: int = 255) -> str:
-    """Unrolled DuckDB replay of kmeans_quantized: SQ encoding (same
-    double arithmetic and rounding as the sq_codes oracle), k lowest-id
-    singleton centroids, then per iteration an exact-integer distance
-    argmin (D = ||n*x - s||^2 / n^2 — identical integers, identical IEEE
-    division, identical argmin) and an elementwise integer sum update
-    with empty-cluster carry-forward. Returns the n_iter-th assignment,
-    exactly like the operator."""
+def _kmeans_assign_ctes(k: int = 8, n_iter: int = 3, dim: int = 64, levels: int = 255) -> str:
+    """The WITH-clause body of the kmeans_quantized replay, ending at the
+    final assignment CTE ``a{n_iter}`` — shared by the kmeans_clusters
+    oracle and the IVF(sq_kmeans) oracle, which keeps appending CTEs."""
     parts = [f"""
         WITH x AS (
           SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
@@ -1250,9 +1246,188 @@ def _kmeans_oracle_sql(k: int = 8, n_iter: int = 3, dim: int = 64, levels: int =
           SELECT p.c, COALESCE(u.s, p.s) AS s, COALESCE(u.n, p.n) AS n
           FROM {prev} p LEFT JOIN s{t} u ON u.c = p.c
         )""")
-    parts.append(f"""
-        SELECT vec_id, c AS cluster FROM a{n_iter}""")
     return "".join(parts)
+
+
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 3, dim: int = 64, levels: int = 255) -> str:
+    """Unrolled DuckDB replay of kmeans_quantized: SQ encoding (same
+    double arithmetic and rounding as the sq_codes oracle), k lowest-id
+    singleton centroids, then per iteration an exact-integer distance
+    argmin (D = ||n*x - s||^2 / n^2 — identical integers, identical IEEE
+    division, identical argmin) and an elementwise integer sum update
+    with empty-cluster carry-forward. Returns the n_iter-th assignment,
+    exactly like the operator."""
+    return (
+        _kmeans_assign_ctes(k, n_iter, dim, levels)
+        + f"""
+        SELECT vec_id, c AS cluster FROM a{n_iter}"""
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """dot/(sqrt(aa)*sqrt(bb)) over two DOUBLE[] SQL expressions — the
+    exact shape of functions/vector.py::cosine_similarity (sequential
+    double fold both sides; the proven similarity_topk pattern)."""
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _ann_sq_oracle_sql(k: int = 10, rerank_factor: int = 5, dim: int = 64, levels: int = 255) -> str:
+    """Full DuckDB replay of q_ann_sq_topk: SQ codes (closed form of the
+    corpus — same SQL as the sq_codes oracle), dequantize with the two
+    per-dimension constants, rank the quantized cosine per query, keep
+    k*rerank_factor candidates, exact-rerank on the raw embeddings. Both
+    ranking stages compare UNROUNDED doubles, bit-identical across
+    engines because every fold is sequential in array order."""
+    return f"""
+        WITH x AS (
+          SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+          FROM embeddings, (SELECT UNNEST(range(1, {dim + 1})) AS i) t
+        ), s AS (
+          SELECT pos, MIN(v) AS lo, MAX(v) AS hi FROM x GROUP BY pos
+        ), dq AS (
+          SELECT x.vec_id, x.pos,
+                 (CASE WHEN s.hi = s.lo THEN 0
+                       ELSE CAST(ROUND((x.v - s.lo) / (s.hi - s.lo) * {levels}, 0) AS INT)
+                  END)
+                 * (CASE WHEN s.hi = s.lo THEN 0.0 ELSE (s.hi - s.lo) / {levels} END)
+                 + s.lo AS dv
+          FROM x JOIN s USING (pos)
+        ), dqv AS MATERIALIZED (
+          SELECT vec_id, list(dv ORDER BY pos) AS dvec FROM dq GROUP BY vec_id
+        ), queries AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 5
+        ), qscored AS (
+          SELECT q.query_id, d.vec_id AS neighbor_id, q.qv,
+                 {_cos_sql('d.dvec', 'q.qv')} AS qsim
+          FROM dqv d CROSS JOIN queries q
+          WHERE d.vec_id <> q.query_id
+        ), cands AS (
+          SELECT query_id, neighbor_id, qv FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY qsim DESC NULLS LAST, neighbor_id ASC
+            ) AS rk FROM qscored
+          ) WHERE rk <= {k * rerank_factor}
+        ), exact AS (
+          SELECT c.query_id, c.neighbor_id,
+                 {_cos_sql('CAST(e.embedding AS DOUBLE[])', 'c.qv')} AS sim
+          FROM cands c JOIN embeddings e ON e.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY sim DESC NULLS LAST, neighbor_id ASC
+          ) AS rank FROM exact
+        ) WHERE rank <= {k}
+    """
+
+
+def _ann_lsh_oracle_sql(k: int = 5, n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """Full DuckDB replay of q_ann_lsh_topk. The hyperplanes are MODEL
+    PARAMETERS (a deterministic function of the seed, not of the data),
+    so they are inlined as double literals — the same move as the
+    image/audio oracles inlining synthesis constants. Buckets, the
+    Hamming<=1 probe expansion, the rounded hoisted-norm cosine and the
+    top-k rank all replay in SQL."""
+    from codd_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def plane_lit(p):
+        return "[" + ",".join(repr(float(v)) for v in p) + "]"
+
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {plane_lit(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    probe_list = ", ".join(
+        ["qbucket"] + [f"xor(qbucket, {1 << i})" for i in range(n_planes)]
+    )
+    return f"""
+        WITH b AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev, {bits} AS bucket
+          FROM embeddings
+        ), q AS (
+          SELECT vec_id AS query_id, ev AS qv, bucket AS qbucket FROM b
+          WHERE vec_id < 5
+        ), probes AS (
+          SELECT query_id, qv, UNNEST([{probe_list}]) AS bucket FROM q
+        ), hits AS (
+          SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+                 ROUND({_cos_sql('p.qv', 'c.ev')}, 6) AS cos_sim
+          FROM b c JOIN probes p ON c.bucket = p.bucket
+          WHERE c.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC NULLS LAST, neighbor_id ASC
+          ) AS rank FROM hits
+        ) WHERE rank <= {k}
+    """
+
+
+def _ann_ivf_oracle_sql(
+    k: int = 5, n_lists: int = 16, n_probe: int = 3, n_iter: int = 5,
+    dim: int = 64, levels: int = 255,
+) -> str:
+    """Full DuckDB replay of q_ann_ivf_topk(trainer='sq_kmeans'): list
+    assignment is the exact-integer kmeans_quantized loop (shared CTE
+    body with the kmeans_clusters oracle, k=n_lists, n_iter unrolled),
+    list ids densified by ascending cluster (the operator's remap),
+    routing = squared-L2 to the per-list float means (n_probe nearest,
+    ties by list id), then rounded cosine over the probed lists' members.
+    Mean/distance doubles may differ from Spark in summation-order low
+    bits; the routing margins and the 6dp output rounding absorb them —
+    the assignment itself is bit-exact integers."""
+    emb_i = "CAST(e.embedding[t.i] AS DOUBLE)"
+    cos = _cos_sql("CAST(qq.embedding AS DOUBLE[])", "CAST(e.embedding AS DOUBLE[])")
+    return (
+        _kmeans_assign_ctes(n_lists, n_iter, dim, levels)
+        + f"""
+        , mean_raw AS (
+          SELECT a.c, t.i AS pos, AVG({emb_i}) AS m
+          FROM a{n_iter} a JOIN embeddings e USING (vec_id),
+               (SELECT UNNEST(range(1, {dim + 1})) AS i) t
+          GROUP BY a.c, t.i
+        ), cent AS MATERIALIZED (
+          SELECT c, list(m ORDER BY pos) AS cv FROM mean_raw GROUP BY c
+        ), remap AS (
+          SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c) - 1 AS INT) AS list_id
+          FROM cent
+        ), assigned AS (
+          SELECT a.vec_id, r.list_id FROM a{n_iter} a JOIN remap r USING (c)
+        ), route_d AS (
+          SELECT q.vec_id AS query_id, r.list_id,
+                 list_sum(list_transform(range(1, {dim + 1}),
+                   i -> (CAST(q.embedding[i] AS DOUBLE) - c.cv[i])
+                      * (CAST(q.embedding[i] AS DOUBLE) - c.cv[i]))) AS d
+          FROM embeddings q CROSS JOIN cent c JOIN remap r ON r.c = c.c
+          WHERE q.vec_id < 5
+        ), qrt AS (
+          SELECT query_id, list_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY d ASC, list_id ASC
+            ) AS rn FROM route_d
+          ) WHERE rn <= {n_probe}
+        ), ivf_hits AS (
+          SELECT DISTINCT p.query_id, e.vec_id AS neighbor_id,
+                 ROUND({cos}, 6) AS cos_sim
+          FROM qrt p
+          JOIN assigned a ON a.list_id = p.list_id
+          JOIN embeddings e ON e.vec_id = a.vec_id
+          JOIN embeddings qq ON qq.vec_id = p.query_id
+          WHERE e.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC NULLS LAST, neighbor_id ASC
+          ) AS rank FROM ivf_hits
+        ) WHERE rank <= {k}
+    """
+    )
 
 
 def _bpe_oracle_sql(n_merges: int = 20, min_pair_count: int = 2) -> str:
@@ -1395,7 +1570,13 @@ def q_embedding_near_dups(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """Approximate top-5 neighbors via multi-probe hyperplane LSH."""
+    """Approximate top-5 neighbors via multi-probe hyperplane LSH.
+
+    FULLY oracle-replayed (upgraded r6 from rows-only): the hyperplanes
+    are deterministic MODEL PARAMETERS (random.Random(42).gauss), so the
+    oracle inlines them as double literals and replays sign-bucketing,
+    the Hamming-1 multi-probe expansion, and the rounded-cosine rerank
+    in DuckDB — every output row hash-matches."""
     from pyspark.sql import functions as F2
     from codd_spark.operators.similarity import lsh_top_k
 
@@ -1407,7 +1588,15 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-style ANN: KMeans inverted lists, probe 3 nearest lists."""
+    """IVF ANN with the exact-replay integer k-means trainer: inverted
+    lists from kmeans_quantized (bit-stable argmin — the same unrolled
+    training loop the kmeans_clusters oracle replays), float list means
+    for routing, probe the 3 nearest lists, rounded-cosine rank.
+
+    FULLY oracle-replayed (upgraded r6 from rows-only): assignment is
+    exact-integer, the list means/routing distances replay in double
+    (the rounded output absorbs summation-order low bits), so DuckDB
+    reproduces every row."""
     from pyspark.sql import functions as F2
     from codd_spark.operators.similarity import ivf_top_k
 
@@ -1415,7 +1604,9 @@ def q_ann_ivf_topk(spark, sf_dir):
     queries_df = emb.filter("vec_id < 5").select(
         F2.col("vec_id").alias("query_id"), F2.col("embedding").alias("q_emb")
     )
-    return ivf_top_k(emb, queries_df, k=5, n_lists=16, n_probe=3)
+    return ivf_top_k(
+        emb, queries_df, k=5, n_lists=16, n_probe=3, trainer="sq_kmeans"
+    )
 
 
 def q_text_features(spark, sf_dir):
@@ -2718,19 +2909,48 @@ def _pagerank_oracle_sql(n_iter: int = 5) -> str:
 
 
 def q_ann_pq_topk(spark, sf_dir):
-    """Product-quantization ANN contract (rows-only, like the LSH/IVF
-    variants: the KMeans codebooks are not SQL-expressible). Encodes the
-    corpus to m=8 codes (32× smaller than raw float64), searches via the
-    query-side ADC lookup table, exact-reranks 5k candidates. Recall vs
-    brute force is asserted in tests/test_extensions.py."""
-    from codd_spark.operators.similarity import pq_top_k, pq_train_encode
+    """Product-quantization ANN contract — RECALL-PINNED oracle (r6,
+    the minhash precedent applied to the one ANN route whose model is
+    not SQL-expressible: MLlib-trained codebooks). The query runs the
+    full PQ pipeline (m=8 codes — 32× smaller than raw float64 — ADC
+    lookup search, exact rerank of 5k candidates) AND the exact
+    brute-force top-10 in the same job, and emits the exact rows
+    (query_id, neighbor_id, cos_sim, rank — independently replayed by
+    DuckDB) plus recall_at_10 = |PQ@10 ∩ exact@10| / 10 per query. The
+    recall values are deterministic (fixed seeds; measured invariant
+    across local[4]/local[7]/local[32]) and pinned in the oracle per
+    test scale — a regression in either the PQ path (recall drifts) or
+    the exact path (rows drift) flips the hash."""
+    from codd_spark.operators.similarity import (
+        brute_force_top_k,
+        pq_top_k,
+        pq_train_encode,
+    )
 
     emb = read_table(spark, sf_dir, "embeddings")
     queries_df = emb.where("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     encoded, books = pq_train_encode(emb, dim=64, m=8, k=16, max_iter=5)
-    return pq_top_k(encoded, books, queries_df, k=10, rerank=emb)
+    pq = pq_top_k(encoded, books, queries_df, k=10, rerank=emb).select(
+        "query_id", "neighbor_id"
+    )
+    exact = brute_force_top_k(emb, queries_df, k=10)
+    recall = (
+        exact.select("query_id", "neighbor_id")
+        .join(pq, on=["query_id", "neighbor_id"], how="left_semi")
+        .groupBy("query_id")
+        .agg((F.count("*") / F.lit(10.0)).alias("recall_at_10"))
+    )
+    # left + coalesce: a query with zero PQ/exact overlap still reports
+    # its exact rows (recall 0.0), it doesn't vanish
+    return exact.join(recall, on="query_id", how="left").select(
+        "query_id",
+        "neighbor_id",
+        "cos_sim",
+        "rank",
+        F.coalesce("recall_at_10", F.lit(0.0)).alias("recall_at_10"),
+    )
 
 
 def q_kmeans_clusters(spark, sf_dir):
@@ -4891,6 +5111,51 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(ROUND((x.v - s.lo) / (s.hi - s.lo) * 255, 0) AS INT)
                    END AS code
             FROM x JOIN s USING (pos)
+        """,
+        # r6: the three ANN routes upgraded rows-only -> FULL replay
+        # (generated SQL; see the _ann_*_oracle_sql docstrings for why
+        # each is deterministic cross-engine)
+        "ann_sq_topk": _ann_sq_oracle_sql(),
+        "ann_lsh_topk": _ann_lsh_oracle_sql(),
+        "ann_ivf_topk": _ann_ivf_oracle_sql(),
+        # PQ: exact top-10 independently replayed; recall@10 of the PQ
+        # path GOLDEN-PINNED per test corpus (keyed on lineitem count —
+        # sf0.001 and sf0.01 share an embeddings count). Measured with
+        # fixed seeds, invariant across local[4]/[7]/[32]. An unknown
+        # corpus yields NULL recall -> loud hash mismatch, never a
+        # silent pass.
+        "ann_pq_topk": """
+            WITH queries AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       ROUND(
+                           list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+                           / (sqrt(list_dot_product(q.qv, q.qv))
+                              * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                      CAST(e.embedding AS DOUBLE[])))),
+                           6) AS cos_sim
+                FROM embeddings e CROSS JOIN queries q
+                WHERE e.vec_id <> q.query_id
+            ), exact AS (
+                SELECT query_id, neighbor_id, cos_sim, rank FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC NULLS LAST, neighbor_id ASC) AS rank
+                    FROM scored
+                ) WHERE rank <= 10
+            ), pins AS (
+                SELECT * FROM (VALUES
+                    (6000,  0, 0.5), (6000,  1, 0.9), (6000,  2, 0.7),
+                    (6000,  3, 0.8), (6000,  4, 0.7),
+                    (60000, 0, 0.6), (60000, 1, 0.9), (60000, 2, 0.7),
+                    (60000, 3, 0.4), (60000, 4, 0.9)
+                ) AS t(scale_key, query_id, recall_at_10)
+                WHERE scale_key = (SELECT COUNT(*) FROM lineitem)
+            )
+            SELECT e.query_id, e.neighbor_id, e.cos_sim, e.rank,
+                   p.recall_at_10
+            FROM exact e LEFT JOIN pins p USING (query_id)
         """,
         "training_shards": """
             WITH h AS (

@@ -238,3 +238,22 @@ ROUND5_UPGRADES = [
 @pytest.mark.parametrize("name", ROUND5_UPGRADES)
 def test_round5_upgrade_matches_oracle(spark, duck, name):
     _replay(spark, duck, name)
+
+
+# round-6: the four ANN routes upgraded rows-only -> oracle-backed.
+# SQ/LSH/IVF are FULL replays (closed-form codes / inlined hyperplane
+# parameters / shared exact-integer kmeans CTEs); PQ is the exact path
+# replayed + per-scale golden recall pins (the one model DuckDB cannot
+# express). All four replay here at sf0.001 — the pins carry both
+# sf0.001 and sf0.01 keys.
+ROUND6_UPGRADES = [
+    "ann_sq_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+]
+
+
+@pytest.mark.parametrize("name", ROUND6_UPGRADES)
+def test_round6_upgrade_matches_oracle(spark, duck, name):
+    _replay(spark, duck, name)
