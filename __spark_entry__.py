@@ -2050,6 +2050,43 @@ def q_decontaminate_bloom(spark, sf_dir):
     return clean.select("doc_id", F.length("text").alias("text_len"))
 
 
+def q_events_resample_stream(spark, sf_dir):
+    """Custom STATEFUL streaming contract (r6 — VERDICT r5 item 7): the
+    per-key resample/forward-fill operator running as an actual
+    applyInPandasWithState stream over the events source, append mode,
+    availableNow trigger, memory sink. Emission discipline: a (key,
+    bucket) row is emitted once a LATER bucket for the key closes it, so
+    streamed output == batch ``resample`` minus each key's trailing
+    still-open bucket — and that is exactly what the DuckDB oracle
+    computes (the resample_ffill replay with each key's MAX bucket
+    removed). Stream-vs-batch equivalence over chunked replays is also
+    engine-tested in tests/test_stateful_streaming.py."""
+    import uuid as _uuid
+
+    from codd_spark.streaming.stateful import streaming_resample
+
+    sdf = _events_stream(spark, sf_dir).filter("user_id < 20")
+    out = streaming_resample(sdf, "ts", "value", key_col="user_id", unit="hour")
+    name = f"events_resample_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.unix_timestamp(F.col("bucket").cast("timestamp"))
+        .cast("bigint")
+        .alias("bucket_epoch"),
+        "n_events",
+        "value",
+        "is_gap",
+    )
+
+
 def q_decontaminate_bloom_stream(spark, sf_dir):
     """STREAMING decontamination against a prebuilt GramBloom sketch
     (streaming/structured.py::bloom_decontaminate_batch_fn): the corpus
@@ -3328,6 +3365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sentences": q_doc_sentences,
         "decontaminate_containment": q_decontaminate_containment,
         "decontaminate_bloom_stream": q_decontaminate_bloom_stream,
+        "events_resample_stream": q_events_resample_stream,
         "decontaminate_lsh": q_decontaminate_lsh,
         "forecast_revenue": q_forecast_revenue,
         "market_share": q_market_share,
@@ -5214,6 +5252,52 @@ def oracle_sql() -> dict[str, str]:
                                    / (deg.degree * (deg.degree - 1.0)), 6)
                         ELSE 0.0 END AS clustering_coeff
             FROM deg LEFT JOIN pn ON pn.id = deg.id
+        """,
+        # streamed stateful resample == batch resample minus each key's
+        # trailing (still-open) bucket — the append-mode emission rule
+        "events_resample_stream": """
+            WITH src AS (
+              SELECT user_id, ts, value FROM events WHERE user_id < 20
+            ), ranked AS (
+              SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts DESC, value DESC) AS rn,
+                     COUNT(*) OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)) AS n_events
+              FROM src
+            ), agg AS (
+              SELECT user_id, bucket, value AS last_v, n_events
+              FROM ranked WHERE rn = 1
+            ), span AS (
+              SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+              FROM agg GROUP BY user_id
+            ), grid AS (
+              SELECT user_id,
+                     UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+              FROM span
+            ), dense AS (
+              SELECT g.user_id, g.bucket, a.n_events, a.last_v
+              FROM grid g LEFT JOIN agg a
+                ON a.user_id = g.user_id AND a.bucket = g.bucket
+            ), f AS (
+              SELECT *, COUNT(last_v) OVER (
+                       PARTITION BY user_id ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+              FROM dense
+            ), base AS (
+              SELECT user_id, bucket,
+                     COALESCE(n_events, 0) AS n_events,
+                     MAX(last_v) OVER (PARTITION BY user_id, grp) AS value,
+                     n_events IS NULL AS is_gap
+              FROM f
+            ), last AS (
+              SELECT user_id, MAX(bucket) AS mb FROM base GROUP BY user_id
+            )
+            SELECT b.user_id, CAST(epoch(b.bucket) AS BIGINT) AS bucket_epoch,
+                   b.n_events, b.value, b.is_gap
+            FROM base b JOIN last l USING (user_id)
+            WHERE b.bucket <> l.mb
         """,
         "resample_ffill": """
             WITH src AS (

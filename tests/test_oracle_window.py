@@ -251,6 +251,9 @@ ROUND6_UPGRADES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_pq_topk",
+    # stateful applyInPandasWithState resample as a stream, oracle =
+    # batch replay minus each key's trailing open bucket
+    "events_resample_stream",
 ]
 
 
