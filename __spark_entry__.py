@@ -2498,6 +2498,44 @@ def q_remove_spans(spark, sf_dir):
     )
 
 
+def q_exact_substr_spans(spark, sf_dir):
+    """ExactSubstr-style verbatim-duplication mask (Lee et al. 2022,
+    suffix-array method re-expressed suffix-array-free): every maximal
+    CHARACTER span whose every position lies in some >=40-char substring
+    occurring >= 2 times corpus-wide (self-repeats count). The coverage
+    identity — duplicated substrings of length >= L cover exactly the
+    positions duplicated length-EXACTLY-L windows cover — lets fixed-L
+    window mining + gaps-and-islands merging reproduce the suffix-array
+    removal mask with corpus-linear cost. Unlike duplicate_spans (fixed
+    k-token, hash-only) this is char-level, variable-length, and EXACT:
+    hash candidates are re-verified against actual substrings, so an
+    xxhash64 collision can never flag a false span. The oracle replays
+    window extraction (substrings compared directly — hash-free),
+    repeat counting and the span merge in SQL."""
+    from codd_spark.operators.dedup import exact_substring_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_substring_spans(docs, "doc_id", "text", min_len=40, min_count=2)
+
+
+def q_exact_substr_removal(spark, sf_dir):
+    """The removal half of ExactSubstr dedup: cut every flagged char
+    span (min_len=40) out of its document — cleaned strings compared
+    byte-for-byte against DuckDB stitching the kept segments of the same
+    span mask, so the contract pins the edit itself. Span-free documents
+    pass through verbatim; fully-duplicated documents become ''."""
+    from codd_spark.operators.dedup import (
+        exact_substring_spans,
+        remove_exact_substrings,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    spans = exact_substring_spans(docs, "doc_id", "text", min_len=40, min_count=2)
+    return remove_exact_substrings(docs, spans).select(
+        "doc_id", "cleaned_text", "n_chars_orig", "n_chars_kept"
+    )
+
+
 def q_cluster_safe_split(spark, sf_dir):
     """Leakage-safe train/val/test split: hash the near-dup CLUSTER id,
     not the doc id, so a document and its near-duplicate can never land
@@ -3382,6 +3420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_best": q_dedup_exact_best,
         "duplicate_spans": q_duplicate_spans,
         "remove_spans": q_remove_spans,
+        "exact_substr_spans": q_exact_substr_spans,
+        "exact_substr_removal": q_exact_substr_removal,
         "cluster_safe_split": q_cluster_safe_split,
         "robust_outliers": q_robust_outliers,
         "training_shards": q_training_shards,
@@ -4938,6 +4978,80 @@ def oracle_sql() -> dict[str, str]:
                                       sp -> i BETWEEN sp.s AND sp.e)) = 0))
                    END AS n_tokens_kept
             FROM t LEFT JOIN spl USING (doc_id)
+        """,
+        "exact_substr_spans": """
+            WITH pos AS (
+              SELECT doc_id, unnest(generate_series(0, length(text) - 40)) AS off,
+                     text
+              FROM documents
+            ), pos2 AS (
+              SELECT doc_id, off, substr(text, CAST(off AS INT) + 1, 40) AS s
+              FROM pos
+            ), dup AS (
+              SELECT s FROM pos2 GROUP BY s HAVING COUNT(*) >= 2
+            ), seed AS (
+              SELECT p.doc_id, p.off FROM pos2 p JOIN dup USING (s)
+            ), brk AS (
+              SELECT doc_id, off,
+                     CASE WHEN off - LAG(off) OVER (PARTITION BY doc_id ORDER BY off) <= 40
+                          THEN 0 ELSE 1 END AS b
+              FROM seed
+            ), isl AS (
+              SELECT doc_id, off,
+                     SUM(b) OVER (PARTITION BY doc_id ORDER BY off
+                                  ROWS UNBOUNDED PRECEDING) AS g
+              FROM brk
+            )
+            SELECT doc_id, MIN(off) AS span_start, MAX(off) + 40 AS span_end,
+                   COUNT(*) AS n_windows
+            FROM isl GROUP BY doc_id, g
+        """,
+        "exact_substr_removal": """
+            WITH pos AS (
+              SELECT doc_id, unnest(generate_series(0, length(text) - 40)) AS off,
+                     text
+              FROM documents
+            ), pos2 AS (
+              SELECT doc_id, off, substr(text, CAST(off AS INT) + 1, 40) AS s
+              FROM pos
+            ), dup AS (
+              SELECT s FROM pos2 GROUP BY s HAVING COUNT(*) >= 2
+            ), seed AS (
+              SELECT p.doc_id, p.off FROM pos2 p JOIN dup USING (s)
+            ), brk AS (
+              SELECT doc_id, off,
+                     CASE WHEN off - LAG(off) OVER (PARTITION BY doc_id ORDER BY off) <= 40
+                          THEN 0 ELSE 1 END AS b
+              FROM seed
+            ), isl AS (
+              SELECT doc_id, off,
+                     SUM(b) OVER (PARTITION BY doc_id ORDER BY off
+                                  ROWS UNBOUNDED PRECEDING) AS g
+              FROM brk
+            ), spans AS (
+              SELECT doc_id, MIN(off) AS s0, MAX(off) + 40 AS e0
+              FROM isl GROUP BY doc_id, g
+            ), seg AS (
+              -- kept segments: [prev span end, this span start) per doc,
+              -- plus the tail [last span end, doc end)
+              SELECT doc_id,
+                     COALESCE(LAG(e0) OVER (PARTITION BY doc_id ORDER BY s0), 0) AS a,
+                     s0 AS b
+              FROM spans
+              UNION ALL
+              SELECT doc_id, MAX(e0) AS a, 2147483647 AS b
+              FROM spans GROUP BY doc_id
+            ), cut AS (
+              SELECT g.doc_id,
+                     string_agg(substr(d.text, CAST(g.a AS INT) + 1,
+                                CAST(LEAST(g.b, length(d.text)) - g.a AS INT)),
+                                '' ORDER BY g.a) AS ct
+              FROM seg g JOIN documents d USING (doc_id) GROUP BY g.doc_id
+            )
+            SELECT d.doc_id, COALESCE(c.ct, d.text) AS cleaned_text,
+                   CAST(length(d.text) AS BIGINT) AS n_chars_orig,
+                   CAST(length(COALESCE(c.ct, d.text)) AS BIGINT) AS n_chars_kept
+            FROM documents d LEFT JOIN cut c USING (doc_id)
         """,
         "cluster_safe_split": """
             WITH RECURSIVE g AS (

@@ -2345,3 +2345,177 @@ def edit_distance_pairs(
         .filter(F.col("distance") <= max_distance)
         .select("id_a", "id_b", "distance")
     )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_len: int = 40,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style verbatim-duplication mask (Lee et al., ACL 2022,
+    "Deduplicating Training Data Makes Language Models Better"): flag
+    every maximal CHARACTER span whose every position is covered by some
+    length->=``min_len`` substring occurring >= ``min_count`` times in
+    the corpus (counting all positions, including self-repeats within
+    one document — the suffix-array semantics).
+
+    The coverage identity that makes this suffix-array-free: a duplicated
+    substring of length > L contains duplicated length-L substrings at
+    every offset, and a duplicated length-L substring IS a duplicated
+    substring of length >= L — so the union of positions covered by
+    duplicated substrings of length >= L equals the union covered by
+    duplicated length-EXACTLY-L windows. Mining fixed-L windows and
+    merging overlapping seeds therefore reproduces the ExactSubstr
+    removal mask exactly, with corpus-linear cost instead of distributed
+    suffix-array construction.
+
+    Unlike ``duplicate_spans`` (fixed k-TOKEN windows, hash-only), this
+    is character-level, variable-length after merging, and EXACT: hash
+    candidates are re-verified against the actual substrings, so an
+    xxhash64 collision can never flag a false span.
+
+    Returns (id_col, span_start, span_end, n_windows): 0-based char
+    offsets, ``span_end`` exclusive (Python-slice convention), plus how
+    many seed windows the span absorbed.
+
+    Scale shape: one projection explodes each doc into (off, xxhash64 of
+    its L-char window) rows — corpus-linear, windows travel as longs;
+    ONE hash-keyed count finds repeated windows (map-side partials); a
+    shuffle-pinned join flags candidate positions; only candidates (the
+    duplicated fraction) rejoin the text for exact verification; a
+    per-doc gaps-and-islands window merges seeds into maximal spans.
+    No pairwise stage, no suffix array, no Python.
+    """
+    L = int(min_len)
+    if L < 2:
+        raise ValueError(f"min_len must be >= 2 (got {min_len})")
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
+    txt = F.col("__txt")
+    # sequence(0, len-L) would DESCEND for docs shorter than one window —
+    # they must contribute no rows
+    offs = F.when(
+        F.length(txt) >= L, F.sequence(F.lit(0), F.length(txt) - F.lit(L))
+    ).otherwise(F.array().cast("array<int>"))
+    pos = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                offs,
+                lambda o: F.struct(
+                    o.alias("off"),
+                    F.xxhash64(F.substring(txt, o + 1, L)).alias("h"),
+                ),
+            )
+        ).alias("p"),
+    ).select("id", F.col("p.off").alias("off"), F.col("p.h").alias("h"))
+
+    repeated = (
+        pos.groupBy("h").agg(F.count("*").alias("__c")).filter(F.col("__c") >= min_count)
+    )
+    cand = pos.join(repeated.hint("shuffle_merge").select("h"), on="h").select(
+        "id", "off"
+    )
+    # exact verification: candidates (already the duplicated fraction)
+    # rejoin the text, group by the ACTUAL substring — a colliding hash
+    # whose substrings differ is dropped here
+    with_s = cand.join(base.hint("shuffle_merge"), on="id").select(
+        "id", "off", F.substring(txt, F.col("off") + 1, L).alias("s")
+    )
+    seed_w = Window.partitionBy("s")
+    seeds = (
+        with_s.withColumn("__sc", F.count("*").over(seed_w))
+        .filter(F.col("__sc") >= min_count)
+        .select("id", "off")
+    )
+
+    # same-length intervals [off, off+L) merge iff off - lag(off) <= L
+    # (running-max-end degenerates to the lag because end is monotone)
+    w = Window.partitionBy("id").orderBy("off")
+    return (
+        seeds.withColumn(
+            "__brk",
+            F.when(F.col("off") - F.lag("off").over(w) <= L, F.lit(0)).otherwise(
+                F.lit(1)
+            ),
+        )
+        .withColumn(
+            "__span",
+            F.sum("__brk").over(
+                Window.partitionBy("id")
+                .orderBy("off")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("id", "__span")
+        .agg(
+            F.min("off").cast("long").alias("span_start"),
+            (F.max("off") + F.lit(L)).cast("long").alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(F.col("id").alias(id_col), "span_start", "span_end", "n_windows")
+    )
+
+
+def remove_exact_substrings(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "cleaned_text",
+) -> DataFrame:
+    """Cut character spans (from ``exact_substring_spans``) out of each
+    document — the removal half of ExactSubstr dedup. Every flagged
+    occurrence is removed (the Lee-et-al. tool's cut-all policy; at
+    corpus scale a non-duplicated copy of genuinely useful text survives
+    elsewhere, and the policy keeps the operator one-pass — no global
+    "which occurrence to keep" election).
+
+    ``spans`` is (id, span_start, span_end), 0-based char offsets, end
+    exclusive; spans for one doc must be disjoint (merged-maximal output
+    of ``exact_substring_spans`` always is). Returns the input plus
+    (``out_col``, n_chars_orig, n_chars_kept). Docs with no spans pass
+    through verbatim.
+
+    Pure expression plan: spans aggregate to one small sorted array per
+    doc, one left join, then ONE fold over the span array stitches the
+    kept segments — no Python, no explode of the character stream.
+    """
+    agg = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").cast("int").alias("s"),
+                    F.col("span_end").cast("int").alias("e"),
+                )
+            )
+        ).alias("__spans")
+    )
+    joined = df.join(agg.hint("shuffle_merge"), on=id_col, how="left")
+    txt = F.col(text_col)
+    acc0 = F.struct(F.lit("").alias("out"), F.lit(0).alias("cur"))
+    folded = F.aggregate(
+        F.col("__spans"),
+        acc0,
+        lambda a, sp: F.struct(
+            F.concat(
+                a["out"],
+                F.substring(txt, a["cur"] + 1, F.greatest(sp["s"] - a["cur"], F.lit(0))),
+            ).alias("out"),
+            sp["e"].alias("cur"),
+        ),
+        lambda a: F.concat(
+            a["out"],
+            F.substring(txt, a["cur"] + 1, F.greatest(F.length(txt) - a["cur"], F.lit(0))),
+        ),
+    )
+    staged = joined.withColumn(
+        out_col, F.when(F.col("__spans").isNull(), txt).otherwise(folded)
+    )
+    return (
+        staged.withColumn("n_chars_orig", F.length(txt).cast("long"))
+        .withColumn("n_chars_kept", F.length(F.col(out_col)).cast("long"))
+        .drop("__spans")
+    )

@@ -109,10 +109,12 @@ def bpe_train(
     greedy-non-overlap semantics, cross-checked in CI against the
     distributed path and the pure-Python reference) without paying ~2
     Spark stages of scheduling latency per merge. Beyond the threshold
-    the distributed expression-level fold runs, its lineage cut with
-    localCheckpoint every ``checkpoint_every`` merges so the plan never
-    deepens past a bounded window. Pass ``driver_vocab_threshold=0`` to
-    force the distributed loop."""
+    the distributed loop runs with DELTA pair-count maintenance (r6):
+    one full-vocabulary pair aggregate up front, then per merge an
+    argmax over the maintained pair table plus a recount of only the
+    words containing the merged pair (lazy per-step checkpoints keep the
+    plan flat; ``checkpoint_every`` is retained for API compatibility).
+    Pass ``driver_vocab_threshold=0`` to force the distributed loop."""
     wf = _word_freq(df, text_col)
     if driver_vocab_threshold > 0:
         n_words = wf.count()
@@ -123,22 +125,54 @@ def bpe_train(
                 n_merges=n_merges,
                 min_pair_count=min_pair_count,
             )
+    # Distributed path with DELTA pair-count maintenance (r6): the pair
+    # table is aggregated from the FULL vocabulary exactly once; each
+    # merge then (a) argmaxes the maintained pair table (pair-vocabulary
+    # sized — no corpus-vocab explode), (b) recounts only the AFFECTED
+    # words (those containing an adjacent (l, r)) before and after the
+    # fold, and (c) folds the +new/-old delta into the pair table. A
+    # word without the merged pair contributes identically before and
+    # after, so delta-recounting affected words equals a full recount —
+    # no per-occurrence neighbor bookkeeping (whose overlap edge cases
+    # are notoriously easy to get wrong) is needed. n_merges full-vocab
+    # explode aggregates become one full pass + n_merges affected-only
+    # passes; late merges touch a shrinking fraction of the vocabulary.
     syms = _symbolize(wf).localCheckpoint(eager=False)
+    pc = _pair_counts(syms).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
-        best = (
-            _pair_counts(syms)
-            .orderBy(F.desc("cnt"), "l", "r")
-            .limit(1)
-            .collect()
-        )
+        best = pc.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
         if not best or best[0]["cnt"] < min_pair_count:
             break
         l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
         merges.append((step, l, r, cnt))
-        syms = syms.select(_merge_fold(F.col("syms"), l, r).alias("syms"), "freq")
-        if step % checkpoint_every == 0:
-            syms = syms.localCheckpoint(eager=False)
+
+        n = F.size("syms")
+        adj = F.zip_with(
+            F.slice("syms", 1, n - 1),
+            F.slice("syms", 2, n - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
+        has_pair = (n >= 2) & F.exists(
+            adj, lambda p: (p["l"] == F.lit(l)) & (p["r"] == F.lit(r))
+        )
+        aff = syms.filter(has_pair)
+        new_aff = aff.select(
+            _merge_fold(F.col("syms"), l, r).alias("syms"), "freq"
+        )
+        delta = _pair_counts(new_aff).unionByName(
+            _pair_counts(aff).withColumn("cnt", -F.col("cnt"))
+        )
+        pc = (
+            pc.unionByName(delta)
+            .groupBy("l", "r")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") > 0)
+            .localCheckpoint(eager=True)  # pair-vocabulary sized
+        )
+        syms = syms.filter(~has_pair).unionByName(new_aff).localCheckpoint(
+            eager=False
+        )
     return merges
 
 
