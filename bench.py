@@ -126,28 +126,27 @@ BENCH_QUERIES = [
     "kmeans_clusters",          # exact-replay integer-state Lloyd's k-means
     "ngram_novelty",            # per-doc boilerplate-vs-original signal
     "pii_stats",                # regexp_count PII audit (synthesized text)
+    # round-6 additions
+    "exact_substr_spans",       # ExactSubstr char-span mask (suffix-array-free)
+    "exact_substr_removal",     # span cut via expression fold
+    "events_resample_stream",   # stateful streaming resample (applyInPandasWithState)
 ]
 
-# Snapshot of the round-4 bench set (87 + flagship = 88 timed entries).
-# BENCH_SUMMARY.json reports the subtotal over this set as
-# ``value_comparable_prev_round`` so round-over-round regression checks
-# need no set algebra even when later rounds grow BENCH_QUERIES.
-ROUND5_ADDITIONS = frozenset(
+# Snapshot of the previous round's bench set (r5 close: 97 + flagship
+# = 98 timed entries). BENCH_SUMMARY.json reports the subtotal over
+# this set as ``value_comparable_prev_round`` so round-over-round
+# regression checks need no set algebra even when later rounds grow
+# BENCH_QUERIES.
+ROUND6_ADDITIONS = frozenset(
     {
-        "decontaminate_bloom",
-        "fuzzy_dedup_docs",
-        "decontaminate_bloom_stream",
-        "bigram_surprisal",
-        "winnowing_pairs",
-        "zipf_stats",
-        "kmeans_clusters",
-        "ngram_novelty",
-        "pii_stats",
+        "exact_substr_spans",
+        "exact_substr_removal",
+        "events_resample_stream",
     }
 )
-ROUND4_QUERIES = (
+PREV_ROUND_QUERIES = (
     frozenset(BENCH_QUERIES) | {"flagship_revenue_by_nation"}
-) - ROUND5_ADDITIONS
+) - ROUND6_ADDITIONS
 
 
 def run_noop(df) -> None:
@@ -282,7 +281,7 @@ def main():
         # warm subtotal over the round-4 bench set only, so the r5-vs-r4
         # regression check is a single field even as the set grows
         "value_comparable_prev_round": round(
-            sum(v for n, v in warm.items() if n in ROUND4_QUERIES), 3),
+            sum(v for n, v in warm.items() if n in PREV_ROUND_QUERIES), 3),
         "sf": sf,
         "n_ok": len(warm),
         "n_err": n_err,

@@ -40,6 +40,8 @@ from codd_spark.plans.ast import (
     Singleton,
     Union,
     ViewScan,
+    Visitor,
+    walk,
 )
 from codd_spark.session import get_spark
 
@@ -63,7 +65,9 @@ __all__ = [
     "UnsupportedExpressionError",
     "ViewRef",
     "ViewScan",
+    "Visitor",
     "get_spark",
+    "walk",
 ]
 
 __version__ = "0.1.0"

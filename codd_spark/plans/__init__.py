@@ -15,6 +15,8 @@ from codd_spark.plans.ast import (
     Singleton,
     Union,
     ViewScan,
+    Visitor,
+    walk,
 )
 from codd_spark.plans.compile import to_df
 from codd_spark.plans.validate import assert_view_safe, dependencies
@@ -33,7 +35,9 @@ __all__ = [
     "Singleton",
     "Union",
     "ViewScan",
+    "Visitor",
     "assert_view_safe",
     "dependencies",
     "to_df",
+    "walk",
 ]

@@ -350,3 +350,47 @@ class JoinBuilder:
 
     def build(self) -> Join:
         return self.on(None)
+
+
+class Visitor:
+    """Structural visitor over the expression AST — the public analysis
+    surface mirroring the reference's ``Visitor`` trait
+    (core/src/expression.rs:96-211, walk_* defaults at 213-305): derive
+    and override ``visit_<nodename>`` (lower-case class name:
+    ``visit_relation``, ``visit_select``, ``visit_join``, ...) for the
+    nodes you care about; unhandled nodes fall through to
+    ``generic_visit``, which recurses into ``children()`` exactly like
+    the reference's walk functions. Call ``visit(expr)`` (or
+    ``expr.accept(visitor)``) to run.
+
+    Like the reference, an override REPLACES the walk for that node —
+    call ``self.generic_visit(node)`` inside it to keep descending."""
+
+    def visit(self, node: Expression):
+        meth = getattr(
+            self, f"visit_{type(node).__name__.lower()}", self.generic_visit
+        )
+        return meth(node)
+
+    def generic_visit(self, node: Expression):
+        for child in node.children():
+            self.visit(child)
+
+
+def walk(expr: Expression):
+    """Pre-order generator over every node of an expression tree — the
+    five-line walker a quick analysis pass wants when a full Visitor
+    subclass is overkill. ``[type(n).__name__ for n in walk(e)]`` lists
+    the plan shape."""
+    yield expr
+    for child in expr.children():
+        yield from walk(child)
+
+
+def _accept(self, visitor: "Visitor"):
+    """Reference parity: ``expr.accept(v)`` ≡ ``v.visit(expr)``
+    (core/src/expression.rs Visitor dispatch)."""
+    return visitor.visit(self)
+
+
+Expression.accept = _accept

@@ -91,3 +91,65 @@ def test_sql_sees_views(db2):
     v = db2.store_view(Relation("nums").select("n >= 3"))
     got = db2.sql(f"SELECT n FROM view_{v.id} ORDER BY n").collect()
     assert [r.n for r in got] == [3, 4]
+
+
+def test_visitor_counts_nodes():
+    """Visitor parity with the reference trait (core/src/expression.rs:
+    96-211): visit_<node> overrides fire per node type, unhandled nodes
+    fall through to the child walk."""
+    from codd_spark.plans.ast import Relation, Visitor, walk
+
+    e = (
+        Relation("a")
+        .select("x > 1")
+        .union(Relation("b").project("y"))
+        .difference(Relation("c"))
+    )
+
+    class Collect(Visitor):
+        def __init__(self):
+            self.relations = []
+            self.others = 0
+
+        def visit_relation(self, node):
+            self.relations.append(node.name)
+
+        def generic_visit(self, node):
+            self.others += 1
+            super().generic_visit(node)
+
+    v = Collect()
+    e.accept(v)
+    assert sorted(v.relations) == ["a", "b", "c"]
+    assert v.others == 4  # Difference, Union, Select, Project
+
+    # walk(): pre-order generator over the same tree
+    names = [type(n).__name__ for n in walk(e)]
+    assert names == [
+        "Difference", "Union", "Select", "Relation", "Project",
+        "Relation", "Relation",
+    ]
+
+
+def test_visitor_override_replaces_walk():
+    """Like the reference's walk_* functions, an override REPLACES the
+    descent — a visit_select that does not call generic_visit stops
+    recursion below the Select."""
+    from codd_spark.plans.ast import Relation, Visitor
+
+    e = Relation("a").select("x > 1").project("y")
+
+    class StopAtSelect(Visitor):
+        def __init__(self):
+            self.seen = []
+
+        def visit_select(self, node):
+            self.seen.append("Select")  # no generic_visit: prune here
+
+        def generic_visit(self, node):
+            self.seen.append(type(node).__name__)
+            super().generic_visit(node)
+
+    v = StopAtSelect()
+    v.visit(e)
+    assert v.seen == ["Project", "Select"]  # Relation pruned

@@ -254,6 +254,10 @@ ROUND6_UPGRADES = [
     # stateful applyInPandasWithState resample as a stream, oracle =
     # batch replay minus each key's trailing open bucket
     "events_resample_stream",
+    # ExactSubstr char-span dedup: span mask + cleaned strings replayed
+    # byte-for-byte (window mining, repeat counting, islands merge, cut)
+    "exact_substr_spans",
+    "exact_substr_removal",
 ]
 
 
