@@ -138,6 +138,11 @@ def bpe_train(
     # explode aggregates become one full pass + n_merges affected-only
     # passes; late merges touch a shrinking fraction of the vocabulary.
     syms = _symbolize(wf).localCheckpoint(eager=False)
+    # filter(~has_pair) ∪ new_aff would DOUBLE the partition count every
+    # merge (checkpointing preserves partitioning: 32 → 64 → ... → 2^k·32
+    # near-empty tasks — measured as an exponential per-step stall);
+    # coalesce (narrow, no shuffle) pins it to the input's count
+    n_parts = syms.rdd.getNumPartitions()
     pc = _pair_counts(syms).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
@@ -170,8 +175,11 @@ def bpe_train(
             .filter(F.col("cnt") > 0)
             .localCheckpoint(eager=True)  # pair-vocabulary sized
         )
-        syms = syms.filter(~has_pair).unionByName(new_aff).localCheckpoint(
-            eager=False
+        syms = (
+            syms.filter(~has_pair)
+            .unionByName(new_aff)
+            .coalesce(n_parts)
+            .localCheckpoint(eager=False)
         )
     return merges
 

@@ -59,6 +59,7 @@ PICK = {
     "bigram_surprisal": "Bigram LM scoring: the (w1,w2) count and w1 context count tables (both model-sized) join EACH OTHER first, then the single fact-table join shuffles once on (w1,w2); vocab size is a 1-row broadcast; per-doc aggregate has map-side combine.",
     "k_core_interactions": "k-core peeling: per round one degree aggregate + two semi-joins against survivors, lineage cut per round; the only driver value is the 1-row convergence count.",
     "sorted_neighborhood": "Sorted-neighborhood: global rank via RangePartitioning + per-partition row_number + broadcast offsets (no single-task window), then rank-vs-rank+delta equi-joins.",
+    "exact_substr_spans": "ExactSubstr mask: one transform+posexplode projection to (off, window-hash) rows — corpus-linear, windows travel as longs; ONE hash-keyed count with map-side partials finds repeats; candidates (the duplicated fraction) rejoin the text via shuffle-pinned SMJ for exact substring verification; the per-substring count window and per-doc islands merge run on candidate-sized exchanges only. No pairwise stage, no suffix array.",
 }
 
 
