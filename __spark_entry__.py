@@ -3269,6 +3269,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # revenue_by_nation ~ join_orders_customer_nation +
     # agg_pricing_summary) — all six stay oracle-replayed every CI run in
     # tests/test_oracle_window.py.
+    # Rotated within r6: IN the two round-6 flagships (exact_substr_spans,
+    # events_resample_stream); OUT distinct_users_per_type (~
+    # agg_pricing_summary) and pivot_order_priority (~ rollup_pricing).
     return {
         # --- core reference algebra (SURVEY.md §2, 14 rows) ---
         "scan_nation": q_scan_nation,
@@ -3308,6 +3311,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_pairs": q_winnowing_pairs,
         "decontaminate_bloom": q_decontaminate_bloom,
         "bigram_surprisal": q_bigram_surprisal,
+        # --- round-6 flagships (2 rows, rotated in within r6) ---
+        "exact_substr_spans": q_exact_substr_spans,
+        "events_resample_stream": q_events_resample_stream,
         # --- event-time queries (2 rows) ---
         "user_sessions": q_user_sessions,
         "rolling_hour_value": q_rolling_hour_value,
@@ -3316,16 +3322,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "left_join_nation_suppliers": q_left_join_nation_suppliers,
         "rollup_pricing": q_rollup_pricing,
-        "distinct_users_per_type": q_distinct_users_per_type,
         "token_count_bpe": q_token_count_bpe,
         "window_top3_orders_per_cust": q_window_top3_orders_per_cust,
         "events_hourly": q_events_hourly,
         "range_join_value_bands": q_range_join_value_bands,
-        "pivot_order_priority": q_pivot_order_priority,
         "split_train_val_test": q_split_train_val_test,
         "dedup_exact_documents": q_dedup_exact_documents,
         "frame_sample": q_frame_sample,
         # ---------------- end of the driver's 50-query window ----------------
+        # rotated out within r6 for the two round-6 flagships (class
+        # coverage kept in-window: distinct_users_per_type ~
+        # agg_pricing_summary, pivot_order_priority ~ rollup_pricing);
+        # both still oracle-replayed in test_oracle_window.py
+        "distinct_users_per_type": q_distinct_users_per_type,
+        "pivot_order_priority": q_pivot_order_priority,
         # rotated out r5->r6 (still oracle-replayed in test_oracle_window.py)
         "pack_sequences": q_pack_sequences,
         "event_gap_stats": q_event_gap_stats,

@@ -62,6 +62,11 @@ ROTATED_OUT = [
     "top_revenue_orders",
     "word_count_top",
     "revenue_by_nation",
+    # within r6 (made room for exact_substr_spans + events_resample_stream;
+    # distinct_users_per_type ~ agg_pricing_summary, pivot_order_priority ~
+    # rollup_pricing)
+    "distinct_users_per_type",
+    "pivot_order_priority",
 ]
 
 FLAGSHIPS = [

@@ -72,9 +72,11 @@ def main() -> None:
         shuffle_partitions=32,
         extra_conf={
             "spark.local.dir": localdir,
-            # keep the JVM comfortably inside the memory cgroup; the
-            # point of the cap is evicting PAGE CACHE, not squeezing heap
-            "spark.driver.memory": "3g",
+            # keep the JVM + Arrow python workers inside the memory
+            # cgroup with room left over ONLY for a small page cache —
+            # the cap's job is evicting shuffle files between write and
+            # read so the blkio throttle actually prices the re-read
+            "spark.driver.memory": os.environ.get("BLOOM_REGIME_HEAP", "2g"),
         },
     )
     corpus = spark.read.parquet(f"{replica_dir}/documents.parquet")
