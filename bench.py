@@ -278,8 +278,9 @@ def main():
         "queries_cold": cold,
         "value_min": round(sum(qmin.values()), 3),
         "queries_min": qmin,
-        # warm subtotal over the round-4 bench set only, so the r5-vs-r4
-        # regression check is a single field even as the set grows
+        # warm subtotal over the previous round's bench set only
+        # (PREV_ROUND_QUERIES), so the round-over-round regression
+        # check is a single field even as the set grows
         "value_comparable_prev_round": round(
             sum(v for n, v in warm.items() if n in PREV_ROUND_QUERIES), 3),
         "sf": sf,

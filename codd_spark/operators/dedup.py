@@ -1663,6 +1663,13 @@ class _BucketedMinhashState:
 
         self.spark = spark
         self.state_dir = os.path.abspath(state_dir)
+        # the path is interpolated into CREATE TABLE ... LOCATION '<d>'
+        # DDL below; a quote would terminate the string literal there
+        if "'" in self.state_dir or "\n" in self.state_dir:
+            raise ValueError(
+                f"state_dir {self.state_dir!r} contains a quote/newline — "
+                "unsupported in a catalog LOCATION"
+            )
         self._manifest_path = os.path.join(self.state_dir, "manifest.json")
         tag = hashlib.md5(self.state_dir.encode()).hexdigest()[:12]
         self._tb = f"inc_minhash_{tag}_buckets"
@@ -1859,6 +1866,13 @@ class IncrementalDecontaminator:
                 from pyspark.sql import SparkSession
 
                 spark = SparkSession.getActiveSession()
+                if spark is None:
+                    raise RuntimeError(
+                        "IncrementalDecontaminator(corpus=None, state_dir=...) "
+                        "needs an active SparkSession to reopen state — none "
+                        "found; create one first or use "
+                        "IncrementalDecontaminator.open(spark, state_dir)"
+                    )
             self._state = _BucketedMinhashState(
                 spark,
                 state_dir,
@@ -1872,6 +1886,22 @@ class IncrementalDecontaminator:
                     max_bucket_size=max_bucket_size,
                 ),
             )
+            if resuming:
+                # MinHash params are guarded inside the state class; the
+                # scoring knobs stored alongside them must match too, or
+                # the same state dir would score pairs differently than
+                # .open() (ADVICE r6)
+                stored = self._state.extra
+                for key, got in (
+                    ("threshold", threshold),
+                    ("max_bucket_size", max_bucket_size),
+                ):
+                    if key in stored and stored[key] != got:
+                        raise ValueError(
+                            f"state_dir {state_dir} was prepared with "
+                            f"{key}={stored[key]}, got {got} — reopen via "
+                            ".open() or pass the stored value"
+                        )
             if not resuming:
                 buckets, sh = _minhash_prep(
                     corpus, id_col, text_col, **self.params

@@ -13,6 +13,7 @@ buckets (embedding near-dup dedup for training corpora).
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -557,6 +558,15 @@ def sq_train_encode(
                 "(empty corpus or all-NULL dimension) — cannot train scales"
             )
     scales = [(float(by_pos[i][0]), float(by_pos[i][1])) for i in range(dim)]
+    for i, (lo, hi) in enumerate(scales):
+        # the scales become repr() string literals in the SQL below;
+        # 'inf'/'nan' would round-trip through Spark's string->double
+        # parse with engine-defined semantics (ADVICE r6) — reject here
+        if not (math.isfinite(lo) and math.isfinite(hi)):
+            raise ValueError(
+                f"sq_train_encode: dimension {i} has non-finite range "
+                f"[{lo}, {hi}] — clean the corpus before quantizing"
+            )
 
     # ONE parsed SQL expression for the whole codes array: building it
     # as dim separate Column objects costs ~8 py4j round-trips per
@@ -565,19 +575,23 @@ def sq_train_encode(
     # identical plan. repr() round-trips doubles exactly and Spark's
     # string->double cast parses shortest-repr exactly, so the literal
     # values are bit-identical to the F.lit form.
+    tmp = "__embd"
+    while tmp in df.columns:  # collision-safe temp name (ADVICE r6)
+        tmp += "_"
+
     def code_sql(i: int) -> str:
         lo, hi = scales[i]
         if hi == lo:
             return "0"
         return (
-            f"CAST(round((element_at(__embd, {i + 1}) - "
+            f"CAST(round((element_at({tmp}, {i + 1}) - "
             f"CAST('{lo!r}' AS DOUBLE)) / CAST('{(hi - lo)!r}' AS DOUBLE) "
             f"* {levels}, 0) AS INT)"
         )
 
     codes = F.expr("array(" + ",".join(code_sql(i) for i in range(dim)) + ")")
     encoded = (
-        df.withColumn("__embd", emb)
+        df.withColumn(tmp, emb)
         .select(id_col, codes.alias("codes"))
     )
     return encoded, scales

@@ -1291,6 +1291,9 @@ def test_zipf_stats_corpus_wide_matches_grouped(spark):
     # global_rank windows partition by __pid; an empty partitionBy would
     # render as "Window [...rk...], [tf DESC..." with no partition spec
     assert "__pid" in plan
+
+
+def test_kmeans_quantized_recovers_planted_clusters(spark):
     """Two tight planted groups -> k=2 recovers the partition; output is
     deterministic across runs; empty-cluster carry keeps k rows of state
     (exercised via k=3 on 2 groups)."""
