@@ -3272,6 +3272,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Rotated within r6: IN the two round-6 flagships (exact_substr_spans,
     # events_resample_stream); OUT distinct_users_per_type (~
     # agg_pricing_summary) and pivot_order_priority (~ rollup_pricing).
+    # Rotated r6->r7 (VERDICT r6 item 1): IN the six round-6-upgraded
+    # queries that had never been driver-scored (ann_lsh_topk,
+    # ann_ivf_topk, ann_sq_topk, ann_pq_topk — oracle-backed as of r6 —
+    # plus exact_substr_removal and decontaminate_bloom_stream); OUT six
+    # redundant siblings whose operator class stays covered in-window
+    # (similarity_topk ~ the four ANN rows, embedding_near_dups ~
+    # semantic_dedup, decontaminate_bloom ~ decontaminate_bloom_stream,
+    # rolling_hour_value ~ user_sessions, rollup_pricing ~
+    # agg_pricing_summary, left_join_nation_suppliers ~
+    # join_orders_customer_nation) — all six stay oracle-replayed every
+    # CI run in tests/test_oracle_window.py.
     return {
         # --- core reference algebra (SURVEY.md §2, 14 rows) ---
         "scan_nation": q_scan_nation,
@@ -3293,8 +3304,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_corpus": q_decontaminate_corpus,
         "dedup_clusters": q_dedup_clusters,
         "tf_idf_top_terms": q_tf_idf_top_terms,
-        "similarity_topk": q_similarity_topk,
-        "embedding_near_dups": q_embedding_near_dups,
         "image_metadata": q_image_metadata,
         "chunk_documents": q_chunk_documents,
         "pagerank_interactions": q_pagerank_interactions,
@@ -3309,19 +3318,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "simhash_near_dups": q_simhash_near_dups,
         "winnowing_pairs": q_winnowing_pairs,
-        "decontaminate_bloom": q_decontaminate_bloom,
         "bigram_surprisal": q_bigram_surprisal,
         # --- round-6 flagships (2 rows, rotated in within r6) ---
         "exact_substr_spans": q_exact_substr_spans,
         "events_resample_stream": q_events_resample_stream,
-        # --- event-time queries (2 rows) ---
+        # --- round-6-upgraded queries rotated in r6->r7 (6 rows) ---
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_sq_topk": q_ann_sq_topk,
+        "ann_pq_topk": q_ann_pq_topk,
+        "exact_substr_removal": q_exact_substr_removal,
+        "decontaminate_bloom_stream": q_decontaminate_bloom_stream,
+        # --- event-time queries (1 row) ---
         "user_sessions": q_user_sessions,
-        "rolling_hour_value": q_rolling_hour_value,
-        # --- one representative per join/agg/window/text class (13 rows) ---
+        # --- one representative per join/agg/window/text class (10 rows) ---
         "agg_pricing_summary": q_agg_pricing_summary,
         "asof_join_events": q_asof_join_events,
-        "left_join_nation_suppliers": q_left_join_nation_suppliers,
-        "rollup_pricing": q_rollup_pricing,
         "token_count_bpe": q_token_count_bpe,
         "window_top3_orders_per_cust": q_window_top3_orders_per_cust,
         "events_hourly": q_events_hourly,
@@ -3330,6 +3342,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "frame_sample": q_frame_sample,
         # ---------------- end of the driver's 50-query window ----------------
+        # rotated out r6->r7 for the six round-6-upgraded queries (class
+        # coverage kept in-window, see the rotation note above); all six
+        # still oracle-replayed in test_oracle_window.py
+        "similarity_topk": q_similarity_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "decontaminate_bloom": q_decontaminate_bloom,
+        "rolling_hour_value": q_rolling_hour_value,
+        "rollup_pricing": q_rollup_pricing,
+        "left_join_nation_suppliers": q_left_join_nation_suppliers,
         # rotated out within r6 for the two round-6 flagships (class
         # coverage kept in-window: distinct_users_per_type ~
         # agg_pricing_summary, pivot_order_priority ~ rollup_pricing);
@@ -3394,8 +3415,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": q_profile_orders,
         "token_cooccurrence": q_token_cooccurrence,
         "edit_distance_names": q_edit_distance_names,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "text_quality": q_text_quality,
         "winnowing": q_winnowing,
         "zipf_stats": q_zipf_stats,
@@ -3412,8 +3431,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_avg_price": q_weighted_avg_price,
         "doc_sentences": q_doc_sentences,
         "decontaminate_containment": q_decontaminate_containment,
-        "decontaminate_bloom_stream": q_decontaminate_bloom_stream,
-        "events_resample_stream": q_events_resample_stream,
         "decontaminate_lsh": q_decontaminate_lsh,
         "forecast_revenue": q_forecast_revenue,
         "market_share": q_market_share,
@@ -3423,15 +3440,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": q_json_props_stats,
         "token_budget_sample": q_token_budget_sample,
         "mixture_sample": q_mixture_sample,
-        "ann_pq_topk": q_ann_pq_topk,
         "sq_codes": q_sq_codes,
-        "ann_sq_topk": q_ann_sq_topk,
         "bm25_search": q_bm25_search,
         "dedup_exact_best": q_dedup_exact_best,
         "duplicate_spans": q_duplicate_spans,
         "remove_spans": q_remove_spans,
-        "exact_substr_spans": q_exact_substr_spans,
-        "exact_substr_removal": q_exact_substr_removal,
         "cluster_safe_split": q_cluster_safe_split,
         "robust_outliers": q_robust_outliers,
         "training_shards": q_training_shards,
