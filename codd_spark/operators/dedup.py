@@ -1646,6 +1646,21 @@ class _BucketedMinhashState:
     orphans (max-gen scan, parquet-stats cheap) so they can never be
     adopted by a later commit. A batch whose commit never landed is
     simply "not processed" — replay it.
+
+    Compaction (round 7 — the long-lived-crawl growth vector): each
+    arrival adds ``n_buckets`` files per table, so thousands of arrivals
+    mean thousands of small files per bucket. Layout 2 additionally
+    PARTITIONS both tables by ``gen`` — the committed filter becomes
+    directory pruning, and ``compact()`` can retire old generations by
+    directory name: it rewrites the committed window as ONE new
+    generation through the ordinary orphan-invisible append, commits the
+    manifest with ``floor_gen`` raised to that generation (readers see
+    gen in [floor, committed]), and only then deletes ``gen=<K>`` dirs
+    below the floor. A crash at any step leaves a readable state: before
+    the manifest commit the consolidated copy is an invisible orphan;
+    after it, the stale dirs are invisible (below the floor) and are
+    swept by the next open or compact. Layout-1 dirs (pre-r7) still open
+    and append; ``compact()`` on them raises with guidance.
     """
 
     def __init__(
@@ -1688,7 +1703,11 @@ class _BucketedMinhashState:
             self.extra = dict(m.get("extra", {}))
             self.n_buckets = int(m["n_buckets"])
             self.committed = int(m["committed_gen"])
+            self.layout = int(m.get("layout", 1))
+            self.floor = int(m.get("floor_gen", 0))
             self._register()
+            if self.layout >= 2:
+                self._sweep_below_floor()
             # resume past any uncommitted orphan generations
             mx = (
                 self.spark.table(self._tb)
@@ -1714,6 +1733,8 @@ class _BucketedMinhashState:
             self.extra = dict(extra or {})
             self.n_buckets = n_buckets
             self.committed = -1
+            self.layout = 2
+            self.floor = 0
             self._next_gen = 0
             # a stale catalog entry may point at a DELETED old dir with
             # the same path hash — drop before (re)creating
@@ -1732,18 +1753,30 @@ class _BucketedMinhashState:
 
     def _register(self) -> None:
         d = self.state_dir
+        # layout 2 partitions by gen (directory-prunable generations,
+        # compactable); layout 1 (pre-r7 dirs) kept gen as a data column
+        part = "PARTITIONED BY (gen) " if self.layout >= 2 else ""
         self.spark.sql(
             f"CREATE TABLE IF NOT EXISTS {self._tb} "
-            "(id BIGINT, band INT, h BIGINT, gen BIGINT) USING PARQUET "
+            f"(id BIGINT, band INT, h BIGINT, gen BIGINT) USING PARQUET {part}"
             f"CLUSTERED BY (band, h) SORTED BY (band, h) "
             f"INTO {self.n_buckets} BUCKETS LOCATION '{d}/buckets'"
         )
         self.spark.sql(
             f"CREATE TABLE IF NOT EXISTS {self._ts} "
-            "(id BIGINT, sh ARRAY<BIGINT>, gen BIGINT) USING PARQUET "
+            f"(id BIGINT, sh ARRAY<BIGINT>, gen BIGINT) USING PARQUET {part}"
             f"CLUSTERED BY (id) SORTED BY (id) "
             f"INTO {self.n_buckets} BUCKETS LOCATION '{d}/shingles'"
         )
+        if self.layout >= 2:
+            import os
+
+            # a fresh catalog (new SparkSession after restart) must
+            # rediscover the gen=<K> partition directories; skip on a
+            # brand-new state whose location dirs don't exist yet
+            for t, sub in ((self._tb, "buckets"), (self._ts, "shingles")):
+                if os.path.isdir(os.path.join(d, sub)):
+                    self.spark.sql(f"MSCK REPAIR TABLE {t} SYNC PARTITIONS")
 
     def _write_manifest(self) -> None:
         import json
@@ -1757,16 +1790,23 @@ class _BucketedMinhashState:
                     "extra": self.extra,
                     "n_buckets": self.n_buckets,
                     "committed_gen": self.committed,
+                    "layout": self.layout,
+                    "floor_gen": self.floor,
                 },
                 f,
             )
         os.replace(tmp, self._manifest_path)
 
+    def _committed_window(self, c: Column) -> Column:
+        # layout 2: [floor, committed] — partition-pruned directory
+        # range; layout 1 has no floor (nothing below 0 exists)
+        return (c >= F.lit(self.floor)) & (c <= F.lit(self.committed))
+
     def buckets(self) -> DataFrame:
         """Committed (id, band, h) state — bucketed scan, no Exchange."""
         return (
             self.spark.table(self._tb)
-            .filter(F.col("gen") <= F.lit(self.committed))
+            .filter(self._committed_window(F.col("gen")))
             .drop("gen")
         )
 
@@ -1774,7 +1814,7 @@ class _BucketedMinhashState:
         """Committed (id, sh) state — bucketed scan, no Exchange."""
         return (
             self.spark.table(self._ts)
-            .filter(F.col("gen") <= F.lit(self.committed))
+            .filter(self._committed_window(F.col("gen")))
             .drop("gen")
         )
 
@@ -1800,6 +1840,103 @@ class _BucketedMinhashState:
         self.committed = g
         self._next_gen = g + 1
         self._write_manifest()
+
+    def _gen_dirs(self) -> list[tuple[str, str, int]]:
+        """(table_name, abs_path, gen) for every gen=<K> directory."""
+        import os
+
+        out = []
+        for table, sub in ((self._tb, "buckets"), (self._ts, "shingles")):
+            root = os.path.join(self.state_dir, sub)
+            if not os.path.isdir(root):
+                continue
+            for name in os.listdir(root):
+                if name.startswith("gen="):
+                    try:
+                        k = int(name.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    out.append((table, os.path.join(root, name), k))
+        return out
+
+    def _sweep_below_floor(self) -> int:
+        """Delete generation directories below the floor (invisible to
+        every reader) and resync the catalog. Safe at any time; called
+        on open and after compact so a crash mid-sweep self-heals."""
+        import shutil
+
+        stale = [(t, p) for t, p, k in self._gen_dirs() if k < self.floor]
+        for _t, p in stale:
+            shutil.rmtree(p, ignore_errors=True)
+        if stale:
+            for t in {t for t, _p in stale}:
+                self.spark.sql(f"MSCK REPAIR TABLE {t} SYNC PARTITIONS")
+        return len(stale)
+
+    def compact(self) -> dict:
+        """Rewrite the committed window [floor, committed] as ONE new
+        generation and retire the old directories — bounds the file
+        count of a long-lived crawl at ``n_buckets`` per table (plus
+        whatever arrived since the last compact) instead of
+        ``n_buckets × arrivals``.
+
+        Crash protocol (same invariants as append): the consolidated
+        copy is written as an ordinary next-generation insert (orphan
+        and invisible until commit), row counts of both tables are
+        verified EQUAL to the committed window, and only then does the
+        manifest commit committed = floor = the new generation. Stale
+        directories below the floor are deleted last; a crash anywhere
+        leaves either the old committed window (manifest not yet
+        committed) or the new one (stale dirs invisible, swept on the
+        next open/compact). Returns {"generation", "files_swept",
+        "rows_buckets", "rows_shingles"}."""
+        if self.layout < 2:
+            raise ValueError(
+                f"state_dir {self.state_dir} uses the pre-r7 layout "
+                "(generations not partition directories) — rebuild the "
+                "state to enable compaction"
+            )
+        if self.committed < 0:
+            return {
+                "generation": None,
+                "files_swept": 0,
+                "rows_buckets": 0,
+                "rows_shingles": 0,
+            }
+        g = self._next_gen
+        nb_old = self.buckets().count()
+        ns_old = self.shingles().count()
+        (
+            self.buckets()
+            .withColumn("gen", F.lit(g).cast("long"))
+            .write.mode("append")
+            .insertInto(self._tb)
+        )
+        (
+            self.shingles()
+            .withColumn("gen", F.lit(g).cast("long"))
+            .write.mode("append")
+            .insertInto(self._ts)
+        )
+        nb = self.spark.table(self._tb).filter(F.col("gen") == g).count()
+        ns = self.spark.table(self._ts).filter(F.col("gen") == g).count()
+        if nb != nb_old or ns != ns_old:
+            raise RuntimeError(
+                f"compaction row mismatch (buckets {nb_old} -> {nb}, "
+                f"shingles {ns_old} -> {ns}); manifest not committed — "
+                "state unchanged, orphan generation will be skipped"
+            )
+        self.committed = g
+        self.floor = g
+        self._next_gen = g + 1
+        self._write_manifest()
+        swept = self._sweep_below_floor()
+        return {
+            "generation": g,
+            "files_swept": swept,
+            "rows_buckets": nb,
+            "rows_shingles": ns,
+        }
 
 
 class IncrementalDecontaminator:
@@ -2001,6 +2138,19 @@ class IncrementalDecontaminator:
         return _adopt_release(
             pairs.select(F.col("id_l").alias(self.id_col)).distinct(), pairs
         )
+
+    def compact(self) -> dict:
+        """Consolidate persistent state generations into one directory
+        per table (see ``_BucketedMinhashState.compact``). Only
+        meaningful with ``state_dir=``; in-memory mode is a no-op.
+        Re-resolve the corpus relations afterwards — the table contents
+        are unchanged but the old plans point at retired directories."""
+        if self._state is None:
+            return {"generation": None, "files_swept": 0}
+        out = self._state.compact()
+        self._buckets = self._state.buckets()
+        self._shingled = self._state.shingles()
+        return out
 
     def close(self) -> None:
         """Release the corpus-side caches. Idempotent."""
@@ -2259,6 +2409,14 @@ class IncrementalDeduplicator:
             survivors.hint("shuffle_merge"), on=self.id_col, how="left_semi"
         )
 
+    def compact(self) -> dict:
+        """Consolidate persistent state generations into one directory
+        per table (see ``_BucketedMinhashState.compact``). Only
+        meaningful with ``state_dir=``; in-memory mode is a no-op."""
+        if self._state is None:
+            return {"generation": None, "files_swept": 0}
+        return self._state.compact()
+
     def close(self) -> None:
         """Idempotent; state checkpoints are GC-managed, nothing pinned."""
 
@@ -2377,6 +2535,13 @@ def edit_distance_pairs(
     )
 
 
+# ExactSubstr candidate-filter sketch: 20 bits/repeated-window, capped at
+# 2^27 bits (16 MB, 2^21 words) — past the cap the operator falls back to
+# the precise hash-join plan. Module-level so tests can force the fallback.
+_EXACT_SUBSTR_BLOOM_BPI = 20
+_EXACT_SUBSTR_BLOOM_CAP_BITS = 1 << 27
+
+
 def exact_substring_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -2411,13 +2576,26 @@ def exact_substring_spans(
     offsets, ``span_end`` exclusive (Python-slice convention), plus how
     many seed windows the span absorbed.
 
-    Scale shape: one projection explodes each doc into (off, xxhash64 of
-    its L-char window) rows — corpus-linear, windows travel as longs;
-    ONE hash-keyed count finds repeated windows (map-side partials); a
-    shuffle-pinned join flags candidate positions; only candidates (the
-    duplicated fraction) rejoin the text for exact verification; a
-    per-doc gaps-and-islands window merges seeds into maximal spans.
-    No pairwise stage, no suffix array, no Python.
+    Scale shape (round 7 — cuts the r6 corpus exchange): phase 1 counts
+    BARE window hashes (8-byte rows, map-side partials) to find the
+    repeated set; the repeated hashes then build a blocked-Bloom
+    (word, bits) table whose size is CAPPED at 2^27 bits by
+    construction — broadcastable like a scalar sketch, NOT a
+    corpus-derived side. Phase 2 re-derives windows with the document
+    text still in scope, drops non-candidates map-side through one
+    BroadcastHashJoin probe (zero exchange), and emits the verify
+    substring inline — so the only corpus-scale shuffles are the phase-1
+    hash count and the candidate fraction. The r6 plan shuffled every
+    (id, off, h) position row (~20 B/char) AND re-joined the full text;
+    both exchanges are gone. Correctness does not rest on the Bloom:
+    positions of a truly repeated substring share one hash and pass or
+    fail the probe together, and the substring-count verify below is
+    what defines the output — the Bloom only bounds the candidate
+    superset (false positives die at the verify). If the repeated set
+    would saturate the capped sketch (> ~6.7M repeated windows), the
+    operator falls back to the r6 precise hash-join plan — same output,
+    documented cost. A per-doc gaps-and-islands window then merges seeds
+    into maximal spans. No pairwise stage, no suffix array, no Python.
     """
     L = int(min_len)
     if L < 2:
@@ -2429,34 +2607,84 @@ def exact_substring_spans(
     offs = F.when(
         F.length(txt) >= L, F.sequence(F.lit(0), F.length(txt) - F.lit(L))
     ).otherwise(F.array().cast("array<int>"))
-    pos = base.select(
-        "id",
-        F.explode(
-            F.transform(
-                offs,
-                lambda o: F.struct(
-                    o.alias("off"),
-                    F.xxhash64(F.substring(txt, o + 1, L)).alias("h"),
-                ),
-            )
-        ).alias("p"),
-    ).select("id", F.col("p.off").alias("off"), F.col("p.h").alias("h"))
 
+    def _win_hash(o):
+        return F.xxhash64(F.substring(txt, o + 1, L))
+
+    # ---- phase 1: repeated-window hashes over 8-byte rows ----
+    hs = base.select(F.explode(F.transform(offs, _win_hash)).alias("h"))
     repeated = (
-        pos.groupBy("h").agg(F.count("*").alias("__c")).filter(F.col("__c") >= min_count)
+        hs.groupBy("h")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("h")
+        .persist()
     )
-    cand = pos.join(repeated.hint("shuffle_merge").select("h"), on="h").select(
-        "id", "off"
-    )
-    # exact verification: candidates (already the duplicated fraction)
-    # rejoin the text, group by the ACTUAL substring — a colliding hash
-    # whose substrings differ is dropped here
-    with_s = cand.join(base.hint("shuffle_merge"), on="id").select(
-        "id", "off", F.substring(txt, F.col("off") + 1, L).alias("s")
-    )
+    n_rep = repeated.count()  # sketch sizing; also materializes phase 1
+
+    pos_struct = F.explode(
+        F.transform(
+            offs,
+            lambda o: F.struct(o.alias("off"), _win_hash(o).alias("h")),
+        )
+    ).alias("p")
+
+    if n_rep * _EXACT_SUBSTR_BLOOM_BPI <= _EXACT_SUBSTR_BLOOM_CAP_BITS:
+        # blocked Bloom: word index from hash bits [6, 6+log2(n_words)),
+        # two in-word probe bits from disjoint hash bits (0-5 and 58-63)
+        n_words = 1
+        while n_words * 64 < n_rep * _EXACT_SUBSTR_BLOOM_BPI:
+            n_words <<= 1
+
+        # F.shiftleft takes a literal int shift, so the column-shift
+        # probe-mask goes through expr strings (always applied to "h")
+        _word = F.expr(f"shiftrightunsigned(h, 6) & {n_words - 1}L")
+        _req = F.expr(
+            "shiftleft(cast(1 as bigint), cast(h & 63 as int)) | "
+            "shiftleft(cast(1 as bigint), cast(shiftrightunsigned(h, 58) as int))"
+        )
+
+        words = (
+            repeated.select(_word.alias("word"), _req.alias("req"))
+            .groupBy("word")
+            .agg(F.expr("bit_or(req)").alias("bits"))
+            # bounded: <= n_words rows (16 MB cap) by construction —
+            # broadcastable like a finished sketch; eager checkpoint so
+            # the lazy result plan never re-runs the phase-1 aggregate
+            .localCheckpoint(eager=True)
+        )
+        _safe_unpersist(repeated)
+        cand_s = (
+            base.select("id", "__txt", pos_struct)
+            .select("id", "__txt", F.col("p.off").alias("off"), F.col("p.h").alias("h"))
+            .withColumn("word", _word)
+            .withColumn("req", _req)
+            .join(F.broadcast(words), on="word")
+            .filter(
+                F.col("bits").bitwiseAND(F.col("req")) == F.col("req")
+            )
+            .select("id", "off", F.substring(txt, F.col("off") + 1, L).alias("s"))
+        )
+    else:
+        # saturation fallback (the r6 precise plan): shuffle-pinned
+        # hash-keyed join flags candidate positions, candidates rejoin
+        # the text. `repeated` stays persisted — the returned plan
+        # references it lazily.
+        pos = base.select("id", pos_struct).select(
+            "id", F.col("p.off").alias("off"), F.col("p.h").alias("h")
+        )
+        cand = pos.join(repeated.hint("shuffle_merge"), on="h").select("id", "off")
+        cand_s = cand.join(base.hint("shuffle_merge"), on="id").select(
+            "id", "off", F.substring(txt, F.col("off") + 1, L).alias("s")
+        )
+
+    # exact verification: group by the ACTUAL substring — a colliding
+    # hash (or Bloom false positive) whose substrings differ is dropped
+    # here; all positions of one substring share one hash, so the count
+    # below is the true corpus count
     seed_w = Window.partitionBy("s")
     seeds = (
-        with_s.withColumn("__sc", F.count("*").over(seed_w))
+        cand_s.withColumn("__sc", F.count("*").over(seed_w))
         .filter(F.col("__sc") >= min_count)
         .select("id", "off")
     )

@@ -165,3 +165,41 @@ def test_removal_multiple_spans_one_doc(spark):
     for _id in (1, 2, 3):
         assert a not in out[_id] and b not in out[_id]
     assert "<gap" in out[1] and out[2].startswith("x") and out[3].startswith("p")
+
+
+def test_saturation_fallback_matches_bloom_path(spark, monkeypatch):
+    """Forcing the capped sketch to 'saturate' must route through the
+    precise hash-join fallback and produce the identical span set."""
+    import codd_spark.operators.dedup as dd
+
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+        .collect()
+    ]
+    bloom = _spark_spans(spark, docs, min_len=30)
+    monkeypatch.setattr(dd, "_EXACT_SUBSTR_BLOOM_CAP_BITS", -1)
+    fallback = _spark_spans(spark, docs, min_len=30)
+    assert fallback == bloom and len(bloom) > 0
+
+
+def test_bloom_path_plan_has_no_position_exchange(spark):
+    """The r7 exchange cut, pinned on the executed plan: candidate
+    filtering is a BroadcastHashJoin (zero exchange on the corpus
+    position stream) and the only shuffle exchanges left are the
+    substring-verify window and the per-doc span merge — the r6 plan's
+    full (id, off, h) shuffle and text re-join are gone."""
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    spans = exact_substring_spans(df, min_len=30)
+    spans.collect()
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    keys = {s.split("#")[0] for s in shuffles}
+    assert keys <= {"s", "id"}, f"unexpected shuffle keys: {keys} in\n{plan}"

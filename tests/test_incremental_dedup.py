@@ -338,3 +338,146 @@ def test_persistent_decontaminator_reopen_skips_prep(spark, docs, tmp_path):
     dec2 = IncrementalDecontaminator.open(spark, d)
     got2 = {(r.id_l, r.id_r) for r in dec2.check(batch).collect()}
     assert got2 == want
+
+
+def _parquet_files(state_dir):
+    import glob
+    import os
+
+    return sorted(
+        f
+        for f in glob.glob(os.path.join(state_dir, "**", "*"), recursive=True)
+        if os.path.isfile(f) and not f.endswith((".json", ".crc", "_SUCCESS"))
+        and "manifest" not in os.path.basename(f)
+    )
+
+
+def test_compact_bounds_files_and_preserves_results(spark, docs, tmp_path):
+    """Many arrivals -> many gen directories; compact() must consolidate
+    to ONE generation per table (file count bounded by n_buckets), keep
+    the kept-set identical, and keep accepting arrivals afterwards."""
+    d = str(tmp_path / "compact_state")
+    dd = IncrementalDeduplicator(spark, state_dir=d, state_buckets=4, **PARAMS)
+    batches = [
+        docs.filter(f"doc_id >= {i * 50} AND doc_id < {(i + 1) * 50}")
+        for i in range(6)
+    ]
+    kept = set()
+    for b in batches[:5]:
+        kept |= {r.doc_id for r in dd.add_batch(b).collect()}
+    files_before = len(_parquet_files(d))
+    gens_before = {k for _t, _p, k in dd._state._gen_dirs()}
+    assert gens_before == {0, 1, 2, 3, 4}  # one generation per arrival
+
+    out = dd.compact()
+    assert out["generation"] is not None and out["files_swept"] > 0
+    files_after = len(_parquet_files(d))
+    assert files_after < files_before
+    # exactly one generation directory left per table
+    gens = {}
+    for t, _p, k in dd._state._gen_dirs():
+        gens.setdefault(t, set()).add(k)
+    assert all(len(v) == 1 for v in gens.values()), gens
+    # state contents unchanged: re-adding the same docs drops them all
+    readd = docs.filter("doc_id < 250")
+    assert dd.add_batch(readd).count() == 0
+    # and a novel arrival still works after compaction
+    kept6 = {r.doc_id for r in dd.add_batch(batches[5]).collect()}
+
+    mem = IncrementalDeduplicator(spark, **PARAMS)
+    want = set()
+    for b in batches[:5]:
+        want |= {r.doc_id for r in mem.add_batch(b).collect()}
+    mem.add_batch(readd)
+    want6 = {r.doc_id for r in mem.add_batch(batches[5]).collect()}
+    assert kept == want and kept6 == want6
+
+
+def test_compact_crash_before_manifest_is_invisible(spark, docs, tmp_path):
+    """A crash AFTER the consolidated inserts but BEFORE the manifest
+    commit leaves the old committed window intact — the consolidated
+    copy is an orphan generation that the next open numbers past."""
+    d = str(tmp_path / "ccrash_state")
+    dd = IncrementalDeduplicator(spark, state_dir=d, state_buckets=4, **PARAMS)
+    dd.add_batch(docs.filter("doc_id < 100"))
+    dd.add_batch(docs.filter("doc_id >= 100 AND doc_id < 200"))
+    st = dd._state
+    committed, floor = st.committed, st.floor
+    n_rows = st.buckets().count()
+
+    # simulate the crash: perform ONLY the consolidated inserts (the
+    # first half of compact()), never the manifest commit
+    g = st._next_gen
+    st.buckets().withColumn("gen", F.lit(g).cast("long")).write.mode(
+        "append"
+    ).insertInto(st._tb)
+    st.shingles().withColumn("gen", F.lit(g).cast("long")).write.mode(
+        "append"
+    ).insertInto(st._ts)
+    del dd
+    _simulate_restart(spark, d)
+
+    dd2 = IncrementalDeduplicator.open(spark, d)
+    st2 = dd2._state
+    assert (st2.committed, st2.floor) == (committed, floor)
+    assert st2.buckets().count() == n_rows  # orphan copy invisible
+    assert st2._next_gen > g  # never adopted by a later commit
+    # a compact() after the aborted one still converges to one gen/table
+    dd2.compact()
+    gens = {}
+    for t, _p, k in st2._gen_dirs():
+        gens.setdefault(t, set()).add(k)
+    assert all(len(v) == 1 for v in gens.values()), gens
+    assert st2.buckets().count() == n_rows
+
+
+def test_compact_crash_before_sweep_self_heals_on_open(spark, docs, tmp_path):
+    """A crash AFTER the manifest commit but BEFORE the directory sweep
+    leaves stale (invisible) gen dirs — the next open sweeps them."""
+    d = str(tmp_path / "csweep_state")
+    dd = IncrementalDeduplicator(spark, state_dir=d, state_buckets=4, **PARAMS)
+    dd.add_batch(docs.filter("doc_id < 100"))
+    dd.add_batch(docs.filter("doc_id >= 100 AND doc_id < 200"))
+    st = dd._state
+    n_rows = st.buckets().count()
+
+    # compact, then resurrect a stale dir to simulate the unswept crash
+    import shutil
+
+    stale_src = [(t, p, k) for t, p, k in st._gen_dirs()]
+    dd.compact()
+    # recreate a fake stale generation BELOW the floor
+    import os
+
+    fake = os.path.join(d, "buckets", "gen=0")
+    if not os.path.isdir(fake):
+        live = [p for t, p, k in st._gen_dirs() if "buckets" in p][0]
+        shutil.copytree(live, fake)
+        spark.sql(f"MSCK REPAIR TABLE {st._tb} SYNC PARTITIONS")
+    del dd, stale_src
+    _simulate_restart(spark, d)
+
+    dd2 = IncrementalDeduplicator.open(spark, d)
+    assert not os.path.isdir(fake)  # swept on open
+    assert dd2._state.buckets().count() == n_rows
+
+
+def test_probe_still_zero_exchange_after_compact(spark, docs, tmp_path):
+    d = str(tmp_path / "plan2_state")
+    dd = IncrementalDeduplicator(spark, state_dir=d, state_buckets=4, **PARAMS)
+    dd.add_batch(docs.filter("doc_id < 100"))
+    dd.add_batch(docs.filter("doc_id >= 100 AND doc_id < 200"))
+    dd.compact()
+
+    probe = spark.createDataFrame(
+        [(7, 3, 123456789)], "id LONG, band INT, h LONG"
+    )
+    j = dd._kept_buckets.select(
+        "band", "h", F.col("id").alias("id_l")
+    ).join(
+        probe.select("band", "h", F.col("id").alias("id_r")).hint("shuffle_merge"),
+        on=["band", "h"],
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
