@@ -944,6 +944,36 @@ def hard_negatives(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _kmeans_quad_expr(qq: Column, ct: Column, use_decimal: bool) -> Column:
+    """Exact-integer quad sum Q_c = ||n_c·x − s_c||² for the quantized
+    k-means argmin. v = n_c·x − s_c stays in LONG (|v| ≤ 2·levels·N,
+    safe for any real corpus); the SQUARE-and-sum is the overflow risk
+    (Q ≤ dim·(2·levels·n_c)², past 2^63 once a cluster holds ~2M
+    255-level dim-64 vectors) — ``use_decimal`` routes it through
+    DECIMAL(38,0), still exact integers, headroom to n_c ~ 1e15."""
+    diffs = F.zip_with(qq, ct["s"], lambda x, si: ct["n"] * x - si)
+    if not use_decimal:
+        return F.aggregate(
+            diffs,
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v * v,
+        )
+    return F.aggregate(
+        diffs,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, v: acc
+        + (
+            v.cast("decimal(19,0)") * v.cast("decimal(19,0)")
+        ).cast("decimal(38,0)"),
+    )
+
+
+def _kmeans_needs_decimal(dim: int, levels: int, n_max: int) -> bool:
+    """True when the LONG quad sum could overflow for a cluster of
+    ``n_max`` vectors — exact Python-int arithmetic, no float slop."""
+    return dim * (2 * levels * n_max) ** 2 >= 2**63
+
+
 def kmeans_quantized(
     df: DataFrame,
     *,
@@ -984,9 +1014,13 @@ def kmeans_quantized(
     is the unavoidable elementwise (cluster, dim) sum with map-side
     combine; centroid state collects k rows to the driver per iteration
     (the same bounded boundary as IVF's trained centroids). Overflow
-    bound: |n·x - s| <= 2·levels·n, so Q <= dim·(2·levels·n)² — under
-    2^63 for corpora up to ~2M vectors at levels=255, dim=64; raise to
-    DECIMAL beyond that. Empty clusters carry their previous state."""
+    bound: |n·x - s| <= 2·levels·n, so Q <= dim·(2·levels·n)² — past
+    2^63 once a cluster holds ~2M vectors at levels=255, dim=64; a
+    per-iteration gate on the live centroid counts
+    (``_kmeans_needs_decimal``, exact integer arithmetic) switches the
+    square-and-sum to DECIMAL(38,0) there — still exact integers, so
+    the replayed argmin is unchanged, with headroom to ~1e15 vectors
+    per cluster. Empty clusters carry their previous state."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if n_iter < 1:
@@ -1024,17 +1058,25 @@ def kmeans_quantized(
             "array(" + ",".join(cent_sql(*t) for t in sorted(cent_list)) + ")"
         )
         qq = F.col("qv")
+        # per-iteration overflow gate on the LIVE centroid counts: the
+        # quad sum leaves LONG for DECIMAL(38,0) only once a cluster is
+        # big enough that long could wrap — both paths are exact
+        # integers, so the replayed argmin is identical either way
+        use_decimal = _kmeans_needs_decimal(
+            dim, levels, max(n for _c, _s, n in cent_list)
+        )
 
         def _dist(ct):
-            # exact-integer D_c = ||n_c·x - s_c||² / n_c²: the quad sum
-            # never leaves LONG; the one double division of identical
-            # integers is IEEE-identical in any engine
-            quad = F.aggregate(
-                F.zip_with(qq, ct["s"], lambda x, si: ct["n"] * x - si),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v * v,
+            # exact-integer D_c = ||n_c·x - s_c||² / n_c²: the one
+            # double division of identical exact integers is
+            # IEEE-identical in any engine
+            quad = _kmeans_quad_expr(qq, ct, use_decimal)
+            den = (
+                ct["n"].cast("decimal(19,0)") * ct["n"].cast("decimal(19,0)")
+                if use_decimal
+                else ct["n"] * ct["n"]
             )
-            return quad.cast("double") / (ct["n"] * ct["n"]).cast("double")
+            return quad.cast("double") / den.cast("double")
 
         dists = F.transform(
             cent_arr,

@@ -1419,3 +1419,58 @@ def test_pii_stats_counts(spark):
     assert got[1].pii_total == 4
     assert got[2].n_phone == 2 and got[2].pii_total == 2
     assert got[3].pii_total == 0
+
+
+def test_kmeans_decimal_path_equals_long_path(spark, monkeypatch):
+    """Forcing the DECIMAL quad accumulation (the >~2M-vectors/cluster
+    overflow regime's path) must reproduce the long path's assignments
+    EXACTLY — both are exact integer arithmetic, so the replayed argmin
+    cannot move."""
+    import codd_spark.operators.similarity as sim
+
+    rows = [
+        (i, [(0.9 if i % 2 else -0.9) + 0.01 * ((i * 7) % 11 - 5)] * 8)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    want = {
+        r.vec_id: r.cluster
+        for r in sim.kmeans_quantized(df, dim=8, k=2, n_iter=3).collect()
+    }
+    monkeypatch.setattr(sim, "_kmeans_needs_decimal", lambda *a: True)
+    got = {
+        r.vec_id: r.cluster
+        for r in sim.kmeans_quantized(df, dim=8, k=2, n_iter=3).collect()
+    }
+    assert got == want
+
+
+def test_kmeans_quad_long_overflows_where_decimal_is_exact(spark):
+    """The overflow-regime pin (VERDICT r6 item 6): with a planted
+    centroid count big enough that dim·(2·levels·n)² crosses 2^63, the
+    LONG quad sum WRAPS (silently wrong) while the DECIMAL path matches
+    exact Python-int arithmetic. Uses the production expressions."""
+    from codd_spark.operators.similarity import (
+        _kmeans_needs_decimal,
+        _kmeans_quad_expr,
+    )
+    from pyspark.sql import functions as F
+
+    n, x, dim = 10**9, 255, 4  # one cluster of a billion max-code vectors
+    assert _kmeans_needs_decimal(dim, 255, n)
+    s = [0] * dim
+    exact = sum((n * x - si) ** 2 for si in s)
+    assert exact >= 2**63  # the regime where long must fail
+
+    ct = F.expr(
+        "named_struct('c', 0, 's', array("
+        + ",".join(f"{si}L" for si in s)
+        + f"), 'n', CAST({n} AS BIGINT))"
+    )
+    df = spark.createDataFrame([([x] * dim,)], "qv ARRAY<LONG>")
+    row = df.select(
+        _kmeans_quad_expr(F.col("qv"), ct, use_decimal=False).alias("q_long"),
+        _kmeans_quad_expr(F.col("qv"), ct, use_decimal=True).alias("q_dec"),
+    ).collect()[0]
+    assert int(row.q_dec) == exact
+    assert row.q_long != exact  # wrapped — the documented long bound is real
