@@ -2139,6 +2139,137 @@ def q_decontaminate_bloom_stream(spark, sf_dir):
     return result
 
 
+def q_streaming_scd2(spark, sf_dir):
+    """STREAMING SCD2 contract (r8 — VERDICT r6 item 5 / r7 item 4):
+    streaming/stateful.py::streaming_scd2 running as a real
+    applyInPandasWithState stream over the events source, append mode,
+    availableNow trigger, memory sink. Emission discipline: a type-2
+    version is emitted the moment a changed attribute state CLOSES it,
+    so the streamed output equals the batch ``scd2_history`` filtered to
+    ``valid_to IS NOT NULL`` — exactly what the oracle computes
+    (LAG-collapse + LEAD-interval, closed rows only). Timestamps travel
+    as epoch micros so NTZ/zone conventions can't skew the hash.
+    Chunked-replay equivalence is engine-tested in
+    tests/test_stateful_streaming.py."""
+    import uuid as _uuid
+
+    from codd_spark.streaming.stateful import streaming_scd2
+
+    sdf = _events_stream(spark, sf_dir).filter("user_id < 20")
+    out = streaming_scd2(
+        sdf, "user_id", ["event_type"], "ts", tiebreak_cols=["event_id"]
+    )
+    name = f"streaming_scd2_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("vf_us"),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias("vt_us"),
+        "version",
+    )
+
+
+def q_streaming_drift(spark, sf_dir):
+    """STREAMING drift contract (r8): streaming/stateful.py::
+    streaming_drift as a real stateful stream — per user, when a later
+    DAY bucket closes the open one, emit the exact two-sample KS
+    statistic against the immediately preceding ADJACENT closed bucket.
+    Emission discipline makes the oracle closed-form: every closed
+    bucket except each key's trailing open (MAX) bucket is closed; a
+    bucket emits iff the bucket one day earlier is also closed — i.e.
+    both days exist in the pre-trailing set. The oracle replays that
+    with the same cumulative-count KS the ks_drift_events oracle uses,
+    partitioned per (user, bucket). Chunked-replay equivalence is
+    engine-tested in tests/test_stateful_streaming.py."""
+    import uuid as _uuid
+
+    from codd_spark.streaming.stateful import streaming_drift
+
+    sdf = _events_stream(spark, sf_dir).filter("user_id < 20")
+    out = streaming_drift(sdf, "ts", "value", key_col="user_id", unit="day")
+    name = f"streaming_drift_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id", "bucket_epoch", "n_prev", "n_cur", "ks"
+    )
+
+
+def q_salted_skew_join(spark, sf_dir):
+    """Skew regression guard (r8 — VERDICT r6 item 7 / r7 item 5): a
+    deliberately pathological join key (HALF the fact rows share key 0 —
+    the shape from the round-2 skew measurement, where salting won 3.5x)
+    joined through operators/joins.py::salted_join with the dim side
+    pinned shuffle_merge (a broadcast would hide the skew the guard
+    exists to exercise). The salt spreads the hot key across 16 tasks
+    instead of serializing half the corpus into one. The oracle is the
+    PLAIN join — so the driver's hash check IS the
+    salted-equals-unsalted equivalence assert, and the bench number
+    moves if a future plan change un-spreads the hot key. Double values
+    are aggregated as exact floor-cents so summation order can't skew
+    the hash."""
+    from codd_spark.operators.joins import salted_join
+
+    ev = read_table(spark, sf_dir, "events")
+    k = (
+        F.when(F.col("event_id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("k")
+    )
+    facts = ev.select(k, "value")
+    dims = (
+        ev.select(k)
+        .distinct()
+        .withColumn("seg", F.pmod(F.col("k") * 7, F.lit(101)))
+        .hint("shuffle_merge")
+    )
+    j = salted_join(facts, dims, on=["k"], n_salts=16)
+    return j.groupBy("seg").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_cents"),
+    )
+
+
+def q_decontaminate_bloom_multi(spark, sf_dir):
+    """Multi-benchmark bloom decontamination (r8 — VERDICT r6 item 8 /
+    r7 item 6; dedup.py::GramBloom.union): build ONE sketch per
+    benchmark slice with a pinned m_bits (union-compatible family),
+    bit_or-union them, and probe the corpus ONCE against the union —
+    the "check 100 TB against every benchmark in one pass" shape. The
+    union is lossless for membership (Bloom OR-monoid), the probe is
+    map-only, and the exact-verify tail makes the output EXACT: equal
+    to the two independent containment runs combined, which is exactly
+    what the oracle computes (contaminated-by-either, same SQL family
+    as decontaminate_bloom with the full 300-400 contaminant range)."""
+    from codd_spark.operators.dedup import bloom_decontaminate, build_gram_bloom
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id < 300")
+    bench_a = docs.filter("doc_id >= 300 AND doc_id < 350")
+    bench_b = docs.filter("doc_id >= 350 AND doc_id < 400")
+    m = 1 << 20  # pinned: sketches must share m_bits to union
+    sketch = build_gram_bloom(bench_a, "doc_id", "text", n=3, m_bits=m).union(
+        build_gram_bloom(bench_b, "doc_id", "text", n=3, m_bits=m)
+    )
+    both = docs.filter("doc_id >= 300 AND doc_id < 400")
+    clean = bloom_decontaminate(corpus, both, n=3, min_hits=2, prebuilt=sketch)
+    return clean.select("doc_id", F.length("text").alias("text_len"))
+
+
 def q_decontaminate_lsh(spark, sf_dir):
     """Scale-path decontamination: MinHash cross-table candidates (shared
     hash family, shuffle-pinned bucket join, degenerate-bucket guards) +
@@ -3336,12 +3467,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "token_count_bpe": q_token_count_bpe,
         "window_top3_orders_per_cust": q_window_top3_orders_per_cust,
-        "events_hourly": q_events_hourly,
         "range_join_value_bands": q_range_join_value_bands,
         "split_train_val_test": q_split_train_val_test,
         "dedup_exact_documents": q_dedup_exact_documents,
-        "frame_sample": q_frame_sample,
+        # --- round-8 stateful-streaming contracts rotated in (2 rows;
+        # events_hourly and frame_sample rotated out — class coverage
+        # kept in-window by user_sessions/asof_join_events (event-time
+        # aggregation) and image_metadata (multimodal mapInPandas);
+        # both stay oracle-replayed in test_oracle_window.py) ---
+        "streaming_scd2": q_streaming_scd2,
+        "streaming_drift": q_streaming_drift,
         # ---------------- end of the driver's 50-query window ----------------
+        # rotated out r7->r8 (see the rotation note above)
+        "events_hourly": q_events_hourly,
+        "frame_sample": q_frame_sample,
         # rotated out r6->r7 for the six round-6-upgraded queries (class
         # coverage kept in-window, see the rotation note above); all six
         # still oracle-replayed in test_oracle_window.py
@@ -3420,6 +3559,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_stats": q_zipf_stats,
         "ngram_novelty": q_ngram_novelty,
         "pii_stats": q_pii_stats,
+        # --- round-8 additions (past the window; oracle-swept + bench) ---
+        "salted_skew_join": q_salted_skew_join,
+        "decontaminate_bloom_multi": q_decontaminate_bloom_multi,
         "audio_metadata": q_audio_metadata,
         "events_hourly_stream": q_events_hourly_stream,
         "embedding_centroids": q_embedding_centroids,
@@ -5436,6 +5578,63 @@ def oracle_sql() -> dict[str, str]:
             FROM base b JOIN last l USING (user_id)
             WHERE b.bucket <> l.mb
         """,
+        "streaming_scd2": """
+            WITH o AS (
+              SELECT user_id, event_type, ts, event_id,
+                     LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events WHERE user_id < 20
+            ), v AS (
+              SELECT user_id, event_type, ts, event_id FROM o
+              WHERE prev IS DISTINCT FROM event_type
+            ), hist AS (
+              SELECT user_id, event_type,
+                     epoch_us(ts) AS vf_us,
+                     epoch_us(LEAD(ts) OVER w) AS vt_us,
+                     ROW_NUMBER() OVER w AS version
+              FROM v
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, event_type, vf_us, vt_us, version
+            FROM hist WHERE vt_us IS NOT NULL
+        """,
+        "streaming_drift": """
+            WITH src AS (
+              SELECT user_id, date_trunc('day', ts) AS bkt, value AS v
+              FROM events WHERE user_id < 20 AND value IS NOT NULL
+            ), open_b AS (
+              SELECT user_id, MAX(bkt) AS mb FROM src GROUP BY user_id
+            ), closed AS (
+              SELECT s.user_id, s.bkt, s.v
+              FROM src s JOIN open_b o USING (user_id)
+              WHERE s.bkt <> o.mb
+            ), sides AS (
+              SELECT user_id, bkt + INTERVAL 1 DAY AS pb, v, FALSE AS is_cur
+              FROM closed
+              UNION ALL
+              SELECT user_id, bkt AS pb, v, TRUE AS is_cur FROM closed
+            ), pv AS (
+              SELECT user_id, pb, v,
+                     COUNT(*) FILTER (WHERE NOT is_cur) AS ca,
+                     COUNT(*) FILTER (WHERE is_cur) AS cb
+              FROM sides GROUP BY user_id, pb, v
+            ), st AS (
+              SELECT user_id, pb,
+                     SUM(ca) OVER (PARTITION BY user_id, pb ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+                     SUM(cb) OVER (PARTITION BY user_id, pb ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+                     SUM(ca) OVER (PARTITION BY user_id, pb) AS n_a,
+                     SUM(cb) OVER (PARTITION BY user_id, pb) AS n_b
+              FROM pv
+            )
+            SELECT user_id, CAST(epoch(pb) AS BIGINT) AS bucket_epoch,
+                   CAST(n_a AS BIGINT) AS n_prev, CAST(n_b AS BIGINT) AS n_cur,
+                   ROUND(MAX(ABS(
+                     cum_a::DOUBLE / n_a - cum_b::DOUBLE / n_b)), 6) AS ks
+            FROM st GROUP BY user_id, pb, n_a, n_b
+            HAVING n_a > 0 AND n_b > 0
+        """,
         "resample_ffill": """
             WITH src AS (
               SELECT user_id, ts, value FROM events WHERE user_id < 20
@@ -5615,6 +5814,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(length(text) AS INT) AS text_len
             FROM documents
             WHERE doc_id < 300 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+        """,
+        "decontaminate_bloom_multi": """
+            WITH g AS (
+              SELECT doc_id,
+                     UNNEST(list_distinct(list_transform(range(1, greatest(len(s)-1, 2)),
+                            i -> array_to_string(list_slice(s, i, i+2), ' ')))) AS gram
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS s
+                    FROM documents WHERE doc_id < 400)
+            ),
+            -- contaminated-by-EITHER benchmark slice == the union of the
+            -- two independent containment runs (per-contaminant min_hits)
+            dirty AS (
+              SELECT a.doc_id FROM g a JOIN g b ON a.gram = b.gram
+              WHERE a.doc_id < 300 AND b.doc_id >= 300
+              GROUP BY a.doc_id, b.doc_id
+              HAVING COUNT(*) >= 2
+            )
+            SELECT doc_id, CAST(length(text) AS INT) AS text_len
+            FROM documents
+            WHERE doc_id < 300 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+        """,
+        "salted_skew_join": """
+            WITH f AS (
+              SELECT CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END AS k,
+                     value
+              FROM events
+            ), d AS (
+              SELECT DISTINCT k FROM f
+            ), dd AS (
+              SELECT k, (k * 7) % 101 AS seg FROM d
+            )
+            -- the PLAIN join: hash-equality with the salted plan IS the
+            -- salted-equals-unsalted equivalence assert
+            SELECT seg, COUNT(*) AS n,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_cents
+            FROM f JOIN dd USING (k)
+            GROUP BY seg
         """,
         # r5: streaming arrival path of the same exact-verified rule —
         # identical survivor set, so the oracle is the same containment

@@ -130,23 +130,31 @@ BENCH_QUERIES = [
     "exact_substr_spans",       # ExactSubstr char-span mask (suffix-array-free)
     "exact_substr_removal",     # span cut via expression fold
     "events_resample_stream",   # stateful streaming resample (applyInPandasWithState)
+    # round-8 additions
+    "salted_skew_join",         # 50%-one-key skew guard through salted_join
+    "decontaminate_bloom_multi",  # one corpus pass vs a union of benchmark sketches
+    "streaming_scd2",           # stateful streaming SCD2 (closed versions)
+    "streaming_drift",          # stateful streaming adjacent-bucket KS drift
 ]
 
-# Snapshot of the previous round's bench set (r5 close: 97 + flagship
-# = 98 timed entries). BENCH_SUMMARY.json reports the subtotal over
-# this set as ``value_comparable_prev_round`` so round-over-round
-# regression checks need no set algebra even when later rounds grow
-# BENCH_QUERIES.
-ROUND6_ADDITIONS = frozenset(
+# Queries added DURING the current round (reset to empty at each round
+# open). BENCH_SUMMARY.json reports the subtotal over everything else
+# as ``value_comparable_prev_round`` — i.e. exactly the PREVIOUS
+# round's bench set — so the round-over-round regression check is a
+# single field with no set algebra, and a query added mid-round never
+# pollutes the comparison (ADVICE r7: the old frozen-at-r5 snapshot
+# silently excluded r6's additions from the r7 check).
+CURRENT_ROUND_ADDITIONS = frozenset(
     {
-        "exact_substr_spans",
-        "exact_substr_removal",
-        "events_resample_stream",
+        "salted_skew_join",
+        "decontaminate_bloom_multi",
+        "streaming_scd2",
+        "streaming_drift",
     }
 )
 PREV_ROUND_QUERIES = (
     frozenset(BENCH_QUERIES) | {"flagship_revenue_by_nation"}
-) - ROUND6_ADDITIONS
+) - CURRENT_ROUND_ADDITIONS
 
 
 def run_noop(df) -> None:

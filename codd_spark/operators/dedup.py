@@ -1642,10 +1642,31 @@ class _BucketedMinhashState:
     writes both tables under ``gen = committed + 1`` and only then
     commits the manifest (atomic tmp + rename). Readers filter
     ``gen <= committed``, so a crash between the two inserts leaves only
-    invisible orphan rows; the next open resumes gen numbering PAST any
-    orphans (max-gen scan, parquet-stats cheap) so they can never be
-    adopted by a later commit. A batch whose commit never landed is
-    simply "not processed" — replay it.
+    invisible orphan rows. Orphans must never be ADOPTED by a later
+    commit either (a later append that raises ``committed`` past the
+    orphan's gen would pull every orphan row into the read window —
+    ADVICE r7): under the single-writer contract any generation above
+    ``committed`` is uncommitted by definition, so layout-2 opens DELETE
+    ``gen=<K>`` dirs with K > committed before resuming, and in-process
+    insert failures quarantine the partial generation the same way.
+    Layout-1 dirs (gen is a data column, not deletable) instead record
+    such generations in a persistent ``dead_gens`` manifest list that
+    every reader excludes. A batch whose commit never landed is simply
+    "not processed" — replay it.
+
+    Durability contract (round 8): the state dir must be a LOCAL,
+    rename-atomic POSIX directory with a SINGLE writer — the manifest
+    commit is ``os.replace``, generation discovery is ``os.listdir``,
+    and sweeps are ``shutil.rmtree``, none of which have the required
+    semantics on object stores (S3 rename is copy+delete, listings are
+    not immediately consistent everywhere, and two writers would corrupt
+    the generation protocol). On a cluster this means a shared POSIX
+    mount (NFS/EFS/Lustre) or driver-local disk + external snapshotting;
+    paths with a URI scheme (``s3://``, ``hdfs://``, ...) are REJECTED
+    at construction with guidance rather than failing subtly later.
+    Routing the manifest/sweep through Hadoop ``FileSystem`` with a
+    rename-atomic commit marker is the documented extension point if an
+    object-store deployment ever needs this state directly.
 
     Compaction (round 7 — the long-lived-crawl growth vector): each
     arrival adds ``n_buckets`` files per table, so thousands of arrivals
@@ -1676,7 +1697,33 @@ class _BucketedMinhashState:
         import json
         import os
 
+        import re
+
         self.spark = spark
+        # local-FS-only durability contract (see class docstring): the
+        # manifest/sweep protocol needs POSIX rename atomicity and
+        # consistent listings — fail loud on object-store/remote URIs
+        # instead of silently mangling them through os.path.abspath
+        m_scheme = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", state_dir)
+        if m_scheme and m_scheme.group(1).lower() != "file":
+            raise ValueError(
+                f"state_dir {state_dir!r} uses scheme "
+                f"'{m_scheme.group(1)}' — persistent MinHash state "
+                "requires a local rename-atomic POSIX directory (the "
+                "manifest commit is os.replace and generation sweeps are "
+                "directory deletes, neither of which is atomic or "
+                "consistent on object stores). Use a local or "
+                "POSIX-mounted path, or snapshot the directory to the "
+                "object store out of band."
+            )
+        if m_scheme:
+            state_dir = state_dir[len(m_scheme.group(0)) :]
+            if not state_dir.startswith("/"):
+                raise ValueError(
+                    f"file:// state_dir must be an absolute local path "
+                    f"(file:///abs/path), got authority/relative form "
+                    f"{state_dir!r}"
+                )
         self.state_dir = os.path.abspath(state_dir)
         # the path is interpolated into CREATE TABLE ... LOCATION '<d>'
         # DDL below; a quote would terminate the string literal there
@@ -1705,18 +1752,36 @@ class _BucketedMinhashState:
             self.committed = int(m["committed_gen"])
             self.layout = int(m.get("layout", 1))
             self.floor = int(m.get("floor_gen", 0))
+            self.dead_gens = [int(g) for g in m.get("dead_gens", [])]
             self._register()
             if self.layout >= 2:
                 self._sweep_below_floor()
-            # resume past any uncommitted orphan generations
-            mx = (
-                self.spark.table(self._tb)
-                .agg(F.max("gen"))
-                .union(self.spark.table(self._ts).agg(F.max("gen")))
-                .agg(F.max("max(gen)"))
-                .first()[0]
-            )
-            self._next_gen = max(self.committed, mx if mx is not None else -1) + 1
+                # generations ABOVE committed are uncommitted orphans
+                # (single-writer contract) — delete them so no later
+                # commit can adopt their rows (ADVICE r7)
+                self._sweep_above_committed()
+                self._next_gen = self.committed + 1
+            else:
+                # layout 1 keeps gen as a data column — orphan rows
+                # cannot be dir-deleted; record their gens as dead so
+                # readers exclude them forever, and resume numbering past
+                mx = (
+                    self.spark.table(self._tb)
+                    .agg(F.max("gen"))
+                    .union(self.spark.table(self._ts).agg(F.max("gen")))
+                    .agg(F.max("max(gen)"))
+                    .first()[0]
+                )
+                mx = mx if mx is not None else -1
+                orphans = [
+                    g
+                    for g in range(self.committed + 1, mx + 1)
+                    if g not in self.dead_gens
+                ]
+                if orphans:
+                    self.dead_gens = sorted(set(self.dead_gens) | set(orphans))
+                    self._write_manifest()
+                self._next_gen = max(self.committed, mx) + 1
         else:
             if params is None:
                 raise ValueError(
@@ -1735,6 +1800,7 @@ class _BucketedMinhashState:
             self.committed = -1
             self.layout = 2
             self.floor = 0
+            self.dead_gens = []
             self._next_gen = 0
             # a stale catalog entry may point at a DELETED old dir with
             # the same path hash — drop before (re)creating
@@ -1792,6 +1858,7 @@ class _BucketedMinhashState:
                     "committed_gen": self.committed,
                     "layout": self.layout,
                     "floor_gen": self.floor,
+                    "dead_gens": self.dead_gens,
                 },
                 f,
             )
@@ -1799,8 +1866,14 @@ class _BucketedMinhashState:
 
     def _committed_window(self, c: Column) -> Column:
         # layout 2: [floor, committed] — partition-pruned directory
-        # range; layout 1 has no floor (nothing below 0 exists)
-        return (c >= F.lit(self.floor)) & (c <= F.lit(self.committed))
+        # range; layout 1 has no floor (nothing below 0 exists). Dead
+        # generations (quarantined failed/orphan layout-1 inserts) are
+        # excluded explicitly — the range alone would adopt them once a
+        # later commit raises `committed` past them (ADVICE r7).
+        w = (c >= F.lit(self.floor)) & (c <= F.lit(self.committed))
+        if self.dead_gens:
+            w = w & ~c.isin([int(g) for g in self.dead_gens])
+        return w
 
     def buckets(self) -> DataFrame:
         """Committed (id, band, h) state — bucketed scan, no Exchange."""
@@ -1822,21 +1895,25 @@ class _BucketedMinhashState:
         """Durably append one arrival's survivor state: write both
         tables at the next generation, then commit the manifest."""
         g = self._next_gen
-        (
-            buckets_df.select(
-                F.col("id").cast("long"),
-                F.col("band").cast("int"),
-                F.col("h").cast("long"),
-                F.lit(g).cast("long").alias("gen"),
-            ).write.mode("append").insertInto(self._tb)
-        )
-        (
-            shingles_df.select(
-                F.col("id").cast("long"),
-                F.col("sh").cast("array<long>"),
-                F.lit(g).cast("long").alias("gen"),
-            ).write.mode("append").insertInto(self._ts)
-        )
+        try:
+            (
+                buckets_df.select(
+                    F.col("id").cast("long"),
+                    F.col("band").cast("int"),
+                    F.col("h").cast("long"),
+                    F.lit(g).cast("long").alias("gen"),
+                ).write.mode("append").insertInto(self._tb)
+            )
+            (
+                shingles_df.select(
+                    F.col("id").cast("long"),
+                    F.col("sh").cast("array<long>"),
+                    F.lit(g).cast("long").alias("gen"),
+                ).write.mode("append").insertInto(self._ts)
+            )
+        except BaseException:
+            self._quarantine_failed_gen(g)
+            raise
         self.committed = g
         self._next_gen = g + 1
         self._write_manifest()
@@ -1873,6 +1950,45 @@ class _BucketedMinhashState:
                 self.spark.sql(f"MSCK REPAIR TABLE {t} SYNC PARTITIONS")
         return len(stale)
 
+    def _sweep_above_committed(self) -> int:
+        """Delete generation directories ABOVE the committed generation
+        (layout 2). Under the single-writer contract these are by
+        definition uncommitted — partial appends or a compact() that
+        crashed before its manifest commit. They must be removed (not
+        merely numbered past): a later append that commits a higher gen
+        would otherwise pull every orphan row into the reader's
+        [floor, committed] range (ADVICE r7). Any dir that survives
+        deletion is recorded in ``dead_gens`` as a backstop."""
+        import os
+        import shutil
+
+        orphan = [(t, p, k) for t, p, k in self._gen_dirs() if k > self.committed]
+        survivors = []
+        for _t, p, k in orphan:
+            shutil.rmtree(p, ignore_errors=True)
+            if os.path.isdir(p):
+                survivors.append(k)
+        if orphan:
+            for t in {t for t, _p, _k in orphan}:
+                self.spark.sql(f"MSCK REPAIR TABLE {t} SYNC PARTITIONS")
+        if survivors:
+            self.dead_gens = sorted(set(self.dead_gens) | set(survivors))
+            self._write_manifest()
+        return len(orphan)
+
+    def _quarantine_failed_gen(self, g: int) -> None:
+        """In-process failure path for append()/compact(): generation
+        ``g`` may hold a partial insert. Layout 2 deletes its dirs (so
+        the number can be reused); layout 1 marks it dead and burns the
+        number. Either way a retry can never commit rows alongside the
+        partial ones (ADVICE r7)."""
+        if self.layout >= 2:
+            self._sweep_above_committed()
+        else:
+            self.dead_gens = sorted(set(self.dead_gens) | {int(g)})
+            self._next_gen = g + 1
+            self._write_manifest()
+
     def compact(self) -> dict:
         """Rewrite the committed window [floor, committed] as ONE new
         generation and retire the old directories — bounds the file
@@ -1906,26 +2022,30 @@ class _BucketedMinhashState:
         g = self._next_gen
         nb_old = self.buckets().count()
         ns_old = self.shingles().count()
-        (
-            self.buckets()
-            .withColumn("gen", F.lit(g).cast("long"))
-            .write.mode("append")
-            .insertInto(self._tb)
-        )
-        (
-            self.shingles()
-            .withColumn("gen", F.lit(g).cast("long"))
-            .write.mode("append")
-            .insertInto(self._ts)
-        )
-        nb = self.spark.table(self._tb).filter(F.col("gen") == g).count()
-        ns = self.spark.table(self._ts).filter(F.col("gen") == g).count()
-        if nb != nb_old or ns != ns_old:
-            raise RuntimeError(
-                f"compaction row mismatch (buckets {nb_old} -> {nb}, "
-                f"shingles {ns_old} -> {ns}); manifest not committed — "
-                "state unchanged, orphan generation will be skipped"
+        try:
+            (
+                self.buckets()
+                .withColumn("gen", F.lit(g).cast("long"))
+                .write.mode("append")
+                .insertInto(self._tb)
             )
+            (
+                self.shingles()
+                .withColumn("gen", F.lit(g).cast("long"))
+                .write.mode("append")
+                .insertInto(self._ts)
+            )
+            nb = self.spark.table(self._tb).filter(F.col("gen") == g).count()
+            ns = self.spark.table(self._ts).filter(F.col("gen") == g).count()
+            if nb != nb_old or ns != ns_old:
+                raise RuntimeError(
+                    f"compaction row mismatch (buckets {nb_old} -> {nb}, "
+                    f"shingles {ns_old} -> {ns}); manifest not committed — "
+                    "consolidated generation deleted, state unchanged"
+                )
+        except BaseException:
+            self._quarantine_failed_gen(g)
+            raise
         self.committed = g
         self.floor = g
         self._next_gen = g + 1
@@ -2029,16 +2149,28 @@ class IncrementalDecontaminator:
                 # the same state dir would score pairs differently than
                 # .open() (ADVICE r6)
                 stored = self._state.extra
+                backfilled = False
                 for key, got in (
                     ("threshold", threshold),
                     ("max_bucket_size", max_bucket_size),
                 ):
-                    if key in stored and stored[key] != got:
-                        raise ValueError(
-                            f"state_dir {state_dir} was prepared with "
-                            f"{key}={stored[key]}, got {got} — reopen via "
-                            ".open() or pass the stored value"
-                        )
+                    if key in stored:
+                        if stored[key] != got:
+                            raise ValueError(
+                                f"state_dir {state_dir} was prepared with "
+                                f"{key}={stored[key]}, got {got} — reopen via "
+                                ".open() or pass the stored value"
+                            )
+                    else:
+                        # pre-r7 manifest without scoring knobs: adopt
+                        # the passed value as THE stored value so every
+                        # later resume is guarded too (ADVICE r7 — a
+                        # silently skipped check would accept divergent
+                        # knobs forever)
+                        stored[key] = got
+                        backfilled = True
+                if backfilled:
+                    self._state._write_manifest()
             if not resuming:
                 buckets, sh = _minhash_prep(
                     corpus, id_col, text_col, **self.params
@@ -2256,6 +2388,27 @@ class IncrementalDeduplicator:
                         "seed only applies to a FRESH state_dir — this one "
                         "already holds kept-corpus state"
                     )
+                # scoring knobs must match the stored ones (same contract
+                # as IncrementalDecontaminator); absent keys (pre-r7
+                # manifests) are backfilled so later resumes are guarded
+                stored = self._state.extra
+                backfilled = False
+                for key, got in (
+                    ("threshold", threshold),
+                    ("max_bucket_size", max_bucket_size),
+                ):
+                    if key in stored:
+                        if stored[key] != got:
+                            raise ValueError(
+                                f"state_dir {state_dir} was prepared with "
+                                f"{key}={stored[key]}, got {got} — reopen "
+                                "via .open() or pass the stored value"
+                            )
+                    else:
+                        stored[key] = got
+                        backfilled = True
+                if backfilled:
+                    self._state._write_manifest()
                 self.n_kept = self._state.shingles().count()
             elif seed is not None:
                 sb, ss = _minhash_prep(seed, id_col, text_col, **self.params)
@@ -2654,6 +2807,7 @@ def exact_substring_spans(
             .localCheckpoint(eager=True)
         )
         _safe_unpersist(repeated)
+        to_release = (words,)
         cand_s = (
             base.select("id", "__txt", pos_struct)
             .select("id", "__txt", F.col("p.off").alias("off"), F.col("p.h").alias("h"))
@@ -2668,8 +2822,9 @@ def exact_substring_spans(
     else:
         # saturation fallback (the r6 precise plan): shuffle-pinned
         # hash-keyed join flags candidate positions, candidates rejoin
-        # the text. `repeated` stays persisted — the returned plan
-        # references it lazily.
+        # the text. `repeated` stays persisted (the returned plan
+        # references it lazily) — released via the result's
+        # release_cache()/finalizer below (ADVICE r7).
         pos = base.select("id", pos_struct).select(
             "id", F.col("p.off").alias("off"), F.col("p.h").alias("h")
         )
@@ -2677,6 +2832,7 @@ def exact_substring_spans(
         cand_s = cand.join(base.hint("shuffle_merge"), on="id").select(
             "id", "off", F.substring(txt, F.col("off") + 1, L).alias("s")
         )
+        to_release = (repeated,)
 
     # exact verification: group by the ACTUAL substring — a colliding
     # hash (or Bloom false positive) whose substrings differ is dropped
@@ -2692,7 +2848,7 @@ def exact_substring_spans(
     # same-length intervals [off, off+L) merge iff off - lag(off) <= L
     # (running-max-end degenerates to the lag because end is monotone)
     w = Window.partitionBy("id").orderBy("off")
-    return (
+    result = (
         seeds.withColumn(
             "__brk",
             F.when(F.col("off") - F.lag("off").over(w) <= L, F.lit(0)).otherwise(
@@ -2715,6 +2871,10 @@ def exact_substring_spans(
         )
         .select(F.col("id").alias(id_col), "span_start", "span_end", "n_windows")
     )
+    # deterministic lifecycle for the per-call cached/checkpointed side
+    # (bloom path: the 16 MB words sketch; fallback: the persisted
+    # repeated-hash table) — release_cache() or gc, not session lifetime
+    return _attach_release(result, *to_release)
 
 
 def remove_exact_substrings(
@@ -2772,8 +2932,13 @@ def remove_exact_substrings(
     staged = joined.withColumn(
         out_col, F.when(F.col("__spans").isNull(), txt).otherwise(folded)
     )
-    return (
+    out = (
         staged.withColumn("n_chars_orig", F.length(txt).cast("long"))
         .withColumn("n_chars_kept", F.length(F.col(out_col)).cast("long"))
         .drop("__spans")
     )
+    # spans from exact_substring_spans carries a cache-release
+    # obligation; this plan embeds it, so adopt (else the spans local
+    # dies on return and its finalizer releases the cached side before
+    # this result ever materializes)
+    return _adopt_release(out, spans)

@@ -1448,8 +1448,12 @@ def test_kmeans_decimal_path_equals_long_path(spark, monkeypatch):
 def test_kmeans_quad_long_overflows_where_decimal_is_exact(spark):
     """The overflow-regime pin (VERDICT r6 item 6): with a planted
     centroid count big enough that dim·(2·levels·n)² crosses 2^63, the
-    LONG quad sum WRAPS (silently wrong) while the DECIMAL path matches
-    exact Python-int arithmetic. Uses the production expressions."""
+    LONG quad sum FAILS — under Spark's default ANSI mode the multiply
+    raises ARITHMETIC_OVERFLOW; under legacy non-ANSI it would wrap
+    silently — while the DECIMAL path matches exact Python-int
+    arithmetic. The two paths are probed in SEPARATE selects so the
+    LONG failure cannot abort the DECIMAL collect (VERDICT r7 item 1).
+    Uses the production expressions."""
     from codd_spark.operators.similarity import (
         _kmeans_needs_decimal,
         _kmeans_quad_expr,
@@ -1468,9 +1472,22 @@ def test_kmeans_quad_long_overflows_where_decimal_is_exact(spark):
         + f"), 'n', CAST({n} AS BIGINT))"
     )
     df = spark.createDataFrame([([x] * dim,)], "qv ARRAY<LONG>")
-    row = df.select(
-        _kmeans_quad_expr(F.col("qv"), ct, use_decimal=False).alias("q_long"),
-        _kmeans_quad_expr(F.col("qv"), ct, use_decimal=True).alias("q_dec"),
+
+    # DECIMAL path: exact, equal to Python big-int arithmetic.
+    dec_row = df.select(
+        _kmeans_quad_expr(F.col("qv"), ct, use_decimal=True).alias("q_dec")
     ).collect()[0]
-    assert int(row.q_dec) == exact
-    assert row.q_long != exact  # wrapped — the documented long bound is real
+    assert int(dec_row.q_dec) == exact
+
+    # LONG path: must NOT silently produce the exact value. ANSI raises
+    # ARITHMETIC_OVERFLOW at the multiply; a non-ANSI session wraps.
+    try:
+        long_row = df.select(
+            _kmeans_quad_expr(F.col("qv"), ct, use_decimal=False).alias(
+                "q_long"
+            )
+        ).collect()[0]
+    except Exception as e:  # noqa: BLE001 — Py4J wraps the SQL error
+        assert "ARITHMETIC_OVERFLOW" in str(e) or "overflow" in str(e).lower()
+    else:
+        assert long_row.q_long != exact  # wrapped — the long bound is real

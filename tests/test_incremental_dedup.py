@@ -252,8 +252,10 @@ def test_persistent_restart_equals_uninterrupted(spark, docs, tmp_path):
 
 def test_persistent_crash_between_writes_is_invisible(spark, docs, tmp_path):
     """Orphan rows from an uncommitted generation (a crash between the
-    buckets and shingles inserts) must never surface: reads filter to
-    the committed generation and the next arrival numbers PAST them."""
+    buckets and shingles inserts) must never surface: the next open
+    DELETES generations above committed (ADVICE r7 — numbering past them
+    would let a later commit adopt them into the read range), so the
+    orphan stays invisible even after further arrivals commit."""
     d = str(tmp_path / "crash_state")
     b1 = docs.filter("doc_id < 150")
     b2 = docs.filter("doc_id >= 150 AND doc_id < 300")
@@ -275,9 +277,13 @@ def test_persistent_crash_between_writes_is_invisible(spark, docs, tmp_path):
     assert dd2._state.committed == committed
     # orphan is invisible to reads
     assert dd2._kept_buckets.filter("id = 999999").count() == 0
-    # next arrival skips past the orphan generation and commits cleanly
+    # orphan dirs are deleted on open, so the next arrival can reuse the
+    # generation number and commit cleanly
     kept2 = {r.doc_id for r in dd2.add_batch(b2).collect()}
-    assert dd2._state.committed > committed + 1
+    assert dd2._state.committed == committed + 1
+    # the adoption hazard: even though committed now covers the orphan's
+    # old gen number, the orphan row must NOT have been adopted
+    assert dd2._kept_buckets.filter("id = 999999").count() == 0
 
     mem = IncrementalDeduplicator(spark, **PARAMS)
     want1 = {r.doc_id for r in mem.add_batch(b1).collect()}
@@ -395,8 +401,9 @@ def test_compact_bounds_files_and_preserves_results(spark, docs, tmp_path):
 
 def test_compact_crash_before_manifest_is_invisible(spark, docs, tmp_path):
     """A crash AFTER the consolidated inserts but BEFORE the manifest
-    commit leaves the old committed window intact — the consolidated
-    copy is an orphan generation that the next open numbers past."""
+    commit leaves the old committed window intact — the orphan copy is
+    DELETED on the next open (an orphan merely numbered past would be
+    adopted as soon as a later append commits a higher gen — ADVICE r7)."""
     d = str(tmp_path / "ccrash_state")
     dd = IncrementalDeduplicator(spark, state_dir=d, state_buckets=4, **PARAMS)
     dd.add_batch(docs.filter("doc_id < 100"))
@@ -421,7 +428,8 @@ def test_compact_crash_before_manifest_is_invisible(spark, docs, tmp_path):
     st2 = dd2._state
     assert (st2.committed, st2.floor) == (committed, floor)
     assert st2.buckets().count() == n_rows  # orphan copy invisible
-    assert st2._next_gen > g  # never adopted by a later commit
+    # the orphan dirs are GONE, not just numbered past
+    assert all(k <= committed for _t, _p, k in st2._gen_dirs())
     # a compact() after the aborted one still converges to one gen/table
     dd2.compact()
     gens = {}
@@ -429,6 +437,118 @@ def test_compact_crash_before_manifest_is_invisible(spark, docs, tmp_path):
         gens.setdefault(t, set()).add(k)
     assert all(len(v) == 1 for v in gens.values()), gens
     assert st2.buckets().count() == n_rows
+
+
+def test_compact_crash_then_add_batch_does_not_adopt_orphan(
+    spark, docs, tmp_path
+):
+    """The ADVICE r7 adoption scenario, pinned end-to-end: compact()
+    crashes before its manifest commit (leaving a full orphan copy of
+    the state), and the NEXT operation is an ordinary add_batch() — not
+    another compact(). The orphan must not be pulled into the read
+    window when that append commits a higher generation; the state row
+    count must equal an uninterrupted run's, and dedup results must be
+    unchanged."""
+    d = str(tmp_path / "ccrash_adopt_state")
+    dd = IncrementalDeduplicator(spark, state_dir=d, state_buckets=4, **PARAMS)
+    kept = set()
+    for lo in (0, 100):
+        kept |= {
+            r.doc_id
+            for r in dd.add_batch(
+                docs.filter(f"doc_id >= {lo} AND doc_id < {lo + 100}")
+            ).collect()
+        }
+    st = dd._state
+    n_rows_b, n_rows_s = st.buckets().count(), st.shingles().count()
+
+    # simulated compact crash: inserts done, manifest never committed
+    g = st._next_gen
+    st.buckets().withColumn("gen", F.lit(g).cast("long")).write.mode(
+        "append"
+    ).insertInto(st._tb)
+    st.shingles().withColumn("gen", F.lit(g).cast("long")).write.mode(
+        "append"
+    ).insertInto(st._ts)
+    del dd
+    _simulate_restart(spark, d)
+
+    # resume with a plain arrival — the adoption hazard path
+    dd2 = IncrementalDeduplicator.open(spark, d)
+    got3 = {
+        r.doc_id
+        for r in dd2.add_batch(
+            docs.filter("doc_id >= 200 AND doc_id < 250")
+        ).collect()
+    }
+
+    mem = IncrementalDeduplicator(spark, **PARAMS)
+    for lo in (0, 100):
+        mem.add_batch(docs.filter(f"doc_id >= {lo} AND doc_id < {lo + 100}"))
+    want3 = {
+        r.doc_id
+        for r in mem.add_batch(
+            docs.filter("doc_id >= 200 AND doc_id < 250")
+        ).collect()
+    }
+    assert got3 == want3
+    st2 = dd2._state
+    # no duplicated pre-crash rows: committed window == uninterrupted run
+    batch3_b = (
+        spark.table(st2._tb).filter(F.col("gen") == st2.committed).count()
+    )
+    batch3_s = (
+        spark.table(st2._ts).filter(F.col("gen") == st2.committed).count()
+    )
+    assert st2.buckets().count() == n_rows_b + batch3_b
+    assert st2.shingles().count() == n_rows_s + batch3_s
+    # re-adding pre-crash docs still drops them all (state not corrupted)
+    assert dd2.add_batch(docs.filter("doc_id < 200")).count() == 0
+
+
+def test_object_store_state_dir_rejected_with_guidance(spark, tmp_path):
+    """The durability contract is local-FS-only (os.replace manifest,
+    rmtree sweeps) — an object-store URI must fail loud at construction
+    with guidance, not subtly later (VERDICT r7 item 8)."""
+    import pytest as _pt
+
+    for uri in ("s3://bucket/state", "hdfs://nn:8020/state", "gs://b/s"):
+        with _pt.raises(ValueError, match="POSIX"):
+            IncrementalDeduplicator(spark, state_dir=uri, **PARAMS)
+    # file:// is the local scheme — accepted and normalized
+    d = str(tmp_path / "file_scheme_state")
+    dd = IncrementalDeduplicator(spark, state_dir="file://" + d, **PARAMS)
+    assert dd._state.state_dir == d
+
+
+def test_failed_append_quarantined_then_retry_clean(spark, docs, tmp_path):
+    """In-process half of ADVICE r7: when append()'s SECOND insert fails
+    (buckets landed, shingles didn't), the partial generation must be
+    quarantined so a retried append cannot commit its rows alongside the
+    partial ones."""
+    d = str(tmp_path / "failret_state")
+    dd = IncrementalDeduplicator(spark, state_dir=d, state_buckets=4, **PARAMS)
+    dd.add_batch(docs.filter("doc_id < 100"))
+    st = dd._state
+    n_b, n_s = st.buckets().count(), st.shingles().count()
+
+    good_b = st.buckets().limit(5)
+    good_s = st.shingles().limit(5)
+    # shingles frame whose execution throws AFTER the buckets insert
+    bad_s = good_s.select(
+        "id", F.array(F.expr("assert_true(false)").cast("long")).alias("sh")
+    )
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        st.append(good_b, bad_s)
+    # partial generation quarantined: nothing above committed remains
+    assert all(k <= st.committed for _t, _p, k in st._gen_dirs())
+    assert st.buckets().count() == n_b and st.shingles().count() == n_s
+
+    st.append(good_b, good_s)  # the retry
+    assert st.buckets().count() == n_b + 5
+    assert st.shingles().count() == n_s + 5
 
 
 def test_compact_crash_before_sweep_self_heals_on_open(spark, docs, tmp_path):

@@ -79,6 +79,12 @@ ROTATED_OUT = [
     "rolling_hour_value",
     "rollup_pricing",
     "left_join_nation_suppliers",
+    # r7 -> r8 (made room for streaming_scd2 + streaming_drift; class
+    # coverage kept in-window: events_hourly ~ user_sessions /
+    # asof_join_events (event-time aggregation), frame_sample ~
+    # image_metadata (multimodal mapInPandas))
+    "events_hourly",
+    "frame_sample",
 ]
 
 FLAGSHIPS = [
@@ -111,6 +117,9 @@ FLAGSHIPS = [
     "ann_pq_topk",
     "exact_substr_removal",
     "decontaminate_bloom_stream",
+    # rotated into the scored window r7 -> r8
+    "streaming_scd2",
+    "streaming_drift",
 ]
 
 # round-4 operators registered past the scored window: replay with the
@@ -283,4 +292,25 @@ ROUND6_UPGRADES = [
 
 @pytest.mark.parametrize("name", ROUND6_UPGRADES)
 def test_round6_upgrade_matches_oracle(spark, duck, name):
+    _replay(spark, duck, name)
+
+
+ROUND8_ADDITIONS = [
+    # stateful streaming SCD2: oracle = batch LAG-collapse/LEAD-interval
+    # history, closed versions only (the open version lives in state)
+    "streaming_scd2",
+    # stateful streaming adjacent-bucket KS drift: oracle = per (key,
+    # bucket-pair) cumulative-count KS over the pre-trailing buckets
+    "streaming_drift",
+    # skew regression guard: oracle is the PLAIN join, so hash equality
+    # IS the salted-equals-unsalted equivalence assert
+    "salted_skew_join",
+    # GramBloom.union multi-benchmark probe: oracle = contaminated-by-
+    # either containment (== two independent runs combined)
+    "decontaminate_bloom_multi",
+]
+
+
+@pytest.mark.parametrize("name", ROUND8_ADDITIONS)
+def test_round8_addition_matches_oracle(spark, duck, name):
     _replay(spark, duck, name)

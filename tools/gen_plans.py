@@ -59,7 +59,8 @@ PICK = {
     "bigram_surprisal": "Bigram LM scoring: the (w1,w2) count and w1 context count tables (both model-sized) join EACH OTHER first, then the single fact-table join shuffles once on (w1,w2); vocab size is a 1-row broadcast; per-doc aggregate has map-side combine.",
     "k_core_interactions": "k-core peeling: per round one degree aggregate + two semi-joins against survivors, lineage cut per round; the only driver value is the 1-row convergence count.",
     "sorted_neighborhood": "Sorted-neighborhood: global rank via RangePartitioning + per-partition row_number + broadcast offsets (no single-task window), then rank-vs-rank+delta equi-joins.",
-    "exact_substr_spans": "ExactSubstr mask: one transform+posexplode projection to (off, window-hash) rows — corpus-linear, windows travel as longs; ONE hash-keyed count with map-side partials finds repeats; candidates (the duplicated fraction) rejoin the text via shuffle-pinned SMJ for exact substring verification; the per-substring count window and per-doc islands merge run on candidate-sized exchanges only. No pairwise stage, no suffix array.",
+    "exact_substr_spans": "ExactSubstr mask (r7 bloom plan): phase 1 counts BARE 8-byte window hashes (map-side partials) — the only corpus-sized exchange; the repeated set becomes a capped (2^27-bit) blocked-Bloom broadcast that prunes candidate positions MAP-SIDE with the text still in scope (one BroadcastHashJoin, zero position exchange — the r6 (id,off,h) shuffle and the full-text re-join are gone); exact substring-count verify and per-doc islands merge run on candidate-sized exchanges only ({s} and {id} keys). No pairwise stage, no suffix array.",
+    "exact_substr_removal": "Span cut: spans aggregate to ONE sorted array per doc (map-side combine), one shuffle_merge left join back to the corpus, then a single expression fold stitches the kept segments — no Python, no character explode; inherits the spans pipeline's shuffle set ({s}, {id}) plus the one removal join.",
 }
 
 
@@ -80,8 +81,106 @@ def main():
         plan = df._jdf.queryExecution().executedPlan().toString()
         lines = [l[:160] for l in plan.splitlines()[:40]]
         out.append(f"## {name}\n\n{note}\n\n```\n" + "\n".join(lines) + "\n```\n")
+    out.extend(_streaming_resample_section(spark, sf))
+    out.extend(_bucketed_state_sections(spark, sf))
     open("/root/repo/PLANS.md", "w").write("\n".join(out))
     print("written", sum(len(o) for o in out))
+
+
+def _streaming_resample_section(spark, sf):
+    """events_resample_stream: the executed micro-batch plan, captured
+    from the availableNow run itself (a streaming frame has no
+    executedPlan until a trigger fires)."""
+    import uuid
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from __spark_entry__ import _events_stream
+    from codd_spark.streaming.stateful import streaming_resample
+
+    sdf = _events_stream(spark, sf).filter("user_id < 20")
+    o = streaming_resample(sdf, "ts", "value", key_col="user_id", unit="hour")
+    name = f"plans_resample_{uuid.uuid4().hex[:8]}"
+    q = (
+        o.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    plan = q._jsq.explainInternal(False)
+    q.stop()
+    note = (
+        "Stateful streaming resample (applyInPandasWithState, append "
+        "mode): ONE exchange on the state key feeds "
+        "FlatMapGroupsWithStateExec; emission is close-on-later-bucket "
+        "so the streamed rows equal the batch resample minus each key's "
+        "trailing open bucket (the driver oracle's exact definition)."
+    )
+    lines = [l[:160] for l in plan.splitlines()[:40]]
+    return [f"## events_resample_stream\n\n{note}\n\n```\n" + "\n".join(lines) + "\n```\n"]
+
+
+def _bucketed_state_sections(spark, sf):
+    """Persistent incremental-dedup state: the cross-probe plan against
+    the bucketed tables, BEFORE and AFTER compact() — the state side
+    must read `Bucketed: true` with no Exchange in both (the only
+    Exchange belongs to the O(batch) probe side)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from codd_spark.operators.dedup import IncrementalDeduplicator
+    from codd_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf, "documents")
+    d = tempfile.mkdtemp(prefix="plans_state_")
+    out = []
+    try:
+        dd = IncrementalDeduplicator(spark, state_dir=d, state_buckets=8)
+        dd.add_batch(docs.filter("doc_id < 200"))
+        dd.add_batch(docs.filter("doc_id >= 200 AND doc_id < 400"))
+
+        def probe_plan():
+            probe = spark.createDataFrame(
+                [(7, 3, 123456789)], "id LONG, band INT, h LONG"
+            )
+            j = dd._kept_buckets.select(
+                "band", "h", F.col("id").alias("id_l")
+            ).join(
+                probe.select("band", "h", F.col("id").alias("id_r")).hint(
+                    "shuffle_merge"
+                ),
+                on=["band", "h"],
+            )
+            return j._jdf.queryExecution().executedPlan().toString()
+
+        pre = probe_plan()
+        dd.compact()
+        post = probe_plan()
+        note_pre = (
+            "Probe join against the (band,h)-bucketed persistent state "
+            "(2 arrivals, 2 generation dirs): state side scans with "
+            "`Bucketed: true` and NO Exchange — the single Exchange is "
+            "the O(batch) probe side."
+        )
+        note_post = (
+            "Same probe AFTER compact(): generations consolidated to one "
+            "directory per table (file count bounded at n_buckets), plan "
+            "shape unchanged — still exactly one probe-side Exchange, "
+            "state side bucketed."
+        )
+        for title, note, plan in (
+            ("bucketed_state_probe", note_pre, pre),
+            ("bucketed_state_probe_post_compact", note_post, post),
+        ):
+            lines = [l[:160] for l in plan.splitlines()[:40]]
+            out.append(f"## {title}\n\n{note}\n\n```\n" + "\n".join(lines) + "\n```\n")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
 
 
 if __name__ == "__main__":
