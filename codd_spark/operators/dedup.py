@@ -2022,15 +2022,31 @@ class _BucketedMinhashState:
         g = self._next_gen
         nb_old = self.buckets().count()
         ns_old = self.shingles().count()
+        # The consolidated generation must land BUCKET-ALIGNED: exactly
+        # one file per bucket per table, independent of how many
+        # generations were merged. Two pieces make that true: (a)
+        # repartition on the bucket columns (same pmod(hash, n) mapping
+        # as Spark's bucket id, so each write task holds one bucket) and
+        # (b) autoBucketedScan pinned OFF for the read — with it on,
+        # Spark reports the bucketed HashPartitioning (eliding the
+        # repartition as redundant) yet actually scans with arbitrary
+        # file splits, so write tasks straddle buckets and the
+        # consolidated gen's file count GROWS with state size (measured
+        # r8: 666 -> 1033 -> 1224 files across three compacts).
+        auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        auto_old = self.spark.conf.get(auto_key, "true")
+        self.spark.conf.set(auto_key, "false")
         try:
             (
                 self.buckets()
+                .repartition(self.n_buckets, "band", "h")
                 .withColumn("gen", F.lit(g).cast("long"))
                 .write.mode("append")
                 .insertInto(self._tb)
             )
             (
                 self.shingles()
+                .repartition(self.n_buckets, "id")
                 .withColumn("gen", F.lit(g).cast("long"))
                 .write.mode("append")
                 .insertInto(self._ts)
@@ -2046,6 +2062,8 @@ class _BucketedMinhashState:
         except BaseException:
             self._quarantine_failed_gen(g)
             raise
+        finally:
+            self.spark.conf.set(auto_key, auto_old)
         self.committed = g
         self.floor = g
         self._next_gen = g + 1
@@ -2693,6 +2711,13 @@ def edit_distance_pairs(
 # the precise hash-join plan. Module-level so tests can force the fallback.
 _EXACT_SUBSTR_BLOOM_BPI = 20
 _EXACT_SUBSTR_BLOOM_CAP_BITS = 1 << 27
+# small-corpus gate: below this many docs AND total windows, the precise
+# hash-join plan beats the bloom path's fixed costs (measured at sf0.1:
+# 4.8 s precise vs 6.8 s bloom on 5k docs / ~15M windows; bloom wins by
+# 10x replication). Doc pre-gate first so large corpora never pay a
+# text scan just to decide.
+_EXACT_SUBSTR_SMALL_DOCS = 50_000
+_EXACT_SUBSTR_SMALL_WINDOWS = 32_000_000
 
 
 def exact_substring_spans(
@@ -2747,8 +2772,13 @@ def exact_substring_spans(
     superset (false positives die at the verify). If the repeated set
     would saturate the capped sketch (> ~6.7M repeated windows), the
     operator falls back to the r6 precise hash-join plan — same output,
-    documented cost. A per-doc gaps-and-islands window then merges seeds
-    into maximal spans. No pairwise stage, no suffix array, no Python.
+    documented cost. Small corpora (<= 50k docs and <= 32M windows,
+    round 8) take the precise plan directly: the bloom path's fixed
+    costs (eager count, sketch build, second window pass) dominate when
+    the position shuffle is cheap anyway, and the gate's text scan runs
+    only under the doc-count pre-gate so a 100-TB input never pays it.
+    A per-doc gaps-and-islands window then merges seeds into maximal
+    spans. No pairwise stage, no suffix array, no Python.
     """
     L = int(min_len)
     if L < 2:
@@ -2766,14 +2796,12 @@ def exact_substring_spans(
 
     # ---- phase 1: repeated-window hashes over 8-byte rows ----
     hs = base.select(F.explode(F.transform(offs, _win_hash)).alias("h"))
-    repeated = (
+    repeated_plan = (
         hs.groupBy("h")
         .agg(F.count("*").alias("__c"))
         .filter(F.col("__c") >= min_count)
         .select("h")
-        .persist()
     )
-    n_rep = repeated.count()  # sketch sizing; also materializes phase 1
 
     pos_struct = F.explode(
         F.transform(
@@ -2782,7 +2810,31 @@ def exact_substring_spans(
         )
     ).alias("p")
 
-    if n_rep * _EXACT_SUBSTR_BLOOM_BPI <= _EXACT_SUBSTR_BLOOM_CAP_BITS:
+    # small-corpus gate (round 8 — reclaims the r7 1x overhead): the
+    # bloom path's fixed costs (eager phase-1 count, sketch build and
+    # checkpoint, second window derivation) dominate small corpora where
+    # shuffling the position stream is cheap anyway; the precise
+    # hash-join plan is measurably faster below ~2x the sf0.1 shape.
+    # The doc-count pre-gate keeps the window-sum scan off large corpora
+    # (a 100-TB input never pays a full text pass just to decide).
+    small = False
+    if base.limit(_EXACT_SUBSTR_SMALL_DOCS + 1).count() <= _EXACT_SUBSTR_SMALL_DOCS:
+        n_win_total = (
+            base.select(
+                F.sum(F.greatest(F.length(txt) - F.lit(L - 1), F.lit(0)))
+            ).first()[0]
+            or 0
+        )
+        small = n_win_total <= _EXACT_SUBSTR_SMALL_WINDOWS
+
+    if not small:
+        repeated = repeated_plan.persist()
+        n_rep = repeated.count()  # sketch sizing; also materializes phase 1
+
+    if (
+        not small
+        and n_rep * _EXACT_SUBSTR_BLOOM_BPI <= _EXACT_SUBSTR_BLOOM_CAP_BITS
+    ):
         # blocked Bloom: word index from hash bits [6, 6+log2(n_words)),
         # two in-word probe bits from disjoint hash bits (0-5 and 58-63)
         n_words = 1
@@ -2820,19 +2872,24 @@ def exact_substring_spans(
             .select("id", "off", F.substring(txt, F.col("off") + 1, L).alias("s"))
         )
     else:
-        # saturation fallback (the r6 precise plan): shuffle-pinned
-        # hash-keyed join flags candidate positions, candidates rejoin
-        # the text. `repeated` stays persisted (the returned plan
-        # references it lazily) — released via the result's
-        # release_cache()/finalizer below (ADVICE r7).
+        # the precise plan (the r6 shape): shuffle-pinned hash-keyed
+        # join flags candidate positions, candidates rejoin the text.
+        # Taken for SMALL corpora (gate above — the position shuffle is
+        # cheap there and the bloom path's fixed costs are not) and as
+        # the SATURATION fallback when the repeated set would overflow
+        # the capped sketch. Small path: `repeated` feeds one join, no
+        # persist needed; saturation path: `repeated` stays persisted
+        # (the returned plan references it lazily) — released via the
+        # result's release_cache()/finalizer below (ADVICE r7).
+        rep_side = repeated if not small else repeated_plan
         pos = base.select("id", pos_struct).select(
             "id", F.col("p.off").alias("off"), F.col("p.h").alias("h")
         )
-        cand = pos.join(repeated.hint("shuffle_merge"), on="h").select("id", "off")
+        cand = pos.join(rep_side.hint("shuffle_merge"), on="h").select("id", "off")
         cand_s = cand.join(base.hint("shuffle_merge"), on="id").select(
             "id", "off", F.substring(txt, F.col("off") + 1, L).alias("s")
         )
-        to_release = (repeated,)
+        to_release = () if small else (repeated,)
 
     # exact verification: group by the ACTUAL substring — a colliding
     # hash (or Bloom false positive) whose substrings differ is dropped

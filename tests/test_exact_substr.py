@@ -169,9 +169,12 @@ def test_removal_multiple_spans_one_doc(spark):
 
 def test_saturation_fallback_matches_bloom_path(spark, monkeypatch):
     """Forcing the capped sketch to 'saturate' must route through the
-    precise hash-join fallback and produce the identical span set."""
+    precise hash-join fallback and produce the identical span set. The
+    small-corpus gate is disabled so both runs exercise the LARGE-corpus
+    paths (bloom vs saturation) this test exists to compare."""
     import codd_spark.operators.dedup as dd
 
+    monkeypatch.setattr(dd, "_EXACT_SUBSTR_SMALL_DOCS", -1)
     docs = [
         (r["doc_id"], r["text"])
         for r in spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -185,12 +188,34 @@ def test_saturation_fallback_matches_bloom_path(spark, monkeypatch):
     assert fallback == bloom and len(bloom) > 0
 
 
-def test_bloom_path_plan_has_no_position_exchange(spark):
+def test_small_gate_matches_bloom_path(spark, monkeypatch):
+    """The round-8 small-corpus gate (engaged by default at this scale)
+    must produce byte-identical spans to the bloom path."""
+    import codd_spark.operators.dedup as dd
+
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+        .collect()
+    ]
+    small = _spark_spans(spark, docs, min_len=30)  # gate engages: tiny corpus
+    monkeypatch.setattr(dd, "_EXACT_SUBSTR_SMALL_DOCS", -1)
+    bloom = _spark_spans(spark, docs, min_len=30)
+    assert small == bloom and len(small) > 0
+
+
+def test_bloom_path_plan_has_no_position_exchange(spark, monkeypatch):
     """The r7 exchange cut, pinned on the executed plan: candidate
     filtering is a BroadcastHashJoin (zero exchange on the corpus
     position stream) and the only shuffle exchanges left are the
     substring-verify window and the per-doc span merge — the r6 plan's
-    full (id, off, h) shuffle and text re-join are gone."""
+    full (id, off, h) shuffle and text re-join are gone. Small gate
+    disabled: this pins the LARGE-corpus plan."""
+    import codd_spark.operators.dedup as dd
+
+    monkeypatch.setattr(dd, "_EXACT_SUBSTR_SMALL_DOCS", -1)
     df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
         "doc_id", "text"
     )

@@ -379,6 +379,11 @@ def test_compact_bounds_files_and_preserves_results(spark, docs, tmp_path):
     assert out["generation"] is not None and out["files_swept"] > 0
     files_after = len(_parquet_files(d))
     assert files_after < files_before
+    # the consolidated generation is bucket-aligned on write: EXACTLY
+    # n_buckets files per table, independent of how many generations
+    # were merged (r8 — unaligned write tasks used to emit a file per
+    # bucket they touched, growing the post-compact count with state)
+    assert files_after <= 2 * 4  # two tables x state_buckets=4
     # exactly one generation directory left per table
     gens = {}
     for t, _p, k in dd._state._gen_dirs():

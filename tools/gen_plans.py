@@ -59,8 +59,8 @@ PICK = {
     "bigram_surprisal": "Bigram LM scoring: the (w1,w2) count and w1 context count tables (both model-sized) join EACH OTHER first, then the single fact-table join shuffles once on (w1,w2); vocab size is a 1-row broadcast; per-doc aggregate has map-side combine.",
     "k_core_interactions": "k-core peeling: per round one degree aggregate + two semi-joins against survivors, lineage cut per round; the only driver value is the 1-row convergence count.",
     "sorted_neighborhood": "Sorted-neighborhood: global rank via RangePartitioning + per-partition row_number + broadcast offsets (no single-task window), then rank-vs-rank+delta equi-joins.",
-    "exact_substr_spans": "ExactSubstr mask (r7 bloom plan): phase 1 counts BARE 8-byte window hashes (map-side partials) — the only corpus-sized exchange; the repeated set becomes a capped (2^27-bit) blocked-Bloom broadcast that prunes candidate positions MAP-SIDE with the text still in scope (one BroadcastHashJoin, zero position exchange — the r6 (id,off,h) shuffle and the full-text re-join are gone); exact substring-count verify and per-doc islands merge run on candidate-sized exchanges only ({s} and {id} keys). No pairwise stage, no suffix array.",
-    "exact_substr_removal": "Span cut: spans aggregate to ONE sorted array per doc (map-side combine), one shuffle_merge left join back to the corpus, then a single expression fold stitches the kept segments — no Python, no character explode; inherits the spans pipeline's shuffle set ({s}, {id}) plus the one removal join.",
+    "exact_substr_spans": "ExactSubstr mask at sf0.1 (r8: the small-corpus gate routes <=50k docs / <=32M windows through the precise hash-join plan — the bloom path's fixed costs lose at this scale; see exact_substr_spans_bloom below for the large-corpus plan): position stream joins the repeated-hash set shuffle-pinned, candidates rejoin the text, exact substring verify + islands merge. Identical output to the bloom path (pinned in tests).",
+    "exact_substr_removal": "Span cut: spans aggregate to ONE sorted array per doc (map-side combine), one shuffle_merge left join back to the corpus, then a single expression fold stitches the kept segments — no Python, no character explode; inherits whichever spans plan the corpus-size gate picked (precise at sf0.1, bloom at scale) plus the one removal join.",
 }
 
 
@@ -81,10 +81,49 @@ def main():
         plan = df._jdf.queryExecution().executedPlan().toString()
         lines = [l[:160] for l in plan.splitlines()[:40]]
         out.append(f"## {name}\n\n{note}\n\n```\n" + "\n".join(lines) + "\n```\n")
+    out.extend(_exact_substr_bloom_section(spark, sf))
     out.extend(_streaming_resample_section(spark, sf))
     out.extend(_bucketed_state_sections(spark, sf))
     open("/root/repo/PLANS.md", "w").write("\n".join(out))
     print("written", sum(len(o) for o in out))
+
+
+def _exact_substr_bloom_section(spark, sf):
+    """The LARGE-corpus ExactSubstr plan (r7 bloom path), captured with
+    the small-corpus gate disabled — this is the plan a 100-TB corpus
+    takes."""
+    import codd_spark.operators.dedup as dd
+    from codd_spark.sources.readers import read_table
+
+    saved = dd._EXACT_SUBSTR_SMALL_DOCS
+    dd._EXACT_SUBSTR_SMALL_DOCS = -1
+    try:
+        docs = read_table(spark, sf, "documents").select("doc_id", "text")
+        spans = dd.exact_substring_spans(docs, min_len=40, min_count=2)
+        plan = spans._jdf.queryExecution().executedPlan().toString()
+        spans.release_cache()
+    finally:
+        dd._EXACT_SUBSTR_SMALL_DOCS = saved
+    note = (
+        "ExactSubstr LARGE-corpus plan (gate disabled; the 100-TB "
+        "shape): phase 1 counts BARE 8-byte window hashes (map-side "
+        "partials) — the only corpus-sized exchange; the repeated set "
+        "becomes a capped (2^27-bit) blocked-Bloom broadcast that "
+        "prunes candidate positions MAP-SIDE with the text still in "
+        "scope (one BroadcastHashJoin, zero position exchange — the r6 "
+        "(id,off,h) shuffle and the full-text re-join are gone); exact "
+        "substring-count verify and per-doc islands merge run on "
+        "candidate-sized exchanges only ({s} and {id} keys). No "
+        "pairwise stage, no suffix array."
+    )
+    lines = [l[:160] for l in plan.splitlines()[:40]]
+    return [
+        "## exact_substr_spans_bloom (large-corpus path)\n\n"
+        + note
+        + "\n\n```\n"
+        + "\n".join(lines)
+        + "\n```\n"
+    ]
 
 
 def _streaming_resample_section(spark, sf):
