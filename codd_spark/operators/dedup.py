@@ -1758,9 +1758,16 @@ class _BucketedMinhashState:
                 self._sweep_below_floor()
                 # generations ABOVE committed are uncommitted orphans
                 # (single-writer contract) — delete them so no later
-                # commit can adopt their rows (ADVICE r7)
+                # commit can adopt their rows (ADVICE r7). Any that
+                # survive deletion land in dead_gens; numbering must
+                # skip those too or new rows would share a dead gen and
+                # be excluded with it.
                 self._sweep_above_committed()
-                self._next_gen = self.committed + 1
+                self._next_gen = (
+                    max(self.committed, *self.dead_gens, -1) + 1
+                    if self.dead_gens
+                    else self.committed + 1
+                )
             else:
                 # layout 1 keeps gen as a data column — orphan rows
                 # cannot be dir-deleted; record their gens as dead so
@@ -1984,6 +1991,11 @@ class _BucketedMinhashState:
         partial ones (ADVICE r7)."""
         if self.layout >= 2:
             self._sweep_above_committed()
+            if self.dead_gens:
+                # a dir that survived deletion was marked dead — the
+                # retry must not reuse its number (new rows would be
+                # excluded along with the dead generation)
+                self._next_gen = max(self._next_gen, max(self.dead_gens) + 1)
         else:
             self.dead_gens = sorted(set(self.dead_gens) | {int(g)})
             self._next_gen = g + 1
@@ -2067,6 +2079,9 @@ class _BucketedMinhashState:
         self.committed = g
         self.floor = g
         self._next_gen = g + 1
+        # dead generations below the new floor are gone with the sweep —
+        # drop them so the exclusion list never grows unboundedly
+        self.dead_gens = [x for x in self.dead_gens if x >= self.floor]
         self._write_manifest()
         swept = self._sweep_below_floor()
         return {
