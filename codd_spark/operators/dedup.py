@@ -432,13 +432,19 @@ def minhash_near_duplicates(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # Persist the OUTPUT too (r8): the verified pair set is tiny (true
+    # near-dups), but its plan is the whole signature+band+verify tail —
+    # ~6 s at sf0.1 — and consumers like fuzzy_dedup's closure act on it
+    # several times (edge build, sizes, label joins). Without this, each
+    # action re-runs the tail from the cached shingles.
+    verified = verified.persist()
     # Explicit cache lifecycle: persist() is lazy (nothing is cached until
     # the result is computed), and once the caller is done with the result
     # the cache can never be reused — without release, repeated corpus
     # passes in one session accumulate executor storage memory. Callers
     # release deterministically via verified.release_cache(); a weakref
     # finalizer backstops callers that just drop the object.
-    return _attach_release(verified, shingled)
+    return _attach_release(verified, shingled, verified)
 
 
 # ---------------------------------------------------------------------------
@@ -1294,7 +1300,10 @@ def fuzzy_dedup(
         bands=bands,
         shingle_k=shingle_k,
     )
-    return dedup_clusters(df, pairs, id_col, "id_a", "id_b")
+    # adopt the miner's cache obligation: `pairs` dies on return, and in
+    # the distributed-closure regime the result plan still references it
+    # (premature release would re-run the whole miner at first action)
+    return _adopt_release(dedup_clusters(df, pairs, id_col, "id_a", "id_b"), pairs)
 
 
 def _gram_hash_arrays(

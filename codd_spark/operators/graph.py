@@ -25,6 +25,57 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# Below this many DIRECTED edge rows the transitive closure runs as
+# driver-side union-find instead of the distributed fixpoint: each
+# propagation round costs two shuffles + a checkpoint + a 1-row collect
+# (~1 s of fixed overhead on local[32]) regardless of edge count, so a
+# small pair set pays several seconds to close a graph Python handles in
+# milliseconds (measured r8: fuzzy_dedup's cluster stage 6.7 -> ~1 s at
+# sf0.1 with 512 directed edges). 2M rows of two longs is ~32 MB through
+# Arrow — the same bounded-collect class as a finished sketch. Corpus
+# runs whose pair miners emit more stay on the distributed loop.
+_CC_DRIVER_EDGE_LIMIT = 2_000_000
+
+
+def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
+    """Exact connected components of a BOUNDED directed edge list via
+    union-find with path halving: (id, component), component = the
+    smallest member id. Arrow both ways (toPandas / createDataFrame), so
+    the 2M-row ceiling moves ~32 MB, not Python object graphs."""
+    import pandas as pd
+
+    pdf = edges.toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = parent.setdefault(x, x)
+        while r != parent[r]:
+            parent[r] = parent[parent[r]]  # path halving
+            r = parent[r]
+        # compress x's own chain
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+        rs, rd = find(int(s)), find(int(d))
+        if rs != rd:
+            parent[rd] = rs
+    comp_min: dict[int, int] = {}
+    roots = {x: find(x) for x in list(parent)}
+    for x, r in roots.items():
+        if x < comp_min.get(r, x + 1):
+            comp_min[r] = x
+    if not roots:
+        return spark.createDataFrame([], "id LONG, component LONG")
+    out = pd.DataFrame(
+        {
+            "id": list(roots),
+            "component": [comp_min[r] for r in roots.values()],
+        }
+    )
+    return spark.createDataFrame(out.astype("int64"))
+
 
 def connected_components(
     pairs: DataFrame,
@@ -58,6 +109,23 @@ def connected_components(
     # carrying them through the propagation rounds would scale every
     # per-round shuffle with the corpus instead of with the (far
     # smaller) near-dup edge set. They are appended once at the end.
+    # small-graph gate: union-find on the driver when the edge set is
+    # bounded (limit documented above). Identical output to the loop —
+    # component = min reachable id — pinned by
+    # test_graph.py::test_driver_and_distributed_cc_agree.
+    n_edges = edges.limit(_CC_DRIVER_EDGE_LIMIT + 1).count()
+    if n_edges <= _CC_DRIVER_EDGE_LIMIT:
+        labels = _driver_union_find(pairs.sparkSession, edges)
+        if nodes is not None:
+            nc = node_col or id_a
+            isolated = nodes.select(F.col(nc).alias("id")).distinct().join(
+                labels.select("id").hint("shuffle_merge"), on="id", how="left_anti"
+            )
+            labels = labels.union(
+                isolated.select("id", F.col("id").alias("component"))
+            )
+        return labels
+
     labels = edges.select(F.col("src").alias("id")).distinct()
     labels = labels.select("id", F.col("id").alias("component"))
     prev_sum = None

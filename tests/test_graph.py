@@ -35,9 +35,14 @@ def test_connected_components_basic(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 7: 7, 9: 7}
 
 
-def test_connected_components_long_chain_converges(spark):
+def test_connected_components_long_chain_converges(spark, monkeypatch):
     # a 40-node path graph: worst-case diameter for label propagation;
-    # must converge (min label walks the whole chain) well inside max_iter
+    # must converge (min label walks the whole chain) well inside
+    # max_iter. Distributed path forced — the driver gate would solve
+    # this instantly and test nothing about the loop.
+    import codd_spark.operators.graph as g
+
+    monkeypatch.setattr(g, "_CC_DRIVER_EDGE_LIMIT", -1)
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "id_a LONG, id_b LONG"
     )
@@ -46,10 +51,45 @@ def test_connected_components_long_chain_converges(spark):
     assert len(got) == 41
 
 
-def test_connected_components_nonconvergence_raises(spark):
+def test_connected_components_nonconvergence_raises(spark, monkeypatch):
+    import codd_spark.operators.graph as g
+
+    monkeypatch.setattr(g, "_CC_DRIVER_EDGE_LIMIT", -1)  # force the loop
     pairs = spark.createDataFrame([(i, i + 1) for i in range(20)], "id_a LONG, id_b LONG")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=2)
+
+
+def test_driver_and_distributed_cc_agree(spark, monkeypatch):
+    """The r8 small-graph gate (driver union-find) must produce the
+    exact labels of the distributed min-label loop — component = min
+    reachable id — on a graph with chains, a cycle, self-loops,
+    duplicate edges in both orientations, and isolated nodes."""
+    import random
+
+    import codd_spark.operators.graph as g
+
+    rng = random.Random(8)
+    edges = [(i, i + 1) for i in range(0, 30, 3)]          # short chains
+    edges += [(100, 101), (101, 102), (102, 100)]          # cycle
+    edges += [(200, 200)]                                  # self loop
+    edges += [(rng.randrange(300, 340), rng.randrange(300, 340)) for _ in range(40)]
+    edges += [(b, a) for a, b in edges[:10]]               # reversed dups
+    pairs = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(0, 400, 7)], "id LONG"
+    )
+
+    fast = {
+        (r.id, r.component)
+        for r in connected_components(pairs, nodes=nodes, node_col="id").collect()
+    }
+    monkeypatch.setattr(g, "_CC_DRIVER_EDGE_LIMIT", -1)
+    slow = {
+        (r.id, r.component)
+        for r in connected_components(pairs, nodes=nodes, node_col="id").collect()
+    }
+    assert fast == slow and len(fast) > 0
 
 
 def test_dedup_clusters_keepers(spark, docs):
