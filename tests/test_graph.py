@@ -60,6 +60,48 @@ def test_connected_components_nonconvergence_raises(spark, monkeypatch):
         connected_components(pairs, max_iter=2)
 
 
+def test_union_find_matches_bfs_reference(spark):
+    """Property check of the r8 driver union-find against a brute-force
+    BFS closure, over random multigraphs (dups, self-loops, both
+    orientations)."""
+    import random
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(st.tuples(st.integers(0, 60), st.integers(0, 60)), max_size=120))
+    def check(edge_list):
+        pairs = spark.createDataFrame(
+            edge_list or [(0, 0)], "id_a LONG, id_b LONG"
+        )
+        got = {
+            r.id: r.component for r in connected_components(pairs).collect()
+        }
+        # BFS reference: component = min reachable id
+        adj = {}
+        for a, b in edge_list or [(0, 0)]:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {}
+        for start in adj:
+            seen, stack = {start}, [start]
+            while stack:
+                x = stack.pop()
+                for y in adj[x]:
+                    if y not in seen:
+                        seen.add(y)
+                        stack.append(y)
+            want[start] = min(seen)
+        assert got == want
+
+    check()
+
+
 def test_driver_and_distributed_cc_agree(spark, monkeypatch):
     """The r8 small-graph gate (driver union-find) must produce the
     exact labels of the distributed min-label loop — component = min
