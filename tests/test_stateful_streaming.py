@@ -197,3 +197,122 @@ def test_streaming_drift_matches_batch(spark, ts_events):
         assert len(got) >= 5
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_to_parquet(sdf, out_dir, ckpt_dir):
+    """availableNow run into a parquet file sink with a durable
+    checkpoint — the production shape (memory sinks don't survive a
+    restart)."""
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_streaming_resample_survives_checkpoint_restart(spark, ts_events):
+    """Kill-and-restart through Spark's state store: process the first
+    half of the input, STOP the query, start a NEW query on the same
+    checkpoint, feed the second half — the union of emitted rows must
+    equal the uninterrupted run (per-key ffill carry, open-bucket state
+    and source offsets all recovered from the checkpoint)."""
+    rows = sorted(ts_events, key=lambda r: r[1])
+    cut = len(rows) // 2
+    d = tempfile.mkdtemp(prefix="codd_restart_src_")
+    out = tempfile.mkdtemp(prefix="codd_restart_out_")
+    ckpt = tempfile.mkdtemp(prefix="codd_restart_ckpt_")
+    try:
+        def op():
+            sdf = stream_from_directory(spark, d, TS_SCHEMA,
+                                        max_files_per_trigger=None)
+            return streaming_resample(sdf, "ts", "value",
+                                      key_col="user_id", unit="hour")
+
+        spark.createDataFrame(rows[:cut], TS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        _run_to_parquet(op(), out, ckpt)  # run 1: first half, then stops
+
+        spark.createDataFrame(rows[cut:], TS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        _run_to_parquet(op(), out, ckpt)  # run 2: NEW query, same ckpt
+
+        got = {
+            (r.user_id, r.bucket, r.n_events, r.value, r.is_gap)
+            for r in spark.read.parquet(out).collect()
+        }
+
+        # uninterrupted reference: one query over the full input
+        d2 = _stream_chunks(spark, rows, TS_SCHEMA, n_chunks=1)
+        try:
+            sdf = stream_from_directory(spark, d2, TS_SCHEMA)
+            q = run_to_memory(
+                streaming_resample(sdf, "ts", "value", key_col="user_id",
+                                   unit="hour"),
+                "resample_restart_ref",
+                output_mode="append",
+            )
+            _drain(q)
+            want = {
+                (r.user_id, r.bucket, r.n_events, r.value, r.is_gap)
+                for r in spark.table("resample_restart_ref").collect()
+            }
+        finally:
+            shutil.rmtree(d2, ignore_errors=True)
+        assert got == want and len(got) > 20
+    finally:
+        for p in (d, out, ckpt):
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def test_streaming_scd2_survives_checkpoint_restart(spark, cdc_changes):
+    """Same kill-and-restart protocol for SCD2: the open version lives in
+    state across the restart, so a change arriving AFTER the restart must
+    close a version opened BEFORE it with the original valid_from."""
+    rows = sorted(cdc_changes, key=lambda r: r[1])
+    cut = len(rows) // 2
+    d = tempfile.mkdtemp(prefix="codd_restart2_src_")
+    out = tempfile.mkdtemp(prefix="codd_restart2_out_")
+    ckpt = tempfile.mkdtemp(prefix="codd_restart2_ckpt_")
+    try:
+        def op():
+            sdf = stream_from_directory(spark, d, CDC_SCHEMA,
+                                        max_files_per_trigger=None)
+            return streaming_scd2(sdf, "cust_id", ["segment", "tier"], "ts",
+                                  tiebreak_cols=["change_id"])
+
+        spark.createDataFrame(rows[:cut], CDC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        _run_to_parquet(op(), out, ckpt)
+        n_first = spark.read.parquet(out).count()
+
+        spark.createDataFrame(rows[cut:], CDC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        _run_to_parquet(op(), out, ckpt)
+
+        got = {
+            (r.cust_id, r.segment, r.tier, r.valid_from, r.valid_to, r.version)
+            for r in spark.read.parquet(out).collect()
+        }
+        hist = scd2_history(
+            spark.createDataFrame(rows, CDC_SCHEMA),
+            ["cust_id"], ["segment", "tier"], "ts",
+            tiebreak_cols=["change_id"],
+        )
+        want = {
+            (r.cust_id, r.segment, r.tier, r.valid_from, r.valid_to, r.version)
+            for r in hist.filter("valid_to IS NOT NULL").collect()
+        }
+        assert got == want
+        # the restart actually split the work (some versions closed after)
+        assert 0 < n_first < len(got)
+    finally:
+        for p in (d, out, ckpt):
+            shutil.rmtree(p, ignore_errors=True)
