@@ -2111,11 +2111,26 @@ def q_decontaminate_bloom_stream(spark, sf_dir):
     evalset = docs.filter("doc_id >= 300 AND doc_id < 400")
     bloom = build_gram_bloom(evalset, "doc_id", "text", n=3)
 
+    import os as _os
+
+    # robust to both layouts, same as _events_stream: a documents.parquet
+    # FILE (driver testdata — glob the parent) or a documents.parquet
+    # DIRECTORY of part files (Spark write output — stream the dir; the
+    # glob form matches nothing there and the empty sink then fails
+    # schema inference, observed on the 10x replica)
     raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = stream_from_directory(
-        spark, sf_dir, raw_schema, fmt="parquet",
-        max_files_per_trigger=None, glob_filter="documents.parquet",
-    ).filter("doc_id < 300")
+    _docs_path = f"{sf_dir}/documents.parquet"
+    if _os.path.isdir(_docs_path):
+        stream = stream_from_directory(
+            spark, _docs_path, raw_schema, fmt="parquet",
+            max_files_per_trigger=None,
+        )
+    else:
+        stream = stream_from_directory(
+            spark, sf_dir, raw_schema, fmt="parquet",
+            max_files_per_trigger=None, glob_filter="documents.parquet",
+        )
+    stream = stream.filter("doc_id < 300")
 
     out_dir = _tempfile.mkdtemp(prefix="codd_bloom_stream_out_")
 
