@@ -1545,6 +1545,25 @@ def q_fuzzy_dedup(spark, sf_dir):
     return fuzzy_dedup(docs, "doc_id", "text", threshold=0.5)
 
 
+def q_incremental_dedup_one_batch(spark, sf_dir):
+    """Incremental fuzzy dedup through the arrival machinery
+    (operators/dedup.py::IncrementalDeduplicator, r8 — the first
+    driver-ORACLE row for this path; multi-batch, restart and persistent
+    state stay engine-tested): everything in ONE add_batch() must keep
+    exactly ``fuzzy_dedup``'s keepers (within-batch closure, earliest id
+    kept), which the oracle replays as exact all-pairs shingle Jaccard +
+    a recursive-CTE closure — the single-batch contract the incremental
+    semantics are defined against."""
+    from codd_spark.operators.dedup import IncrementalDeduplicator
+
+    docs = read_table(spark, sf_dir, "documents").filter("doc_id < 300")
+    dd = IncrementalDeduplicator(
+        spark, num_hashes=120, bands=20, shingle_k=5, threshold=0.5
+    )
+    kept = dd.add_batch(docs)
+    return kept.select("doc_id", F.length("text").alias("text_len"))
+
+
 def q_simhash_near_dups(spark, sf_dir):
     """SimHash near-duplicate pairs (hamming <= 7 of 64 bits, 8-chunk
     pigeonhole candidates). Contract variant uses the portable md5_60
@@ -3577,6 +3596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-8 additions (past the window; oracle-swept + bench) ---
         "salted_skew_join": q_salted_skew_join,
         "decontaminate_bloom_multi": q_decontaminate_bloom_multi,
+        "incremental_dedup_one_batch": q_incremental_dedup_one_batch,
         "audio_metadata": q_audio_metadata,
         "events_hourly_stream": q_events_hourly_stream,
         "embedding_centroids": q_embedding_centroids,
@@ -5849,6 +5869,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(length(text) AS INT) AS text_len
             FROM documents
             WHERE doc_id < 300 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+        """,
+        "incremental_dedup_one_batch": r"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id, n_chars,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t,
+                     length(text) AS text_len
+              FROM documents WHERE doc_id < 300
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct([substr(t, i, 5)
+                                    for i in range(1, greatest(len(t)-4, 1)+1)]) AS sh
+              FROM t
+            ), e AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                          / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM e
+              UNION SELECT id_b AS src, id_a AS dst FROM e
+            ), r(id, comp) AS (
+              SELECT doc_id, doc_id FROM t
+              UNION
+              SELECT edges.dst, r.comp FROM r JOIN edges ON edges.src = r.id
+              WHERE r.comp < edges.dst
+            ), cc AS (
+              SELECT id, MIN(comp) AS comp FROM r GROUP BY id
+            )
+            SELECT t.doc_id, CAST(t.text_len AS INT) AS text_len
+            FROM cc JOIN t ON cc.id = t.doc_id
+            WHERE cc.id = cc.comp
         """,
         "salted_skew_join": """
             WITH f AS (

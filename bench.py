@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "decontaminate_bloom_multi",  # one corpus pass vs a union of benchmark sketches
     "streaming_scd2",           # stateful streaming SCD2 (closed versions)
     "streaming_drift",          # stateful streaming adjacent-bucket KS drift
+    "incremental_dedup_one_batch",  # arrival machinery, single-batch == fuzzy keepers
 ]
 
 # Queries added DURING the current round (reset to empty at each round
@@ -150,6 +151,7 @@ CURRENT_ROUND_ADDITIONS = frozenset(
         "decontaminate_bloom_multi",
         "streaming_scd2",
         "streaming_drift",
+        "incremental_dedup_one_batch",
     }
 )
 PREV_ROUND_QUERIES = (

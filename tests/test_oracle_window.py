@@ -308,6 +308,9 @@ ROUND8_ADDITIONS = [
     # GramBloom.union multi-benchmark probe: oracle = contaminated-by-
     # either containment (== two independent runs combined)
     "decontaminate_bloom_multi",
+    # incremental dedup through the arrival machinery: one add_batch()
+    # == fuzzy_dedup keepers (recursive-CTE closure oracle)
+    "incremental_dedup_one_batch",
 ]
 
 
