@@ -51,8 +51,21 @@ def _attach_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     call ``release_cache()`` (or use ``contextlib.closing``-style wrappers)
     rather than rely on gc timing. ``result.close`` aliases it so
     ``contextlib.closing(minhash_near_duplicates(...))`` works as a
-    context manager."""
-    fins = [weakref.finalize(result, _safe_unpersist, df) for df in cached]
+    context manager.
+
+    Self-reference guard (r9): pipelines that persist their OWN output
+    pass ``result`` itself in ``cached``. ``weakref.finalize(result, fn,
+    result)`` would hold a strong reference to its callback args — the
+    result could never be garbage-collected and NO finalizer (its own or
+    its siblings') would ever fire. Register the self-unpersist against a
+    fresh DataFrame wrapper of the same plan instead: unpersisting the
+    wrapper uncaches the identical CacheManager entry, and the wrapper
+    holds only the JVM handle, not the watched Python object."""
+    targets = [
+        DataFrame(df._jdf, df.sparkSession) if df is result else df
+        for df in cached
+    ]
+    fins = [weakref.finalize(result, _safe_unpersist, df) for df in targets]
 
     def release() -> None:
         for fin in fins:
@@ -2026,7 +2039,17 @@ class _BucketedMinhashState:
         leaves either the old committed window (manifest not yet
         committed) or the new one (stale dirs invisible, swept on the
         next open/compact). Returns {"generation", "files_swept",
-        "rows_buckets", "rows_shingles"}."""
+        "rows_buckets", "rows_shingles"}.
+
+        Session-wide side effect: the rewrite pins
+        ``spark.sql.sources.bucketing.autoBucketedScan.enabled`` OFF for
+        its duration (reason in the inline comment below), and SQL confs
+        are SparkSession-global — concurrent queries on the same session
+        from other threads lose auto-bucketed scans during that window
+        (a perf, not correctness, effect). The single-writer contract
+        this class documents covers the state dir, not the session; run
+        compact() from the writer's session when that matters, or give
+        the writer ``spark.newSession()``."""
         if self.layout < 2:
             raise ValueError(
                 f"state_dir {self.state_dir} uses the pre-r7 layout "
@@ -2878,10 +2901,17 @@ def exact_substring_spans(
             .groupBy("word")
             .agg(F.expr("bit_or(req)").alias("bits"))
             # bounded: <= n_words rows (16 MB cap) by construction —
-            # broadcastable like a finished sketch; eager checkpoint so
-            # the lazy result plan never re-runs the phase-1 aggregate
-            .localCheckpoint(eager=True)
+            # broadcastable like a finished sketch. persist + count (not
+            # localCheckpoint): DataFrame.unpersist() only releases
+            # CacheManager entries, it is a NO-OP on local-checkpoint RDD
+            # blocks (ADVICE r8) — so a checkpointed sketch could only be
+            # reclaimed by JVM GC, breaking the deterministic
+            # release_cache() contract below. With persist the release is
+            # real; the only cost is that a (16 MB, unlikely) cache
+            # eviction re-runs the phase-1 aggregate instead of failing.
+            .persist()
         )
+        words.count()  # materialize so the result plan never re-runs phase 1
         _safe_unpersist(repeated)
         to_release = (words,)
         cand_s = (

@@ -24,6 +24,14 @@ reference's semi-naive stabilize, core/src/database.rs:317-336).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import NumericType
+
+
+def _is_numeric_type(dt) -> bool:
+    """True for the id dtypes whose convergence check may use the exact
+    decimal label-sum (any numeric); strings/dates take the distinct-count
+    path."""
+    return isinstance(dt, NumericType)
 
 # Below this many DIRECTED edge rows the transitive closure runs as
 # driver-side union-find instead of the distributed fixpoint: each
@@ -113,9 +121,28 @@ def connected_components(
     # bounded (limit documented above). Identical output to the loop —
     # component = min reachable id — pinned by
     # test_graph.py::test_driver_and_distributed_cc_agree.
-    n_edges = edges.limit(_CC_DRIVER_EDGE_LIMIT + 1).count()
+    # Type gate (r9): the driver path casts through int64, so it is only
+    # taken when BOTH endpoint columns are integral — string/date ids
+    # (valid for the type-generic distributed loop) would crash in
+    # int(), and digit-strings would silently change the output dtype
+    # and min-ordering semantics. Non-integral ids always take the
+    # distributed loop, whatever the edge count.
+    integral = {"byte", "short", "int", "bigint", "long", "integer"}
+    edge_types = {f.dataType.simpleString() for f in edges.schema.fields}
+    if edge_types <= integral:
+        n_edges = edges.limit(_CC_DRIVER_EDGE_LIMIT + 1).count()
+    else:
+        n_edges = _CC_DRIVER_EDGE_LIMIT + 1
     if n_edges <= _CC_DRIVER_EDGE_LIMIT:
         labels = _driver_union_find(pairs.sparkSession, edges)
+        # match the distributed path's dtype contract: component/id carry
+        # the INPUT id type (int32 in → int32 out), not the union-find's
+        # internal int64.
+        src_t = edges.schema["src"].dataType
+        labels = labels.select(
+            F.col("id").cast(src_t).alias("id"),
+            F.col("component").cast(src_t).alias("component"),
+        )
         if nodes is not None:
             nc = node_col or id_a
             isolated = nodes.select(F.col(nc).alias("id")).distinct().join(
@@ -148,9 +175,23 @@ def connected_components(
         # total is strictly decreasing until fixpoint — an equal sum means
         # nothing moved. One 1-row aggregate instead of a labels<->labels
         # join per round (exact decimal: id sums can exceed long range).
-        cur_sum = new_labels.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).collect()[0].s
+        # Non-numeric ids (r9): a decimal cast of a string label is an
+        # ANSI crash, so the generic path counts distinct rows of
+        # (old ∪ new) instead — any changed label makes the union hold
+        # strictly more distinct (id, component) rows than the node
+        # count. Exact for every orderable type; one extra distinct-agg
+        # per round that only the non-numeric path pays.
+        if _is_numeric_type(labels.schema["component"].dataType):
+            cur_sum = new_labels.agg(
+                F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+            ).collect()[0].s
+        else:
+            n_nodes = new_labels.count()
+            moved = labels.union(new_labels).distinct().count() > n_nodes
+            labels = new_labels
+            if not moved:
+                break
+            continue
         labels = new_labels
         # cur_sum is None only when there are no edges at all — every
         # vertex is isolated and the loop has nothing to propagate

@@ -225,6 +225,18 @@ def test_bloom_path_plan_has_no_position_exchange(spark, monkeypatch):
     assert "BroadcastHashJoin" in plan
     import re
 
-    shuffles = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    # The sketch moved to persist (r9, releasable cache), so the executed
+    # plan now INLINES the cached sketch's one-time build plan under its
+    # InMemoryRelation node — that subtree contains bounded word/h
+    # exchanges that run once at sketch build, not per corpus scan.
+    # Scope the shuffle-key assertion to the runtime plan: printed
+    # top-down, every main-plan exchange appears BEFORE the first
+    # InMemoryRelation (the sketch is the deepest subtree — the
+    # broadcast build side of the candidate join), so cut there. This
+    # also drops AQE's trailing "== Initial Plan ==" echo, which repeats
+    # the same pre-AQE exchanges.
+    runtime = plan.split("InMemoryRelation", 1)[0]
+    assert "BroadcastHashJoin" in runtime
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,]+)", runtime)
     keys = {s.split("#")[0] for s in shuffles}
     assert keys <= {"s", "id"}, f"unexpected shuffle keys: {keys} in\n{plan}"

@@ -1491,3 +1491,25 @@ def test_kmeans_quad_long_overflows_where_decimal_is_exact(spark):
         assert "ARITHMETIC_OVERFLOW" in str(e) or "overflow" in str(e).lower()
     else:
         assert long_row.q_long != exact  # wrapped — the long bound is real
+
+
+def test_dropped_result_finalizer_fires(spark, docs):
+    """ADVICE r8: a pipeline that persists its OWN output must not pin
+    that output alive through its finalizer args (weakref.finalize held a
+    strong ref to `result` when result was also the cached df), or a
+    caller that simply drops the object leaks both the shingle and the
+    verified caches until interpreter exit. After the fix, plain
+    del + gc must release everything the call cached."""
+    import gc
+
+    from codd_spark.operators.dedup import minhash_near_duplicates
+
+    jsc = spark.sparkContext._jsc.sc()
+    gc.collect()
+    before = jsc.getPersistentRDDs().size()
+    out = minhash_near_duplicates(docs, "doc_id", "text", num_hashes=16, bands=4)
+    out.count()  # materialize -> shingle + verified caches live
+    assert jsc.getPersistentRDDs().size() > before
+    del out
+    gc.collect()
+    assert jsc.getPersistentRDDs().size() <= before

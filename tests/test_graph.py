@@ -340,3 +340,38 @@ def test_k_core_matches_python_peel(spark):
         assert got == set(peel(edges, k).items()), f"k={k}"
     with pytest.raises(ValueError, match="k must"):
         k_core(pairs, k=0)
+
+
+def test_cc_string_ids_take_distributed_path(spark):
+    """ADVICE r8: connected_components is type-generic (the distributed
+    min-label loop works on any orderable id), but the r8 driver gate
+    cast through int64 and crashed on string ids for every graph under
+    the 2M-edge limit. String-id graphs must (a) work, (b) keep the
+    input dtype — digit strings stay strings with STRING min-ordering
+    ('10' < '9'), not get silently promoted to LONG."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("10", "9")],
+        "id_a STRING, id_b STRING",
+    )
+    out = connected_components(pairs)
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "string",
+        "string",
+    ]
+    got = {(r.id, r.component) for r in out.collect()}
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"),
+        ("x", "x"), ("y", "x"),
+        ("10", "10"), ("9", "10"),  # STRING ordering: '10' < '9'
+    }
+
+
+def test_cc_int32_ids_keep_dtype_on_driver_path(spark):
+    """The driver union-find returns int64 internally; the public
+    contract is input-dtype-out on both paths."""
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a INT, id_b INT")
+    out = connected_components(pairs)
+    assert [f.dataType.simpleString() for f in out.schema.fields] == ["int", "int"]
+    assert {(r.id, r.component) for r in out.collect()} == {
+        (1, 1), (2, 1), (3, 3), (4, 3),
+    }
