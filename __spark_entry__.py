@@ -3399,6 +3399,29 @@ def q_weighted_sample(spark, sf_dir):
     return out.select("doc_id", "source", "n_chars")
 
 
+def q_image_near_dups(spark, sf_dir):
+    """Perceptual image dedup contract (round 9): synthesize one REAL
+    PNG per document id whose pixels walk a closed-form gradient (so its
+    dHash — 64-bit row-gradient difference hash — equals a target value
+    H(id) computable in pure SQL; see
+    operators/multimodal.py::gradient_png_media_from_ids), then run the
+    real pipeline: byte decode -> dhash64 kernel (Arrow-batched
+    mapInPandas) -> chunk-pigeonhole Hamming pair mining
+    (dedup.hamming_banded_pairs, the SimHash join — exact at
+    n_chunks > max_hamming). Ids sharing id%50 differ in <= 2 hash bits,
+    distinct bases differ in ~32, so the pair set at max_hamming=2 is
+    exactly the same-base pairs — and DuckDB replays hashes AND pairs
+    from doc_id arithmetic without ever seeing a byte."""
+    from codd_spark.operators.multimodal import (
+        gradient_png_media_from_ids,
+        image_near_duplicates,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id").where("doc_id < 300")
+    media = gradient_png_media_from_ids(docs, "doc_id")
+    return image_near_duplicates(media, method="dhash", decode="real", max_hamming=2)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -3629,6 +3652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "histogram_prices": q_histogram_prices,
         "weighted_sample": q_weighted_sample,
+        # --- round-9 additions (oracle-swept + bench) ---
+        "image_near_dups": q_image_near_dups,
     }
 
 
@@ -6149,5 +6174,36 @@ def oracle_sql() -> dict[str, str]:
                       + len(regexp_extract_all(text,
                         '\+?\d{3}[-. ]\d{3}[-. ]\d{4}')) AS INT) AS pii_total
             FROM t
+        """,
+        # Perceptual image dedup: the Spark side decodes REAL PNG bytes
+        # and computes the dHash kernel; the oracle replays H(id) — the
+        # closed form the gradient synthesis encodes into the pixels —
+        # with hugeint arithmetic and brute-forces the Hamming pairs,
+        # holding the banded (pigeonhole) miner to the exact answer.
+        "image_near_dups": """
+            WITH h AS (
+              SELECT doc_id,
+                     CAST(hu - CASE WHEN hu >= 9223372036854775808::HUGEINT
+                                    THEN 18446744073709551616::HUGEINT
+                                    ELSE 0::HUGEINT END
+                          AS BIGINT) AS sig
+              FROM (
+                SELECT doc_id,
+                       xor(
+                         ((doc_id % 50 + 1)::HUGEINT
+                            * 11400714819323198485::HUGEINT)
+                           % 18446744073709551616::HUGEINT,
+                         CASE WHEN doc_id >= 50
+                              THEN (1::HUGEINT
+                                    << CAST((doc_id // 50) % 64 AS INTEGER))
+                              ELSE 0::HUGEINT END
+                       ) AS hu
+                FROM documents WHERE doc_id < 300
+              )
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+            FROM h a JOIN h b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 2
         """,
     }

@@ -343,6 +343,96 @@ def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Perceptual hashes (image near-dup dedup primitives)
+# ---------------------------------------------------------------------------
+
+def _to_gray(arr: np.ndarray) -> np.ndarray:
+    """HxW float64 grayscale from HxW or HxWxC uint arrays (channel mean —
+    deterministic and codec-neutral; luma weights would work too but the
+    hash only needs a stable projection)."""
+    a = np.asarray(arr, dtype=np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    return a
+
+
+def _resize_area(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Area-average downscale (box filter over the per-cell pixel spans,
+    pure numpy). IDENTITY when dimensions already match — so a synthetic
+    corpus emitted at the hash grid size has fully closed-form hashes.
+    Upscale cells degenerate to nearest-neighbor gathers."""
+    a = _to_gray(arr)
+    h, w = a.shape
+    if (w, h) == (out_w, out_h):
+        return a
+    # row/col bucket edges: cell j covers [j*d/out, (j+1)*d/out)
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    ys[-1], xs[-1] = h, w
+    out = np.empty((out_h, out_w), dtype=np.float64)
+    for r in range(out_h):
+        y0, y1 = ys[r], max(ys[r + 1], ys[r] + 1)
+        band = a[y0:y1]
+        for c in range(out_w):
+            x0, x1 = xs[c], max(xs[c + 1], xs[c] + 1)
+            out[r, c] = band[:, x0:x1].mean()
+    return out
+
+
+def _bits_to_i64(bits: np.ndarray) -> int:
+    """64 {0,1} values (bit 0 first) -> SIGNED 64-bit int, matching how
+    Spark stores the hash in a LONG column."""
+    v = 0
+    for i, b in enumerate(bits.ravel()[:64]):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def dhash64(arr: np.ndarray) -> int:
+    """64-bit difference hash: grayscale -> 9x8 area resize -> bit
+    (r, c) = [px(r, c+1) > px(r, c)], row-major, bit index r*8+c.
+
+    The standard dHash construction (public algorithm; row gradients
+    survive rescaling/recompression, so near-duplicate images land
+    within a small Hamming distance). Returned as a SIGNED 64-bit int
+    for direct use in a Spark LONG column."""
+    g = _resize_area(arr, 9, 8)
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.uint8)  # 8 rows x 8 cols
+    return _bits_to_i64(bits)
+
+
+_DCT32 = None
+
+
+def _dct_basis(n: int = 32) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (cached): B @ x applies the DCT."""
+    global _DCT32
+    if _DCT32 is None or _DCT32.shape[0] != n:
+        k = np.arange(n)
+        B = np.cos(np.pi / n * (k[:, None] + 0.5) * k[None, :]).T
+        B[0] *= 1 / np.sqrt(2)
+        _DCT32 = B * np.sqrt(2 / n)
+    return _DCT32
+
+
+def phash64(arr: np.ndarray) -> int:
+    """64-bit perceptual hash: grayscale -> 32x32 area resize -> 2D
+    DCT-II -> top-left 8x8 low-frequency block -> bit = [coeff >
+    median(block excluding DC)]. The classic pHash construction; the
+    low-frequency block is stable under resizing, recompression, and
+    small edits. Signed 64-bit int (Spark LONG)."""
+    g = _resize_area(arr, 32, 32)
+    B = _dct_basis(32)
+    d = B @ g @ B.T
+    block = d[:8, :8].copy()
+    flat = block.ravel()
+    med = np.median(flat[1:])  # exclude the DC coefficient from the median
+    bits = (flat > med).astype(np.uint8)
+    return _bits_to_i64(bits)
+
+
+# ---------------------------------------------------------------------------
 # WAV (stdlib `wave` container, 8/16-bit PCM)
 # ---------------------------------------------------------------------------
 

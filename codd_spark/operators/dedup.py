@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from codd_spark.functions.text import normalize_ws, tokens
+from codd_spark.sources.statefs import resolve_statefs as _resolve_statefs
 
 
 def _safe_unpersist(df: DataFrame) -> None:
@@ -533,6 +534,39 @@ def simhash_near_duplicates(
     n_chunks > max_hamming for an exact result (the default 4/3 suits long
     documents where near-dups flip few bits; short docs need more chunks).
     """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    sigs = df.repartition(parallelism, F.col(id_col)).select(
+        F.col(id_col).alias("id"),
+        simhash64(F.col(text_col), hash_fn=hash_fn).alias("sig"),
+    )
+    return hamming_banded_pairs(
+        sigs,
+        max_hamming=max_hamming,
+        n_chunks=n_chunks,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def hamming_banded_pairs(
+    sigs: DataFrame,
+    *,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """All (id_a, id_b, hamming) pairs with Hamming(sig_a, sig_b) <=
+    ``max_hamming`` over an (id, sig) frame of 64-bit signatures — the
+    chunk-pigeonhole candidate join shared by SimHash text dedup and
+    perceptual image dedup (operators/multimodal.py).
+
+    EXACT when ``n_chunks > max_hamming``: split the signature into
+    n_chunks equal chunks; a pair within Hamming <= n_chunks-1 must
+    agree on at least one whole chunk, so one bucket-join per chunk
+    finds every qualifying pair (then the cheap bitcount verify drops
+    the rest). Never an all-pairs stage: candidates shuffle on
+    (chunk, value) buckets, and ``max_bucket_size`` caps degenerate
+    buckets (constant images / boilerplate text) the same way the LSH
+    band join does — at 100 TB you special-case those, not join them."""
     from pyspark.sql.window import Window
 
     if 64 % n_chunks != 0:
@@ -543,12 +577,6 @@ def simhash_near_duplicates(
         )
     width = 64 // n_chunks
     mask = (1 << width) - 1
-
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    sigs = df.repartition(parallelism, F.col(id_col)).select(
-        F.col(id_col).alias("id"),
-        simhash64(F.col(text_col), hash_fn=hash_fn).alias("sig"),
-    )
 
     chunks = sigs.select(
         "id",
@@ -1676,19 +1704,21 @@ class _BucketedMinhashState:
     every reader excludes. A batch whose commit never landed is simply
     "not processed" — replay it.
 
-    Durability contract (round 8): the state dir must be a LOCAL,
-    rename-atomic POSIX directory with a SINGLE writer — the manifest
-    commit is ``os.replace``, generation discovery is ``os.listdir``,
-    and sweeps are ``shutil.rmtree``, none of which have the required
-    semantics on object stores (S3 rename is copy+delete, listings are
-    not immediately consistent everywhere, and two writers would corrupt
-    the generation protocol). On a cluster this means a shared POSIX
-    mount (NFS/EFS/Lustre) or driver-local disk + external snapshotting;
-    paths with a URI scheme (``s3://``, ``hdfs://``, ...) are REJECTED
-    at construction with guidance rather than failing subtly later.
-    Routing the manifest/sweep through Hadoop ``FileSystem`` with a
-    rename-atomic commit marker is the documented extension point if an
-    object-store deployment ever needs this state directly.
+    Durability backends (round 9 — sources/statefs.py): local paths and
+    ``file://`` keep the r8 POSIX fast path (atomic ``os.replace`` of
+    ``manifest.json``, ``os.listdir`` discovery, ``shutil.rmtree``
+    sweeps; existing dirs need no migration). Any OTHER HCFS scheme
+    (``hdfs://``, ``viewfs://``, ``s3a://`` with its connector, ...)
+    routes every metadata operation through the JVM Hadoop
+    ``FileSystem`` for that URI, and the manifest commit becomes a
+    WRITE-ONCE VERSIONED file (``manifest-v<N>.json`` via tmp + rename
+    to a never-reused name): stores without atomic rename-over-existing
+    (S3 rename is copy+delete) can still never expose a torn current
+    manifest, because readers take the highest version that parses and
+    no committed version is ever rewritten. The SINGLE-writer contract
+    is unchanged on both backends — two concurrent writers corrupt the
+    generation protocol on any filesystem; at 100 TB that means the
+    driver of the one ingestion pipeline owns the state dir.
 
     Compaction (round 7 — the long-lived-crawl growth vector): each
     arrival adds ``n_buckets`` files per table, so thousands of arrivals
@@ -1716,37 +1746,16 @@ class _BucketedMinhashState:
         extra: dict | None = None,
     ):
         import hashlib
-        import json
-        import os
-
-        import re
 
         self.spark = spark
-        # local-FS-only durability contract (see class docstring): the
-        # manifest/sweep protocol needs POSIX rename atomicity and
-        # consistent listings — fail loud on object-store/remote URIs
-        # instead of silently mangling them through os.path.abspath
-        m_scheme = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", state_dir)
-        if m_scheme and m_scheme.group(1).lower() != "file":
-            raise ValueError(
-                f"state_dir {state_dir!r} uses scheme "
-                f"'{m_scheme.group(1)}' — persistent MinHash state "
-                "requires a local rename-atomic POSIX directory (the "
-                "manifest commit is os.replace and generation sweeps are "
-                "directory deletes, neither of which is atomic or "
-                "consistent on object stores). Use a local or "
-                "POSIX-mounted path, or snapshot the directory to the "
-                "object store out of band."
-            )
-        if m_scheme:
-            state_dir = state_dir[len(m_scheme.group(0)) :]
-            if not state_dir.startswith("/"):
-                raise ValueError(
-                    f"file:// state_dir must be an absolute local path "
-                    f"(file:///abs/path), got authority/relative form "
-                    f"{state_dir!r}"
-                )
-        self.state_dir = os.path.abspath(state_dir)
+        # backend routing (r9): local paths and file:// take the POSIX
+        # fast path (same manifest.json + os.replace commit as r8, zero
+        # migration for existing dirs); any other HCFS scheme goes
+        # through the session's Hadoop FileSystem with the write-once
+        # versioned-manifest commit (sources/statefs.py). Schemes the
+        # JVM cannot resolve fail loud here with Hadoop's own error.
+        self.fs = _resolve_statefs(spark, state_dir)
+        self.state_dir = self.fs.state_dir
         # the path is interpolated into CREATE TABLE ... LOCATION '<d>'
         # DDL below; a quote would terminate the string literal there
         if "'" in self.state_dir or "\n" in self.state_dir:
@@ -1754,14 +1763,12 @@ class _BucketedMinhashState:
                 f"state_dir {self.state_dir!r} contains a quote/newline — "
                 "unsupported in a catalog LOCATION"
             )
-        self._manifest_path = os.path.join(self.state_dir, "manifest.json")
         tag = hashlib.md5(self.state_dir.encode()).hexdigest()[:12]
         self._tb = f"inc_minhash_{tag}_buckets"
         self._ts = f"inc_minhash_{tag}_shingles"
 
-        if os.path.exists(self._manifest_path):
-            with open(self._manifest_path) as f:
-                m = json.load(f)
+        if self.fs.manifest_exists():
+            m = self.fs.read_manifest()
             if params is not None and dict(m["params"]) != dict(params):
                 raise ValueError(
                     f"state_dir {self.state_dir} was built with MinHash "
@@ -1817,12 +1824,12 @@ class _BucketedMinhashState:
                     f"no manifest at {self.state_dir} — pass params to "
                     "create a fresh state dir"
                 )
-            if os.path.isdir(self.state_dir) and os.listdir(self.state_dir):
+            if self.fs.listdir(self.state_dir):
                 raise ValueError(
                     f"{self.state_dir} is non-empty but has no "
-                    "manifest.json — refusing to adopt a foreign directory"
+                    "manifest — refusing to adopt a foreign directory"
                 )
-            os.makedirs(self.state_dir, exist_ok=True)
+            self.fs.mkdirs()
             self.params = dict(params)
             self.extra = dict(extra or {})
             self.n_buckets = n_buckets
@@ -1839,12 +1846,25 @@ class _BucketedMinhashState:
             self._write_manifest()
 
     @staticmethod
-    def exists(state_dir: str) -> bool:
+    def exists(state_dir: str, spark=None) -> bool:
+        """Whether ``state_dir`` holds a committed manifest. Local paths
+        (and ``file://``) are checked directly; HCFS URIs need the
+        ``spark`` handle to reach the JVM FileSystem."""
         import os
+        import re
 
-        return os.path.exists(
-            os.path.join(os.path.abspath(state_dir), "manifest.json")
-        )
+        m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", state_dir)
+        if m is None or m.group(1).lower() == "file":
+            d = state_dir[len(m.group(0)) :] if m else state_dir
+            return os.path.exists(
+                os.path.join(os.path.abspath(d), "manifest.json")
+            )
+        if spark is None:
+            raise ValueError(
+                f"state_dir {state_dir!r} is an HCFS URI — pass the "
+                "SparkSession to exists() so the scheme can be resolved"
+            )
+        return _resolve_statefs(spark, state_dir).manifest_exists()
 
     def _register(self) -> None:
         d = self.state_dir
@@ -1864,34 +1884,28 @@ class _BucketedMinhashState:
             f"INTO {self.n_buckets} BUCKETS LOCATION '{d}/shingles'"
         )
         if self.layout >= 2:
-            import os
-
             # a fresh catalog (new SparkSession after restart) must
             # rediscover the gen=<K> partition directories; skip on a
             # brand-new state whose location dirs don't exist yet
             for t, sub in ((self._tb, "buckets"), (self._ts, "shingles")):
-                if os.path.isdir(os.path.join(d, sub)):
+                if self.fs.is_dir(self.fs.join(d, sub)):
                     self.spark.sql(f"MSCK REPAIR TABLE {t} SYNC PARTITIONS")
 
     def _write_manifest(self) -> None:
-        import json
-        import os
-
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "params": self.params,
-                    "extra": self.extra,
-                    "n_buckets": self.n_buckets,
-                    "committed_gen": self.committed,
-                    "layout": self.layout,
-                    "floor_gen": self.floor,
-                    "dead_gens": self.dead_gens,
-                },
-                f,
-            )
-        os.replace(tmp, self._manifest_path)
+        # the commit point of the whole durability protocol — POSIX:
+        # tmp + os.replace onto manifest.json; HCFS: a new write-once
+        # manifest-v<N>.json (statefs.HadoopStateFS docstring)
+        self.fs.commit_manifest(
+            {
+                "params": self.params,
+                "extra": self.extra,
+                "n_buckets": self.n_buckets,
+                "committed_gen": self.committed,
+                "layout": self.layout,
+                "floor_gen": self.floor,
+                "dead_gens": self.dead_gens,
+            }
+        )
 
     def _committed_window(self, c: Column) -> Column:
         # layout 2: [floor, committed] — partition-pruned directory
@@ -1948,32 +1962,28 @@ class _BucketedMinhashState:
         self._write_manifest()
 
     def _gen_dirs(self) -> list[tuple[str, str, int]]:
-        """(table_name, abs_path, gen) for every gen=<K> directory."""
-        import os
-
+        """(table_name, abs_path_or_uri, gen) for every gen=<K> directory.
+        Name-filtered on the gen= prefix, so checksum sidecars and
+        _SUCCESS markers some HCFS backends add are never candidates."""
         out = []
         for table, sub in ((self._tb, "buckets"), (self._ts, "shingles")):
-            root = os.path.join(self.state_dir, sub)
-            if not os.path.isdir(root):
-                continue
-            for name in os.listdir(root):
+            root = self.fs.join(self.state_dir, sub)
+            for name in self.fs.listdir(root):
                 if name.startswith("gen="):
                     try:
                         k = int(name.split("=", 1)[1])
                     except ValueError:
                         continue
-                    out.append((table, os.path.join(root, name), k))
+                    out.append((table, self.fs.join(root, name), k))
         return out
 
     def _sweep_below_floor(self) -> int:
         """Delete generation directories below the floor (invisible to
         every reader) and resync the catalog. Safe at any time; called
         on open and after compact so a crash mid-sweep self-heals."""
-        import shutil
-
         stale = [(t, p) for t, p, k in self._gen_dirs() if k < self.floor]
         for _t, p in stale:
-            shutil.rmtree(p, ignore_errors=True)
+            self.fs.delete_recursive(p)
         if stale:
             for t in {t for t, _p in stale}:
                 self.spark.sql(f"MSCK REPAIR TABLE {t} SYNC PARTITIONS")
@@ -1988,14 +1998,11 @@ class _BucketedMinhashState:
         would otherwise pull every orphan row into the reader's
         [floor, committed] range (ADVICE r7). Any dir that survives
         deletion is recorded in ``dead_gens`` as a backstop."""
-        import os
-        import shutil
-
         orphan = [(t, p, k) for t, p, k in self._gen_dirs() if k > self.committed]
         survivors = []
         for _t, p, k in orphan:
-            shutil.rmtree(p, ignore_errors=True)
-            if os.path.isdir(p):
+            self.fs.delete_recursive(p)
+            if self.fs.exists(p):
                 survivors.append(k)
         if orphan:
             for t in {t for t, _p, _k in orphan}:
@@ -2177,24 +2184,26 @@ class IncrementalDecontaminator:
         self.max_bucket_size = max_bucket_size
         self._state = None
         if state_dir is not None:
-            resuming = _BucketedMinhashState.exists(state_dir)
-            if not resuming and corpus is None:
-                raise ValueError(
-                    f"no prepared state at {state_dir} and no corpus to "
-                    "prepare it from"
-                )
+            # resolve the session BEFORE the exists() probe (r9): HCFS
+            # state dirs need the JVM FileSystem to check for a manifest
             spark = corpus.sparkSession if corpus is not None else None
             if spark is None:
                 from pyspark.sql import SparkSession
 
                 spark = SparkSession.getActiveSession()
-                if spark is None:
-                    raise RuntimeError(
-                        "IncrementalDecontaminator(corpus=None, state_dir=...) "
-                        "needs an active SparkSession to reopen state — none "
-                        "found; create one first or use "
-                        "IncrementalDecontaminator.open(spark, state_dir)"
-                    )
+            if spark is None:
+                raise RuntimeError(
+                    "IncrementalDecontaminator(corpus=None, state_dir=...) "
+                    "needs an active SparkSession to reopen state — none "
+                    "found; create one first or use "
+                    "IncrementalDecontaminator.open(spark, state_dir)"
+                )
+            resuming = _BucketedMinhashState.exists(state_dir, spark)
+            if not resuming and corpus is None:
+                raise ValueError(
+                    f"no prepared state at {state_dir} and no corpus to "
+                    "prepare it from"
+                )
             self._state = _BucketedMinhashState(
                 spark,
                 state_dir,
@@ -2269,7 +2278,7 @@ class IncrementalDecontaminator:
     def open(cls, spark, state_dir: str) -> "IncrementalDecontaminator":
         """Reopen prepared corpus state (possibly from an earlier
         process) without touching the corpus again."""
-        if not _BucketedMinhashState.exists(state_dir):
+        if not _BucketedMinhashState.exists(state_dir, spark):
             raise ValueError(f"no prepared decontamination state at {state_dir}")
         st = _BucketedMinhashState(spark, state_dir)
         e = st.extra
@@ -2433,7 +2442,7 @@ class IncrementalDeduplicator:
         self.n_kept = 0
         self._state = None
         if state_dir is not None:
-            resuming = _BucketedMinhashState.exists(state_dir)
+            resuming = _BucketedMinhashState.exists(state_dir, spark)
             self._state = _BucketedMinhashState(
                 spark,
                 state_dir,
@@ -2497,7 +2506,7 @@ class IncrementalDeduplicator:
         process restart: params, id/text columns, threshold and guard
         come from the manifest; kept-corpus state from the bucketed
         tables."""
-        if not _BucketedMinhashState.exists(state_dir):
+        if not _BucketedMinhashState.exists(state_dir, spark):
             raise ValueError(f"no incremental-dedup state at {state_dir}")
         st = _BucketedMinhashState(spark, state_dir)
         e = st.extra

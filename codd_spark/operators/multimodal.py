@@ -346,3 +346,144 @@ def wav_media_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     if out.rdd.getNumPartitions() < par:
         out = out.repartition(par, F.col(id_col))
     return out.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup (VERDICT r8 item 2)
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sig", LongType()),
+    ]
+)
+
+
+def image_phash(
+    df: DataFrame, *, method: str = "dhash", decode: str = "real"
+) -> DataFrame:
+    """(media_id, sig): a 64-bit perceptual hash per image payload.
+
+    ``method="dhash"`` (row-gradient difference hash) or ``"phash"``
+    (32x32 DCT low-frequency hash) — both pure-numpy kernels in
+    functions/imaging.py over the codec dispatcher's real byte decode
+    (PNG everywhere; JPEG/WebP when PIL is importable). The hash is the
+    SLOW PATH done right: decode + hash run inside one Arrow batch per
+    partition (mapInPandas), emitting 16 bytes/row — the corpus-scale
+    work (candidate generation, verification) then stays entirely
+    JVM-side in ``image_near_duplicates``. ``decode="fake"`` hashes a
+    content-hash stand-in (plumbing tests without valid payloads)."""
+    if method not in ("dhash", "phash"):
+        raise ValueError(f"method must be 'dhash' or 'phash', got {method!r}")
+    if decode not in ("fake", "real"):
+        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from codd_spark.functions import codecs
+
+        kernel = imaging.dhash64 if method == "dhash" else imaging.phash64
+        for pdf in batches:
+            sigs = []
+            for payload in pdf["payload"]:
+                payload = bytes(payload or b"")
+                if decode == "real":
+                    arr = codecs.decode_image(payload)
+                else:
+                    h = hashlib.sha1(payload).digest()
+                    arr = np.frombuffer((h * 4)[:72], dtype=np.uint8).reshape(8, 9)
+                sigs.append(kernel(arr))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "sig": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def image_near_duplicates(
+    df: DataFrame,
+    *,
+    method: str = "dhash",
+    decode: str = "real",
+    max_hamming: int = 2,
+    n_chunks: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b, hamming): image pairs whose perceptual hashes are
+    within ``max_hamming`` bits — near-duplicate images under crops of
+    compression noise, recompression, and small edits.
+
+    Composition, not a new join: the per-image hash is the only Python
+    stage; candidates + verification reuse the SimHash chunk-pigeonhole
+    join (``dedup.hamming_banded_pairs``), so the pair mining inherits
+    its exactness guarantee (n_chunks > max_hamming), its shuffle-pinned
+    bucket join, and its degenerate-bucket cap. At 100 TB the hash pass
+    is embarrassingly parallel over payload partitions and everything
+    after it moves 16-byte rows."""
+    from codd_spark.operators.dedup import hamming_banded_pairs
+
+    sigs = image_phash(df, method=method, decode=decode).select(
+        F.col("media_id").alias("id"), "sig"
+    )
+    return hamming_banded_pairs(
+        sigs,
+        max_hamming=max_hamming,
+        n_chunks=n_chunks,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def gradient_png_media_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Distributed synthesis of REAL PNGs whose dHash is a CLOSED FORM of
+    the id — the oracle vehicle for perceptual dedup (the pattern of
+    png_media_from_ids, which emits solid images whose dHash is
+    uniformly 0 and therefore useless for pair mining).
+
+    Construction: a 9x8 grayscale image (the dHash grid size, so the
+    area resize is the identity) whose row-major gradient walks target
+    hash H(id): px[r][0] = 128, px[r][c+1] = px[r][c] +- 1 according to
+    bit r*8+c of H. Then dhash64(decode(payload)) == H(id) exactly,
+    where
+
+        base = id % 50
+        pat  = ((base + 1) * 0x9E3779B97F4A7C15) mod 2^64
+        H    = pat XOR (1 << ((id div 50) mod 64))   [XOR skipped, id < 50]
+
+    — golden-ratio multiples differ in ~32 bits across bases while ids
+    sharing a base differ in <= 2 bits, so the near-dup pair set at
+    max_hamming=2 is exactly the same-base pairs, and a SQL engine that
+    never sees a byte can replay both the hashes and the pairs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf[id_col]:
+                i = int(i)
+                base = i % 50
+                h = ((base + 1) * 0x9E3779B97F4A7C15) % (1 << 64)
+                if i >= 50:
+                    h ^= 1 << ((i // 50) % 64)
+                arr = np.empty((8, 9), dtype=np.uint8)
+                for r in range(8):
+                    arr[r, 0] = 128
+                    for c in range(8):
+                        step = 1 if (h >> (r * 8 + c)) & 1 else -1
+                        arr[r, c + 1] = arr[r, c] + step
+                out.append(imaging.encode_png(arr, filter_type=i % 5))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "kind": "image",
+                    "format": "png",
+                    "payload": out,
+                }
+            )
+
+    out = ids.select(F.col(id_col))
+    par = ids.sparkSession.sparkContext.defaultParallelism
+    if out.rdd.getNumPartitions() < par:
+        out = out.repartition(par, F.col(id_col))
+    return out.mapInPandas(run, schema=MEDIA_SCHEMA)

@@ -1513,3 +1513,48 @@ def test_dropped_result_finalizer_fires(spark, docs):
     del out
     gc.collect()
     assert jsc.getPersistentRDDs().size() <= before
+
+
+def test_image_near_duplicates_end_to_end(spark):
+    """Perceptual image dedup over REAL bytes: gradient PNGs whose dHash
+    is a closed form of the id — same-base ids (id%50) are <=2 bits
+    apart, distinct bases far — so the banded miner must return exactly
+    the same-base pairs with the closed-form Hamming distances."""
+    from codd_spark.operators.multimodal import (
+        gradient_png_media_from_ids,
+        image_near_duplicates,
+        image_phash,
+    )
+
+    ids = spark.range(0, 120).selectExpr("id AS media_id")
+    media = gradient_png_media_from_ids(ids)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_near_duplicates(
+            media, method="dhash", decode="real", max_hamming=2
+        ).collect()
+    }
+    # 120 ids over 50 bases: bases 0..19 have ids {b, b+50, b+100} (3
+    # same-base pairs each), bases 20..49 have {b, b+50} (1 pair each)
+    want_keys = set()
+    for b in range(50):
+        members = [i for i in (b, b + 50, b + 100) if i < 120]
+        want_keys |= {
+            (x, y) for x in members for y in members if x < y
+        }
+    assert set(pairs) == want_keys
+    # closed-form distances: XOR of single-bit flips -> hamming 1 or 2
+    def H(i):
+        h = ((i % 50 + 1) * 0x9E3779B97F4A7C15) % (1 << 64)
+        if i >= 50:
+            h ^= 1 << ((i // 50) % 64)
+        return h
+
+    for (a, b), ham in pairs.items():
+        assert ham == bin(H(a) ^ H(b)).count("1")
+
+    # phash path runs over the same payloads (no closed form asserted —
+    # DCT bits; just determinism and schema)
+    ph = image_phash(media, method="phash", decode="real")
+    got = {r.media_id: r.sig for r in ph.collect()}
+    assert len(got) == 120 and all(isinstance(v, int) for v in got.values())

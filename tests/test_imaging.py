@@ -206,3 +206,59 @@ def test_codec_dispatch_routes_jpeg_header_pure():
     from codd_spark.functions.codecs import image_info
 
     assert image_info(_jpeg_bytes(320, 200, 3)) == (320, 200, 3)
+
+
+def test_dhash_closed_form_roundtrip():
+    """dhash64(decode(gradient PNG)) must equal the target hash the
+    gradient encodes — the exactness the image_near_dups oracle rests
+    on — for ids exercising every PNG scanline filter and both XOR
+    branches of H(id)."""
+    import numpy as np
+
+    from codd_spark.functions.imaging import decode_png, dhash64, encode_png
+
+    def H(i):
+        h = ((i % 50 + 1) * 0x9E3779B97F4A7C15) % (1 << 64)
+        if i >= 50:
+            h ^= 1 << ((i // 50) % 64)
+        return h
+
+    def signed(h):
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    for i in (0, 1, 2, 3, 4, 49, 50, 123, 250, 299):
+        h = H(i)
+        arr = np.empty((8, 9), dtype=np.uint8)
+        for r in range(8):
+            arr[r, 0] = 128
+            for c in range(8):
+                arr[r, c + 1] = arr[r, c] + (1 if (h >> (r * 8 + c)) & 1 else -1)
+        assert dhash64(decode_png(encode_png(arr, filter_type=i % 5))) == signed(h)
+
+
+def test_phash_perceptual_invariance():
+    """The property that makes pHash a dedup signal: identical content at
+    a different scale hashes identically (nearest upscale is exactly
+    scale-invariant under the area resize), while unrelated content is
+    ~32 bits away. Also pins brightness-shift invariance for dHash
+    (gradients don't move under +k)."""
+    import numpy as np
+
+    from codd_spark.functions.imaging import (
+        dhash64,
+        phash64,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    up = resize_nearest(img, 128, 128)
+    other = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(phash64(img), phash64(up)) <= 4
+    assert ham(phash64(img), phash64(other)) > 16
+    shifted = np.clip(img.astype(int) + 10, 0, 255).astype(np.uint8)
+    assert ham(dhash64(img), dhash64(shifted)) <= 2

@@ -511,19 +511,24 @@ def test_compact_crash_then_add_batch_does_not_adopt_orphan(
     assert dd2.add_batch(docs.filter("doc_id < 200")).count() == 0
 
 
-def test_object_store_state_dir_rejected_with_guidance(spark, tmp_path):
-    """The durability contract is local-FS-only (os.replace manifest,
-    rmtree sweeps) — an object-store URI must fail loud at construction
-    with guidance, not subtly later (VERDICT r7 item 8)."""
+def test_state_dir_scheme_routing(spark, tmp_path):
+    """r9: URI-scheme state dirs route through the Hadoop FileSystem
+    backend (full lifecycle tests in test_statefs_hcfs.py). Schemes the
+    JVM cannot resolve on this classpath must still fail loud at
+    construction with guidance — not subtly later."""
     import pytest as _pt
 
-    for uri in ("s3://bucket/state", "hdfs://nn:8020/state", "gs://b/s"):
-        with _pt.raises(ValueError, match="POSIX"):
+    for uri in ("s3://bucket/state", "gs://b/s"):
+        with _pt.raises(ValueError, match="Hadoop FileSystem"):
             IncrementalDeduplicator(spark, state_dir=uri, **PARAMS)
-    # file:// is the local scheme — accepted and normalized
+    # file:// is the local scheme — accepted and normalized to the
+    # POSIX fast path (same on-disk format as a plain path)
     d = str(tmp_path / "file_scheme_state")
     dd = IncrementalDeduplicator(spark, state_dir="file://" + d, **PARAMS)
     assert dd._state.state_dir == d
+    from codd_spark.sources.statefs import PosixStateFS
+
+    assert isinstance(dd._state.fs, PosixStateFS)
 
 
 def test_failed_append_quarantined_then_retry_clean(spark, docs, tmp_path):

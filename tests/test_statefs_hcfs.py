@@ -1,0 +1,238 @@
+"""HCFS-backed persistent dedup state (sources/statefs.py, VERDICT r8
+item 1): the _BucketedMinhashState directory works under a non-``file:``
+Hadoop filesystem scheme — metadata ops via the JVM FileSystem, manifest
+commits as write-once versioned files.
+
+Test vehicle: Hadoop's ViewFS, a genuine non-local scheme shipped in
+every Spark distribution, with its mount table pointed at local disk —
+so the full crash matrix runs against the REAL Hadoop code path (URI
+parsing, FileSystem.get resolution, listStatus/delete/rename through an
+FS that adds checksum sidecars) without needing a cluster. Each test
+uses a fresh mount-table authority because Hadoop caches FileSystem
+instances per (scheme, authority) and would otherwise pin the first
+test's mount table forever.
+"""
+
+import glob
+import itertools
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from codd_spark.operators.dedup import (
+    IncrementalDeduplicator,
+    _BucketedMinhashState,
+)
+from codd_spark.sources.statefs import (
+    HadoopStateFS,
+    PosixStateFS,
+    resolve_statefs,
+)
+
+PARAMS = dict(num_hashes=120, bands=20, shingle_k=5, threshold=0.5)
+
+_AUTH = itertools.count()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+
+
+@pytest.fixture()
+def viewfs(spark, tmp_path):
+    """(uri, local_dir): a viewfs:// state dir mounted onto tmp_path."""
+    auth = f"coddfs{next(_AUTH)}"
+    local = tmp_path / "mount"
+    os.makedirs(local, exist_ok=True)
+    spark._jsc.hadoopConfiguration().set(
+        f"fs.viewfs.mounttable.{auth}.link./state", "file://" + str(local)
+    )
+    return f"viewfs://{auth}/state/ded", str(local)
+
+
+def _restart(spark, state_dir_uri):
+    """Simulate a process restart: drop the catalog entries (external
+    tables — data survives); a reopen must recover from the URI alone."""
+    import hashlib
+
+    tag = hashlib.md5(state_dir_uri.rstrip("/").encode()).hexdigest()[:12]
+    spark.sql(f"DROP TABLE IF EXISTS inc_minhash_{tag}_buckets")
+    spark.sql(f"DROP TABLE IF EXISTS inc_minhash_{tag}_shingles")
+
+
+def _manifest_versions(local_dir):
+    return sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(local_dir, "ded", "manifest-v*.json"))
+    )
+
+
+def test_backend_routing(spark, tmp_path, viewfs):
+    uri, _local = viewfs
+    assert isinstance(resolve_statefs(spark, str(tmp_path)), PosixStateFS)
+    assert isinstance(
+        resolve_statefs(spark, "file://" + str(tmp_path)), PosixStateFS
+    )
+    fs = resolve_statefs(spark, uri)
+    assert isinstance(fs, HadoopStateFS) and fs.scheme == "viewfs"
+    # unresolvable schemes (no connector on this classpath) fail loud
+    # at construction with guidance, not subtly later
+    with pytest.raises(ValueError, match="Hadoop FileSystem"):
+        resolve_statefs(spark, "s3a://bucket/state")
+
+
+def test_viewfs_restart_equals_uninterrupted(spark, docs, viewfs):
+    """The r8 kill-and-reopen contract, now on a non-file scheme: the
+    kept set batch-for-batch equals the in-memory run across a restart,
+    and the manifest on disk is the versioned protocol (no
+    manifest.json)."""
+    uri, local = viewfs
+    half = docs.count() // 3
+    b1 = docs.filter(F.col("doc_id") < half)
+    b2 = docs.filter((F.col("doc_id") >= half) & (F.col("doc_id") < 2 * half))
+    b3 = docs.filter(F.col("doc_id") >= 2 * half)
+
+    mem = IncrementalDeduplicator(spark, **PARAMS)
+    want = [
+        {r.doc_id for r in mem.add_batch(b).collect()} for b in (b1, b2, b3)
+    ]
+
+    dd = IncrementalDeduplicator(spark, state_dir=uri, **PARAMS)
+    assert isinstance(dd._state.fs, HadoopStateFS)
+    got1 = {r.doc_id for r in dd.add_batch(b1).collect()}
+    got2 = {r.doc_id for r in dd.add_batch(b2).collect()}
+    n_before = dd.n_kept
+    del dd
+    _restart(spark, uri)
+
+    assert _BucketedMinhashState.exists(uri, spark)
+    dd2 = IncrementalDeduplicator.open(spark, uri)
+    assert dd2.n_kept == n_before
+    got3 = {r.doc_id for r in dd2.add_batch(b3).collect()}
+    assert [got1, got2, got3] == want
+
+    versions = _manifest_versions(local)
+    assert versions, "versioned manifests expected on the HCFS backend"
+    assert not os.path.exists(os.path.join(local, "ded", "manifest.json"))
+
+
+def test_viewfs_crash_orphan_invisible(spark, docs, viewfs):
+    """Crash between the two inserts of one arrival: the orphan
+    generation must be swept via the Hadoop delete on the next open and
+    never adopted by a later commit."""
+    uri, _local = viewfs
+    b1 = docs.filter("doc_id < 150")
+    b2 = docs.filter("doc_id >= 150 AND doc_id < 300")
+
+    dd = IncrementalDeduplicator(spark, state_dir=uri, **PARAMS)
+    kept1 = {r.doc_id for r in dd.add_batch(b1).collect()}
+    committed = dd._state.committed
+    spark.sql(
+        f"INSERT INTO {dd._state._tb} "
+        f"SELECT 999999 AS id, 0 AS band, 42 AS h, {committed + 1} AS gen"
+    )
+    del dd
+    _restart(spark, uri)
+
+    dd2 = IncrementalDeduplicator.open(spark, uri)
+    assert dd2._state.committed == committed
+    assert dd2._kept_buckets.filter("id = 999999").count() == 0
+    kept2 = {r.doc_id for r in dd2.add_batch(b2).collect()}
+    assert dd2._state.committed == committed + 1
+    assert dd2._kept_buckets.filter("id = 999999").count() == 0
+
+    mem = IncrementalDeduplicator(spark, **PARAMS)
+    want1 = {r.doc_id for r in mem.add_batch(b1).collect()}
+    want2 = {r.doc_id for r in mem.add_batch(b2).collect()}
+    assert (kept1, kept2) == (want1, want2)
+
+
+def test_viewfs_compact_and_zero_exchange_probe(spark, docs, viewfs):
+    """compact() consolidates generations through the Hadoop sweep path,
+    and the probe join keeps the bucketed zero-Exchange state side on a
+    viewfs LOCATION."""
+    uri, _local = viewfs
+    dd = IncrementalDeduplicator(spark, state_dir=uri, state_buckets=4, **PARAMS)
+    for i in range(3):
+        dd.add_batch(docs.filter(f"doc_id >= {i * 60} AND doc_id < {(i + 1) * 60}"))
+    gens_before = {k for _t, _p, k in dd._state._gen_dirs()}
+    assert gens_before == {0, 1, 2}
+
+    out = dd.compact()
+    assert out["generation"] is not None and out["files_swept"] > 0
+    gens = {}
+    for t, _p, k in dd._state._gen_dirs():
+        gens.setdefault(t, set()).add(k)
+    assert all(len(v) == 1 for v in gens.values()), gens
+    # state preserved: re-adding pre-compact docs drops them all
+    assert dd.add_batch(docs.filter("doc_id < 180")).count() == 0
+
+    probe = spark.createDataFrame(
+        [(7, 3, 123456789)], "id LONG, band INT, h LONG"
+    )
+    j = dd._kept_buckets.select(
+        "band", "h", F.col("id").alias("id_l")
+    ).join(
+        probe.select("band", "h", F.col("id").alias("id_r")).hint("shuffle_merge"),
+        on=["band", "h"],
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_viewfs_manifest_versions_bounded_and_torn_head_falls_back(
+    spark, docs, viewfs
+):
+    """The write-once manifest protocol: the version tail stays bounded
+    across many commits, and a torn (half-written) HEAD version — the
+    worst crash a store without atomic rename can expose — falls back to
+    the previous committed version instead of corrupting the open."""
+    uri, local = viewfs
+    dd = IncrementalDeduplicator(spark, state_dir=uri, state_buckets=4, **PARAMS)
+    for i in range(6):
+        dd.add_batch(docs.filter(f"doc_id >= {i * 30} AND doc_id < {(i + 1) * 30}"))
+    versions = _manifest_versions(local)
+    # 1 create + 6 appends = 7 commits; tail keeps head + 3 predecessors
+    assert len(versions) <= 4, versions
+    committed = dd._state.committed
+    n_kept = dd.n_kept
+
+    # torn head: a higher version exists but is garbage (crash mid-write
+    # before close on a store where create is not atomic)
+    head = int(versions[-1].split("-v")[1].split(".")[0])
+    torn = os.path.join(local, "ded", f"manifest-v{head + 1}.json")
+    with open(torn, "w") as f:
+        f.write('{"params": {"num_hashes":')  # truncated JSON
+    del dd
+    _restart(spark, uri)
+
+    dd2 = IncrementalDeduplicator.open(spark, uri)
+    assert dd2._state.committed == committed
+    assert dd2.n_kept == n_kept
+    # and the next commit moves PAST the torn version number, so the
+    # recovered lineage can never be shadowed by the garbage file
+    dd2.add_batch(docs.filter("doc_id >= 180 AND doc_id < 210"))
+    new_head = max(
+        int(v.split("-v")[1].split(".")[0]) for v in _manifest_versions(local)
+    )
+    assert new_head > head + 1
+    got = json.loads(
+        open(os.path.join(local, "ded", f"manifest-v{new_head}.json")).read()
+    )
+    assert got["committed_gen"] == dd2._state.committed
+
+
+def test_exists_requires_spark_for_uris(spark, tmp_path, viewfs):
+    uri, _local = viewfs
+    with pytest.raises(ValueError, match="SparkSession"):
+        _BucketedMinhashState.exists(uri)
+    assert _BucketedMinhashState.exists(uri, spark) is False
+    assert _BucketedMinhashState.exists(str(tmp_path / "nope")) is False
