@@ -1564,6 +1564,29 @@ def q_incremental_dedup_one_batch(spark, sf_dir):
     return kept.select("doc_id", F.length("text").alias("text_len"))
 
 
+def q_incremental_dedup_two_batch(spark, sf_dir):
+    """Incremental fuzzy dedup across TWO arrivals (round 9 — the
+    arrival-ORDER contract the one-batch row cannot see): batch 2's
+    within-batch keepers are additionally dropped when they near-dup
+    anything the EARLIER batch kept (greedy earlier-kept-wins). The
+    oracle replays both within-batch closures as recursive CTEs over
+    exact all-pairs shingle Jaccard, then the cross-batch probe of
+    batch-2 keepers against batch-1 keepers — LSH recall is exactly 1
+    at this threshold/scale (tools/minhash_recall.py), so the
+    probabilistic pipeline is held to the exact answer."""
+    from codd_spark.operators.dedup import IncrementalDeduplicator
+
+    docs = read_table(spark, sf_dir, "documents").filter("doc_id < 300")
+    dd = IncrementalDeduplicator(
+        spark, num_hashes=120, bands=20, shingle_k=5, threshold=0.5
+    )
+    k1 = dd.add_batch(docs.filter("doc_id < 150"))
+    k2 = dd.add_batch(docs.filter("doc_id >= 150"))
+    return k1.unionByName(k2).select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+
+
 def q_simhash_near_dups(spark, sf_dir):
     """SimHash near-duplicate pairs (hamming <= 7 of 64 bits, 8-chunk
     pigeonhole candidates). Contract variant uses the portable md5_60
@@ -3654,6 +3677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         # --- round-9 additions (oracle-swept + bench) ---
         "image_near_dups": q_image_near_dups,
+        "incremental_dedup_two_batch": q_incremental_dedup_two_batch,
     }
 
 
@@ -6205,5 +6229,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
             FROM h a JOIN h b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sig, b.sig)) <= 2
+        """,
+        # Two-arrival incremental dedup: per-batch min-id closure keepers
+        # (two recursive CTEs over exact all-pairs Jaccard), then batch-2
+        # keepers that near-dup a batch-1 keeper are dropped
+        # (earlier-kept-wins).
+        "incremental_dedup_two_batch": r"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t,
+                     length(text) AS text_len,
+                     CASE WHEN doc_id < 150 THEN 1 ELSE 2 END AS b
+              FROM documents WHERE doc_id < 300
+            ), sh AS (
+              SELECT doc_id, b,
+                     list_distinct([substr(t, i, 5)
+                                    for i in range(1, greatest(len(t)-4, 1)+1)]) AS sh
+              FROM t
+            ), e AS (
+              SELECT a.b AS b, a.doc_id AS id_a, b2.doc_id AS id_b
+              FROM sh a JOIN sh b2 ON a.doc_id < b2.doc_id AND a.b = b2.b
+              WHERE ROUND(len(list_intersect(a.sh, b2.sh))::DOUBLE
+                          / len(list_distinct(list_concat(a.sh, b2.sh))), 6) >= 0.5
+            ), edges AS (
+              SELECT b, id_a AS src, id_b AS dst FROM e
+              UNION SELECT b, id_b AS src, id_a AS dst FROM e
+            ), r(b, id, comp) AS (
+              SELECT b, doc_id, doc_id FROM t
+              UNION
+              SELECT edges.b, edges.dst, r.comp
+              FROM r JOIN edges ON edges.src = r.id AND edges.b = r.b
+              WHERE r.comp < edges.dst
+            ), cc AS (
+              SELECT b, id, MIN(comp) AS comp FROM r GROUP BY b, id
+            ), k1 AS (
+              SELECT id FROM cc WHERE b = 1 AND id = comp
+            ), k2 AS (
+              SELECT id FROM cc WHERE b = 2 AND id = comp
+            ), x2 AS (
+              SELECT DISTINCT k2.id
+              FROM k2
+              JOIN sh s2 ON s2.doc_id = k2.id
+              JOIN k1 ON TRUE
+              JOIN sh s1 ON s1.doc_id = k1.id
+              WHERE ROUND(len(list_intersect(s1.sh, s2.sh))::DOUBLE
+                          / len(list_distinct(list_concat(s1.sh, s2.sh))), 6)
+                    >= 0.5
+            ), kept AS (
+              SELECT id FROM k1
+              UNION ALL
+              SELECT id FROM k2 WHERE id NOT IN (SELECT id FROM x2)
+            )
+            SELECT t.doc_id, CAST(t.text_len AS INT) AS text_len
+            FROM kept JOIN t ON t.doc_id = kept.id
         """,
     }

@@ -136,6 +136,9 @@ BENCH_QUERIES = [
     "streaming_scd2",           # stateful streaming SCD2 (closed versions)
     "streaming_drift",          # stateful streaming adjacent-bucket KS drift
     "incremental_dedup_one_batch",  # arrival machinery, single-batch == fuzzy keepers
+    # round-9 additions
+    "image_near_dups",          # perceptual dHash dedup over real PNG decode
+    "incremental_dedup_two_batch",  # arrival-order contract (earlier-kept-wins)
 ]
 
 # Queries added DURING the current round (reset to empty at each round
@@ -147,11 +150,8 @@ BENCH_QUERIES = [
 # silently excluded r6's additions from the r7 check).
 CURRENT_ROUND_ADDITIONS = frozenset(
     {
-        "salted_skew_join",
-        "decontaminate_bloom_multi",
-        "streaming_scd2",
-        "streaming_drift",
-        "incremental_dedup_one_batch",
+        "image_near_dups",
+        "incremental_dedup_two_batch",
     }
 )
 PREV_ROUND_QUERIES = (
@@ -198,6 +198,9 @@ def main():
     errors: dict[str, str] = {}
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
+    # sub-second queries get 3 warm samples (median reported); key ->
+    # all warm samples, so BENCH_SUMMARY can expose per-query n_runs
+    warm_samples: dict[str, list[float]] = {}
     spark = None
     try:
         spark = get_spark(app_name="codd-spark-bench", cpus=cpus)
@@ -269,13 +272,44 @@ def main():
 
         one_pass(cold)   # pays codegen/classloading/first-touch cost
         one_pass(warm)   # steady-state engine numbers (vs BASELINE.md)
+
+        # Sub-second entries are host-noise-dominated: a 0.2 s swing reads
+        # as a 1.5x "regression" round over round (VERDICT r8 item 2 —
+        # window_top3 0.38->0.58 s was pure noise). For those, take the
+        # MEDIAN of three warm samples; heavier queries keep the single
+        # warm pass (their signal-to-noise is fine and reruns are costly).
+        def thunk_for(name):
+            if name == "flagship_revenue_by_nation":
+                return lambda: flagship(spark, sf_dir)
+            return lambda: qs[name](spark, sf_dir)
+
+        for name, first in sorted(warm.items()):
+            if first >= 1.0:
+                continue
+            samples = [first]
+            for _ in range(2):
+                tmp: dict[str, float] = {}
+                timed(name, thunk_for(name), tmp)
+                if name in tmp:
+                    samples.append(tmp[name])
+            warm_samples[name] = samples
+            warm[name] = sorted(samples)[len(samples) // 2]
     except Exception as e:  # noqa: BLE001 — emit the line no matter what
         errors["harness"] = f"{type(e).__name__}: {e}"[:500]
 
     # min across passes per query: robust to host contention (warm can
     # occasionally be slower than cold on a noisy host)
     qmin = {
-        n: round(min(v for v in (warm.get(n), cold.get(n)) if v is not None), 3)
+        n: round(
+            min(
+                v
+                for v in (
+                    [warm.get(n), cold.get(n)] + warm_samples.get(n, [])
+                )
+                if v is not None
+            ),
+            3,
+        )
         for n in set(warm) | set(cold)
     }
     n_err = len({k for k in errors if not k.startswith("warmup:")})
@@ -296,6 +330,13 @@ def main():
         "sf": sf,
         "n_ok": len(warm),
         "n_err": n_err,
+        # 1 cold + N warm samples per query (N=3 for sub-second entries,
+        # median reported in `queries`; N=1 otherwise) — VERDICT r8
+        # item 2: sub-second swings are host noise, stop reporting them
+        # as round-over-round signal
+        "n_runs": {
+            n: 1 + len(warm_samples.get(n, [None])) for n in warm
+        },
     }
     if errors:
         summary["errors"] = errors

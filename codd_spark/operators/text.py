@@ -163,6 +163,53 @@ def winnowing_fingerprints(
     return out.withColumnRenamed("id", id_col) if id_col != "id" else out
 
 
+def _winnowing_fp_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    w: int,
+    hash_fn: str,
+) -> DataFrame:
+    """The fingerprint sketch in ROW form: distinct (id, fp) — exactly
+    the rows ``explode(winnowing_fingerprints(...).fingerprints)`` would
+    produce (collect_set dedups; distinct dedups the same), minus the
+    collect_set + re-explode round trip. The pair miner works on rows
+    anyway, so the array stage was two aggregates of pure overhead on
+    its path — and flat (long, long) rows are an order of magnitude
+    cheaper to persist than array<long> sketches."""
+    from codd_spark.functions.text import normalize_ws
+
+    if hash_fn == "xxhash64":
+        def h(c):
+            return F.xxhash64(c)
+    else:
+        def h(c):
+            return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    normed = df.select(
+        F.col(id_col).alias("id"), normalize_ws(F.col(text_col)).alias("t")
+    )
+    n_grams = F.greatest(F.length("t") - (k - 1), F.lit(1))
+    rows = normed.select(
+        "id",
+        "t",
+        n_grams.alias("ng"),
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("i"),
+    ).select(
+        "id", "ng", "i", h(F.col("t").substr(F.col("i"), F.lit(k))).alias("kh")
+    )
+    win = (
+        Window.partitionBy("id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    mins = rows.select(
+        "id", "ng", "i", F.min("kh").over(win).alias("m")
+    ).filter(F.col("i") <= F.greatest(F.col("ng") - (w - 1), F.lit(1)))
+    return mins.select("id", F.col("m").alias("fp")).distinct()
+
+
 def winnowing_overlap_pairs(
     df: DataFrame,
     id_col: str,
@@ -194,14 +241,24 @@ def winnowing_overlap_pairs(
     O(bucket²) candidate rows and is dropped from pair generation (its
     absence only lowers n_shared — same guard semantics as
     minhash_near_duplicates). Both join sides are corpus-derived, so the
-    join is shuffle-pinned, never broadcast."""
-    fps = winnowing_fingerprints(df, id_col, text_col, k, w, hash_fn=hash_fn)
-    sizes = fps.select(
-        F.col(id_col).alias("id"), F.size("fingerprints").alias("nf")
-    )
-    ex = fps.select(
-        F.col(id_col).alias("id"), F.explode("fingerprints").alias("fp")
-    )
+    join is shuffle-pinned, never broadcast.
+
+    The fingerprint sketch is computed ONCE, in row form, and PERSISTED
+    across the pair join (r9 — VERDICT r8 item 6, the same discipline as
+    minhash's shingle cache): the unpersisted plan re-evaluated the
+    explode+window stage once per consumer (Generate appeared 6x in the
+    executed plan, zero ReusedExchange — both self-join sides and both
+    size joins), and persisting the ARRAY sketch was a wash because
+    serializing array<long> cells cost as much as the recompute. The
+    row form (distinct (id, fp) longs — what the miner consumes anyway)
+    skips the collect_set+re-explode round trip AND caches cheaply; the
+    per-doc size is a count over the cached rows, identical to
+    size(fingerprints). Release via ``result.release_cache()`` or gc,
+    as with the dedup pipelines."""
+    from codd_spark.operators.dedup import _attach_release
+
+    ex = _winnowing_fp_rows(df, id_col, text_col, k, w, hash_fn).persist()
+    sizes = ex.groupBy("id").agg(F.count("*").alias("nf"))
     guarded = (
         ex.withColumn("bsz", F.count("*").over(Window.partitionBy("fp")))
         .filter(F.col("bsz") <= max_bucket_size)
@@ -217,7 +274,7 @@ def winnowing_overlap_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
-    return (
+    out = (
         pairs.join(
             sizes.select(F.col("id").alias("id_a"), F.col("nf").alias("nf_a")).hint(
                 "shuffle_merge"
@@ -238,6 +295,7 @@ def winnowing_overlap_pairs(
             F.round(F.col("n_shared") / F.col("nf_b"), 6).alias("frac_b"),
         )
     )
+    return _attach_release(out, ex)
 
 
 def ngram_novelty(
