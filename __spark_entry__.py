@@ -3445,6 +3445,34 @@ def q_image_near_dups(spark, sf_dir):
     return image_near_duplicates(media, method="dhash", decode="real", max_hamming=2)
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Trained quality-classifier contract (round 9): a fastText-shaped
+    linear text classifier — hashed unigram+bigram counts, Naive-Bayes
+    log-count-ratio weights (operators/classify.py; the Wang & Manning
+    ACL'12 weighting) — TRAINED in-engine on a planted-signal labeled
+    corpus synthesized expression-only from doc ids (the shipped corpus
+    draws every doc from one token pool, so no text label is learnable
+    there), then scored on the held-out 20%% split. Training is exact
+    integer counting with one ln() at the end, so DuckDB replays the
+    synthesis, the learned weights, AND the held-out scores — and the
+    planted signal makes held-out accuracy ~1.0 (pinned in tests), i.e.
+    the oracle is checking a model that demonstrably learned."""
+    from codd_spark.operators.classify import (
+        nb_linear_score,
+        nb_linear_train,
+        planted_label_docs,
+    )
+
+    ids = read_table(spark, sf_dir, "documents").select("doc_id")
+    corpus = planted_label_docs(ids)
+    model = nb_linear_train(
+        corpus.filter("doc_id % 5 != 4"), "y", n_features=2048
+    )
+    return nb_linear_score(
+        corpus.filter("doc_id % 5 = 4"), model, n_features=2048
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -3678,7 +3706,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-9 additions (oracle-swept + bench) ---
         "image_near_dups": q_image_near_dups,
         "incremental_dedup_two_batch": q_incremental_dedup_two_batch,
+        "quality_classifier": q_quality_classifier,
     }
+
+
+def _quality_classifier_oracle_sql() -> str:
+    """Full DuckDB replay of q_quality_classifier: planted-corpus
+    synthesis (same integer arithmetic and vocab literals), hashed
+    unigram+bigram counting, NB log-count-ratio weights from the 80%%
+    train split, and held-out scoring — exact to the final ROUND(ln-sum,
+    6). Vocab literals come from the SAME module constants the Spark
+    side uses (operators/classify.py), so the two sides cannot drift."""
+    from codd_spark.operators.classify import (
+        NEG_VOCAB,
+        POS_VOCAB,
+        SHARED_VOCAB,
+    )
+
+    def lits(ws):
+        return "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+
+    r = "(doc_id*104729 + i*7919) % 96"
+    return f"""
+        WITH d AS (
+          SELECT doc_id, CAST(doc_id % 2 AS INT) AS y,
+                 list_transform(range(1, 31 + CAST(doc_id % 20 AS INT)), i ->
+                   CASE WHEN {r} < 32
+                        THEN ({lits(SHARED_VOCAB)})[CAST({r} % 16 AS INT) + 1]
+                        WHEN doc_id % 2 = 1
+                        THEN ({lits(POS_VOCAB)})[CAST({r} % 16 AS INT) + 1]
+                        ELSE ({lits(NEG_VOCAB)})[CAST({r} % 16 AS INT) + 1]
+                   END) AS toks
+          FROM documents
+        ), feat_raw AS (
+          SELECT doc_id, y, s FROM (
+            SELECT doc_id, y, unnest(toks) AS s FROM d
+            UNION ALL
+            SELECT doc_id, y, toks[i] || ' ' || toks[i+1] AS s
+            FROM (SELECT doc_id, y, toks, unnest(range(1, len(toks))) AS i
+                  FROM d)
+          )
+        ), fx AS (
+          SELECT doc_id, y,
+                 CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2048
+                   AS feature,
+                 COUNT(*) AS x
+          FROM feat_raw GROUP BY doc_id, y, feature
+        ), per_f AS (
+          SELECT feature,
+                 SUM(CASE WHEN y = 1 THEN x ELSE 0 END) AS c1,
+                 SUM(CASE WHEN y = 0 THEN x ELSE 0 END) AS c0
+          FROM fx WHERE doc_id % 5 <> 4 GROUP BY feature
+        ), tot AS (
+          SELECT SUM(c1) AS ct1, SUM(c0) AS ct0 FROM per_f
+        ), pri AS (
+          SELECT SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n1,
+                 SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n0
+          FROM documents WHERE doc_id % 5 <> 4
+        ), w AS (
+          SELECT feature,
+                 ln(c1 + 1.0) - ln(ct1 + 2048.0)
+                 - ln(c0 + 1.0) + ln(ct0 + 2048.0) AS weight
+          FROM per_f CROSS JOIN tot
+        ), sc AS (
+          SELECT fx.doc_id,
+                 SUM(fx.x * COALESCE(w.weight,
+                                     ln(ct0 + 2048.0) - ln(ct1 + 2048.0)))
+                   AS dot
+          FROM fx LEFT JOIN w USING (feature) CROSS JOIN tot
+          WHERE fx.doc_id % 5 = 4
+          GROUP BY fx.doc_id
+        )
+        SELECT te.doc_id,
+               ROUND(COALESCE(sc.dot, 0) + ln(pri.n1) - ln(pri.n0), 6)
+                 AS score,
+               CAST(CASE WHEN COALESCE(sc.dot, 0) + ln(pri.n1) - ln(pri.n0)
+                              > 0
+                         THEN 1 ELSE 0 END AS INT) AS pred
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) te
+        LEFT JOIN sc USING (doc_id) CROSS JOIN pri
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6283,4 +6390,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, CAST(t.text_len AS INT) AS text_len
             FROM kept JOIN t ON t.doc_id = kept.id
         """,
+        "quality_classifier": _quality_classifier_oracle_sql(),
     }

@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     # round-9 additions
     "image_near_dups",          # perceptual dHash dedup over real PNG decode
     "incremental_dedup_two_batch",  # arrival-order contract (earlier-kept-wins)
+    "quality_classifier",       # NB log-ratio linear model, train+score in-engine
 ]
 
 # Queries added DURING the current round (reset to empty at each round
@@ -152,6 +153,7 @@ CURRENT_ROUND_ADDITIONS = frozenset(
     {
         "image_near_dups",
         "incremental_dedup_two_batch",
+        "quality_classifier",
     }
 )
 PREV_ROUND_QUERIES = (

@@ -1,0 +1,243 @@
+"""In-engine text classification: hashed n-gram features + a Naive-Bayes
+log-ratio linear model — the fastText-shaped quality gate real curation
+pipelines put in front of training data (score every crawl document,
+keep above threshold).
+
+Why NB log-ratios instead of gradient-descent logistic regression:
+training is pure COUNTING — two aggregates over the corpus — so it is
+(a) one shuffle, embarrassingly scalable, with a model bounded at
+``n_features`` rows that broadcasts at scoring time, and (b) exactly
+replayable by a SQL oracle (integer counts -> ln at the end), where an
+iterative float gradient loop would accumulate cross-engine ulp drift.
+The construction is the multinomial-NB decision function in log-linear
+form (the count-ratio feature weighting of Wang & Manning, ACL'12 —
+"NBSVM" without the SVM); on short-text/quality tasks it is the
+standard strong-linear baseline.
+
+Scale shape at 100 TB: feature extraction is expression-only
+(tokens -> bigrams -> md5 hash -> modulo, all codegen); training is one
+(feature)-keyed aggregate plus a 1-row totals aggregate; the model
+(<= n_features rows, ~32 KB at 2048) broadcasts, so scoring is a
+map-side join — no corpus-sized shuffle anywhere after the count.
+
+Reference parity note: the reference engine has no classifier — this is
+part of the LLM-pipeline extension surface (SURVEY.md §2 extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from codd_spark.functions.text import tokens
+
+
+def _md5_60(c):
+    """Portable 60-bit hash (top 60 bits of md5 as BIGINT) — the same
+    cross-engine hash as winnowing/simhash contract variants; DuckDB
+    replica: CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def hashed_text_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_features: int = 2048,
+    bigrams: bool = True,
+) -> DataFrame:
+    """(id, feature, x): hashed bag-of-n-grams counts per document.
+
+    Features are lowercase whitespace tokens plus (optionally) adjacent
+    token bigrams joined with a single space; each hashes to
+    ``md5_60(s) % n_features``. Counts keep multiplicity (multinomial
+    model). Pure expressions end to end — tokenize, slide, hash, and
+    count all stay in codegen."""
+    toks = F.array_remove(
+        F.transform(tokens(F.col(text_col)), lambda t: F.lower(t)), ""
+    )
+    feats = toks
+    if bigrams:
+        bi = F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        feats = F.concat(toks, bi)
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(feats).alias("s"))
+        .select("id", (_md5_60(F.col("s")) % n_features).alias("feature"))
+        .groupBy("id", "feature")
+        .agg(F.count("*").alias("x"))
+    )
+
+
+def nb_linear_train(
+    df: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_features: int = 2048,
+    alpha: float = 1.0,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Train the NB log-ratio linear model on a labeled corpus
+    (``label_col`` in {0, 1}). Returns the MODEL as a DataFrame —
+    bounded at ``n_features + 1`` rows:
+
+    - one row per OBSERVED feature: (feature, weight) with
+      weight = ln(c1_f + a) - ln(C1 + aD) - ln(c0_f + a) + ln(C0 + aD),
+      c/C = class-conditional feature count / total;
+    - one row with feature = -1 carrying the scoring constants:
+      weight = bias = ln(N1) - ln(N0) (class prior log-odds) and the
+      unseen-feature weight w0 = ln(C0 + aD) - ln(C1 + aD) in the
+      ``w_unseen`` column (NULL on ordinary rows).
+
+    Everything except the final ln() is exact integer counting, so a
+    SQL engine replays the trained weights bit-for-bit (to rounding)."""
+    feats = hashed_text_features(
+        df, id_col, text_col, n_features=n_features, bigrams=bigrams
+    )
+    labels = df.select(
+        F.col(id_col).alias("id"), F.col(label_col).cast("int").alias("y")
+    )
+    fl = feats.join(labels, on="id")
+    per_f = fl.groupBy("feature").agg(
+        F.sum(F.when(F.col("y") == 1, F.col("x")).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("y") == 0, F.col("x")).otherwise(0)).alias("c0"),
+    )
+    totals = per_f.agg(
+        F.sum("c1").alias("ct1"), F.sum("c0").alias("ct0")
+    ).crossJoin(
+        labels.agg(
+            F.sum(F.col("y")).alias("N1"),
+            F.sum(1 - F.col("y")).alias("N0"),
+        )
+    )
+    aD = float(alpha) * n_features
+    w = (
+        per_f.crossJoin(F.broadcast(totals))
+        .select(
+            "feature",
+            (
+                F.log(F.col("c1") + F.lit(float(alpha)))
+                - F.log(F.col("ct1") + F.lit(aD))
+                - F.log(F.col("c0") + F.lit(float(alpha)))
+                + F.log(F.col("ct0") + F.lit(aD))
+            ).alias("weight"),
+            F.lit(None).cast("double").alias("w_unseen"),
+        )
+    )
+    consts = totals.select(
+        F.lit(-1).cast("long").alias("feature"),
+        (F.log(F.col("N1").cast("double")) - F.log(F.col("N0").cast("double"))).alias(
+            "weight"
+        ),
+        (
+            F.log(F.col("ct0") + F.lit(aD)) - F.log(F.col("ct1") + F.lit(aD))
+        ).alias("w_unseen"),
+    )
+    return w.unionByName(consts)
+
+
+def nb_linear_score(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_features: int = 2048,
+    bigrams: bool = True,
+) -> DataFrame:
+    """(id, score, pred): NB log-odds score per document under a trained
+    model; pred = 1 iff score > 0. The model is bounded, so it
+    BROADCASTS — scoring is a map-side join over the feature stream
+    plus a per-doc aggregate; unseen features take the model's w0
+    constant, empty documents score the bias alone (every input id
+    appears in the output)."""
+    feats = hashed_text_features(
+        df, id_col, text_col, n_features=n_features, bigrams=bigrams
+    )
+    consts = model.filter(F.col("feature") == -1).select(
+        F.col("weight").alias("bias"), F.col("w_unseen").alias("w0")
+    )
+    weights = model.filter(F.col("feature") >= 0).select("feature", "weight")
+    per_doc = (
+        feats.join(F.broadcast(weights), on="feature", how="left")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.col("x") * F.coalesce(F.col("weight"), F.col("w0"))
+            ).alias("dot")
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, on="id", how="left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            F.col("id").alias(id_col),
+            F.round(F.coalesce(F.col("dot"), F.lit(0.0)) + F.col("bias"), 6).alias(
+                "score"
+            ),
+            (
+                (F.coalesce(F.col("dot"), F.lit(0.0)) + F.col("bias")) > 0
+            ).cast("int").alias("pred"),
+        )
+    )
+
+
+# three 16-word vocabularies for the planted-signal corpus below; module
+# constants so the contract oracle and tests inline the same literals
+SHARED_VOCAB = [
+    "the", "a", "of", "to", "and", "in", "for", "on",
+    "with", "by", "from", "at", "as", "is", "was", "are",
+]
+POS_VOCAB = [
+    "excellent", "coherent", "thorough", "insightful", "precise",
+    "elegant", "robust", "rigorous", "lucid", "nuanced", "polished",
+    "cogent", "vivid", "deft", "astute", "refined",
+]
+NEG_VOCAB = [
+    "spammy", "garbled", "broken", "noisy", "junk", "clickbait",
+    "scammy", "bogus", "shoddy", "sloppy", "vapid", "trite",
+    "hollow", "clumsy", "murky", "stale",
+]
+
+
+def planted_label_docs(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, y, text): a synthetic LABELED corpus with a real
+    token-distribution signal, generated expression-only from ids (the
+    q_pii_stats / gradient-PNG pattern — closed-form inputs an oracle
+    reconstructs without seeing them). The shipped test corpus draws all
+    documents from ONE token pool, so no text-derived label is learnable
+    there; a classifier contract needs planted signal.
+
+    Construction: y = doc_id % 2; n_tokens = 30 + doc_id % 20; token i
+    draws r = (doc_id*104729 + i*7919) % 96 and picks SHARED_VOCAB[r%16]
+    when r < 32, else the class vocabulary's [r%16] — so ~1/3 of tokens
+    are class-neutral and ~2/3 are class-pure, trivially separable by
+    any working linear trainer (held-out accuracy ~1.0, pinned in
+    tests) while still exercising real count-based learning."""
+    sh = F.array(*[F.lit(w) for w in SHARED_VOCAB])
+    po = F.array(*[F.lit(w) for w in POS_VOCAB])
+    ne = F.array(*[F.lit(w) for w in NEG_VOCAB])
+    d = F.col(id_col)
+
+    def word(i):
+        r = (d * 104729 + i * 7919) % 96
+        idx = (r % 16 + 1).cast("int")
+        return (
+            F.when(r < 32, F.element_at(sh, idx))
+            .when(d % 2 == 1, F.element_at(po, idx))
+            .otherwise(F.element_at(ne, idx))
+        )
+
+    toks = F.transform(F.sequence(F.lit(1), (F.lit(30) + d % 20).cast("int")), word)
+    return ids.select(
+        d.alias("doc_id"),
+        (d % 2).cast("int").alias("y"),
+        F.concat_ws(" ", toks).alias("text"),
+    )

@@ -1,0 +1,109 @@
+"""NB log-ratio linear classifier (operators/classify.py): the trained
+weights match a pure-Python multinomial-NB reference on the same counts,
+the planted-signal corpus is actually learned (held-out accuracy ~1.0),
+and scoring handles unseen features and empty documents."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from codd_spark.operators.classify import (
+    NEG_VOCAB,
+    POS_VOCAB,
+    SHARED_VOCAB,
+    hashed_text_features,
+    nb_linear_score,
+    nb_linear_train,
+    planted_label_docs,
+)
+
+D = 256  # small feature space so the reference check covers collisions
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return planted_label_docs(spark.range(0, 200).selectExpr("id AS doc_id"))
+
+
+def test_planted_corpus_is_closed_form(corpus):
+    """Token i of doc d must be the documented closed form — the
+    exactness the oracle replay rests on."""
+    rows = {r.doc_id: r for r in corpus.filter("doc_id IN (0, 1, 7)").collect()}
+    for d, row in rows.items():
+        toks = row.text.split(" ")
+        assert len(toks) == 30 + d % 20
+        assert row.y == d % 2
+        for i, got in enumerate(toks, start=1):
+            r = (d * 104729 + i * 7919) % 96
+            if r < 32:
+                want = SHARED_VOCAB[r % 16]
+            elif d % 2 == 1:
+                want = POS_VOCAB[r % 16]
+            else:
+                want = NEG_VOCAB[r % 16]
+            assert got == want, (d, i)
+
+
+def test_trained_weights_match_python_reference(spark, corpus):
+    """Exact-replay contract: the engine's weights equal a from-scratch
+    Python multinomial-NB computation over the same hashed counts."""
+    train = corpus.filter("doc_id % 5 != 4")
+    model = {
+        r.feature: (r.weight, r.w_unseen)
+        for r in nb_linear_train(train, "y", n_features=D).collect()
+    }
+    feats = hashed_text_features(train, n_features=D).join(
+        train.select(F.col("doc_id").alias("id"), "y"), on="id"
+    )
+    c1, c0 = {}, {}
+    n1 = n0 = 0
+    seen_docs = set()
+    for r in feats.collect():
+        (c1 if r.y == 1 else c0)[r.feature] = (
+            (c1 if r.y == 1 else c0).get(r.feature, 0) + r.x
+        )
+        seen_docs.add((r.id, r.y))
+    n1 = sum(1 for _i, y in seen_docs if y == 1)
+    n0 = len(seen_docs) - n1
+    C1, C0 = sum(c1.values()), sum(c0.values())
+    for f in set(c1) | set(c0):
+        want = (
+            math.log(c1.get(f, 0) + 1.0)
+            - math.log(C1 + D)
+            - math.log(c0.get(f, 0) + 1.0)
+            + math.log(C0 + D)
+        )
+        assert model[f][0] == pytest.approx(want, abs=1e-12)
+    bias, w0 = model[-1]
+    assert bias == pytest.approx(math.log(n1) - math.log(n0), abs=1e-12)
+    assert w0 == pytest.approx(math.log(C0 + D) - math.log(C1 + D), abs=1e-12)
+
+
+def test_planted_signal_is_learned(spark, corpus):
+    """Held-out accuracy ~1.0: ~2/3 of tokens are class-pure, so a
+    correct trainer separates perfectly; anything below says the
+    counting or scoring is broken, not that the task is hard."""
+    train = corpus.filter("doc_id % 5 != 4")
+    test = corpus.filter("doc_id % 5 = 4")
+    model = nb_linear_train(train, "y", n_features=2048)
+    scored = nb_linear_score(test, model, n_features=2048)
+    j = scored.join(test.select("doc_id", "y"), on="doc_id")
+    acc = j.selectExpr("avg(cast(pred = y as double)) a").first().a
+    assert acc >= 0.98
+    assert j.count() == test.count()  # every test doc got a score
+
+
+def test_unseen_features_and_empty_docs(spark, corpus):
+    """A doc of entirely unseen tokens scores bias + n*w0 (still a row);
+    an empty doc scores exactly the bias."""
+    train = corpus.filter("doc_id % 5 != 4")
+    model = nb_linear_train(train, "y", n_features=D)
+    consts = {r.feature: r for r in model.filter("feature = -1").collect()}
+    bias = consts[-1].weight
+    odd = spark.createDataFrame(
+        [(900, "zzqx1 zzqx2"), (901, "")], "doc_id LONG, text STRING"
+    )
+    got = {r.doc_id: r.score for r in nb_linear_score(odd, model, n_features=D).collect()}
+    assert got[901] == pytest.approx(round(bias, 6), abs=1e-6)
+    assert 900 in got and 901 in got
