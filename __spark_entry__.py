@@ -3445,6 +3445,31 @@ def q_image_near_dups(spark, sf_dir):
     return image_near_duplicates(media, method="dhash", decode="real", max_hamming=2)
 
 
+def q_jpeg_metadata(spark, sf_dir):
+    """Real JPEG decode contract (round 9): synthesize one baseline JPEG
+    per document id (solid grayscale, all-ones quantization — flat
+    content is DC-only so the LOSSY container round-trips exactly;
+    every 4th id carries restart markers), decode with the pure-Python
+    baseline decoder (functions/jpeg.py: Huffman -> dequant -> exact
+    orthonormal IDCT) inside Arrow-batched mapInPandas, and emit
+    metadata the oracle predicts from the closed-form synthesis
+    parameters without seeing a byte — the image_metadata pattern on
+    the mostly-JPEG container real corpora actually use."""
+    from codd_spark.operators.multimodal import (
+        decode_image_features,
+        jpeg_media_from_ids,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id").where("doc_id < 300")
+    feats = decode_image_features(jpeg_media_from_ids(docs, "doc_id"), decode="real")
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("mean_pixel"),
+    )
+
+
 def q_quality_classifier(spark, sf_dir):
     """Trained quality-classifier contract (round 9): a fastText-shaped
     linear text classifier — hashed unigram+bigram counts, Naive-Bayes
@@ -3707,6 +3732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dups": q_image_near_dups,
         "incremental_dedup_two_batch": q_incremental_dedup_two_batch,
         "quality_classifier": q_quality_classifier,
+        "jpeg_metadata": q_jpeg_metadata,
     }
 
 
@@ -6391,4 +6417,13 @@ def oracle_sql() -> dict[str, str]:
             FROM kept JOIN t ON t.doc_id = kept.id
         """,
         "quality_classifier": _quality_classifier_oracle_sql(),
+        # Same closed forms as image_metadata, through the baseline JPEG
+        # container instead of PNG: flat + all-ones quant => exact.
+        "jpeg_metadata": """
+            SELECT doc_id,
+                   16 + doc_id % 32 AS width,
+                   16 + doc_id % 17 AS height,
+                   CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_pixel
+            FROM documents WHERE doc_id < 300
+        """,
     }

@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "image_near_dups",          # perceptual dHash dedup over real PNG decode
     "incremental_dedup_two_batch",  # arrival-order contract (earlier-kept-wins)
     "quality_classifier",       # NB log-ratio linear model, train+score in-engine
+    "jpeg_metadata",            # real baseline JPEG encode+decode via mapInPandas
 ]
 
 # Queries added DURING the current round (reset to empty at each round
@@ -154,6 +155,7 @@ CURRENT_ROUND_ADDITIONS = frozenset(
         "image_near_dups",
         "incremental_dedup_two_batch",
         "quality_classifier",
+        "jpeg_metadata",
     }
 )
 PREV_ROUND_QUERIES = (

@@ -58,11 +58,17 @@ def _ensure_hwc(arr: np.ndarray) -> np.ndarray:
 
 def decode_image(data: bytes) -> np.ndarray:
     """bytes -> uint8 (h, w, ch). PIL when importable (also unlocks
-    JPEG/WebP/...), else the pure PNG decoder."""
+    WebP/progressive-JPEG/...), else the pure decoders: PNG (lossless,
+    byte-identical to PIL) and baseline JPEG (functions/jpeg.py —
+    float64 IDCT; libjpeg's integer IDCT agrees within +-1)."""
     if _CAPS["image"] == "pil":
         from PIL import Image
 
         return _ensure_hwc(np.asarray(Image.open(io.BytesIO(data))))
+    if data[:2] == b"\xff\xd8":
+        from codd_spark.functions.jpeg import decode_jpeg
+
+        return _ensure_hwc(decode_jpeg(data))
     return _ensure_hwc(imaging.decode_png(data))
 
 

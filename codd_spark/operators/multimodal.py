@@ -487,3 +487,41 @@ def gradient_png_media_from_ids(ids: DataFrame, id_col: str = "media_id") -> Dat
     if out.rdd.getNumPartitions() < par:
         out = out.repartition(par, F.col(id_col))
     return out.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def jpeg_media_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Distributed synthesis of REAL baseline JPEG payloads, one per id:
+    a solid grayscale image with the same closed forms as
+    png_media_from_ids (width = 16 + id % 32, height = 16 + id % 17,
+    pixel = (id * 7) % 256) encoded with the pure baseline encoder
+    (functions/jpeg.py) under ALL-ONES quantization — a flat image is
+    DC-only, so the lossy container round-trips EXACTLY and the decoded
+    dimensions/mean stay oracle-checkable by an engine that never sees
+    a byte. Every fourth id additionally carries a restart interval so
+    the corpus exercises RSTn handling."""
+    from codd_spark.functions.jpeg import encode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h, px = 16 + i % 32, 16 + i % 17, (i * 7) % 256
+                arr = np.full((h, w), px, dtype=np.uint8)
+                out.append(
+                    encode_jpeg(arr, restart_interval=2 if i % 4 == 0 else 0)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "kind": "image",
+                    "format": "jpeg",
+                    "payload": out,
+                }
+            )
+
+    out = ids.select(F.col(id_col))
+    par = ids.sparkSession.sparkContext.defaultParallelism
+    if out.rdd.getNumPartitions() < par:
+        out = out.repartition(par, F.col(id_col))
+    return out.mapInPandas(run, schema=MEDIA_SCHEMA)

@@ -1,0 +1,98 @@
+"""Pure-Python baseline JPEG codec (functions/jpeg.py): exact flat
+round trips under all-ones quantization, +-1 on arbitrary content (the
+float-IDCT bound), chroma subsampling, restart markers, lossy tables,
+and integration with the codec dispatcher + perceptual hashing."""
+
+import numpy as np
+import pytest
+
+from codd_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+
+def test_flat_grayscale_roundtrips_exactly():
+    """Flat image -> DC-only blocks -> integral DC -> /1 quant: the
+    LOSSY container is exact here, which is what makes the closed-form
+    jpeg_metadata oracle possible."""
+    for v, w, h in [(0, 8, 8), (128, 16, 8), (255, 24, 17), (77, 13, 9)]:
+        out = decode_jpeg(encode_jpeg(np.full((h, w), v, dtype=np.uint8)))
+        assert out.shape == (h, w, 1)
+        assert (out[:, :, 0] == v).all()
+
+
+def test_arbitrary_grayscale_within_one():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(40, 56), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img))[:, :, 0]
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_color_444_and_420_flat_within_two():
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:] = (200, 30, 99)
+    for sub in ("444", "420"):
+        out = decode_jpeg(encode_jpeg(img, subsampling=sub))
+        assert out.shape == (16, 16, 3)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_restart_markers_roundtrip():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(32, 64), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, restart_interval=3))[:, :, 0]
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_lossy_quant_decodes_and_degrades_gracefully():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    q = np.full(64, 16, dtype=np.int32)
+    q[0] = 8
+    out = decode_jpeg(encode_jpeg(img, quant=q))[:, :, 0]
+    # lossy but sane: bounded by ~half the largest quant step x IDCT gain
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 64
+
+
+def test_jpeg_info_matches_encoder():
+    from codd_spark.functions.imaging import jpeg_info
+
+    b = encode_jpeg(np.zeros((17, 23, 3), dtype=np.uint8))
+    assert jpeg_info(b) == (23, 17, 3)
+
+
+def test_rejections():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    # a progressive frame header must be rejected with guidance, not
+    # misdecoded: build one by patching SOF0 -> SOF2 in our own output
+    b = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    i = b.find(b"\xff\xc0")
+    b[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(b))
+
+
+def test_codec_dispatcher_routes_jpeg(spark):
+    """decode_image on JPEG bytes takes the pure baseline decoder when
+    PIL is absent, and downstream operators (metadata, perceptual hash)
+    run unchanged over JPEG payloads."""
+    from codd_spark.functions import codecs
+    from codd_spark.operators.multimodal import (
+        decode_image_features,
+        image_phash,
+        jpeg_media_from_ids,
+    )
+
+    img = np.full((10, 12), 77, dtype=np.uint8)
+    arr = codecs.decode_image(encode_jpeg(img))
+    assert arr.shape == (10, 12, 1) and (arr[:, :, 0] == 77).all()
+
+    ids = spark.range(0, 40).selectExpr("id AS media_id")
+    media = jpeg_media_from_ids(ids)
+    feats = {r.media_id: r for r in decode_image_features(media, decode="real").collect()}
+    for i in range(40):
+        r = feats[i]
+        assert (r.width, r.height) == (16 + i % 32, 16 + i % 17)
+        assert r.mean_pixel == float((i * 7) % 256)
+    # perceptual hash over JPEG payloads: flat images hash to dhash 0
+    sigs = {r.media_id: r.sig for r in image_phash(media, method="dhash").collect()}
+    assert set(sigs.values()) == {0}
