@@ -3563,14 +3563,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "view_over_select": q_view_over_select,
         "incremental_view": q_incremental_view,
-        # --- LLM-data-pipeline flagships (16 rows, r4 additions rotated in) ---
+        # --- LLM-data-pipeline flagships (r4 additions rotated in; r9
+        # rotated OUT dedup_clusters ~ fuzzy_dedup_docs (closure+keeper),
+        # tf_idf_top_terms ~ heavy_hitter_words/bigram_surprisal (text
+        # aggregation), image_metadata ~ jpeg_metadata (same multimodal
+        # decode contract, newer codec), chunk_documents ~
+        # token_count_bpe/split_train_val_test (pipeline class),
+        # pagerank_interactions ~ triangle_count (graph class),
+        # window_top3_orders_per_cust ~ user_sessions (window class) —
+        # all six stay oracle-replayed in test_oracle_window.py ---
         "minhash_near_dups": q_minhash_near_dups,
         "decontaminate_corpus": q_decontaminate_corpus,
-        "dedup_clusters": q_dedup_clusters,
-        "tf_idf_top_terms": q_tf_idf_top_terms,
-        "image_metadata": q_image_metadata,
-        "chunk_documents": q_chunk_documents,
-        "pagerank_interactions": q_pagerank_interactions,
         "set_similarity_pairs": q_set_similarity_pairs,
         "semantic_dedup": q_semantic_dedup,
         "triangle_count": q_triangle_count,
@@ -3599,7 +3602,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": q_agg_pricing_summary,
         "asof_join_events": q_asof_join_events,
         "token_count_bpe": q_token_count_bpe,
-        "window_top3_orders_per_cust": q_window_top3_orders_per_cust,
         "range_join_value_bands": q_range_join_value_bands,
         "split_train_val_test": q_split_train_val_test,
         "dedup_exact_documents": q_dedup_exact_documents,
@@ -3610,7 +3612,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both stay oracle-replayed in test_oracle_window.py) ---
         "streaming_scd2": q_streaming_scd2,
         "streaming_drift": q_streaming_drift,
+        # --- round-9 rows rotated in (6): the three r8 additions that
+        # had never been driver-scored plus the three r9 flagships ---
+        "salted_skew_join": q_salted_skew_join,
+        "decontaminate_bloom_multi": q_decontaminate_bloom_multi,
+        "incremental_dedup_two_batch": q_incremental_dedup_two_batch,
+        "image_near_dups": q_image_near_dups,
+        "quality_classifier": q_quality_classifier,
+        "jpeg_metadata": q_jpeg_metadata,
         # ---------------- end of the driver's 50-query window ----------------
+        # rotated out r8->r9 (see the rotation note above)
+        "dedup_clusters": q_dedup_clusters,
+        "tf_idf_top_terms": q_tf_idf_top_terms,
+        "image_metadata": q_image_metadata,
+        "chunk_documents": q_chunk_documents,
+        "pagerank_interactions": q_pagerank_interactions,
+        "window_top3_orders_per_cust": q_window_top3_orders_per_cust,
         # rotated out r7->r8 (see the rotation note above)
         "events_hourly": q_events_hourly,
         "frame_sample": q_frame_sample,
@@ -3692,9 +3709,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_stats": q_zipf_stats,
         "ngram_novelty": q_ngram_novelty,
         "pii_stats": q_pii_stats,
-        # --- round-8 additions (past the window; oracle-swept + bench) ---
-        "salted_skew_join": q_salted_skew_join,
-        "decontaminate_bloom_multi": q_decontaminate_bloom_multi,
+        # --- round-8 additions (past the window; oracle-swept + bench;
+        # salted_skew_join and decontaminate_bloom_multi rotated INTO the
+        # window r9) ---
         "incremental_dedup_one_batch": q_incremental_dedup_one_batch,
         "audio_metadata": q_audio_metadata,
         "events_hourly_stream": q_events_hourly_stream,
@@ -3728,11 +3745,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "histogram_prices": q_histogram_prices,
         "weighted_sample": q_weighted_sample,
-        # --- round-9 additions (oracle-swept + bench) ---
-        "image_near_dups": q_image_near_dups,
-        "incremental_dedup_two_batch": q_incremental_dedup_two_batch,
-        "quality_classifier": q_quality_classifier,
-        "jpeg_metadata": q_jpeg_metadata,
     }
 
 

@@ -85,16 +85,24 @@ ROTATED_OUT = [
     # image_metadata (multimodal mapInPandas))
     "events_hourly",
     "frame_sample",
-]
-
-FLAGSHIPS = [
-    "minhash_near_dups",
-    "decontaminate_corpus",
+    # r8 -> r9 (made room for salted_skew_join, decontaminate_bloom_multi,
+    # incremental_dedup_two_batch, image_near_dups, quality_classifier,
+    # jpeg_metadata; class coverage kept in-window: dedup_clusters ~
+    # fuzzy_dedup_docs, tf_idf_top_terms ~ heavy_hitter_words +
+    # bigram_surprisal, image_metadata ~ jpeg_metadata, chunk_documents ~
+    # token_count_bpe + split_train_val_test, pagerank_interactions ~
+    # triangle_count, window_top3_orders_per_cust ~ user_sessions)
     "dedup_clusters",
     "tf_idf_top_terms",
     "image_metadata",
     "chunk_documents",
     "pagerank_interactions",
+    "window_top3_orders_per_cust",
+]
+
+FLAGSHIPS = [
+    "minhash_near_dups",
+    "decontaminate_corpus",
     # rotated into the scored window r4 -> r5
     "set_similarity_pairs",
     "semantic_dedup",
@@ -120,6 +128,13 @@ FLAGSHIPS = [
     # rotated into the scored window r7 -> r8
     "streaming_scd2",
     "streaming_drift",
+    # rotated into the scored window r8 -> r9
+    "salted_skew_join",
+    "decontaminate_bloom_multi",
+    "incremental_dedup_two_batch",
+    "image_near_dups",
+    "quality_classifier",
+    "jpeg_metadata",
 ]
 
 # round-4 operators registered past the scored window: replay with the
