@@ -400,3 +400,47 @@ def test_bloom_probe_corpus_side_is_map_only(spark):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "ArrowEvalPython" in plan or "PythonEval" in plan, plan
+
+
+def test_image_dedup_hash_join_shuffle_pinned(spark):
+    """image_near_duplicates' candidate join is a corpus-derived
+    self-join on (chunk, value) buckets: it must plan a shuffle
+    strategy (a broadcast build of a corpus-sized side OOMs the driver
+    at scale), never a cartesian product; the only Python stage is the
+    Arrow decode+hash pass."""
+    from codd_spark.operators.multimodal import (
+        gradient_png_media_from_ids,
+        image_near_duplicates,
+    )
+
+    ids = spark.range(0, 60).selectExpr("id AS media_id")
+    pairs = image_near_duplicates(
+        gradient_png_media_from_ids(ids), method="dhash", max_hamming=2
+    )
+    pairs.collect()
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan
+
+
+def test_classifier_scoring_broadcasts_model_not_corpus(spark):
+    """nb_linear_score joins the feature stream against the BOUNDED
+    model: the model side must be the broadcast build (scoring stays a
+    map-side join — no corpus-sized shuffle after the training count);
+    training's per-feature aggregate must carry map-side partial
+    aggregation."""
+    from codd_spark.operators.classify import (
+        nb_linear_score,
+        nb_linear_train,
+        planted_label_docs,
+    )
+
+    corpus = planted_label_docs(spark.range(0, 120).selectExpr("id AS doc_id"))
+    model = nb_linear_train(corpus, "y", n_features=256)
+    mplan = model._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in mplan  # map-side combine on the count
+    scored = nb_linear_score(corpus, model, n_features=256)
+    scored.collect()
+    splan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in splan
+    assert "CartesianProduct" not in splan

@@ -55,12 +55,15 @@ PICK = {
     "decontaminate_bloom": "Bloom decontamination: bitmap assembled distributively (explode k positions, bit_or per word) and collected as a benchmark-bounded sketch; the corpus pass is MAP-ONLY (Arrow membership UDF, no corpus-gram shuffle); only bloom-positive docs reach the exact containment equi-join.",
     "kmeans_clusters": "Exact-replay k-means: per iteration one k-row centroid BROADCAST against the corpus, linear argmin window keyed by id, elementwise (cluster, dim) integer sum with map-side combine; centroid state is k rows on the driver (model-sized, not data-sized).",
     "zipf_stats": "Zipf diagnostics: corpus-linear explode, vocabulary-sized frequency aggregate, per-group rank window + regression aggregate over the vocab table only.",
-    "winnowing_pairs": "Fingerprint overlap mining: grams as rows (collapse-proof), window min per doc reuses the id partitioning for the groupBy; ONE fingerprint-keyed shuffle-pinned equi-join + pair aggregate; hot buckets guarded.",
+    "winnowing_pairs": "Fingerprint overlap mining: grams as rows (collapse-proof), window min per doc; r9 — the miner consumes the sketch as PERSISTED (id, fp) rows (the unpersisted plan re-evaluated the explode+window stage per consumer, Generate x6 / zero ReusedExchange; the array sketch was a serialization wash), so the InMemoryRelation build appears once and the runtime plan is ONE fingerprint-keyed shuffle-pinned equi-join + pair aggregate; hot buckets guarded.",
     "bigram_surprisal": "Bigram LM scoring: the (w1,w2) count and w1 context count tables (both model-sized) join EACH OTHER first, then the single fact-table join shuffles once on (w1,w2); vocab size is a 1-row broadcast; per-doc aggregate has map-side combine.",
     "k_core_interactions": "k-core peeling: per round one degree aggregate + two semi-joins against survivors, lineage cut per round; the only driver value is the 1-row convergence count.",
     "sorted_neighborhood": "Sorted-neighborhood: global rank via RangePartitioning + per-partition row_number + broadcast offsets (no single-task window), then rank-vs-rank+delta equi-joins.",
     "exact_substr_spans": "ExactSubstr mask at sf0.1 (r8: the small-corpus gate routes <=50k docs / <=32M windows through the precise hash-join plan — the bloom path's fixed costs lose at this scale; see exact_substr_spans_bloom below for the large-corpus plan): position stream joins the repeated-hash set shuffle-pinned, candidates rejoin the text, exact substring verify + islands merge. Identical output to the bloom path (pinned in tests).",
     "exact_substr_removal": "Span cut: spans aggregate to ONE sorted array per doc (map-side combine), one shuffle_merge left join back to the corpus, then a single expression fold stitches the kept segments — no Python, no character explode; inherits whichever spans plan the corpus-size gate picked (precise at sf0.1, bloom at scale) plus the one removal join.",
+    "image_near_dups": "Perceptual image dedup (r9): the ONLY Python stage is the Arrow-batched decode+dhash pass (mapInPandas over payload partitions, 16 bytes/row out); candidates + verify are the SimHash chunk-pigeonhole join — explode to (chunk, value) buckets, shuffle-pinned self-join (broadcast would OOM on a corpus-derived side at scale), bitcount verify in codegen, degenerate buckets capped.",
+    "quality_classifier": "Trained NB linear classifier (r9): feature extraction is pure codegen (tokens -> bigrams -> md5 hash -> modulo, one explode); training is ONE (feature)-keyed aggregate with map-side partial counts plus a 1-row totals aggregate; the bounded model (<= n_features rows) is explicitly BROADCAST, so held-out scoring is a map-side join + per-doc aggregate — no corpus-sized shuffle after the count.",
+    "jpeg_metadata": "Baseline JPEG decode contract (r9): synthesis ids repartitioned before mapInPandas so the CPU-bound pure-Python encode+decode runs on every core (the frame_sample discipline); Arrow-batched, bounded memory; everything after the 6-column feature rows is expression-only.",
 }
 
 
