@@ -1499,20 +1499,30 @@ def test_dropped_result_finalizer_fires(spark, docs):
     strong ref to `result` when result was also the cached df), or a
     caller that simply drops the object leaks both the shingle and the
     verified caches until interpreter exit. After the fix, plain
-    del + gc must release everything the call cached."""
+    del + gc must release everything the call cached. Tracked by RDD ID
+    (not global cache counts): in a full-suite run other tests' blocks
+    come and go concurrently and a count comparison flakes."""
     import gc
 
     from codd_spark.operators.dedup import minhash_near_duplicates
 
-    jsc = spark.sparkContext._jsc.sc()
+    def cached_ids():
+        jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it = jmap.keysIterator()
+        out = set()
+        while it.hasNext():
+            out.add(it.next())
+        return out
+
     gc.collect()
-    before = jsc.getPersistentRDDs().size()
+    before = cached_ids()
     out = minhash_near_duplicates(docs, "doc_id", "text", num_hashes=16, bands=4)
     out.count()  # materialize -> shingle + verified caches live
-    assert jsc.getPersistentRDDs().size() > before
+    created = cached_ids() - before
+    assert created, "the pipeline should have persisted intermediates"
     del out
     gc.collect()
-    assert jsc.getPersistentRDDs().size() <= before
+    assert not (cached_ids() & created), "dropped result left caches behind"
 
 
 def test_image_near_duplicates_end_to_end(spark):
