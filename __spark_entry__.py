@@ -3470,6 +3470,27 @@ def q_jpeg_metadata(spark, sf_dir):
     )
 
 
+def q_video_near_dups(spark, sf_dir):
+    """Video near-dup contract (round 9): synthesize 5-frame APNG
+    videos whose per-frame dHashes are closed forms of the id — videos
+    sharing id%40 are shifted copies (4 or 3 of 5 frame hashes in
+    common), distinct bases share none — then run the real pipeline:
+    APNG frame walk -> dhash64 per frame (Arrow-batched mapInPandas) ->
+    the generic shared-key overlap miner (dedup.shared_key_overlap_pairs,
+    the winnowing join). The oracle replays every pair and shared count
+    from id arithmetic (frame-hash equality <=> key equality: the
+    golden-ratio multiplier is odd, hence bijective mod 2^64) without
+    decoding a byte."""
+    from codd_spark.operators.multimodal import (
+        gradient_apng_media_from_ids,
+        video_near_duplicates,
+    )
+
+    ids = read_table(spark, sf_dir, "documents").select("doc_id").where("doc_id < 120")
+    media = gradient_apng_media_from_ids(ids, "doc_id")
+    return video_near_duplicates(media, method="dhash", decode="real", min_shared=3)
+
+
 def q_quality_classifier(spark, sf_dir):
     """Trained quality-classifier contract (round 9): a fastText-shaped
     linear text classifier — hashed unigram+bigram counts, Naive-Bayes
@@ -3745,6 +3766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "histogram_prices": q_histogram_prices,
         "weighted_sample": q_weighted_sample,
+        # --- round-9 additions past the window (oracle-swept + bench) ---
+        "video_near_dups": q_video_near_dups,
     }
 
 
@@ -6429,6 +6452,24 @@ def oracle_sql() -> dict[str, str]:
             FROM kept JOIN t ON t.doc_id = kept.id
         """,
         "quality_classifier": _quality_classifier_oracle_sql(),
+        # Video near-dup: pair counts replayed from the closed-form
+        # frame-key structure (hash equality <=> key equality — the
+        # golden multiplier is odd, bijective mod 2^64); every video
+        # carries exactly 5 distinct frame hashes by construction.
+        "video_near_dups": """
+            WITH k AS (
+              SELECT doc_id AS vid,
+                     (doc_id % 40) * 16 + (doc_id // 40) + f.f AS key
+              FROM documents, (SELECT unnest(range(0, 5)) AS f) f
+              WHERE doc_id < 120
+            )
+            SELECT a.vid AS id_a, b.vid AS id_b, COUNT(*) AS n_shared,
+                   ROUND(COUNT(*) / 5.0, 6) AS frac_a,
+                   ROUND(COUNT(*) / 5.0, 6) AS frac_b
+            FROM k a JOIN k b ON a.key = b.key AND a.vid < b.vid
+            GROUP BY a.vid, b.vid
+            HAVING COUNT(*) >= 3
+        """,
         # Same closed forms as image_metadata, through the baseline JPEG
         # container instead of PNG: flat + all-ones quant => exact.
         "jpeg_metadata": """

@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "incremental_dedup_two_batch",  # arrival-order contract (earlier-kept-wins)
     "quality_classifier",       # NB log-ratio linear model, train+score in-engine
     "jpeg_metadata",            # real baseline JPEG encode+decode via mapInPandas
+    "video_near_dups",          # per-frame dhash + shared-key overlap miner
 ]
 
 # Queries added DURING the current round (reset to empty at each round
@@ -156,6 +157,7 @@ CURRENT_ROUND_ADDITIONS = frozenset(
         "incremental_dedup_two_batch",
         "quality_classifier",
         "jpeg_metadata",
+        "video_near_dups",
     }
 )
 PREV_ROUND_QUERIES = (

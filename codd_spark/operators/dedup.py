@@ -547,6 +547,72 @@ def simhash_near_duplicates(
     )
 
 
+def shared_key_overlap_pairs(
+    rows: DataFrame,
+    *,
+    min_shared: int = 2,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """MOSS-style overlap mining over DISTINCT (id, key) rows — the
+    generic miner behind winnowing fingerprint overlap (text) and
+    frame-hash video near-dup (multimodal): all id pairs sharing >=
+    ``min_shared`` keys -> (id_a, id_b, n_shared, frac_a, frac_b),
+    id_a < id_b, frac = shared / that side's key count.
+
+    Scale shape: ONE equi-join on the key + one pair aggregate — the
+    LSH bucket-join discipline, including the degenerate-bucket guard
+    (a key shared by more than ``max_bucket_size`` ids contributes
+    O(bucket²) candidate rows and is dropped; its absence only lowers
+    n_shared). Both join sides are corpus-derived, so the join is
+    shuffle-pinned, never broadcast. The input rows are PERSISTED
+    across the self-join and size joins (flat rows cache cheaply — the
+    r9 winnowing lesson) and released via the result's
+    ``release_cache()``/finalizer."""
+    from pyspark.sql.window import Window as _W
+
+    ex = rows.select(
+        F.col(rows.columns[0]).alias("id"), F.col(rows.columns[1]).alias("fp")
+    ).persist()
+    sizes = ex.groupBy("id").agg(F.count("*").alias("nf"))
+    guarded = (
+        ex.withColumn("bsz", F.count("*").over(_W.partitionBy("fp")))
+        .filter(F.col("bsz") <= max_bucket_size)
+        .select("id", "fp")
+    )
+    a = guarded.select(F.col("id").alias("id_a"), "fp")
+    b = guarded.select(F.col("id").alias("id_b"), "fp")
+    pairs = (
+        a.hint("shuffle_merge")
+        .join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    out = (
+        pairs.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("nf").alias("nf_a")).hint(
+                "shuffle_merge"
+            ),
+            on="id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("nf").alias("nf_b")).hint(
+                "shuffle_merge"
+            ),
+            on="id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("nf_a"), 6).alias("frac_a"),
+            F.round(F.col("n_shared") / F.col("nf_b"), 6).alias("frac_b"),
+        )
+    )
+    return _attach_release(out, ex)
+
+
 def hamming_banded_pairs(
     sigs: DataFrame,
     *,

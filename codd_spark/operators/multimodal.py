@@ -525,3 +525,152 @@ def jpeg_media_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     if out.rdd.getNumPartitions() < par:
         out = out.repartition(par, F.col(id_col))
     return out.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+VIDEO_HASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("sig", LongType()),
+    ]
+)
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    *,
+    method: str = "dhash",
+    every_n: int = 1,
+    decode: str = "real",
+) -> DataFrame:
+    """(media_id, frame_idx, sig): a 64-bit perceptual hash per sampled
+    video frame — the signature stream video near-dup mining runs on.
+    Walks the container with the real frame decoder
+    (functions/codecs.py::video_frames: APNG pure-Python everywhere,
+    mp4/webm via ffmpeg when on PATH) inside Arrow-batched mapInPandas;
+    ``every_n`` subsamples frames (hash every n-th) the way production
+    video dedup does — near-dup copies still share most sampled
+    hashes."""
+    if method not in ("dhash", "phash"):
+        raise ValueError(f"method must be 'dhash' or 'phash', got {method!r}")
+    if decode not in ("fake", "real"):
+        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from codd_spark.functions import codecs
+
+        kernel = imaging.dhash64 if method == "dhash" else imaging.phash64
+        for pdf in batches:
+            mids, idxs, sigs = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload or b"")
+                if decode == "real":
+                    frames = codecs.video_frames(payload)
+                else:
+                    h = hashlib.sha1(payload).digest()
+                    frames = [
+                        np.frombuffer(
+                            (hashlib.sha1(h + bytes([f])).digest() * 4)[:72],
+                            dtype=np.uint8,
+                        ).reshape(8, 9)
+                        for f in range(2 + h[0] % 4)
+                    ]
+                for f in range(0, len(frames), every_n):
+                    mids.append(int(mid))
+                    idxs.append(f)
+                    sigs.append(kernel(frames[f]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "sig": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=VIDEO_HASH_SCHEMA)
+
+
+def video_near_duplicates(
+    df: DataFrame,
+    *,
+    method: str = "dhash",
+    every_n: int = 1,
+    decode: str = "real",
+    min_shared: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b, n_shared, frac_a, frac_b): video pairs sharing >=
+    ``min_shared`` DISTINCT per-frame perceptual hashes — re-encoded,
+    trimmed, or shifted copies of the same footage share most frame
+    hashes, unrelated footage shares none. Completes the dedup family's
+    modality coverage (text / embeddings / images / video).
+
+    Composition: the frame walk + hash is the only Python stage
+    (Arrow-batched; 16 bytes per sampled frame out); pair mining is the
+    generic shared-key miner (``dedup.shared_key_overlap_pairs`` — the
+    winnowing join): one shuffle-pinned equi-join on the frame hash +
+    one pair aggregate, degenerate buckets (test cards, black frames)
+    capped. frac = shared / that side's distinct-hash count, the MOSS
+    containment score."""
+    from codd_spark.operators.dedup import shared_key_overlap_pairs
+
+    hashes = video_frame_hashes(
+        df, method=method, every_n=every_n, decode=decode
+    )
+    rows = hashes.select("media_id", "sig").distinct()
+    return shared_key_overlap_pairs(
+        rows, min_shared=min_shared, max_bucket_size=max_bucket_size
+    )
+
+
+def gradient_apng_media_from_ids(
+    ids: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """Closed-form frame-hash videos for the video-dedup oracle: 5-frame
+    APNGs whose frame f of video v is the 9x8 dHash-gradient image
+    (gradient_png_media_from_ids' construction) encoding target hash
+    FH(k(v, f)) with
+
+        k(v, f) = (v % 40) * 16 + (v // 40) + f
+        FH(k)   = ((k + 1) * 0x9E3779B97F4A7C15) mod 2^64
+
+    — videos sharing v % 40 are shifted copies (offset v//40), so the
+    pair (v, v+40) shares 4 of 5 frame hashes and (v, v+80) shares 3;
+    distinct bases never collide (offset+frame < 16, the key stride).
+    A SQL engine replays every frame hash AND the pair counts from id
+    arithmetic without decoding a byte."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for v in pdf[id_col]:
+                v = int(v)
+                frames = []
+                for f in range(5):
+                    k = (v % 40) * 16 + (v // 40) + f
+                    h = ((k + 1) * 0x9E3779B97F4A7C15) % (1 << 64)
+                    arr = np.empty((8, 9), dtype=np.uint8)
+                    for r in range(8):
+                        arr[r, 0] = 128
+                        for c in range(8):
+                            arr[r, c + 1] = arr[r, c] + (
+                                1 if (h >> (r * 8 + c)) & 1 else -1
+                            )
+                    frames.append(arr)
+                out.append(imaging.encode_apng(frames, filter_type=v % 5))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "kind": "video",
+                    "format": "apng",
+                    "payload": out,
+                }
+            )
+
+    out = ids.select(F.col(id_col))
+    par = ids.sparkSession.sparkContext.defaultParallelism
+    if out.rdd.getNumPartitions() < par:
+        out = out.repartition(par, F.col(id_col))
+    return out.mapInPandas(run, schema=MEDIA_SCHEMA)

@@ -254,48 +254,15 @@ def winnowing_overlap_pairs(
     skips the collect_set+re-explode round trip AND caches cheaply; the
     per-doc size is a count over the cached rows, identical to
     size(fingerprints). Release via ``result.release_cache()`` or gc,
-    as with the dedup pipelines."""
-    from codd_spark.operators.dedup import _attach_release
+    as with the dedup pipelines. The join+guard+aggregate itself is the
+    generic shared-key miner (``dedup.shared_key_overlap_pairs``), also
+    used for frame-hash video near-dup (operators/multimodal.py)."""
+    from codd_spark.operators.dedup import shared_key_overlap_pairs
 
-    ex = _winnowing_fp_rows(df, id_col, text_col, k, w, hash_fn).persist()
-    sizes = ex.groupBy("id").agg(F.count("*").alias("nf"))
-    guarded = (
-        ex.withColumn("bsz", F.count("*").over(Window.partitionBy("fp")))
-        .filter(F.col("bsz") <= max_bucket_size)
-        .select("id", "fp")
+    rows = _winnowing_fp_rows(df, id_col, text_col, k, w, hash_fn)
+    return shared_key_overlap_pairs(
+        rows, min_shared=min_shared, max_bucket_size=max_bucket_size
     )
-    a = guarded.select(F.col("id").alias("id_a"), "fp")
-    b = guarded.select(F.col("id").alias("id_b"), "fp")
-    pairs = (
-        a.hint("shuffle_merge")
-        .join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
-    )
-    out = (
-        pairs.join(
-            sizes.select(F.col("id").alias("id_a"), F.col("nf").alias("nf_a")).hint(
-                "shuffle_merge"
-            ),
-            on="id_a",
-        )
-        .join(
-            sizes.select(F.col("id").alias("id_b"), F.col("nf").alias("nf_b")).hint(
-                "shuffle_merge"
-            ),
-            on="id_b",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            "n_shared",
-            F.round(F.col("n_shared") / F.col("nf_a"), 6).alias("frac_a"),
-            F.round(F.col("n_shared") / F.col("nf_b"), 6).alias("frac_b"),
-        )
-    )
-    return _attach_release(out, ex)
 
 
 def ngram_novelty(

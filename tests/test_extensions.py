@@ -1568,3 +1568,43 @@ def test_image_near_duplicates_end_to_end(spark):
     ph = image_phash(media, method="phash", decode="real")
     got = {r.media_id: r.sig for r in ph.collect()}
     assert len(got) == 120 and all(isinstance(v, int) for v in got.values())
+
+
+def test_video_near_duplicates_end_to_end(spark):
+    """Video near-dup over REAL bytes: 5-frame gradient APNGs whose
+    per-frame dHashes follow a closed-form key structure — shifted
+    copies (same id%40) share 4 or 3 of 5 frame hashes, distinct bases
+    share none — so the frame-walk + shared-key miner must return
+    exactly the same-base pairs with the closed-form shared counts."""
+    from codd_spark.operators.multimodal import (
+        gradient_apng_media_from_ids,
+        video_near_duplicates,
+    )
+
+    ids = spark.range(0, 120).selectExpr("id AS media_id")
+    media = gradient_apng_media_from_ids(ids)
+    got = {
+        (r.id_a, r.id_b): (r.n_shared, r.frac_a, r.frac_b)
+        for r in video_near_duplicates(media, min_shared=3).collect()
+    }
+    want = {}
+    for b in range(40):
+        want[(b, b + 40)] = 4      # offset 1: frames 1..4 shared
+        want[(b + 40, b + 80)] = 4
+        want[(b, b + 80)] = 3      # offset 2: frames 2..4 shared
+    assert set(got) == set(want)
+    for k, (ns, fa, fb) in got.items():
+        assert ns == want[k] and fa == fb == round(ns / 5, 6)
+    # frame subsampling: every_n=2 samples frames {0,2,4}; shifted
+    # copies' SAMPLED hash sets intersect in closed form too — (v, v+80)
+    # shares {2,4} of v's sampled set ({0,2,4} shifted by 2 = {2,4,6} ∩
+    # sampled keys of v+80 at offsets {2,4,6}): assert the miner still
+    # finds the offset-2 pairs at min_shared=2
+    sub = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in video_near_duplicates(
+            media, min_shared=2, every_n=2
+        ).collect()
+    }
+    for b in range(40):
+        assert sub.get((b, b + 80)) == 2, (b, sub.get((b, b + 80)))
