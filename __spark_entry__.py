@@ -3491,6 +3491,26 @@ def q_video_near_dups(spark, sf_dir):
     return video_near_duplicates(media, method="dhash", decode="real", min_shared=3)
 
 
+def q_audio_near_dups(spark, sf_dir):
+    """Audio near-dup contract (round 9): synthesize stepped
+    constant-amplitude WAVs whose per-block energy-envelope codes are
+    closed forms of the id (block RMS is EXACTLY the segment amplitude,
+    so floor(log2(1+rms)) recovers the code; audios sharing id%40 are
+    shifted copies), then run the real pipeline: PCM decode -> per-block
+    RMS codes (Arrow-batched mapInPandas) -> JVM-side md5_60 code
+    4-grams -> the generic shared-key overlap miner. The oracle replays
+    codes, gram keys, and pair counts from id arithmetic without
+    decoding a byte."""
+    from codd_spark.operators.multimodal import (
+        audio_near_duplicates,
+        stepped_wav_media_from_ids,
+    )
+
+    ids = read_table(spark, sf_dir, "documents").select("doc_id").where("doc_id < 120")
+    media = stepped_wav_media_from_ids(ids, "doc_id")
+    return audio_near_duplicates(media, method="energy", min_shared=3)
+
+
 def q_quality_classifier(spark, sf_dir):
     """Trained quality-classifier contract (round 9): a fastText-shaped
     linear text classifier — hashed unigram+bigram counts, Naive-Bayes
@@ -3768,6 +3788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         # --- round-9 additions past the window (oracle-swept + bench) ---
         "video_near_dups": q_video_near_dups,
+        "audio_near_dups": q_audio_near_dups,
     }
 
 
@@ -6469,6 +6490,39 @@ def oracle_sql() -> dict[str, str]:
             FROM k a JOIN k b ON a.key = b.key AND a.vid < b.vid
             GROUP BY a.vid, b.vid
             HAVING COUNT(*) >= 3
+        """,
+        # Audio near-dup: the energy-envelope codes, their md5_60
+        # 4-gram keys, and the pair counts all replay from id
+        # arithmetic (block RMS == segment amplitude exactly on the
+        # stepped synthesis).
+        "audio_near_dups": """
+            WITH c AS (
+              SELECT d.doc_id AS vid, s.s AS s,
+                     CAST(CONCAT('0x', substr(md5(CAST(
+                       (d.doc_id % 40) * 16 + (d.doc_id // 40) + s.s
+                       AS VARCHAR)), 1, 15)) AS BIGINT) % 15 AS c
+              FROM documents d, (SELECT unnest(range(0, 8)) AS s) s
+              WHERE d.doc_id < 120
+            ), seq AS (
+              SELECT vid, list(c ORDER BY s) AS cs FROM c GROUP BY vid
+            ), g AS (
+              SELECT DISTINCT vid,
+                     CAST(CONCAT('0x', substr(md5(
+                       array_to_string(cs[i:i+3], ',')), 1, 15)) AS BIGINT)
+                       AS key
+              FROM (SELECT vid, cs, unnest(range(1, 6)) AS i FROM seq)
+            ), sz AS (
+              SELECT vid, COUNT(*) AS nf FROM g GROUP BY vid
+            ), p AS (
+              SELECT a.vid AS id_a, b.vid AS id_b, COUNT(*) AS n_shared
+              FROM g a JOIN g b ON a.key = b.key AND a.vid < b.vid
+              GROUP BY a.vid, b.vid HAVING COUNT(*) >= 3
+            )
+            SELECT id_a, id_b, n_shared,
+                   ROUND(n_shared::DOUBLE / sa.nf, 6) AS frac_a,
+                   ROUND(n_shared::DOUBLE / sb.nf, 6) AS frac_b
+            FROM p JOIN sz sa ON sa.vid = p.id_a
+                   JOIN sz sb ON sb.vid = p.id_b
         """,
         # Same closed forms as image_metadata, through the baseline JPEG
         # container instead of PNG: flat + all-ones quant => exact.

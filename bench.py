@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "quality_classifier",       # NB log-ratio linear model, train+score in-engine
     "jpeg_metadata",            # real baseline JPEG encode+decode via mapInPandas
     "video_near_dups",          # per-frame dhash + shared-key overlap miner
+    "audio_near_dups",          # energy-envelope code grams + overlap miner
 ]
 
 # Queries added DURING the current round (reset to empty at each round
@@ -158,6 +159,7 @@ CURRENT_ROUND_ADDITIONS = frozenset(
         "quality_classifier",
         "jpeg_metadata",
         "video_near_dups",
+        "audio_near_dups",
     }
 )
 PREV_ROUND_QUERIES = (

@@ -448,6 +448,20 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000, n_channels: int = 
     return buf.getvalue()
 
 
+def wav_samples(data: bytes) -> np.ndarray:
+    """WAV bytes -> float64 sample array (interleaved when
+    multi-channel; PCM 8/16-bit, same support matrix as decode_wav).
+    The signal-level entry point for audio fingerprinting."""
+    with wave.open(io.BytesIO(data), "rb") as wv:
+        width = wv.getsampwidth()
+        frames = wv.readframes(wv.getnframes())
+    if width == 2:
+        return np.frombuffer(frames, dtype="<i2").astype(np.float64)
+    if width == 1:
+        return np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0
+    raise ValueError(f"sample width {width} not supported (PCM 8/16 only)")
+
+
 def decode_wav(data: bytes) -> dict:
     """WAV bytes -> metadata + signal stats (n_channels, sample_rate,
     n_samples, duration_sec, rms)."""

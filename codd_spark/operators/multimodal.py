@@ -674,3 +674,234 @@ def gradient_apng_media_from_ids(
     if out.rdd.getNumPartitions() < par:
         out = out.repartition(par, F.col(id_col))
     return out.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio near-dup (energy-envelope + spectral band-bit fingerprints)
+# ---------------------------------------------------------------------------
+
+AUDIO_CODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("idx", IntegerType()),
+        StructField("code", LongType()),
+    ]
+)
+
+
+def audio_energy_codes(df: DataFrame, *, window: int = 1600) -> DataFrame:
+    """(media_id, idx, code): coarse energy-envelope fingerprint — one
+    code per non-overlapping ``window``-sample block, code =
+    floor(log2(1 + block RMS)). Robust to resampling artifacts and
+    codec noise within a loudness band; gain changes move every code
+    together (callers wanting gain invariance difference the codes).
+    Pure numpy per Arrow batch; emits 12 bytes per block."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, idxs, codes = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s = imaging.wav_samples(bytes(payload or b""))
+                n = len(s) // window
+                for i in range(n):
+                    blk = s[i * window : (i + 1) * window]
+                    rms = float(np.sqrt(np.mean(blk * blk)))
+                    mids.append(int(mid))
+                    idxs.append(i)
+                    codes.append(int(np.floor(np.log2(1.0 + rms))))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "idx": pd.Series(idxs, dtype="int32"),
+                    "code": pd.Series(codes, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_CODE_SCHEMA)
+
+
+def audio_spectral_hashes(
+    df: DataFrame, *, frame: int = 2048, hop: int = 1024, bands: int = 33
+) -> DataFrame:
+    """(media_id, idx, code): Haitsma-Kalker-style spectral fingerprint
+    (the Philips robust-hash construction, ISMIR'02): per Hann-windowed
+    FFT frame, 32 bits — bit m is the sign of the band-energy
+    difference differentiated along both frequency and time,
+    E(n,m)-E(n,m+1)-(E(n-1,m)-E(n-1,m+1)) over ``bands`` log-spaced
+    bands. Robust to recompression/noise; property-tested rather than
+    SQL-replayed (an FFT is not expressible in the oracle engine — the
+    energy method is the contract path)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        win = np.hanning(frame)
+        for pdf in batches:
+            mids, idxs, codes = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s = imaging.wav_samples(bytes(payload or b""))
+                if len(s) < frame:
+                    continue
+                n_frames = 1 + (len(s) - frame) // hop
+                # log-spaced band edges over [2, frame//2) bins
+                edges = np.unique(
+                    np.geomspace(2, frame // 2, bands + 1).astype(int)
+                )
+                prev = None
+                for i in range(n_frames):
+                    spec = np.abs(
+                        np.fft.rfft(s[i * hop : i * hop + frame] * win)
+                    )
+                    # log-compressed band energies: raw energies span
+                    # orders of magnitude, and the SIGN of a difference
+                    # between two near-silent bands is pure noise — the
+                    # log floor stabilizes the bits exactly where the
+                    # published construction expects them to be robust
+                    e = np.log1p(
+                        np.array(
+                            [
+                                float((spec[a:b] ** 2).sum())
+                                for a, b in zip(edges[:-1], edges[1:])
+                            ]
+                        )
+                    )
+                    if prev is not None:
+                        d = (e[:-1] - e[1:]) - (prev[:-1] - prev[1:])
+                        bits = 0
+                        for m, v in enumerate(d[:32]):
+                            if v > 0:
+                                bits |= 1 << m
+                        mids.append(int(mid))
+                        idxs.append(i)
+                        codes.append(bits)
+                    prev = e
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "idx": pd.Series(idxs, dtype="int32"),
+                    "code": pd.Series(codes, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_CODE_SCHEMA)
+
+
+def audio_near_duplicates(
+    df: DataFrame,
+    *,
+    method: str = "energy",
+    k: int = 4,
+    window: int = 1600,
+    min_shared: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b, n_shared, frac_a, frac_b): audio pairs sharing >=
+    ``min_shared`` k-gram fingerprint keys — shifted/trimmed copies of
+    the same recording share most envelope (or spectral) k-grams,
+    unrelated audio shares none. Completes the dedup family's modality
+    coverage alongside text/embedding/image/video.
+
+    The per-block code stream (the only Python stage) turns into
+    k-gram keys JVM-SIDE: codes collect to an ordered per-audio array
+    (bounded by duration/window), sliding k-grams hash with the
+    portable md5_60 — so the contract oracle can replay keys and pairs
+    from the closed-form synthesis. Mining is the generic shared-key
+    join (``dedup.shared_key_overlap_pairs``)."""
+    from codd_spark.operators.dedup import shared_key_overlap_pairs
+
+    if method == "energy":
+        codes = audio_energy_codes(df, window=window)
+    elif method == "spectral":
+        codes = audio_spectral_hashes(df)
+    else:
+        raise ValueError(f"method must be 'energy' or 'spectral', got {method!r}")
+    seq = codes.groupBy("media_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "code"))),
+            lambda s: s["code"],
+        ).alias("seq")
+    )
+    grams = seq.select(
+        "media_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("seq") - (k - 1), F.lit(0)),
+                ),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("seq", i, k),
+                                    lambda c: c.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ).alias("key"),
+    )
+    rows = grams.select("media_id", "key").distinct()
+    return shared_key_overlap_pairs(
+        rows, min_shared=min_shared, max_bucket_size=max_bucket_size
+    )
+
+
+def stepped_wav_media_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Closed-form energy-envelope WAVs for the audio-dedup oracle:
+    8 segments x 1600 constant-amplitude PCM16 samples, segment s of
+    audio v at amplitude 2^c - 1 where
+
+        c(v, s) = md5_60(str(k)) mod 15,
+        k       = (v % 40) * 16 + (v // 40) + s
+
+    (md5_60 = the portable top-60-bits-of-md5 hash; a golden-ratio
+    multiply is NOT usable here — 2^64 = 1 mod 15 collapses it to a
+    near-arithmetic progression and neighboring bases alias)
+
+    — so each window's RMS is EXACTLY its amplitude and
+    floor(log2(1 + rms)) recovers c. Audios sharing v % 40 are shifted
+    copies (offset v//40): (v, v+40) shares 4 of 5 code 4-grams,
+    (v, v+80) shares 3. An engine that never sees a byte replays the
+    codes, the md5 gram keys, and the pair counts from id arithmetic
+    (chance cross-base gram collisions replay identically — both sides
+    compute the same construction)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for v in pdf[id_col]:
+                v = int(v)
+                segs = []
+                for s in range(8):
+                    kk = (v % 40) * 16 + (v // 40) + s
+                    c = (
+                        int(hashlib.md5(str(kk).encode()).hexdigest()[:15], 16)
+                        % 15
+                    )
+                    segs.append(
+                        np.full(1600, (1 << c) - 1, dtype=np.int16)
+                    )
+                out.append(
+                    imaging.encode_wav(np.concatenate(segs), 16000)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "kind": "audio",
+                    "format": "wav",
+                    "payload": out,
+                }
+            )
+
+    out = ids.select(F.col(id_col))
+    par = ids.sparkSession.sparkContext.defaultParallelism
+    if out.rdd.getNumPartitions() < par:
+        out = out.repartition(par, F.col(id_col))
+    return out.mapInPandas(run, schema=MEDIA_SCHEMA)
