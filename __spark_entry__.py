@@ -3491,6 +3491,28 @@ def q_video_near_dups(spark, sf_dir):
     return video_near_duplicates(media, method="dhash", decode="real", min_shared=3)
 
 
+def q_incremental_image_dedup(spark, sf_dir):
+    """Incremental perceptual image dedup through the arrival machinery
+    (round 9 — operators/multimodal.py::IncrementalImageDeduplicator,
+    the image twin of the text deduplicator on the SAME bucketed
+    persistent-state class): everything in ONE add_batch() must keep
+    exactly the min-id keeper of each near-dup closure, which the
+    oracle replays over the closed-form gradient hashes — Hamming pairs
+    from doc_id arithmetic (the image_near_dups construction) + a
+    recursive-CTE closure. Arrival order, restart, and compaction stay
+    engine-tested (test_incremental_image.py)."""
+    from codd_spark.operators.multimodal import (
+        IncrementalImageDeduplicator,
+        gradient_png_media_from_ids,
+    )
+
+    ids = read_table(spark, sf_dir, "documents").select("doc_id").where("doc_id < 300")
+    media = gradient_png_media_from_ids(ids, "doc_id")
+    dd = IncrementalImageDeduplicator(spark, id_col="media_id", max_hamming=2)
+    kept = dd.add_batch(media)
+    return kept.select("media_id", "format")
+
+
 def q_audio_near_dups(spark, sf_dir):
     """Audio near-dup contract (round 9): synthesize stepped
     constant-amplitude WAVs whose per-block energy-envelope codes are
@@ -3789,6 +3811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-9 additions past the window (oracle-swept + bench) ---
         "video_near_dups": q_video_near_dups,
         "audio_near_dups": q_audio_near_dups,
+        "incremental_image_dedup": q_incremental_image_dedup,
     }
 
 
@@ -6490,6 +6513,47 @@ def oracle_sql() -> dict[str, str]:
             FROM k a JOIN k b ON a.key = b.key AND a.vid < b.vid
             GROUP BY a.vid, b.vid
             HAVING COUNT(*) >= 3
+        """,
+        # Incremental image dedup, one batch: min-id keeper per Hamming
+        # closure over the closed-form gradient hashes (same hash
+        # construction as image_near_dups), recursive-CTE closure.
+        "incremental_image_dedup": """
+            WITH RECURSIVE h AS (
+              SELECT doc_id,
+                     CAST(hu - CASE WHEN hu >= 9223372036854775808::HUGEINT
+                                    THEN 18446744073709551616::HUGEINT
+                                    ELSE 0::HUGEINT END
+                          AS BIGINT) AS sig
+              FROM (
+                SELECT doc_id,
+                       xor(
+                         ((doc_id % 50 + 1)::HUGEINT
+                            * 11400714819323198485::HUGEINT)
+                           % 18446744073709551616::HUGEINT,
+                         CASE WHEN doc_id >= 50
+                              THEN (1::HUGEINT
+                                    << CAST((doc_id // 50) % 64 AS INTEGER))
+                              ELSE 0::HUGEINT END
+                       ) AS hu
+                FROM documents WHERE doc_id < 300
+              )
+            ), e AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM h a JOIN h b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.sig, b.sig)) <= 2
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM e
+              UNION SELECT id_b AS src, id_a AS dst FROM e
+            ), r(id, comp) AS (
+              SELECT doc_id, doc_id FROM h
+              UNION
+              SELECT edges.dst, r.comp FROM r JOIN edges ON edges.src = r.id
+              WHERE r.comp < edges.dst
+            ), cc AS (
+              SELECT id, MIN(comp) AS comp FROM r GROUP BY id
+            )
+            SELECT id AS media_id, 'png' AS format
+            FROM cc WHERE id = comp
         """,
         # Audio near-dup: the energy-envelope codes, their md5_60
         # 4-gram keys, and the pair counts all replay from id

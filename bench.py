@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "jpeg_metadata",            # real baseline JPEG encode+decode via mapInPandas
     "video_near_dups",          # per-frame dhash + shared-key overlap miner
     "audio_near_dups",          # energy-envelope code grams + overlap miner
+    "incremental_image_dedup",  # arrival machinery for images (shared state class)
 ]
 
 # Queries added DURING the current round (reset to empty at each round
@@ -160,6 +161,7 @@ CURRENT_ROUND_ADDITIONS = frozenset(
         "jpeg_metadata",
         "video_near_dups",
         "audio_near_dups",
+        "incremental_image_dedup",
     }
 )
 PREV_ROUND_QUERIES = (

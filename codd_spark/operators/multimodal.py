@@ -905,3 +905,296 @@ def stepped_wav_media_from_ids(ids: DataFrame, id_col: str = "media_id") -> Data
     if out.rdd.getNumPartitions() < par:
         out = out.repartition(par, F.col(id_col))
     return out.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+class IncrementalImageDeduplicator:
+    """Arrival-order perceptual image dedup for a continuous crawl —
+    the image twin of ``dedup.IncrementalDeduplicator``: each
+    ``add_batch(media)`` keeps exactly the images that are not
+    near-duplicates (Hamming(hash) <= ``max_hamming``) of anything
+    already KEPT, electing the min-id keeper within the batch's own
+    closure first (greedy earlier-kept-wins; one batch ==
+    ``image_near_duplicates`` + closure keeper election, pinned in
+    tests).
+
+    State = the SAME restart-surviving machinery as the text
+    deduplicator (``dedup._BucketedMinhashState``): the (chunk, value)
+    pigeonhole buckets ride the (band, h)-bucketed parquet table —
+    probes stay zero-Exchange on the state side — and the 64-bit
+    signature rides the shingle table as a 1-element array. All of the
+    crash matrix, orphan-sweep, compaction, and HCFS backends
+    (statefs.py) apply unchanged. In-memory mode (no ``state_dir``)
+    localCheckpoints per arrival.
+
+    Per-arrival cost is O(batch): the only Python stage is the batch's
+    own decode+hash pass; candidate joins shuffle the O(batch) side
+    against bucketed state."""
+
+    def __init__(
+        self,
+        spark,
+        id_col: str = "media_id",
+        *,
+        method: str = "dhash",
+        decode: str = "real",
+        max_hamming: int = 2,
+        n_chunks: int = 4,
+        max_bucket_size: int = 1000,
+        seed: DataFrame | None = None,
+        state_dir: str | None = None,
+        state_buckets: int = 32,
+    ):
+        from codd_spark.operators.dedup import _BucketedMinhashState
+
+        if 64 % n_chunks != 0:
+            raise ValueError("n_chunks must divide 64")
+        if max_hamming > n_chunks - 1:
+            raise ValueError(
+                f"max_hamming={max_hamming} needs n_chunks>={max_hamming + 1}"
+            )
+        self.spark = spark
+        self.id_col = id_col
+        self.params = dict(method=method, decode=decode, n_chunks=n_chunks)
+        self.max_hamming = max_hamming
+        self.max_bucket_size = max_bucket_size
+        self.n_kept = 0
+        self._state = None
+        if state_dir is not None:
+            resuming = _BucketedMinhashState.exists(state_dir, spark)
+            self._state = _BucketedMinhashState(
+                spark,
+                state_dir,
+                n_buckets=state_buckets,
+                params=self.params,
+                extra=dict(
+                    kind="image_dedup",
+                    id_col=id_col,
+                    max_hamming=max_hamming,
+                    max_bucket_size=max_bucket_size,
+                ),
+            )
+            if resuming:
+                if seed is not None:
+                    raise ValueError(
+                        "seed only applies to a FRESH state_dir — this one "
+                        "already holds kept-corpus state"
+                    )
+                stored = self._state.extra
+                for key, got in (
+                    ("max_hamming", max_hamming),
+                    ("max_bucket_size", max_bucket_size),
+                ):
+                    if stored.get(key) != got:
+                        raise ValueError(
+                            f"state_dir {state_dir} was prepared with "
+                            f"{key}={stored.get(key)}, got {got} — reopen "
+                            "via .open() or pass the stored value"
+                        )
+                self.n_kept = self._state.shingles().count()
+            elif seed is not None:
+                sb, ss, sigs = self._prep(seed)
+                self._state.append(self._guard(sb), ss)
+                sigs.unpersist()
+                self.n_kept = self._state.shingles().count()
+            return
+        empty_b = spark.createDataFrame([], "id LONG, band INT, h LONG")
+        empty_s = spark.createDataFrame([], "id LONG, sh ARRAY<LONG>")
+        self._buckets, self._shingled = empty_b, empty_s
+        if seed is not None:
+            sb, ss, sigs = self._prep(seed)
+            self._buckets = self._guard(sb).localCheckpoint(eager=True)
+            self._shingled = ss.localCheckpoint(eager=True)
+            sigs.unpersist()
+            self.n_kept = self._shingled.count()
+
+    @classmethod
+    def open(cls, spark, state_dir: str) -> "IncrementalImageDeduplicator":
+        from codd_spark.operators.dedup import _BucketedMinhashState
+
+        if not _BucketedMinhashState.exists(state_dir, spark):
+            raise ValueError(f"no incremental image-dedup state at {state_dir}")
+        st = _BucketedMinhashState(spark, state_dir)
+        e = st.extra
+        return cls(
+            spark,
+            e["id_col"],
+            method=st.params["method"],
+            decode=st.params["decode"],
+            n_chunks=int(st.params["n_chunks"]),
+            max_hamming=int(e["max_hamming"]),
+            max_bucket_size=int(e["max_bucket_size"]),
+            state_dir=state_dir,
+            state_buckets=st.n_buckets,
+        )
+
+    @property
+    def _kept_buckets(self) -> DataFrame:
+        return self._state.buckets() if self._state is not None else self._buckets
+
+    @property
+    def _kept_sigs(self) -> DataFrame:
+        return self._state.shingles() if self._state is not None else self._shingled
+
+    def _prep(self, batch: DataFrame):
+        """(chunk buckets, [sig] rows, persisted sig projection) for one
+        arriving media batch — the Python decode+hash pass runs ONCE and
+        both derived tables read its cache."""
+        n_chunks = self.params["n_chunks"]
+        width = 64 // n_chunks
+        mask = (1 << width) - 1
+        sigs = (
+            image_phash(
+                batch.select(F.col(self.id_col).alias("media_id"), "payload"),
+                method=self.params["method"],
+                decode=self.params["decode"],
+            )
+            .select(F.col("media_id").alias("id"), "sig")
+            .persist()
+        )
+        buckets = sigs.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftright("sig", i * width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("h"),
+                        )
+                        for i in range(n_chunks)
+                    ]
+                )
+            ).alias("ck"),
+        ).select("id", F.col("ck.band").alias("band"), F.col("ck.h").alias("h"))
+        sh = sigs.select("id", F.array("sig").alias("sh"))
+        return buckets, sh, sigs
+
+    def _guard(self, buckets: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window as _W
+
+        return (
+            buckets.withColumn(
+                "bsz", F.count("*").over(_W.partitionBy("band", "h"))
+            )
+            .filter(F.col("bsz") <= self.max_bucket_size)
+            .select("id", "band", "h")
+        )
+
+    def _verify(self, cand: DataFrame, sh_l: DataFrame, sh_r: DataFrame) -> DataFrame:
+        """Exact Hamming filter of candidate (id_l, id_r) pairs — the
+        signatures ride 1-element arrays in the shared state schema."""
+        return (
+            cand.join(
+                sh_l.select(
+                    F.col("id").alias("id_l"),
+                    F.element_at("sh", 1).alias("sig_l"),
+                ).hint("shuffle_merge"),
+                on="id_l",
+            )
+            .join(
+                sh_r.select(
+                    F.col("id").alias("id_r"),
+                    F.element_at("sh", 1).alias("sig_r"),
+                ).hint("shuffle_merge"),
+                on="id_r",
+            )
+            .filter(
+                F.bit_count(
+                    F.col("sig_l").bitwiseXOR(F.col("sig_r"))
+                )
+                <= self.max_hamming
+            )
+            .select("id_l", "id_r")
+        )
+
+    def add_batch(self, batch: DataFrame) -> DataFrame:
+        """Process one arriving media batch; returns the KEPT rows
+        (original columns) and appends their hash state for future
+        arrivals."""
+        from codd_spark.operators.dedup import _safe_unpersist
+        from codd_spark.operators.graph import dedup_clusters
+
+        bb_raw, bsh, sigs = self._prep(batch)
+        bb = self._guard(bb_raw)
+
+        # 1. within-batch closure -> min-id keeper per cluster
+        cand_in = (
+            bb.select("band", "h", F.col("id").alias("id_l"))
+            .join(
+                bb.select("band", "h", F.col("id").alias("id_r")).hint(
+                    "shuffle_merge"
+                ),
+                on=["band", "h"],
+            )
+            .filter(F.col("id_l") < F.col("id_r"))
+            .select("id_l", "id_r")
+            .distinct()
+        )
+        pairs_in = self._verify(cand_in, bsh, bsh)
+        keepers = (
+            dedup_clusters(
+                batch.select(self.id_col), pairs_in, self.id_col, "id_l", "id_r"
+            )
+            .filter("is_keeper")
+            .select(self.id_col)
+        )
+
+        # 2. batch keepers vs the kept corpus (bucketed state side:
+        # zero-Exchange probe in persistent mode)
+        kb = bb.join(
+            keepers.withColumnRenamed(self.id_col, "id").hint("shuffle_merge"),
+            on="id",
+            how="left_semi",
+        )
+        cand_x = (
+            self._kept_buckets.select("band", "h", F.col("id").alias("id_l"))
+            .join(
+                kb.select("band", "h", F.col("id").alias("id_r")).hint(
+                    "shuffle_merge"
+                ),
+                on=["band", "h"],
+            )
+            .select("id_l", "id_r")
+            .distinct()
+        )
+        dropped = (
+            self._verify(cand_x, self._kept_sigs, bsh)
+            .select(F.col("id_r").alias(self.id_col))
+            .distinct()
+        )
+        survivors = keepers.join(
+            dropped.hint("shuffle_merge"), on=self.id_col, how="left_anti"
+        ).localCheckpoint(eager=True)
+
+        # 3. append survivor state
+        sid = survivors.withColumnRenamed(self.id_col, "id")
+        new_b = kb.join(sid.hint("shuffle_merge"), on="id", how="left_semi")
+        new_s = bsh.join(sid.hint("shuffle_merge"), on="id", how="left_semi")
+        if self._state is not None:
+            self._state.append(new_b, new_s)
+        else:
+            self._buckets = self._buckets.union(new_b).localCheckpoint(eager=True)
+            self._shingled = self._shingled.union(new_s).localCheckpoint(eager=True)
+        _safe_unpersist(sigs)
+        self.n_kept += survivors.count()
+
+        return batch.join(
+            survivors.hint("shuffle_merge"), on=self.id_col, how="left_semi"
+        )
+
+    def compact(self) -> dict:
+        """Consolidate persistent-state generations (see
+        ``_BucketedMinhashState.compact``); in-memory mode is a no-op."""
+        if self._state is None:
+            return {"generation": None, "files_swept": 0}
+        return self._state.compact()
+
+    def close(self) -> None:
+        pass  # persistent state needs no release; in-memory dies with gc
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
