@@ -1706,3 +1706,41 @@ def test_audio_spectral_fingerprint_properties(spark):
 
     assert ber(sigs[0], sigs[1]) <= 0.25   # noisy copy: low bit error
     assert ber(sigs[0], sigs[3]) >= 0.35   # unrelated: near-random bits
+
+
+def test_audio_spectral_path_through_miner(spark):
+    """The spectral fingerprint must also flow through
+    audio_near_duplicates end-to-end: byte-identical copies share every
+    frame hash (deterministic kernel), so the pair surfaces with
+    frac = 1.0; the unrelated clip pairs with neither."""
+    import numpy as np
+
+    from codd_spark.functions.imaging import encode_wav
+    from codd_spark.operators.multimodal import audio_near_duplicates
+
+    rng = np.random.default_rng(5)
+    n = 48000
+    base = np.convolve(rng.normal(0, 6000, n), [0.25, 0.5, 0.25], "same")
+    a = np.clip(base, -32767, 32767).astype(np.int16)
+    other = np.clip(
+        np.convolve(rng.normal(0, 6000, n), [0.25, 0.5, 0.25], "same"),
+        -32767,
+        32767,
+    ).astype(np.int16)
+    media = spark.createDataFrame(
+        [
+            (0, "audio", "wav", bytearray(encode_wav(a))),
+            (1, "audio", "wav", bytearray(encode_wav(a))),
+            (2, "audio", "wav", bytearray(encode_wav(other))),
+        ],
+        "media_id LONG, kind STRING, format STRING, payload BINARY",
+    )
+    got = {
+        (r.id_a, r.id_b): (r.n_shared, r.frac_a)
+        for r in audio_near_duplicates(
+            media, method="spectral", min_shared=3
+        ).collect()
+    }
+    assert set(got) == {(0, 1)}
+    ns, fa = got[(0, 1)]
+    assert fa == 1.0 and ns >= 3
