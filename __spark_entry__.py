@@ -3513,6 +3513,27 @@ def q_incremental_image_dedup(spark, sf_dir):
     return kept.select("media_id", "format")
 
 
+def q_curate_media(spark, sf_dir):
+    """End-to-end media curation contract (round 9 —
+    multimodal.py::curate_media, the image counterpart of
+    curate_corpus): real decoded-dimension gates + exact payload dedup
+    + perceptual near-dup removal with min-id keeper election, over the
+    closed-form gradient corpus. The oracle replays the whole pipeline
+    from id arithmetic: every gradient PNG is 9x8 (passes the gates),
+    payloads are distinct (exact dedup is a verified no-op), and the
+    Hamming closures are the id%50 bases — keepers = the closure minima
+    (recursive CTE, same construction as incremental_image_dedup)."""
+    from codd_spark.operators.multimodal import (
+        curate_media,
+        gradient_png_media_from_ids,
+    )
+
+    ids = read_table(spark, sf_dir, "documents").select("doc_id").where("doc_id < 300")
+    media = gradient_png_media_from_ids(ids, "doc_id")
+    out = curate_media(media, min_width=9, min_height=8, near_dup_hamming=2)
+    return out.select("media_id", "format")
+
+
 def q_audio_near_dups(spark, sf_dir):
     """Audio near-dup contract (round 9): synthesize stepped
     constant-amplitude WAVs whose per-block energy-envelope codes are
@@ -3812,6 +3833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_near_dups": q_video_near_dups,
         "audio_near_dups": q_audio_near_dups,
         "incremental_image_dedup": q_incremental_image_dedup,
+        "curate_media_pipeline": q_curate_media,
     }
 
 
@@ -6518,6 +6540,48 @@ def oracle_sql() -> dict[str, str]:
         # closure over the closed-form gradient hashes (same hash
         # construction as image_near_dups), recursive-CTE closure.
         "incremental_image_dedup": """
+            WITH RECURSIVE h AS (
+              SELECT doc_id,
+                     CAST(hu - CASE WHEN hu >= 9223372036854775808::HUGEINT
+                                    THEN 18446744073709551616::HUGEINT
+                                    ELSE 0::HUGEINT END
+                          AS BIGINT) AS sig
+              FROM (
+                SELECT doc_id,
+                       xor(
+                         ((doc_id % 50 + 1)::HUGEINT
+                            * 11400714819323198485::HUGEINT)
+                           % 18446744073709551616::HUGEINT,
+                         CASE WHEN doc_id >= 50
+                              THEN (1::HUGEINT
+                                    << CAST((doc_id // 50) % 64 AS INTEGER))
+                              ELSE 0::HUGEINT END
+                       ) AS hu
+                FROM documents WHERE doc_id < 300
+              )
+            ), e AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM h a JOIN h b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.sig, b.sig)) <= 2
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM e
+              UNION SELECT id_b AS src, id_a AS dst FROM e
+            ), r(id, comp) AS (
+              SELECT doc_id, doc_id FROM h
+              UNION
+              SELECT edges.dst, r.comp FROM r JOIN edges ON edges.src = r.id
+              WHERE r.comp < edges.dst
+            ), cc AS (
+              SELECT id, MIN(comp) AS comp FROM r GROUP BY id
+            )
+            SELECT id AS media_id, 'png' AS format
+            FROM cc WHERE id = comp
+        """,
+        # curate_media over the gradient corpus: gates pass everything
+        # (all 9x8), exact dedup is a no-op (distinct payloads), so the
+        # output is exactly the Hamming-closure min-id keepers — the
+        # same replay as incremental_image_dedup.
+        "curate_media_pipeline": """
             WITH RECURSIVE h AS (
               SELECT doc_id,
                      CAST(hu - CASE WHEN hu >= 9223372036854775808::HUGEINT

@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "video_near_dups",          # per-frame dhash + shared-key overlap miner
     "audio_near_dups",          # energy-envelope code grams + overlap miner
     "incremental_image_dedup",  # arrival machinery for images (shared state class)
+    "curate_media_pipeline",    # gates + exact dedup + perceptual keeper election
 ]
 
 # Queries added DURING the current round (reset to empty at each round
@@ -162,6 +163,7 @@ CURRENT_ROUND_ADDITIONS = frozenset(
         "video_near_dups",
         "audio_near_dups",
         "incremental_image_dedup",
+        "curate_media_pipeline",
     }
 )
 PREV_ROUND_QUERIES = (

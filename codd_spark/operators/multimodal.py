@@ -1198,3 +1198,74 @@ class IncrementalImageDeduplicator:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def curate_media(
+    df: DataFrame,
+    id_col: str = "media_id",
+    *,
+    decode: str = "real",
+    min_width: int = 0,
+    min_height: int = 0,
+    max_aspect: float | None = None,
+    exact_dedup: bool = True,
+    near_dup_hamming: int | None = 2,
+    method: str = "dhash",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Curated image set — the media counterpart of
+    ``pipeline.curate_corpus``: metadata filters (real decoded
+    dimensions / aspect ratio — the standard pretraining-image gates),
+    exact dedup on the payload hash, then perceptual near-dup removal
+    (min-id keeper per Hamming closure over ``image_near_duplicates``).
+
+    Stage shapes: ONE Arrow decode pass produces both the dimension
+    features and (via the shared codec path) the perceptual hash; exact
+    dedup is a fingerprint groupBy; near-dup removal reuses the
+    chunk-pigeonhole miner + connected components with the min-id
+    election, so everything after the decode moves small rows.
+    ``near_dup_hamming=None`` skips the perceptual stage (the remaining
+    pipeline is fully SQL-checkable; the closure stage is too, on
+    closed-form corpora)."""
+    from codd_spark.operators.graph import dedup_clusters
+
+    feats = decode_image_features(df, decode=decode).select(
+        F.col("media_id").alias(id_col), "width", "height", "sha1"
+    )
+    # feats is corpus-derived (one row per payload) — plain join, let
+    # AQE pick the strategy
+    kept = df.join(feats, on=id_col).filter(
+        (F.col("width") >= min_width) & (F.col("height") >= min_height)
+    )
+    if max_aspect is not None:
+        kept = kept.filter(
+            F.greatest("width", "height").cast("double")
+            / F.least("width", "height")
+            <= max_aspect
+        )
+    if exact_dedup:
+        # deterministic keeper = min id per exact payload hash
+        winners = kept.groupBy("sha1").agg(F.min(id_col).alias(id_col))
+        kept = kept.join(winners, on=["sha1", id_col])
+    kept = kept.drop("width", "height", "sha1")
+    if near_dup_hamming is not None:
+        pairs = image_near_duplicates(
+            kept.select(F.col(id_col).alias("media_id"), "payload"),
+            method=method,
+            decode=decode,
+            max_hamming=near_dup_hamming,
+            max_bucket_size=max_bucket_size,
+        )
+        keepers = (
+            dedup_clusters(
+                kept.select(F.col(id_col).alias("media_id")),
+                pairs,
+                "media_id",
+                "id_a",
+                "id_b",
+            )
+            .filter("is_keeper")
+            .select(F.col("media_id").alias(id_col))
+        )
+        kept = kept.join(keepers.hint("shuffle_merge"), on=id_col, how="left_semi")
+    return kept

@@ -1744,3 +1744,31 @@ def test_audio_spectral_path_through_miner(spark):
     assert set(got) == {(0, 1)}
     ns, fa = got[(0, 1)]
     assert fa == 1.0 and ns >= 3
+
+
+def test_curate_media_pipeline(spark):
+    """curate_media composes real-decode gates, exact dedup, and
+    perceptual near-dup removal: gradient PNGs (distinct payloads, all
+    9x8) keep exactly the Hamming-closure min-id keepers; a tighter
+    width gate empties the set; duplicated payloads collapse to min id
+    under exact dedup alone."""
+    from codd_spark.operators.multimodal import (
+        curate_media,
+        gradient_png_media_from_ids,
+    )
+
+    media = gradient_png_media_from_ids(
+        spark.range(0, 150).selectExpr("id AS media_id")
+    ).localCheckpoint(eager=True)
+    kept = sorted(
+        r.media_id
+        for r in curate_media(
+            media, min_width=9, min_height=8, near_dup_hamming=2
+        ).collect()
+    )
+    assert kept == list(range(50))
+    assert curate_media(media, min_width=10, near_dup_hamming=None).count() == 0
+    dup = media.union(media.withColumn("media_id", media.media_id + 1000))
+    out = curate_media(dup, near_dup_hamming=None)
+    assert out.count() == 150
+    assert out.agg({"media_id": "max"}).first()[0] == 149
