@@ -166,7 +166,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while True:
         if data[i] != 0xFF:
             raise ValueError("marker expected in header stream")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before the
+        # marker code byte
+        while data[i + 1] == 0xFF:
+            i += 1
         marker = data[i + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone markers (TEM, RSTn): no length segment follows
+            i += 2
+            continue
         if marker == 0xD9:
             raise ValueError("EOI before SOS (no image data)")
         seglen = int.from_bytes(data[i + 2 : i + 4], "big")

@@ -24,7 +24,13 @@ reference's semi-naive stabilize, core/src/database.rs:317-336).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import NumericType
+from pyspark.sql.types import (
+    ByteType,
+    IntegerType,
+    LongType,
+    NumericType,
+    ShortType,
+)
 
 
 def _is_numeric_type(dt) -> bool:
@@ -127,9 +133,10 @@ def connected_components(
     # int(), and digit-strings would silently change the output dtype
     # and min-ordering semantics. Non-integral ids always take the
     # distributed loop, whatever the edge count.
-    integral = {"byte", "short", "int", "bigint", "long", "integer"}
-    edge_types = {f.dataType.simpleString() for f in edges.schema.fields}
-    if edge_types <= integral:
+    # NB: simpleString() yields 'tinyint'/'smallint'/'int'/'bigint' —
+    # gate on the DataType classes so byte/short ids take the fast path
+    integral_types = (ByteType, ShortType, IntegerType, LongType)
+    if all(isinstance(f.dataType, integral_types) for f in edges.schema.fields):
         n_edges = edges.limit(_CC_DRIVER_EDGE_LIMIT + 1).count()
     else:
         n_edges = _CC_DRIVER_EDGE_LIMIT + 1

@@ -701,7 +701,10 @@ def audio_energy_codes(df: DataFrame, *, window: int = 1600) -> DataFrame:
         for pdf in batches:
             mids, idxs, codes = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                s = imaging.wav_samples(bytes(payload or b""))
+                raw = bytes(payload or b"")
+                if not raw:  # NULL/empty payload: no codes, not a crash
+                    continue
+                s = imaging.wav_samples(raw)
                 n = len(s) // window
                 for i in range(n):
                     blk = s[i * window : (i + 1) * window]
@@ -737,7 +740,10 @@ def audio_spectral_hashes(
         for pdf in batches:
             mids, idxs, codes = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                s = imaging.wav_samples(bytes(payload or b""))
+                raw = bytes(payload or b"")
+                if not raw:  # NULL/empty payload: no codes, not a crash
+                    continue
+                s = imaging.wav_samples(raw)
                 if len(s) < frame:
                     continue
                 n_frames = 1 + (len(s) - frame) // hop
@@ -819,14 +825,18 @@ def audio_near_duplicates(
             lambda s: s["code"],
         ).alias("seq")
     )
+    # guard: sequence(1, 0) generates a DESCENDING [1, 0] whose i=0
+    # slice() throws — clips shorter than one k-gram (< k*window
+    # samples, e.g. <0.4 s at defaults) must contribute zero keys
+    n_grams = F.size("seq") - (k - 1)
+    positions = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.array().cast("array<int>")
+    )
     grams = seq.select(
         "media_id",
         F.explode(
             F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.size("seq") - (k - 1), F.lit(0)),
-                ),
+                positions,
                 lambda i: F.conv(
                     F.substring(
                         F.md5(

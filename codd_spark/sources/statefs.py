@@ -180,21 +180,45 @@ class HadoopStateFS:
         """Highest version that parses as complete JSON. A partially
         written version (possible only for the head, and only on stores
         where create+close is not atomic) falls back to its
-        predecessor — which described a consistent committed state."""
+        predecessor — which described a consistent committed state.
+
+        Fallback is ONLY for decode errors (truncated/torn content that
+        was READ successfully). An IO/py4j error reading a version is
+        re-raised after bounded retries: a transient HDFS/S3A blip must
+        not masquerade as a torn write — silently regressing to an
+        older committed_gen would let the next open's orphan sweep
+        delete generation directories a NEWER manifest had committed,
+        turning a read blip into permanent state loss."""
         versions = self._manifest_versions()
         if not versions:
             raise FileNotFoundError(f"no manifest versions in {self.state_dir}")
         last: Exception | None = None
         for v in reversed(versions):
+            path = self.join(self.state_dir, f"manifest-v{v}.json")
+            text = None
+            io_err: Exception | None = None
+            for _attempt in range(3):  # bounded retry for transient IO
+                try:
+                    text = self._read_text(path)
+                    io_err = None
+                    break
+                except Exception as e:
+                    io_err = e
+            if io_err is not None:
+                raise IOError(
+                    f"reading {path} failed after retries — refusing to "
+                    "fall back to an older manifest version on an IO "
+                    "error (that would regress committed_gen and expose "
+                    "newer committed generations to the orphan sweep): "
+                    f"{io_err}"
+                ) from io_err
             try:
-                return json.loads(
-                    self._read_text(self.join(self.state_dir, f"manifest-v{v}.json"))
-                )
-            except Exception as e:  # JSON errors or py4j IO errors
-                last = e
-                continue
+                return json.loads(text)
+            except (json.JSONDecodeError, UnicodeDecodeError) as e:
+                last = e  # torn/partial content: predecessor is the
+                continue  # last consistent committed state
         raise RuntimeError(
-            f"every manifest version in {self.state_dir} is unreadable: {last}"
+            f"every manifest version in {self.state_dir} is torn/undecodable: {last}"
         )
 
     def commit_manifest(self, m: dict) -> None:

@@ -1772,3 +1772,43 @@ def test_curate_media_pipeline(spark):
     out = curate_media(dup, near_dup_hamming=None)
     assert out.count() == 150
     assert out.agg({"media_id": "max"}).first()[0] == 149
+
+
+def test_audio_near_duplicates_short_clips_contribute_no_keys(spark):
+    """ADVICE r9: a clip with fewer than k code blocks (< k*window
+    samples — under 0.4 s at defaults) made sequence(1, 0) emit the
+    DESCENDING [1, 0], whose i=0 slice() crashed the WHOLE job. Short
+    clips must contribute zero gram keys: the job completes and the
+    long-clip pairs are exactly what they'd be without the shorts."""
+    import numpy as np
+
+    from codd_spark.functions.imaging import encode_wav
+    from codd_spark.operators.multimodal import (
+        audio_near_duplicates,
+        stepped_wav_media_from_ids,
+    )
+
+    ids = spark.range(0, 80).selectExpr("id AS media_id")
+    long_media = stepped_wav_media_from_ids(ids)
+    want = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in audio_near_duplicates(long_media, min_shared=3).collect()
+    }
+    assert want  # the shifted-copy pairs exist
+
+    # 3 blocks (4800 samples) < k=4, plus a zero-length payload
+    shorts = spark.createDataFrame(
+        [
+            (1000, "audio", "wav",
+             bytearray(encode_wav(np.full(4800, 777, dtype=np.int16)))),
+            (1001, "audio", "wav", bytearray(b"")),
+        ],
+        "media_id LONG, kind STRING, format STRING, payload BINARY",
+    )
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in audio_near_duplicates(
+            long_media.unionByName(shorts), min_shared=3
+        ).collect()
+    }
+    assert got == want

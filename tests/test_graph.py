@@ -375,3 +375,34 @@ def test_cc_int32_ids_keep_dtype_on_driver_path(spark):
     assert {(r.id, r.component) for r in out.collect()} == {
         (1, 1), (2, 1), (3, 3), (4, 3),
     }
+
+
+def test_cc_tinyint_smallint_ids_take_driver_path(spark, monkeypatch):
+    """ADVICE r9: simpleString() yields 'tinyint'/'smallint' for
+    byte/short ids, so the r9 set-based gate never let them onto the
+    driver union-find fast path. The gate now tests DataType classes:
+    small integral graphs under the edge limit must take the driver
+    path AND keep the input dtype."""
+    import codd_spark.operators.graph as g
+
+    called = {"n": 0}
+    real = g._driver_union_find
+
+    def spy(session, edges):
+        called["n"] += 1
+        return real(session, edges)
+
+    monkeypatch.setattr(g, "_driver_union_find", spy)
+    for sql_t, simple in [("TINYINT", "tinyint"), ("SMALLINT", "smallint")]:
+        pairs = spark.createDataFrame(
+            [(1, 2), (3, 4)], f"id_a {sql_t}, id_b {sql_t}"
+        )
+        out = connected_components(pairs)
+        assert [f.dataType.simpleString() for f in out.schema.fields] == [
+            simple,
+            simple,
+        ]
+        assert {(r.id, r.component) for r in out.collect()} == {
+            (1, 1), (2, 1), (3, 3), (4, 3),
+        }
+    assert called["n"] == 2

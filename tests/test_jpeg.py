@@ -96,3 +96,17 @@ def test_codec_dispatcher_routes_jpeg(spark):
     # perceptual hash over JPEG payloads: flat images hash to dhash 0
     sigs = {r.media_id: r.sig for r in image_phash(media, method="dhash").collect()}
     assert set(sigs.values()) == {0}
+
+
+def test_fill_bytes_and_standalone_markers_in_header():
+    """ADVICE r9: T.81 B.1.1.2 permits any number of 0xFF fill bytes
+    before a marker code, and standalone markers (TEM 0x01, RSTn) carry
+    no length segment. Conformant encoders emit both; the header walk
+    must skip them instead of raising 'marker expected'."""
+    img = (np.arange(16 * 16, dtype=np.uint8).reshape(16, 16) * 3) % 256
+    clean = encode_jpeg(img)
+    want = decode_jpeg(clean)
+    # splice fill padding + TEM + RST0 right after SOI
+    padded = clean[:2] + b"\xff\xff\xff" + b"\xff\x01" + b"\xff\xd0" + clean[2:]
+    got = decode_jpeg(bytes(padded))
+    assert np.array_equal(got, want)

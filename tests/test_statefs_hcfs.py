@@ -236,3 +236,43 @@ def test_exists_requires_spark_for_uris(spark, tmp_path, viewfs):
         _BucketedMinhashState.exists(uri)
     assert _BucketedMinhashState.exists(uri, spark) is False
     assert _BucketedMinhashState.exists(str(tmp_path / "nope")) is False
+
+
+def test_io_error_reading_head_raises_not_falls_back(spark, viewfs, monkeypatch):
+    """ADVICE r9: a TRANSIENT IO error reading the head manifest must
+    not masquerade as a torn write. Falling back to an older version
+    would regress committed_gen, and the next open's orphan sweep would
+    delete generation directories the newer manifest had committed —
+    permanent loss from a read blip. Decode errors (truncated content
+    read successfully) still fall back; IO errors re-raise after
+    bounded retries."""
+    uri, _local = viewfs
+    fs = resolve_statefs(spark, uri)
+    fs.mkdirs()
+    fs.commit_manifest({"committed_gen": 1})
+    fs.commit_manifest({"committed_gen": 2})
+    head = fs._manifest_versions()[-1]
+
+    real = HadoopStateFS._read_text
+
+    def flaky(self, path, _n=[0]):
+        if path.endswith(f"manifest-v{head}.json"):
+            _n[0] += 1
+            raise RuntimeError("simulated transient HDFS read failure")
+        return real(self, path)
+
+    monkeypatch.setattr(HadoopStateFS, "_read_text", flaky)
+    with pytest.raises(IOError, match="refusing to fall back"):
+        fs.read_manifest()
+
+    # transient means transient: fails twice, succeeds on the retry
+    calls = {"n": 0}
+
+    def recovers(self, path):
+        if path.endswith(f"manifest-v{head}.json") and calls["n"] < 2:
+            calls["n"] += 1
+            raise RuntimeError("blip")
+        return real(self, path)
+
+    monkeypatch.setattr(HadoopStateFS, "_read_text", recovers)
+    assert fs.read_manifest()["committed_gen"] == 2
