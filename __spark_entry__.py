@@ -3682,13 +3682,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom_stream": q_decontaminate_bloom_stream,
         # --- event-time queries (1 row) ---
         "user_sessions": q_user_sessions,
-        # --- one representative per join/agg/window/text class (10 rows) ---
+        # --- one representative per join/agg/window/text class (r10
+        # rotated OUT asof_join_events ~ range_join_value_bands +
+        # user_sessions (non-equi event-time joins), token_count_bpe ~
+        # heavy_hitter_words/bigram_surprisal (token pipelines),
+        # split_train_val_test ~ quality_classifier (deterministic
+        # hash-split synthesis), dedup_exact_documents ~
+        # minhash/fuzzy/curate_media_pipeline (dedup class) — all four
+        # stay oracle-replayed in test_oracle_window.py ---
         "agg_pricing_summary": q_agg_pricing_summary,
-        "asof_join_events": q_asof_join_events,
-        "token_count_bpe": q_token_count_bpe,
         "range_join_value_bands": q_range_join_value_bands,
-        "split_train_val_test": q_split_train_val_test,
-        "dedup_exact_documents": q_dedup_exact_documents,
         # --- round-8 stateful-streaming contracts rotated in (2 rows;
         # events_hourly and frame_sample rotated out — class coverage
         # kept in-window by user_sessions/asof_join_events (event-time
@@ -3704,7 +3707,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dups": q_image_near_dups,
         "quality_classifier": q_quality_classifier,
         "jpeg_metadata": q_jpeg_metadata,
+        # --- round-10 rotation: the four r9 additions that had never
+        # been driver-scored (all already oracle-green in the full
+        # sweep) ---
+        "video_near_dups": q_video_near_dups,
+        "audio_near_dups": q_audio_near_dups,
+        "incremental_image_dedup": q_incremental_image_dedup,
+        "curate_media_pipeline": q_curate_media,
         # ---------------- end of the driver's 50-query window ----------------
+        # rotated out r9->r10 (see the rotation note above)
+        "asof_join_events": q_asof_join_events,
+        "token_count_bpe": q_token_count_bpe,
+        "split_train_val_test": q_split_train_val_test,
+        "dedup_exact_documents": q_dedup_exact_documents,
         # rotated out r8->r9 (see the rotation note above)
         "dedup_clusters": q_dedup_clusters,
         "tf_idf_top_terms": q_tf_idf_top_terms,
@@ -3829,11 +3844,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "histogram_prices": q_histogram_prices,
         "weighted_sample": q_weighted_sample,
-        # --- round-9 additions past the window (oracle-swept + bench) ---
-        "video_near_dups": q_video_near_dups,
-        "audio_near_dups": q_audio_near_dups,
-        "incremental_image_dedup": q_incremental_image_dedup,
-        "curate_media_pipeline": q_curate_media,
     }
 
 

@@ -98,6 +98,18 @@ ROTATED_OUT = [
     "chunk_documents",
     "pagerank_interactions",
     "window_top3_orders_per_cust",
+    # r9 -> r10 (made room for video_near_dups, audio_near_dups,
+    # incremental_image_dedup, curate_media_pipeline; class coverage
+    # kept in-window: asof_join_events ~ range_join_value_bands +
+    # user_sessions, token_count_bpe ~ heavy_hitter_words +
+    # bigram_surprisal, split_train_val_test ~ quality_classifier's
+    # deterministic hash-split synthesis, dedup_exact_documents ~
+    # minhash_near_dups / fuzzy_dedup_docs / curate_media_pipeline's
+    # exact-dedup stage)
+    "asof_join_events",
+    "token_count_bpe",
+    "split_train_val_test",
+    "dedup_exact_documents",
 ]
 
 FLAGSHIPS = [
@@ -135,6 +147,11 @@ FLAGSHIPS = [
     "image_near_dups",
     "quality_classifier",
     "jpeg_metadata",
+    # rotated into the scored window r9 -> r10
+    "video_near_dups",
+    "audio_near_dups",
+    "incremental_image_dedup",
+    "curate_media_pipeline",
 ]
 
 # round-4 operators registered past the scored window: replay with the
