@@ -3535,15 +3535,17 @@ def q_curate_media(spark, sf_dir):
 
 
 def q_audio_near_dups(spark, sf_dir):
-    """Audio near-dup contract (round 9): synthesize stepped
-    constant-amplitude WAVs whose per-block energy-envelope codes are
-    closed forms of the id (block RMS is EXACTLY the segment amplitude,
-    so floor(log2(1+rms)) recovers the code; audios sharing id%40 are
-    shifted copies), then run the real pipeline: PCM decode -> per-block
-    RMS codes (Arrow-batched mapInPandas) -> JVM-side md5_60 code
-    4-grams -> the generic shared-key overlap miner. The oracle replays
-    codes, gram keys, and pair counts from id arithmetic without
-    decoding a byte."""
+    """Audio near-dup contract (round 9; r10 widened to the scale-safe
+    default encoding): synthesize stepped constant-amplitude WAVs whose
+    per-block FINE energy codes are closed forms of the id (block RMS
+    is EXACTLY the segment amplitude, placed at the center of its
+    fine-quantization cell so floor(8*log2(1+rms)) recovers the code
+    with >=0.4 margin; audios sharing id%40 are shifted copies), then
+    run the real pipeline at DEFAULTS: PCM decode -> per-block RMS
+    codes (Arrow-batched mapInPandas, per_octave=8) -> JVM-side md5_60
+    code 6-grams -> the generic shared-key overlap miner. The oracle
+    replays codes, gram keys, and pair counts from id arithmetic
+    without decoding a byte."""
     from codd_spark.operators.multimodal import (
         audio_near_duplicates,
         stepped_wav_media_from_ids,
@@ -6636,19 +6638,19 @@ def oracle_sql() -> dict[str, str]:
         "audio_near_dups": """
             WITH c AS (
               SELECT d.doc_id AS vid, s.s AS s,
-                     CAST(CONCAT('0x', substr(md5(CAST(
+                     48 + CAST(CONCAT('0x', substr(md5(CAST(
                        (d.doc_id % 40) * 16 + (d.doc_id // 40) + s.s
-                       AS VARCHAR)), 1, 15)) AS BIGINT) % 15 AS c
-              FROM documents d, (SELECT unnest(range(0, 8)) AS s) s
+                       AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS c
+              FROM documents d, (SELECT unnest(range(0, 12)) AS s) s
               WHERE d.doc_id < 120
             ), seq AS (
               SELECT vid, list(c ORDER BY s) AS cs FROM c GROUP BY vid
             ), g AS (
               SELECT DISTINCT vid,
                      CAST(CONCAT('0x', substr(md5(
-                       array_to_string(cs[i:i+3], ',')), 1, 15)) AS BIGINT)
+                       array_to_string(cs[i:i+5], ',')), 1, 15)) AS BIGINT)
                        AS key
-              FROM (SELECT vid, cs, unnest(range(1, 6)) AS i FROM seq)
+              FROM (SELECT vid, cs, unnest(range(1, 8)) AS i FROM seq)
             ), sz AS (
               SELECT vid, COUNT(*) AS nf FROM g GROUP BY vid
             ), p AS (

@@ -1613,7 +1613,7 @@ def test_video_near_duplicates_end_to_end(spark):
 def test_audio_near_duplicates_end_to_end(spark):
     """Audio near-dup over REAL bytes: stepped constant-amplitude WAVs
     whose energy-envelope codes follow a closed form — the decode ->
-    RMS-code -> md5 4-gram -> shared-key-miner pipeline must agree with
+    RMS-code -> md5 6-gram -> shared-key-miner pipeline must agree with
     a from-scratch Python replica of the construction, pair for pair."""
     import hashlib as _h
 
@@ -1631,12 +1631,13 @@ def test_audio_near_duplicates_end_to_end(spark):
 
     def gram_keys(v):
         cs = [
-            int(_h.md5(str((v % 40) * 16 + v // 40 + s).encode()).hexdigest()[:15], 16) % 15
-            for s in range(8)
+            48
+            + int(_h.md5(str((v % 40) * 16 + v // 40 + s).encode()).hexdigest()[:15], 16) % 64
+            for s in range(12)
         ]
         return {
-            int(_h.md5(",".join(str(c) for c in cs[i : i + 4]).encode()).hexdigest()[:15], 16)
-            for i in range(5)
+            int(_h.md5(",".join(str(c) for c in cs[i : i + 6]).encode()).hexdigest()[:15], 16)
+            for i in range(7)
         }
 
     want = {}
@@ -1796,7 +1797,7 @@ def test_audio_near_duplicates_short_clips_contribute_no_keys(spark):
     }
     assert want  # the shifted-copy pairs exist
 
-    # 3 blocks (4800 samples) < k=4, plus a zero-length payload
+    # 3 blocks (4800 samples) < k=6, plus a zero-length payload
     shorts = spark.createDataFrame(
         [
             (1000, "audio", "wav",

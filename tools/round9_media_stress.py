@@ -72,13 +72,14 @@ def main():
                 for v in pdf["media_id"]:
                     v = int(v)
                     segs = []
-                    for s in range(8):
+                    for s in range(12):
                         kk = (v % bm) * 16 + (v // bm) + s
-                        c = (
+                        c = 48 + (
                             int(hashlib.md5(str(kk).encode()).hexdigest()[:15], 16)
-                            % 15
+                            % 64
                         )
-                        segs.append(np.full(1600, (1 << c) - 1, dtype=np.int16))
+                        amp = round(2.0 ** ((c + 0.5) / 8.0) - 1.0)
+                        segs.append(np.full(1600, amp, dtype=np.int16))
                     out.append(imaging.encode_wav(np.concatenate(segs), 16000))
                 yield pd.DataFrame(
                     {"media_id": pdf["media_id"].astype("int64"),
