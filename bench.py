@@ -284,6 +284,15 @@ def main():
 
         one_pass(cold)   # pays codegen/classloading/first-touch cost
         one_pass(warm)   # steady-state engine numbers (vs BASELINE.md)
+        # a warm pass slower than the cold pass is physically backwards
+        # (warm skips codegen/classloading/first-touch) — it flags a
+        # degraded host regime (page-cache churn, competing load), so
+        # readers discount single-sample deltas (VERDICT r9 item 8)
+        regime = (
+            "degraded"
+            if sum(warm.values()) > sum(cold.values())
+            else "ok"
+        )
 
         # Sub-second entries are host-noise-dominated: a 0.2 s swing reads
         # as a 1.5x "regression" round over round (VERDICT r8 item 2 —
@@ -306,8 +315,24 @@ def main():
                     samples.append(tmp[name])
             warm_samples[name] = samples
             warm[name] = sorted(samples)[len(samples) // 2]
+
+        # Multi-second entries get a SECOND warm sample with the MIN
+        # reported (VERDICT r9 item 8): the r9 round's ambiguity lived in
+        # the 2-8 s band, where a one-sample warm pass on a degraded host
+        # (page cache churn after stress runs; warm totals exceeding cold
+        # totals) manufactured 1.2-1.4x "regressions" that min-of-runs
+        # dissolved. Cold stays excluded — it pays codegen/classloading.
+        for name, first in sorted(warm.items()):
+            if first < 1.0:
+                continue
+            tmp: dict[str, float] = {}
+            timed(name, thunk_for(name), tmp)
+            samples = [first] + ([tmp[name]] if name in tmp else [])
+            warm_samples[name] = samples
+            warm[name] = min(samples)
     except Exception as e:  # noqa: BLE001 — emit the line no matter what
         errors["harness"] = f"{type(e).__name__}: {e}"[:500]
+        regime = "unknown"
 
     # min across passes per query: robust to host contention (warm can
     # occasionally be slower than cold on a noisy host)
@@ -342,10 +367,15 @@ def main():
         "sf": sf,
         "n_ok": len(warm),
         "n_err": n_err,
+        # first-warm-pass total vs cold total: "degraded" means warm ran
+        # slower than cold — a physically backwards regime where
+        # single-sample deltas are host noise, not engine signal
+        "regime": regime,
         # 1 cold + N warm samples per query (N=3 for sub-second entries,
-        # median reported in `queries`; N=1 otherwise) — VERDICT r8
-        # item 2: sub-second swings are host noise, stop reporting them
-        # as round-over-round signal
+        # median reported in `queries`; N=2 for multi-second entries,
+        # min reported) — VERDICT r8 item 2 + r9 item 8: single-sample
+        # swings are host noise, stop reporting them as round-over-round
+        # signal
         "n_runs": {
             n: 1 + len(warm_samples.get(n, [None])) for n in warm
         },
@@ -375,6 +405,7 @@ def main():
         "sf": sf,
         "n_ok": summary["n_ok"],
         "n_err": n_err,
+        "regime": summary["regime"],
         "detail": "BENCH_SUMMARY.json",
     }
     print(json.dumps(compact))

@@ -22,6 +22,7 @@ are computed in one projection pass per document.
 
 from __future__ import annotations
 
+import functools
 import random
 import weakref
 
@@ -2556,15 +2557,18 @@ class IncrementalDeduplicator:
                 _safe_unpersist(ss)
                 self.n_kept = self._state.shingles().count()
             return
-        empty_b = spark.createDataFrame([], "id LONG, band INT, h LONG")
-        empty_s = spark.createDataFrame([], "id LONG, sh ARRAY<LONG>")
-        self._buckets, self._shingled = empty_b, empty_s
+        self._empty_b = spark.createDataFrame([], "id LONG, band INT, h LONG")
+        self._empty_s = spark.createDataFrame([], "id LONG, sh ARRAY<LONG>")
+        # in-memory state lives as a LIST of eagerly-checkpointed delta
+        # parts (one per arrival, both tables riding ONE checkpoint —
+        # see _append_memory); the kept-corpus views are lazy unions
+        self._bucket_parts: list[DataFrame] = []
+        self._shingle_parts: list[DataFrame] = []
         if seed is not None:
             sb, ss = _minhash_prep(seed, id_col, text_col, **self.params)
-            self._buckets = self._guard(sb).localCheckpoint(eager=True)
-            self._shingled = ss.localCheckpoint(eager=True)
+            self._append_memory(self._guard(sb), ss)
             _safe_unpersist(ss)
-            self.n_kept = self._shingled.count()
+            self.n_kept = self._kept_shingles.count()
 
     @classmethod
     def open(cls, spark, state_dir: str) -> "IncrementalDeduplicator":
@@ -2591,11 +2595,66 @@ class IncrementalDeduplicator:
 
     @property
     def _kept_buckets(self) -> DataFrame:
-        return self._state.buckets() if self._state is not None else self._buckets
+        if self._state is not None:
+            return self._state.buckets()
+        if not self._bucket_parts:
+            return self._empty_b
+        return functools.reduce(DataFrame.union, self._bucket_parts)
 
     @property
     def _kept_shingles(self) -> DataFrame:
-        return self._state.shingles() if self._state is not None else self._shingled
+        if self._state is not None:
+            return self._state.shingles()
+        if not self._shingle_parts:
+            return self._empty_s
+        return functools.reduce(DataFrame.union, self._shingle_parts)
+
+    # consolidate cached parts once the lazy union grows this many legs:
+    # probe-plan analysis cost and task count stay bounded while the
+    # amortized re-copy cost is O(total / threshold) per arrival
+    _MEMORY_COMPACT_PARTS = 16
+
+    def _append_memory(self, new_b: DataFrame, new_s: DataFrame) -> None:
+        """Append one arrival's state delta with a SINGLE eager
+        localCheckpoint (VERDICT r9 item 7): the r9 path re-unioned and
+        re-checkpointed BOTH full state tables every arrival — two
+        jobs, each recopying the entire accumulated corpus state, a
+        fixed cost that dominated the two-batch bench row and scaled
+        with corpus size instead of batch size. Buckets and shingles
+        now ride one tagged union (an explicit tag, not sh-nullness —
+        a pathological null shingle row must not be misfiled as a
+        bucket row), so each arrival pays one O(batch) materialization;
+        the kept views are lazy unions of the cached parts, compacted
+        every ``_MEMORY_COMPACT_PARTS`` arrivals to bound plan depth."""
+        combined = (
+            new_b.select(
+                F.lit(0).alias("__t"),
+                "id",
+                "band",
+                "h",
+                F.lit(None).cast("array<long>").alias("sh"),
+            )
+            .unionByName(
+                new_s.select(
+                    F.lit(1).alias("__t"),
+                    "id",
+                    F.lit(None).cast("int").alias("band"),
+                    F.lit(None).cast("long").alias("h"),
+                    "sh",
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+        self._bucket_parts.append(
+            combined.filter("__t = 0").select("id", "band", "h")
+        )
+        self._shingle_parts.append(
+            combined.filter("__t = 1").select("id", "sh")
+        )
+        if len(self._bucket_parts) >= self._MEMORY_COMPACT_PARTS:
+            b, s = self._kept_buckets, self._kept_shingles
+            self._bucket_parts, self._shingle_parts = [], []
+            self._append_memory(b, s)
 
     def _guard(self, buckets: DataFrame) -> DataFrame:
         return (
@@ -2693,8 +2752,7 @@ class IncrementalDeduplicator:
         if self._state is not None:
             self._state.append(new_b, new_s)
         else:
-            self._buckets = self._buckets.union(new_b).localCheckpoint(eager=True)
-            self._shingled = self._shingled.union(new_s).localCheckpoint(eager=True)
+            self._append_memory(new_b, new_s)
         _safe_unpersist(bsh)
         self.n_kept += survivors.count()
 

@@ -611,3 +611,42 @@ def test_probe_still_zero_exchange_after_compact(spark, docs, tmp_path):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "Bucketed: true" in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_memory_mode_compaction_preserves_arrival_order_semantics(spark):
+    """r10: in-memory state is a list of per-arrival checkpointed delta
+    parts, consolidated every _MEMORY_COMPACT_PARTS arrivals to bound
+    plan depth. 20 arrivals cross the threshold (16); the kept set per
+    batch must equal the persistent-mode run (separate code path, same
+    greedy earlier-kept-wins contract) batch for batch."""
+    import random
+    import tempfile
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa"]
+    rng = random.Random(77)
+    docs, base_docs = [], []
+    for i in range(24):
+        base = " ".join(rng.choice(words) for _ in range(12))
+        base_docs.append(base)
+        docs.append((i, base))
+    for j in range(24, 40):
+        toks = base_docs[rng.randrange(len(base_docs))].split()
+        toks[rng.randrange(len(toks))] = rng.choice(words)
+        docs.append((j, " ".join(toks)))
+    schema = "doc_id LONG, text STRING"
+    batches = [
+        spark.createDataFrame(docs[i : i + 2], schema) for i in range(0, 40, 2)
+    ]
+
+    mem = IncrementalDeduplicator(spark, **PARAMS)
+    got = [{r.doc_id for r in mem.add_batch(b).collect()} for b in batches]
+    assert len(mem._bucket_parts) < mem._MEMORY_COMPACT_PARTS  # compacted
+
+    with tempfile.TemporaryDirectory() as d:
+        per = IncrementalDeduplicator(
+            spark, state_dir=f"{d}/state", state_buckets=4, **PARAMS
+        )
+        want = [{r.doc_id for r in per.add_batch(b).collect()} for b in batches]
+    assert got == want
+    assert mem.n_kept == sum(len(s) for s in want)
