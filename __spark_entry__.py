@@ -1651,6 +1651,31 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_persisted(spark, sf_dir):
+    """Persistent-ANN contract (round 10): train the deterministic IVF
+    index ONCE into a fresh state dir (operators/annstore.py — lists as
+    list_id-partitioned parquet, centroids in a versioned statefs
+    manifest), then REOPEN it from the manifest alone and probe. The
+    probe reads only the routed list partitions (static IN pruning) and
+    must reproduce the live ivf_top_k rows exactly, so it shares
+    ann_ivf_topk's full DuckDB replay."""
+    import tempfile
+
+    from pyspark.sql import functions as F2
+    from codd_spark.operators.annstore import PersistentANNIndex
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter("vec_id < 5").select(
+        F2.col("vec_id").alias("query_id"), F2.col("embedding").alias("q_emb")
+    )
+    d = tempfile.mkdtemp(prefix="codd_ann_ivf_")
+    # mkdtemp creates the dir; build adopts an EMPTY dir it can claim
+    PersistentANNIndex.build_ivf(
+        spark, emb, d, n_lists=16, trainer="sq_kmeans"
+    )
+    return PersistentANNIndex.open(spark, d).top_k(queries_df, k=5, n_probe=3)
+
+
 def q_text_features(spark, sf_dir):
     """Full text-analysis feature set incl. heuristic language ID."""
     from codd_spark.operators.text import add_text_features
@@ -3846,6 +3871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "histogram_prices": q_histogram_prices,
         "weighted_sample": q_weighted_sample,
+        # --- round-10 additions past the window (oracle-swept + bench) ---
+        "ann_ivf_persisted": q_ann_ivf_persisted,
     }
 
 
@@ -6673,4 +6700,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_pixel
             FROM documents WHERE doc_id < 300
         """,
+        # the persisted-ANN probe must reproduce the live ivf_top_k rows
+        # (same deterministic trainer, same params), so it is held to
+        # the exact same replay
+        "ann_ivf_persisted": _ann_ivf_oracle_sql(),
     }

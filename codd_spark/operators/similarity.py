@@ -257,6 +257,40 @@ def ivf_top_k(
     assignment with no MLlib dependency, replayable end to end; list
     geometry is computed on the quantized codes, routing centroids are
     the float means of each list)."""
+    assigned, centroids = ivf_train_assign(
+        df,
+        id_col=id_col,
+        emb_col=emb_col,
+        n_lists=n_lists,
+        seed=seed,
+        trainer=trainer,
+    )
+    return ivf_probe(
+        assigned,
+        centroids,
+        queries,
+        k=k,
+        n_probe=n_probe,
+        query_id_col=query_id_col,
+        query_emb_col=query_emb_col,
+    )
+
+
+def ivf_train_assign(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+    trainer: str = "mllib",
+) -> tuple[DataFrame, list[list[float]]]:
+    """The TRAINING half of :func:`ivf_top_k`, exposed so a trained
+    index can be persisted (operators/annstore.py) and probed in later
+    sessions without retraining: returns ``(assigned, centroids)`` —
+    ``assigned`` is (neighbor_id, _emb, list_id) with list ids dense in
+    [0, len(centroids)), ``centroids`` the routing vectors indexed by
+    list id."""
     corpus_base = df.select(
         F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("_emb")
     )
@@ -314,6 +348,31 @@ def ivf_top_k(
         centroids = [list(map(float, c)) for c in model.clusterCenters()]
     else:
         raise ValueError(f"trainer must be 'mllib' or 'sq_kmeans', got {trainer!r}")
+    return assigned, centroids
+
+
+def ivf_probe(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_probe: int = 3,
+    query_id_col: str = "query_id",
+    query_emb_col: str = "q_emb",
+    prune_lists: bool = False,
+) -> DataFrame:
+    """The PROBE half of :func:`ivf_top_k`: route each query to its
+    ``n_probe`` nearest lists, broadcast the routed queries against the
+    assigned corpus (the big side never shuffles), score by rounded
+    cosine, window-rank to top ``k``. ``assigned`` may be a live
+    training result or a reloaded persistent index table.
+
+    ``prune_lists=True`` collects the routed list ids (bounded by
+    n_lists, never by corpus or query count) and filters ``assigned``
+    with a literal IN — when the index is stored PARTITIONED BY
+    list_id (operators/annstore.py), the scan statically prunes to the
+    probed directories instead of reading the whole corpus."""
     qx = route_queries_to_lists(
         queries,
         centroids,
@@ -321,6 +380,11 @@ def ivf_top_k(
         query_id_col=query_id_col,
         query_emb_col=query_emb_col,
     )
+    if prune_lists:
+        probed = sorted(
+            r.list_id for r in qx.select("list_id").distinct().collect()
+        )
+        assigned = assigned.filter(F.col("list_id").isin(probed))
 
     joined = assigned.join(F.broadcast(qx), on="list_id").filter(
         F.col("neighbor_id") != F.col(query_id_col)
