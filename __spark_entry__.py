@@ -3471,11 +3471,12 @@ def q_image_near_dups(spark, sf_dir):
 
 
 def q_jpeg_metadata(spark, sf_dir):
-    """Real JPEG decode contract (round 9): synthesize one baseline JPEG
-    per document id (solid grayscale, all-ones quantization — flat
-    content is DC-only so the LOSSY container round-trips exactly;
-    every 4th id carries restart markers), decode with the pure-Python
-    baseline decoder (functions/jpeg.py: Huffman -> dequant -> exact
+    """Real JPEG decode contract (round 9; r10 adds a progressive
+    stripe): synthesize one JPEG per document id (solid grayscale,
+    all-ones quantization — flat content is DC-only so the LOSSY
+    container round-trips exactly; every 4th id carries restart
+    markers, every 3rd id is SOF2 progressive through the full Annex G
+    scan script), decode with the pure-Python decoder (functions/jpeg.py: Huffman -> dequant -> exact
     orthonormal IDCT) inside Arrow-batched mapInPandas, and emit
     metadata the oracle predicts from the closed-form synthesis
     parameters without seeing a byte — the image_metadata pattern on

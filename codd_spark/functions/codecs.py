@@ -58,8 +58,8 @@ def _ensure_hwc(arr: np.ndarray) -> np.ndarray:
 
 def decode_image(data: bytes) -> np.ndarray:
     """bytes -> uint8 (h, w, ch). PIL when importable (also unlocks
-    WebP/progressive-JPEG/...), else the pure decoders: PNG (lossless,
-    byte-identical to PIL) and baseline JPEG (functions/jpeg.py —
+    WebP/...), else the pure decoders: PNG (lossless, byte-identical to
+    PIL) and JPEG, baseline AND progressive (functions/jpeg.py —
     float64 IDCT; libjpeg's integer IDCT agrees within +-1)."""
     if _CAPS["image"] == "pil":
         from PIL import Image

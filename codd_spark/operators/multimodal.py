@@ -498,7 +498,10 @@ def jpeg_media_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     DC-only, so the lossy container round-trips EXACTLY and the decoded
     dimensions/mean stay oracle-checkable by an engine that never sees
     a byte. Every fourth id additionally carries a restart interval so
-    the corpus exercises RSTn handling."""
+    the corpus exercises RSTn handling, and every third id is encoded
+    PROGRESSIVE (SOF2, the full Annex G scan script — r10): flat
+    content round-trips exactly through the multi-scan path too, so the
+    same oracle covers both coding modes."""
     from codd_spark.functions.jpeg import encode_jpeg
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -509,7 +512,11 @@ def jpeg_media_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                 w, h, px = 16 + i % 32, 16 + i % 17, (i * 7) % 256
                 arr = np.full((h, w), px, dtype=np.uint8)
                 out.append(
-                    encode_jpeg(arr, restart_interval=2 if i % 4 == 0 else 0)
+                    encode_jpeg(
+                        arr,
+                        restart_interval=2 if i % 4 == 0 else 0,
+                        progressive=i % 3 == 1,
+                    )
                 )
             yield pd.DataFrame(
                 {

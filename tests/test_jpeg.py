@@ -62,13 +62,20 @@ def test_jpeg_info_matches_encoder():
 def test_rejections():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
-    # a progressive frame header must be rejected with guidance, not
-    # misdecoded: build one by patching SOF0 -> SOF2 in our own output
+    # SOF2 itself now decodes (r10), but a MALFORMED progressive stream
+    # — a baseline-style full-band interleaved scan under a progressive
+    # frame header — must be rejected, not misdecoded
     b = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
     i = b.find(b"\xff\xc0")
     b[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="invalid progressive scan"):
         decode_jpeg(bytes(b))
+    # arithmetic coding stays rejected with guidance
+    b2 = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    i = b2.find(b"\xff\xc0")
+    b2[i + 1] = 0xC9  # SOF9: extended sequential, arithmetic
+    with pytest.raises(ValueError, match="SOF9"):
+        decode_jpeg(bytes(b2))
 
 
 def test_codec_dispatcher_routes_jpeg(spark):
@@ -110,3 +117,56 @@ def test_fill_bytes_and_standalone_markers_in_header():
     padded = clean[:2] + b"\xff\xff\xff" + b"\xff\x01" + b"\xff\xd0" + clean[2:]
     got = decode_jpeg(bytes(padded))
     assert np.array_equal(got, want)
+
+
+def test_progressive_decodes_identically_to_baseline():
+    """r10 (VERDICT r9 item 4): the progressive writer emits the same
+    quantized coefficients as the baseline writer under a libjpeg-shaped
+    scan script (interleaved DC at Al=1, DC refinement, two spectral AC
+    bands at Al=1, AC refinement over 1-63), so decode(progressive)
+    must equal decode(baseline) PIXEL FOR PIXEL — exercising spectral
+    selection, successive approximation, DC/AC refinement, EOB runs,
+    ZRL-in-refinement, and the true-vs-padded 4:2:0 block grids."""
+    rng = np.random.RandomState(7)
+    q4 = np.ones(64, dtype=np.int32)
+    q4[1:] = 4
+    cases = [
+        (np.full((16, 16), 77, dtype=np.uint8), {}),
+        ((np.arange(24 * 17, dtype=np.uint8).reshape(24, 17) * 3) % 256, {}),
+        (rng.randint(0, 256, (33, 29), dtype=np.uint8), {}),
+        (rng.randint(0, 256, (19, 21, 3), dtype=np.uint8), {}),
+        # w=24 420: Y true grid (3 blocks) != padded grid (4 blocks)
+        (rng.randint(0, 256, (24, 24, 3), dtype=np.uint8),
+         {"subsampling": "420"}),
+        (rng.randint(0, 256, (17, 23, 3), dtype=np.uint8),
+         {"subsampling": "420"}),
+        (rng.randint(0, 256, (32, 32), dtype=np.uint8), {"quant": q4}),
+        (rng.randint(0, 256, (40, 40), dtype=np.uint8),
+         {"restart_interval": 3}),
+    ]
+    for img, kw in cases:
+        base = decode_jpeg(encode_jpeg(img, **kw))
+        prog = decode_jpeg(encode_jpeg(img, progressive=True, **kw))
+        assert np.array_equal(base, prog), kw
+
+
+def test_progressive_flat_roundtrips_exactly():
+    """Closed form: flat blocks are DC-only; the Al=1 first scan plus
+    the refinement restore the exact integral DC, so flat progressive
+    output round-trips exactly (the jpeg_metadata oracle property)."""
+    for v in (0, 1, 77, 128, 254, 255):
+        img = np.full((24, 17), v, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, progressive=True))
+        assert (out == v).all()
+
+
+def test_progressive_header_info_and_codec_routing(spark):
+    """jpeg_info reads SOF2 dims without decoding; the codec dispatcher
+    decodes progressive payloads through the pure path (no PIL)."""
+    from codd_spark.functions import codecs
+    from codd_spark.functions.imaging import jpeg_info
+
+    img = (np.arange(16 * 16, dtype=np.uint8).reshape(16, 16) * 5) % 256
+    b = encode_jpeg(img, progressive=True)
+    assert jpeg_info(b) == (16, 16, 1)
+    assert np.array_equal(codecs.decode_image(b)[:, :, 0], decode_jpeg(b)[:, :, 0])
