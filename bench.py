@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "audio_near_dups",          # energy-envelope code grams + overlap miner
     "incremental_image_dedup",  # arrival machinery for images (shared state class)
     "curate_media_pipeline",    # gates + exact dedup + perceptual keeper election
+    "ann_ivf_persisted",        # persisted IVF index: build + reopen + pruned probe
 ]
 
 # Queries added DURING the current round (reset to empty at each round
@@ -156,14 +157,8 @@ BENCH_QUERIES = [
 # silently excluded r6's additions from the r7 check).
 CURRENT_ROUND_ADDITIONS = frozenset(
     {
-        "image_near_dups",
-        "incremental_dedup_two_batch",
-        "quality_classifier",
-        "jpeg_metadata",
-        "video_near_dups",
-        "audio_near_dups",
-        "incremental_image_dedup",
-        "curate_media_pipeline",
+        # round 10
+        "ann_ivf_persisted",
     }
 )
 PREV_ROUND_QUERIES = (

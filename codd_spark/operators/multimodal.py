@@ -1244,7 +1244,12 @@ class IncrementalImageDeduplicator:
         return self._state.compact()
 
     def close(self) -> None:
-        pass  # persistent state needs no release; in-memory dies with gc
+        """Idempotent no-op. Persistent state needs no release (tables
+        are on disk); in-memory mode holds eager localCheckpoint blocks
+        whose executor storage is reclaimed only when the JVM GC
+        collects the checkpointed RDDs after this object is dropped —
+        the same reclaim-by-GC caveat as the bloom sketch
+        (dedup.py::release), documented per VERDICT r9."""
 
     def __enter__(self):
         return self
