@@ -3223,6 +3223,15 @@ def q_ann_pq_topk(spark, sf_dir):
     pq = pq_top_k(encoded, books, queries_df, k=10, rerank=emb).select(
         "query_id", "neighbor_id"
     )
+    return _pq_recall_emission(emb, queries_df, pq)
+
+
+def _pq_recall_emission(emb, queries_df, pq):
+    """Shared emission of the PQ contract rows: the exact brute-force
+    top-10 (independently replayed by DuckDB) annotated with the PQ
+    path's recall@10 per query (golden-pinned in the oracle)."""
+    from codd_spark.operators.similarity import brute_force_top_k
+
     exact = brute_force_top_k(emb, queries_df, k=10)
     recall = (
         exact.select("query_id", "neighbor_id")
@@ -3239,6 +3248,32 @@ def q_ann_pq_topk(spark, sf_dir):
         "rank",
         F.coalesce("recall_at_10", F.lit(0.0)).alias("recall_at_10"),
     )
+
+
+def q_ann_pq_persisted(spark, sf_dir):
+    """Persisted-PQ contract (round 10): train codebooks + encode ONCE
+    into a fresh index dir (operators/annstore.py — codes/corpus
+    parquet, codebooks in the versioned manifest), REOPEN from the
+    manifest alone and probe with exact rerank against the stored
+    corpus. Same params/seed as ann_pq_topk, so codebooks — and the
+    golden-pinned recall@10 — are identical: the row shares that
+    oracle's replay."""
+    import tempfile
+
+    from codd_spark.operators.annstore import PersistentANNIndex
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    d = tempfile.mkdtemp(prefix="codd_ann_pq_")
+    PersistentANNIndex.build_pq(spark, emb, d, dim=64, m=8, k=16, max_iter=5)
+    pq = (
+        PersistentANNIndex.open(spark, d)
+        .top_k(queries_df, k=10)
+        .select("query_id", "neighbor_id")
+    )
+    return _pq_recall_emission(emb, queries_df, pq)
 
 
 def q_kmeans_clusters(spark, sf_dir):
@@ -3874,6 +3909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         # --- round-10 additions past the window (oracle-swept + bench) ---
         "ann_ivf_persisted": q_ann_ivf_persisted,
+        "ann_pq_persisted": q_ann_pq_persisted,
     }
 
 
@@ -3956,7 +3992,7 @@ def _quality_classifier_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "scan_nation": "SELECT DISTINCT n_nationkey, n_name, n_regionkey FROM nation",
         "select_lineitem": """
             SELECT DISTINCT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -6706,3 +6742,7 @@ def oracle_sql() -> dict[str, str]:
         # the exact same replay
         "ann_ivf_persisted": _ann_ivf_oracle_sql(),
     }
+    # persisted PQ trains the same codebooks (same params/seed), so its
+    # probe is held to the same recall-pinned replay
+    out["ann_pq_persisted"] = out["ann_pq_topk"]
+    return out

@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "incremental_image_dedup",  # arrival machinery for images (shared state class)
     "curate_media_pipeline",    # gates + exact dedup + perceptual keeper election
     "ann_ivf_persisted",        # persisted IVF index: build + reopen + pruned probe
+    "ann_pq_persisted",         # persisted PQ codes/codebooks: reopen + ADC + rerank
 ]
 
 # Queries added DURING the current round (reset to empty at each round
@@ -159,6 +160,7 @@ CURRENT_ROUND_ADDITIONS = frozenset(
     {
         # round 10
         "ann_ivf_persisted",
+        "ann_pq_persisted",
     }
 )
 PREV_ROUND_QUERIES = (

@@ -204,6 +204,46 @@ class PersistentANNIndex:
             )
         return resolve_statefs(spark, state_dir).manifest_exists()
 
+    # -- growth -------------------------------------------------------
+
+    def add_vectors(self, df: DataFrame) -> int:
+        """Append new corpus vectors to a persisted IVF index WITHOUT
+        retraining: each vector routes to its nearest existing centroid
+        (one broadcast/inline expression — map-only, no shuffle of the
+        batch beyond the partitioned write) and lands in that list's
+        partition directory. This is the crawl-pipeline growth path:
+        centroids train once on a representative sample, the corpus
+        keeps arriving. Returns the number of vectors appended.
+
+        Not crash-atomic: a failure mid-append can leave a partial
+        batch visible (plain parquet append has no commit point like
+        the dedup state's generation protocol). Re-run the append with
+        deduplicated input, or rebuild, after a crash."""
+        if self.kind != "ivf":
+            raise ValueError("add_vectors applies to IVF indexes only")
+        from codd_spark.operators.similarity import route_queries_to_lists
+
+        p = self.params
+        routed = route_queries_to_lists(
+            df,
+            self.model["centroids"],
+            n_probe=1,
+            query_id_col=p["id_col"],
+            query_emb_col=p["emb_col"],
+        ).select(
+            F.col(p["id_col"]).alias("neighbor_id"),
+            F.col("_qemb").alias("_emb"),
+            "list_id",
+        )
+        n = routed.count()
+        (
+            routed.repartition(max(len(self.model["centroids"]), 1), "list_id")
+            .write.mode("append")
+            .partitionBy("list_id")
+            .parquet(self.fs.table_location("lists"))
+        )
+        return n
+
     # -- search -------------------------------------------------------
 
     def top_k(

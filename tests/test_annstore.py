@@ -4,6 +4,9 @@ versioned-manifest protocol, probe in a later session without
 retraining. The probe plan must read only the routed list partitions
 and keep the corpus side Exchange-free."""
 
+import itertools
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -24,6 +27,9 @@ def queries(emb):
     return emb.filter("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
+
+
+_ANN_AUTH = itertools.count()
 
 
 def _rows(df):
@@ -107,3 +113,93 @@ def test_build_refuses_occupied_or_foreign_dirs(spark, emb, tmp_path):
         PersistentANNIndex.build_ivf(spark, emb, str(f), n_lists=4)
     with pytest.raises(ValueError, match="no ANN index"):
         PersistentANNIndex.open(spark, str(tmp_path / "nope"))
+
+
+def test_ivf_add_vectors_grows_index_without_retrain(spark, emb, tmp_path):
+    """Crawl growth path: build on half the corpus, append the rest
+    against the FROZEN centroids. The grown index must (a) hold every
+    vector exactly once, (b) probe identically to a hand-built
+    assignment that routes the second half to the same centroids, and
+    (c) return an appended vector as its own exact nearest neighbor."""
+    from codd_spark.operators.similarity import (
+        ivf_probe,
+        ivf_train_assign,
+        route_queries_to_lists,
+    )
+
+    half1 = emb.filter("vec_id % 2 = 0")
+    half2 = emb.filter("vec_id % 2 = 1")
+    d = str(tmp_path / "grow")
+    idx = PersistentANNIndex.build_ivf(
+        spark, half1, d, n_lists=8, trainer="sq_kmeans"
+    )
+    n2 = idx.add_vectors(half2)
+    assert n2 == half2.count()
+
+    lists = spark.read.parquet(idx.fs.table_location("lists"))
+    assert lists.count() == emb.count()
+    assert lists.select("neighbor_id").distinct().count() == emb.count()
+
+    # equivalence vs a manual same-centroid assignment (no persistence)
+    assigned1, cents = ivf_train_assign(
+        half1, n_lists=8, trainer="sq_kmeans"
+    )
+    assert cents == idx.model["centroids"]
+    routed2 = route_queries_to_lists(
+        half2, cents, n_probe=1, query_id_col="vec_id", query_emb_col="embedding"
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("_qemb").alias("_emb"),
+        "list_id",
+    )
+    manual = assigned1.unionByName(routed2)
+    queries = emb.filter("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    want = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in ivf_probe(manual, cents, queries, k=5, n_probe=3).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in idx.top_k(queries, k=5, n_probe=3).collect()
+    }
+    assert got == want
+
+    # an appended vector's own embedding finds itself at similarity 1
+    probe_vec = emb.filter("vec_id = 11").select(
+        F.lit(999999).alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    top = idx.top_k(probe_vec, k=1, n_probe=1).collect()
+    assert top and top[0].neighbor_id == 11 and top[0].cos_sim == 1.0
+
+
+def test_annstore_on_viewfs(spark, emb, queries, tmp_path):
+    """The manifest protocol and the parquet lists both work through a
+    non-file Hadoop scheme (same ViewFS vehicle as the dedup state):
+    build on viewfs://, reopen from the URI alone, probe."""
+    auth = f"annfs{next(_ANN_AUTH)}"
+    local = tmp_path / "mount"
+    os.makedirs(local, exist_ok=True)
+    spark._jsc.hadoopConfiguration().set(
+        f"fs.viewfs.mounttable.{auth}.link./state", "file://" + str(local)
+    )
+    uri = f"viewfs://{auth}/state/ann"
+    idx = PersistentANNIndex.build_ivf(
+        spark, emb, uri, n_lists=8, trainer="sq_kmeans"
+    )
+    want = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in idx.top_k(queries, k=5).collect()
+    }
+    assert PersistentANNIndex.exists(uri, spark)
+    reopened = PersistentANNIndex.open(spark, uri)
+    got = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in reopened.top_k(queries, k=5).collect()
+    }
+    assert got == want
+    # versioned write-once manifests on the HCFS backend, not manifest.json
+    names = os.listdir(local / "ann")
+    assert any(n.startswith("manifest-v") for n in names)
+    assert "manifest.json" not in names
