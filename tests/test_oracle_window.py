@@ -349,3 +349,20 @@ ROUND8_ADDITIONS = [
 @pytest.mark.parametrize("name", ROUND8_ADDITIONS)
 def test_round8_addition_matches_oracle(spark, duck, name):
     _replay(spark, duck, name)
+
+
+ROUND10_ADDITIONS = [
+    # persisted IVF probe: build -> reopen -> routed-partition-pruned
+    # probe; oracle = the live ivf_top_k full replay (same sq_kmeans
+    # trainer, same params)
+    "ann_ivf_persisted",
+    # persisted PQ probe with exact rerank from the stored corpus;
+    # oracle = ann_pq_topk's recall-pinned exact-top-10 replay (same
+    # params/seed -> identical codebooks)
+    "ann_pq_persisted",
+]
+
+
+@pytest.mark.parametrize("name", ROUND10_ADDITIONS)
+def test_round10_addition_matches_oracle(spark, duck, name):
+    _replay(spark, duck, name)
