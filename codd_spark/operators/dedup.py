@@ -1495,6 +1495,62 @@ class GramBloom:
         bitmap = np.frombuffer(data[32:], dtype=np.int64).copy()
         return cls(bitmap, int(m_bits), int(n_hashes), int(ngram_n), int(n_items))
 
+    # -- persistence (train once on the benchmark, reuse across crawls) ----
+
+    def save(self, spark, state_dir: str) -> None:
+        """Persist the sketch to ``state_dir`` (any scheme statefs
+        resolves: local, hdfs://, s3a://, viewfs://). A decontamination
+        benchmark changes rarely while crawl batches arrive daily —
+        rebuilding the sketch per run re-scans the benchmark for
+        nothing. Layout: a CONTENT-ADDRESSED write-once blob
+        (``sketch-<sha16>.bin`` — two saves of the same sketch are
+        idempotent, a torn write can never be read because the manifest
+        names only fully-written files) published by a manifest commit
+        (versioned write-once on HCFS; POSIX-atomic locally). Re-saving
+        into the same dir (e.g. after ``union``-ing a new benchmark)
+        writes a new blob and moves the manifest pointer; readers see
+        the old or the new sketch, never a mix."""
+        import hashlib
+
+        fs = _resolve_statefs(spark, state_dir)
+        if fs.manifest_exists() and fs.read_manifest().get("kind") != "gram_bloom":
+            raise ValueError(
+                f"{state_dir} holds non-GramBloom state — refusing to adopt"
+            )
+        fs.mkdirs()
+        blob = self.to_bytes()
+        name = f"sketch-{hashlib.sha256(blob).hexdigest()[:16]}.bin"
+        fs.write_bytes(fs.join(fs.state_dir, name), blob)
+        fs.commit_manifest(
+            {
+                "kind": "gram_bloom",
+                "file": name,
+                "m_bits": self.m_bits,
+                "n_hashes": self.n_hashes,
+                "ngram_n": self.ngram_n,
+                "n_items": self.n_items,
+            }
+        )
+
+    @classmethod
+    def load(cls, spark, state_dir: str) -> "GramBloom":
+        """Reload a sketch persisted by :meth:`save` — the probe-only
+        entry point for later sessions (no benchmark scan)."""
+        fs = _resolve_statefs(spark, state_dir)
+        if not fs.manifest_exists():
+            raise ValueError(f"no GramBloom manifest at {state_dir}")
+        m = fs.read_manifest()
+        if m.get("kind") != "gram_bloom":
+            raise ValueError(
+                f"{state_dir} holds {m.get('kind')!r} state, not a GramBloom"
+            )
+        out = cls.from_bytes(fs.read_bytes(fs.join(fs.state_dir, m["file"])))
+        if (out.m_bits, out.n_hashes, out.ngram_n) != (
+            m["m_bits"], m["n_hashes"], m["ngram_n"],
+        ):
+            raise ValueError(f"sketch blob/manifest mismatch in {state_dir}")
+        return out
+
 
 def build_gram_bloom(
     contaminants: DataFrame,

@@ -293,3 +293,38 @@ def bpe_encode(
     # hints, which the pandas_udf signature inspector rejects
     encode = pandas_udf(_encode, "array<string>")
     return df.withColumn(out_col, encode(F.col(text_col)))
+
+
+def bpe_save(spark, merges: list[tuple[int, str, str, int]], state_dir: str) -> None:
+    """Persist a trained merge table (train once, encode for weeks —
+    the tokenizer twin of the ANN/bloom artifact stores): the ordered
+    merges ride the statefs manifest itself (a merge table is
+    vocab-sized — KBs, not data), so the commit IS the publish point
+    and any scheme statefs resolves (local, hdfs://, s3a://, viewfs://)
+    works. Re-saving moves the manifest pointer atomically."""
+    from codd_spark.sources.statefs import resolve_statefs
+
+    fs = resolve_statefs(spark, state_dir)
+    if fs.manifest_exists() and fs.read_manifest().get("kind") != "bpe_merges":
+        raise ValueError(f"{state_dir} holds non-BPE state — refusing to adopt")
+    fs.mkdirs()
+    fs.commit_manifest(
+        {
+            "kind": "bpe_merges",
+            "merges": [[int(s), a, b, int(f)] for s, a, b, f in merges],
+        }
+    )
+
+
+def bpe_load(spark, state_dir: str) -> list[tuple[int, str, str, int]]:
+    """Reload a merge table persisted by :func:`bpe_save` — encode-only
+    sessions skip the corpus pass entirely."""
+    from codd_spark.sources.statefs import resolve_statefs
+
+    fs = resolve_statefs(spark, state_dir)
+    if not fs.manifest_exists():
+        raise ValueError(f"no BPE manifest at {state_dir}")
+    m = fs.read_manifest()
+    if m.get("kind") != "bpe_merges":
+        raise ValueError(f"{state_dir} holds {m.get('kind')!r} state, not BPE merges")
+    return [(int(s), a, b, int(f)) for s, a, b, f in m["merges"]]

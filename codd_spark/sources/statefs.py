@@ -89,6 +89,15 @@ class PosixStateFS:
             json.dump(m, f)
         os.replace(tmp, self._manifest_path)
 
+    # -- sidecar binary blobs ----------------------------------------------
+    def write_bytes(self, path: str, data: bytes) -> None:
+        with open(path, "wb") as f:
+            f.write(data)
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
     # -- metadata ops -----------------------------------------------------
     def mkdirs(self) -> None:
         os.makedirs(self.state_dir, exist_ok=True)
@@ -245,6 +254,20 @@ class HadoopStateFS:
             self._fs.delete(self._jPath(path), True)
         except Exception:
             pass
+
+    # -- sidecar binary blobs ----------------------------------------------
+    def write_bytes(self, path: str, data: bytes) -> None:
+        out = self._fs.create(self._jPath(path), True)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+
+    def read_bytes(self, path: str) -> bytes:
+        ins = self._fs.open(self._jPath(path))
+        bos = self._jvm.java.io.ByteArrayOutputStream()
+        self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(ins, bos, 8192, True)
+        return bytes(bos.toByteArray())
 
     # -- metadata ops -----------------------------------------------------
     def mkdirs(self) -> None:

@@ -63,6 +63,7 @@ PICK = {
     "exact_substr_removal": "Span cut: spans aggregate to ONE sorted array per doc (map-side combine), one shuffle_merge left join back to the corpus, then a single expression fold stitches the kept segments — no Python, no character explode; inherits whichever spans plan the corpus-size gate picked (precise at sf0.1, bloom at scale) plus the one removal join.",
     "image_near_dups": "Perceptual image dedup (r9): the ONLY Python stage is the Arrow-batched decode+dhash pass (mapInPandas over payload partitions, 16 bytes/row out); candidates + verify are the SimHash chunk-pigeonhole join — explode to (chunk, value) buckets, shuffle-pinned self-join (broadcast would OOM on a corpus-derived side at scale), bitcount verify in codegen, degenerate buckets capped.",
     "quality_classifier": "Trained NB linear classifier (r9): feature extraction is pure codegen (tokens -> bigrams -> md5 hash -> modulo, one explode); training is ONE (feature)-keyed aggregate with map-side partial counts plus a 1-row totals aggregate; the bounded model (<= n_features rows) is explicitly BROADCAST, so held-out scoring is a map-side join + per-doc aggregate — no corpus-sized shuffle after the count.",
+    "ann_ivf_persisted": "Persisted IVF probe (r10): the lists scan carries a static PartitionFilters IN over the routed list ids (only n_probe directories read) plus Spark's own dynamic pruning subquery; routed queries broadcast, so the corpus side reaches the join with NO Exchange — the only exchanges are post-join over scored candidates.",
     "jpeg_metadata": "Baseline JPEG decode contract (r9): synthesis ids repartitioned before mapInPandas so the CPU-bound pure-Python encode+decode runs on every core (the frame_sample discipline); Arrow-batched, bounded memory; everything after the 6-column feature rows is expression-only.",
 }
 
