@@ -241,3 +241,58 @@ def planted_label_docs(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
         (d % 2).cast("int").alias("y"),
         F.concat_ws(" ", toks).alias("text"),
     )
+
+
+def nb_model_save(
+    spark,
+    model: DataFrame,
+    state_dir: str,
+    *,
+    n_features: int = 2048,
+    bigrams: bool = True,
+) -> None:
+    """Persist a trained quality-gate model (train once on the labeled
+    set, score every crawl batch for months — the classifier member of
+    the artifact-store family alongside the ANN indexes, Bloom sketches
+    and BPE merges): the bounded (feature, weight, w_unseen) table goes
+    to parquet under ``state_dir``, the FEATURE-EXTRACTION hyperparams
+    (n_features, bigrams) ride the statefs manifest — scoring with the
+    wrong hash width would silently misroute every feature, so the
+    params travel WITH the weights. Any statefs scheme works; the
+    manifest commit is the publish point."""
+    from codd_spark.sources.statefs import resolve_statefs
+
+    fs = resolve_statefs(spark, state_dir)
+    if fs.manifest_exists() and fs.read_manifest().get("kind") != "nb_linear":
+        raise ValueError(f"{state_dir} holds non-classifier state — refusing to adopt")
+    fs.mkdirs()
+    model.write.mode("overwrite").parquet(fs.table_location("weights"))
+    fs.commit_manifest(
+        {
+            "kind": "nb_linear",
+            "n_features": int(n_features),
+            "bigrams": bool(bigrams),
+        }
+    )
+
+
+def nb_model_load(spark, state_dir: str) -> tuple[DataFrame, dict]:
+    """Reload a model persisted by :func:`nb_model_save`. Returns
+    ``(model, params)`` — pass the params through to
+    :func:`nb_linear_score` so features hash identically to training:
+
+        model, p = nb_model_load(spark, d)
+        scored = nb_linear_score(batch, model, **p)
+    """
+    from codd_spark.sources.statefs import resolve_statefs
+
+    fs = resolve_statefs(spark, state_dir)
+    if not fs.manifest_exists():
+        raise ValueError(f"no classifier manifest at {state_dir}")
+    m = fs.read_manifest()
+    if m.get("kind") != "nb_linear":
+        raise ValueError(
+            f"{state_dir} holds {m.get('kind')!r} state, not an nb_linear model"
+        )
+    model = spark.read.parquet(fs.table_location("weights"))
+    return model, {"n_features": m["n_features"], "bigrams": m["bigrams"]}

@@ -112,3 +112,38 @@ def test_artifact_kinds_do_not_adopt_each_other(spark, docs, tmp_path):
         bpe_save(spark, [(0, "a", "b", 3)], d2)
     with pytest.raises(ValueError, match="not BPE"):
         bpe_load(spark, d2)
+
+
+def test_nb_model_save_load_scores_identically(spark, tmp_path):
+    from codd_spark.operators.classify import (
+        nb_linear_score,
+        nb_linear_train,
+        nb_model_load,
+        nb_model_save,
+        planted_label_docs,
+    )
+
+    labeled = planted_label_docs(spark.range(0, 200).selectExpr("id AS doc_id"))
+    model = nb_linear_train(labeled, "y", n_features=512)
+    d = str(tmp_path / "clf")
+    nb_model_save(spark, model, d, n_features=512)
+    back, params = nb_model_load(spark, d)
+    assert params == {"n_features": 512, "bigrams": True}
+
+    batch = planted_label_docs(
+        spark.range(300, 380).selectExpr("id AS doc_id")
+    ).select("doc_id", "text")
+    live = {
+        (r.doc_id, r.score, r.pred)
+        for r in nb_linear_score(batch, model, n_features=512).collect()
+    }
+    reloaded = {
+        (r.doc_id, r.score, r.pred)
+        for r in nb_linear_score(batch, back, **params).collect()
+    }
+    assert live == reloaded and live
+    # wrong-kind adoption refused
+    from codd_spark.operators.tokenize import bpe_save
+
+    with pytest.raises(ValueError, match="non-BPE"):
+        bpe_save(spark, [(0, "a", "b", 1)], d)
