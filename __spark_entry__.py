@@ -3645,6 +3645,37 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_quality_classifier_persisted(spark, sf_dir):
+    """Persisted-classifier contract (round 10): same planted corpus
+    and training split as quality_classifier, but the model round-trips
+    through nb_model_save/nb_model_load (weights as parquet, feature
+    hyperparams in the statefs manifest) before scoring the held-out
+    fold — the train-once/score-for-months deployment path, held to the
+    live row's full weight+score replay."""
+    import tempfile
+
+    from codd_spark.operators.classify import (
+        nb_linear_score,
+        nb_linear_train,
+        nb_model_load,
+        nb_model_save,
+        planted_label_docs,
+    )
+
+    ids = read_table(spark, sf_dir, "documents").select("doc_id")
+    corpus = planted_label_docs(ids)
+    model = nb_linear_train(
+        corpus.filter("doc_id % 5 != 4"), "y", n_features=2048
+    )
+    d = tempfile.mkdtemp(prefix="codd_nbclf_")
+    import shutil
+
+    shutil.rmtree(d)  # save adopts a fresh (non-existent) dir cleanly
+    nb_model_save(spark, model, d, n_features=2048)
+    back, params = nb_model_load(spark, d)
+    return nb_linear_score(corpus.filter("doc_id % 5 = 4"), back, **params)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -3910,6 +3941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-10 additions past the window (oracle-swept + bench) ---
         "ann_ivf_persisted": q_ann_ivf_persisted,
         "ann_pq_persisted": q_ann_pq_persisted,
+        "quality_classifier_persisted": q_quality_classifier_persisted,
     }
 
 
@@ -6745,4 +6777,7 @@ def oracle_sql() -> dict[str, str]:
     # persisted PQ trains the same codebooks (same params/seed), so its
     # probe is held to the same recall-pinned replay
     out["ann_pq_persisted"] = out["ann_pq_topk"]
+    # the persisted classifier scores the same held-out fold with the
+    # same (round-tripped) weights -> same full replay
+    out["quality_classifier_persisted"] = out["quality_classifier"]
     return out

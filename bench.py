@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "curate_media_pipeline",    # gates + exact dedup + perceptual keeper election
     "ann_ivf_persisted",        # persisted IVF index: build + reopen + pruned probe
     "ann_pq_persisted",         # persisted PQ codes/codebooks: reopen + ADC + rerank
+    "quality_classifier_persisted",  # saved NB model reloaded for held-out scoring
 ]
 
 # Queries added DURING the current round (reset to empty at each round
@@ -161,6 +162,7 @@ CURRENT_ROUND_ADDITIONS = frozenset(
         # round 10
         "ann_ivf_persisted",
         "ann_pq_persisted",
+        "quality_classifier_persisted",
     }
 )
 PREV_ROUND_QUERIES = (

@@ -360,6 +360,9 @@ ROUND10_ADDITIONS = [
     # oracle = ann_pq_topk's recall-pinned exact-top-10 replay (same
     # params/seed -> identical codebooks)
     "ann_pq_persisted",
+    # persisted classifier: saved/reloaded weights score the held-out
+    # fold; oracle = quality_classifier's full weight+score replay
+    "quality_classifier_persisted",
 ]
 
 
