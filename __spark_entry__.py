@@ -3676,6 +3676,111 @@ def q_quality_classifier_persisted(spark, sf_dir):
     return nb_linear_score(corpus.filter("doc_id % 5 = 4"), back, **params)
 
 
+def _lined_documents(spark, sf_dir):
+    """Documents reshaped into multi-line pages, expression-only (the
+    shipped corpus is single-line token soup): a newline every 8 tokens
+    plus PLANTED boilerplate — a newsletter header on every 3rd doc and
+    a copyright footer on every 4th — the chrome line_dedup exists to
+    strip. Closed-form, so the oracle rebuilds the same pages."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("Subscribe to our newsletter!\n")
+            ).otherwise(F.lit("")),
+            F.regexp_replace(F.col("text"), r"((\S+ ){7}\S+) ", "$1\n"),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit("\n(c) 2024 Example Corp")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_line_dedup_docs(spark, sf_dir):
+    """Corpus-wide line-level dedup (round 10; the CCNet / RefinedWeb
+    boilerplate killer): any line whose normalized form appears >= 4
+    times across the corpus is dropped from EVERY document, documents
+    reassembled from surviving lines in order. Runs the real operator
+    (posexplode -> ONE hashed-line count aggregate -> shuffle-pinned
+    flag join -> per-doc reassembly; corpus-linear, no pairwise stage)
+    over expression-synthesized multi-line pages: planted header/footer
+    chrome plus whatever 8-token lines the small token vocabulary
+    organically repeats — the oracle replays hashing, counting, removal
+    and reassembly byte-for-byte via the portable md5_60 line hash."""
+    from codd_spark.operators.dedup import line_dedup
+
+    return line_dedup(
+        _lined_documents(spark, sf_dir), min_count=4, hash_fn="md5_60"
+    )
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (round 10; Xie et al., NeurIPS 2023): pick
+    the k=100 documents from a raw pool that look most like a small
+    target corpus under hashed unigram+bigram LMs — importance
+    log-weight = sum_f x_f (ln p_target(f) - ln p_raw(f)), Laplace-
+    smoothed, top-k deterministic. Target = the odd-class slice of the
+    planted-signal corpus with doc_id % 5 = 0; raw = the rest of the
+    corpus, BOTH classes — so selection demonstrably recovers
+    target-class documents (pinned ~100%% in tests). Training is exact
+    integer counting bounded at n_features rows; the log-ratio table
+    broadcasts and scoring is map-side, so DuckDB replays synthesis,
+    both LMs, every score, and the top-k to the rounding digit."""
+    from codd_spark.operators.classify import planted_label_docs
+    from codd_spark.operators.pipeline import dsir_select
+
+    ids = read_table(spark, sf_dir, "documents").select("doc_id")
+    corpus = planted_label_docs(ids)
+    target = corpus.filter("doc_id % 5 = 0 AND y = 1").select("doc_id", "text")
+    raw = corpus.filter("doc_id % 5 != 0").select("doc_id", "text")
+    return dsir_select(raw, target, k=100, n_features=2048)
+
+
+def q_url_dedup_docs(spark, sf_dir):
+    """URL-level dedup (round 10): canonicalize crawl URLs (lowercased
+    scheme/host, www./default ports/fragments stripped, utm_*/tracking
+    params dropped, params sorted, trailing slashes removed — all
+    RE2-safe codegen string expressions, no UDF) and keep the lowest id
+    per canonical URL. URLs are synthesized closed-form from doc ids
+    with the mess a real crawl produces (case, ports, userinfo,
+    fragments, tracking params, param order, trailing slashes), so
+    variants of the same page collapse and the oracle replays the
+    canonical form character for character. One min/count aggregate —
+    the cheapest dedup pass a pipeline runs, before any content hash."""
+    from codd_spark.operators.dedup import url_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 4
+    page = (F.col("doc_id") % 50).cast("string")
+    host_id = F.col("doc_id") % 3
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(v == 2, F.lit("http")).when(v == 1, F.lit("HTTPS")).otherwise(
+                F.lit("https")
+            ),
+            F.lit("://"),
+            F.when(v == 1, F.lit("crawler:pw@")).otherwise(F.lit("")),
+            F.when(host_id == 0, F.lit("WWW.Example.COM"))
+            .when(host_id == 1, F.lit("news.site.org"))
+            .otherwise(F.lit("Example.com.")),
+            F.when(v == 1, F.lit(":443")).when(v == 2, F.lit(":80")).otherwise(
+                F.lit("")
+            ),
+            F.lit("/articles/"),
+            page,
+            F.when(v == 3, F.lit("/")).otherwise(F.lit("")),
+            F.when(v == 0, F.concat(F.lit("?utm_source=feed&id="), page))
+            .when(v == 1, F.concat(F.lit("?id="), page))
+            .when(v == 2, F.concat(F.lit("?id="), page, F.lit("&utm_campaign=x")))
+            .otherwise(F.concat(F.lit("?ref=tw&id="), page)),
+            F.when(v == 2, F.lit("#sec2")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return url_dedup(urls)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -3942,6 +4047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_persisted": q_ann_ivf_persisted,
         "ann_pq_persisted": q_ann_pq_persisted,
         "quality_classifier_persisted": q_quality_classifier_persisted,
+        "line_dedup_docs": q_line_dedup_docs,
+        "dsir_select_docs": q_dsir_select,
+        "url_dedup_docs": q_url_dedup_docs,
     }
 
 
@@ -4021,6 +4129,187 @@ def _quality_classifier_oracle_sql() -> str:
         FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) te
         LEFT JOIN sc USING (doc_id) CROSS JOIN pri
     """
+
+
+def _dsir_oracle_sql() -> str:
+    """Full DuckDB replay of q_dsir_select: planted-corpus synthesis
+    (the classifier oracle's CTE — same integer arithmetic, same module
+    vocab literals), hashed unigram+bigram counting for BOTH LMs,
+    Laplace-smoothed log-ratio per feature, per-doc importance scores,
+    and the deterministic top-100 (score DESC, id ASC) — exact to the
+    ROUND(., 6) the operator emits."""
+    from codd_spark.operators.classify import (
+        NEG_VOCAB,
+        POS_VOCAB,
+        SHARED_VOCAB,
+    )
+
+    def lits(ws):
+        return "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+
+    r = "(doc_id*104729 + i*7919) % 96"
+    return f"""
+        WITH d AS (
+          SELECT doc_id, CAST(doc_id % 2 AS INT) AS y,
+                 list_transform(range(1, 31 + CAST(doc_id % 20 AS INT)), i ->
+                   CASE WHEN {r} < 32
+                        THEN ({lits(SHARED_VOCAB)})[CAST({r} % 16 AS INT) + 1]
+                        WHEN doc_id % 2 = 1
+                        THEN ({lits(POS_VOCAB)})[CAST({r} % 16 AS INT) + 1]
+                        ELSE ({lits(NEG_VOCAB)})[CAST({r} % 16 AS INT) + 1]
+                   END) AS toks
+          FROM documents
+        ), feat_raw AS (
+          SELECT doc_id, y, s FROM (
+            SELECT doc_id, y, unnest(toks) AS s FROM d
+            UNION ALL
+            SELECT doc_id, y, toks[i] || ' ' || toks[i+1] AS s
+            FROM (SELECT doc_id, y, toks, unnest(range(1, len(toks))) AS i
+                  FROM d)
+          )
+        ), fx AS (
+          SELECT doc_id, y,
+                 CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2048
+                   AS feature,
+                 COUNT(*) AS x
+          FROM feat_raw GROUP BY doc_id, y, feature
+        ), cr AS (
+          SELECT feature, SUM(x) AS c FROM fx
+          WHERE doc_id % 5 <> 0 GROUP BY feature
+        ), ct AS (
+          SELECT feature, SUM(x) AS c FROM fx
+          WHERE doc_id % 5 = 0 AND y = 1 GROUP BY feature
+        ), tot AS (
+          SELECT (SELECT SUM(c) FROM cr) AS tot_r,
+                 (SELECT SUM(c) FROM ct) AS tot_t
+        ), lam AS (
+          SELECT cr.feature,
+                 ln(COALESCE(ct.c, 0) + 1.0) - ln(tot_t + 2048.0)
+                 - ln(cr.c + 1.0) + ln(tot_r + 2048.0) AS lam
+          FROM cr LEFT JOIN ct USING (feature) CROSS JOIN tot
+        ), sc AS (
+          SELECT fx.doc_id, SUM(fx.x * lam.lam) AS dot
+          FROM fx JOIN lam ON fx.feature = lam.feature
+          WHERE fx.doc_id % 5 <> 0
+          GROUP BY fx.doc_id
+        )
+        SELECT ids.doc_id, ROUND(COALESCE(sc.dot, 0), 6) AS log_weight
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) ids
+        LEFT JOIN sc USING (doc_id)
+        ORDER BY log_weight DESC, ids.doc_id ASC
+        LIMIT 100
+    """
+
+
+_LINE_DEDUP_ORACLE_SQL = r"""
+    WITH lined AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'Subscribe to our newsletter!' || chr(10) ELSE '' END
+             || regexp_replace(text, '((\S+ ){7}\S+) ', '\1' || chr(10), 'g')
+             || CASE WHEN doc_id % 4 = 0
+                     THEN chr(10) || '(c) 2024 Example Corp' ELSE '' END
+               AS text
+      FROM documents
+    ), ls AS (
+      SELECT doc_id, string_split(text, chr(10)) AS arr FROM lined
+    ), lines AS (
+      SELECT doc_id, pos, arr[pos] AS line
+      FROM (SELECT doc_id, arr, unnest(range(1, len(arr)+1)) AS pos FROM ls)
+    ), keyed AS (
+      SELECT doc_id, pos, line,
+             CASE WHEN length(trim(line)) >= 1 THEN
+               CAST(CONCAT('0x', substr(md5(
+                 trim(regexp_replace(lower(line), '\s+', ' ', 'g'))
+               ), 1, 15)) AS BIGINT)
+             END AS h
+      FROM lines
+    ), dups AS (
+      SELECT h FROM keyed WHERE h IS NOT NULL
+      GROUP BY h HAVING COUNT(*) >= 4
+    )
+    SELECT k.doc_id,
+           COALESCE(string_agg(CASE WHEN d.h IS NULL THEN k.line END,
+                               chr(10) ORDER BY k.pos), '') AS cleaned_text,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed
+    FROM keyed k LEFT JOIN dups d ON k.h = d.h
+    GROUP BY k.doc_id
+"""
+
+
+_URL_DEDUP_ORACLE_SQL = r"""
+    WITH synth AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 4 = 2 THEN 'http'
+              WHEN doc_id % 4 = 1 THEN 'HTTPS' ELSE 'https' END)
+        || '://'
+        || (CASE WHEN doc_id % 4 = 1 THEN 'crawler:pw@' ELSE '' END)
+        || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM'
+                 WHEN doc_id % 3 = 1 THEN 'news.site.org'
+                 ELSE 'Example.com.' END)
+        || (CASE WHEN doc_id % 4 = 1 THEN ':443'
+                 WHEN doc_id % 4 = 2 THEN ':80' ELSE '' END)
+        || '/articles/' || CAST(doc_id % 50 AS VARCHAR)
+        || (CASE WHEN doc_id % 4 = 3 THEN '/' ELSE '' END)
+        || (CASE WHEN doc_id % 4 = 0
+                 THEN '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+                 WHEN doc_id % 4 = 1
+                 THEN '?id=' || CAST(doc_id % 50 AS VARCHAR)
+                 WHEN doc_id % 4 = 2
+                 THEN '?id=' || CAST(doc_id % 50 AS VARCHAR) || '&utm_campaign=x'
+                 ELSE '?ref=tw&id=' || CAST(doc_id % 50 AS VARCHAR) END)
+        || (CASE WHEN doc_id % 4 = 2 THEN '#sec2' ELSE '' END) AS url
+      FROM documents
+    ), p AS (
+      SELECT doc_id, trim(url) AS u,
+        lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          AS scheme,
+        regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://(.*)$', 1)
+          AS rest
+      FROM synth
+    ), q AS (
+      SELECT doc_id, u, scheme,
+        regexp_extract(regexp_extract(rest, '^([^/?#]*)', 1), '([^@]*)$', 1)
+          AS hostport,
+        regexp_extract(rest, '^[^/?#]*([^?#]*)', 1) AS path,
+        regexp_extract(rest, '^[^#]*\?([^#]*)', 1) AS query
+      FROM p
+    ), h AS (
+      SELECT doc_id, u, scheme, path, query,
+        regexp_replace(regexp_replace(
+          lower(regexp_extract(hostport, '^([^:]*)', 1)), '\.$', ''),
+          '^www\.', '') AS host,
+        regexp_extract(hostport, ':([0-9]+)$', 1) AS port
+      FROM q
+    ), c AS (
+      SELECT doc_id, host,
+        CASE WHEN scheme = '' THEN u ELSE
+          scheme || '://' || host
+          || CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                        OR (scheme = 'https' AND port = '443'))
+                  THEN ':' || port ELSE '' END
+          || regexp_replace(path, '/+$', '')
+          || CASE WHEN len(list_filter(string_split(query, '&'),
+                     x -> x <> ''
+                          AND NOT starts_with(split_part(x, '=', 1), 'utm_')
+                          AND NOT list_contains(['gclid','fbclid','msclkid','ref'],
+                                                split_part(x, '=', 1)))) > 0
+             THEN '?' || array_to_string(
+                    list_sort(list_filter(string_split(query, '&'),
+                      x -> x <> ''
+                           AND NOT starts_with(split_part(x, '=', 1), 'utm_')
+                           AND NOT list_contains(['gclid','fbclid','msclkid','ref'],
+                                                 split_part(x, '=', 1)))), '&')
+             ELSE '' END
+        END AS canonical_url
+      FROM h
+    )
+    SELECT MIN(doc_id) AS doc_id, canonical_url, host,
+           COUNT(*) AS n_dups
+    FROM c GROUP BY canonical_url, host
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6780,4 +7069,10 @@ def oracle_sql() -> dict[str, str]:
     # the persisted classifier scores the same held-out fold with the
     # same (round-tripped) weights -> same full replay
     out["quality_classifier_persisted"] = out["quality_classifier"]
+    # round-10 curation trio: line-level dedup, DSIR selection, URL
+    # dedup — full replays (portable md5_60 hashes / integer-count LMs /
+    # RE2-safe canonicalization regexes shared verbatim across engines)
+    out["line_dedup_docs"] = _LINE_DEDUP_ORACLE_SQL
+    out["dsir_select_docs"] = _dsir_oracle_sql()
+    out["url_dedup_docs"] = _URL_DEDUP_ORACLE_SQL
     return out

@@ -148,6 +148,9 @@ BENCH_QUERIES = [
     "ann_ivf_persisted",        # persisted IVF index: build + reopen + pruned probe
     "ann_pq_persisted",         # persisted PQ codes/codebooks: reopen + ADC + rerank
     "quality_classifier_persisted",  # saved NB model reloaded for held-out scoring
+    "line_dedup_docs",          # corpus-wide CCNet line dedup + reassembly
+    "dsir_select_docs",         # DSIR hashed-ngram importance top-k selection
+    "url_dedup_docs",           # URL canonicalization + keeper election
 ]
 
 # Queries added DURING the current round (reset to empty at each round
@@ -163,6 +166,9 @@ CURRENT_ROUND_ADDITIONS = frozenset(
         "ann_ivf_persisted",
         "ann_pq_persisted",
         "quality_classifier_persisted",
+        "line_dedup_docs",
+        "dsir_select_docs",
+        "url_dedup_docs",
     }
 )
 PREV_ROUND_QUERIES = (

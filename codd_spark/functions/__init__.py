@@ -1,4 +1,5 @@
 from codd_spark.functions.vector import cosine_similarity, dot, l2_norm
+from codd_spark.functions.url import canonical_url, url_host
 from codd_spark.functions.text import (
     fingerprint_md5,
     normalize_ws,
@@ -8,6 +9,7 @@ from codd_spark.functions.text import (
 )
 
 __all__ = [
+    "canonical_url",
     "cosine_similarity",
     "dot",
     "fingerprint_md5",
@@ -16,4 +18,5 @@ __all__ = [
     "punct_ratio",
     "token_count",
     "tokens",
+    "url_host",
 ]

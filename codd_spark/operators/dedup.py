@@ -1315,6 +1315,152 @@ def remove_spans(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_count: int = 2,
+    sep: str = "\n",
+    normalize: bool = True,
+    min_line_chars: int = 1,
+    hash_fn: str = "xxhash64",
+    out_col: str = "cleaned_text",
+) -> DataFrame:
+    """Corpus-wide line-level dedup (the CCNet / RefinedWeb curation
+    step): any LINE whose normalized form appears >= ``min_count`` times
+    across the whole corpus is removed from EVERY document that contains
+    it, and each document is reassembled from its surviving lines in
+    original order. This is the boilerplate killer ("subscribe to our
+    newsletter", cookie banners, nav menus) that document-level near-dup
+    mining cannot express — the documents are unique, the lines are not.
+
+    All occurrences are dropped (CCNet semantics), not all-but-one:
+    a line repeated across thousands of pages is template chrome, not
+    content anywhere. Lines shorter than ``min_line_chars`` after trim
+    (default: empty/whitespace-only lines) never count as duplicates and
+    are always kept, so paragraph structure survives.
+
+    Returns (id, ``out_col``, n_lines, n_removed).
+
+    Scale shape: one posexplode to (id, pos, line) — linear in corpus
+    lines; hashing to a 64-bit key keeps the frequency aggregate's
+    shuffle rows narrow (ONE count aggregate with map-side partials);
+    the duplicated-hash set (boilerplate — tiny relative to the corpus,
+    but corpus-derived, so the flag join is pinned to shuffle rather
+    than broadcast); one groupBy(id) reassembles. No pairwise stage, no
+    driver collect — corpus-linear end to end, same plan at 100 TB.
+
+    ``hash_fn``: "xxhash64" (default) or "md5_60" (portable top-60-bits
+    -of-md5 — the cross-engine contract variant every SQL oracle can
+    replay bit-for-bit).
+    """
+    if hash_fn == "xxhash64":
+        hfn = F.xxhash64
+    elif hash_fn == "md5_60":
+        def hfn(c):
+            return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5_60', got {hash_fn!r}")
+
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(F.split(F.col(text_col), sep)).alias("pos", "__line"),
+    )
+    key = normalize_ws(F.col("__line")) if normalize else F.col("__line")
+    eligible = F.length(F.trim(F.col("__line"))) >= min_line_chars
+    hashed = lines.withColumn("h", F.when(eligible, hfn(key)))
+
+    dup_hashes = (
+        hashed.where(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count("*").alias("__c"))
+        .where(F.col("__c") >= min_count)
+        .select("h")
+    )
+    flagged = hashed.join(
+        dup_hashes.hint("shuffle_merge").withColumn("__dup", F.lit(True)),
+        on="h",
+        how="left",
+    )
+    kept_line = F.when(F.col("__dup").isNull(), F.col("__line"))
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("__dup").isNotNull(), 1).otherwise(0)).alias(
+                "n_removed"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__dup").isNull(),
+                                F.struct(F.col("pos"), F.col("__line").alias("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("line"),
+                ),
+                sep,
+            ).alias(out_col),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            out_col,
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_removed").cast("long").alias("n_removed"),
+        )
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    *,
+    strip_www: bool = True,
+) -> DataFrame:
+    """URL-level dedup for crawl corpora: canonicalize every URL
+    (``functions.url.canonical_url`` — lowercased scheme/host, www and
+    default ports stripped, fragments and utm_*/tracking params dropped,
+    remaining params sorted, trailing slashes removed) and keep ONE
+    document per canonical URL — the lowest id, so reruns and grown
+    crawls elect the same keeper. The cheapest dedup pass a crawl
+    pipeline runs, BEFORE any content hashing: refetches of the same
+    page under cosmetically different URLs never reach the tokenizer.
+
+    Returns (id, canonical_url, host, n_dups) — one row per kept
+    document, ``n_dups`` = how many raw URLs collapsed onto it.
+
+    Scale shape: canonicalization is a pure projection (codegen string
+    expressions, no UDF); the keeper election is ONE min/count aggregate
+    keyed on the canonical URL — map-side partials, corpus-linear, no
+    join anywhere. At 100 TB this is a single shuffle of (url, id)
+    pairs.
+    """
+    from codd_spark.functions.url import canonical_url, url_host
+
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            canonical_url(F.col(url_col), strip_www=strip_www).alias(
+                "canonical_url"
+            ),
+            url_host(F.col(url_col), strip_www=strip_www).alias("host"),
+        )
+        .groupBy("canonical_url", "host")
+        .agg(F.min("id").alias("id"), F.count("*").alias("n_dups"))
+        .select(
+            F.col("id").alias(id_col),
+            "canonical_url",
+            "host",
+            F.col("n_dups").cast("long").alias("n_dups"),
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     contaminants: DataFrame,

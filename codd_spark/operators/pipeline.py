@@ -467,6 +467,129 @@ def temperature_mixture_sample(
     )
 
 
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_features: int = 4096,
+    alpha: float = 1.0,
+    bigrams: bool = True,
+    mode: str = "topk",
+    salt: int = 0,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.,
+    NeurIPS 2023): pick the ``k`` documents from a large RAW pool that
+    look most like a small TARGET corpus, under hashed-n-gram bag
+    unigram language models of each side. The standard
+    pretraining-data-selection step — "give me the CommonCrawl subset
+    that looks like Wikipedia" — as two counting passes and a top-k.
+
+    Importance log-weight of a raw document with hashed-feature counts
+    x_f:  log w = sum_f x_f * (ln p_target(f) - ln p_raw(f)), where
+    p(f) = (c_f + alpha) / (C + alpha * n_features) are
+    Laplace-smoothed hashed-n-gram LMs (the raw LM is trained on the
+    pool being scored, the target LM on ``target``). Selection:
+
+    - ``mode="topk"`` (default): the k highest log-weights —
+      deterministic, the paper's "top-k" variant;
+    - ``mode="gumbel"``: Gumbel-top-k, i.e. sampling WITHOUT
+      replacement proportionally to w — the paper's resampling
+      variant, with the Gumbel noise -ln(-ln u) drawn from the shared
+      deterministic 31-bit LCG over the id (reruns and SQL oracles
+      reproduce the sample bit-for-bit).
+
+    Returns (id, log_weight) for the k selected documents, log_weight
+    rounded to 6 digits (cross-engine float discipline; ties break on
+    id). Join back to ``raw`` on the id for the full rows.
+
+    Scale shape: feature extraction is expression-only (the classifier's
+    ``hashed_text_features``); each LM is ONE feature-keyed count
+    aggregate bounded at ``n_features`` rows; the log-ratio table
+    (<= n_features rows) BROADCASTS, so scoring is a map-side join plus
+    one id-keyed sum; selection is TakeOrderedAndProject. No
+    corpus-sized shuffle after the counts, no driver collect — the same
+    plan at 100 TB, which is exactly why DSIR-style selection is used
+    at that scale.
+    """
+    from codd_spark.operators.classify import hashed_text_features
+
+    if mode not in ("topk", "gumbel"):
+        raise ValueError(f"mode must be 'topk' or 'gumbel', got {mode!r}")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if target.isEmpty():
+        # an empty target LM would silently score every document 0 —
+        # fail loud instead (the target is small by definition, so this
+        # probe costs one partition scan)
+        raise ValueError("target corpus is empty — nothing to match against")
+
+    fr = hashed_text_features(
+        raw, id_col, text_col, n_features=n_features, bigrams=bigrams
+    )
+    ft = hashed_text_features(
+        target, id_col, text_col, n_features=n_features, bigrams=bigrams
+    )
+    # the two LM count tables are bounded at n_features rows but each
+    # derives from a full corpus scan — persist them so totals and the
+    # log-ratio table read the cached counts instead of re-aggregating
+    # the corpus (3 raw-corpus scans -> 1 for the LM + 1 for scoring);
+    # release rides the result's lifecycle (dedup's finalizer pattern)
+    from codd_spark.operators.dedup import _attach_release
+
+    cr = fr.groupBy("feature").agg(F.sum("x").alias("cr")).persist()
+    ct = ft.groupBy("feature").agg(F.sum("x").alias("ct")).persist()
+    aD = float(alpha) * n_features
+    totals = (
+        cr.agg(F.sum("cr").alias("__tot_r"))
+        .crossJoin(ct.agg(F.sum("ct").alias("__tot_t")))
+    )
+    # every feature of every raw doc appears in cr by construction (the
+    # raw LM is trained on the pool being scored), so a left join from
+    # cr covers the whole scoring domain; target-unseen features get
+    # ct_f = 0 through the smoothing
+    lam = (
+        cr.join(ct, on="feature", how="left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "feature",
+            (
+                F.log(F.coalesce(F.col("ct"), F.lit(0)) + F.lit(float(alpha)))
+                - F.log(F.col("__tot_t") + F.lit(aD))
+                - F.log(F.col("cr") + F.lit(float(alpha)))
+                + F.log(F.col("__tot_r") + F.lit(aD))
+            ).alias("lam"),
+        )
+    )
+    scores = (
+        fr.join(F.broadcast(lam), on="feature")
+        .groupBy("id")
+        .agg(F.sum(F.col("x") * F.col("lam")).alias("__dot"))
+    )
+    scored = (
+        raw.select(F.col(id_col).alias("id"))
+        .join(scores, on="id", how="left")
+        .select(
+            "id", F.round(F.coalesce(F.col("__dot"), F.lit(0.0)), 6).alias("log_weight")
+        )
+    )
+    if mode == "gumbel":
+        u = (_lcg_mills("id", salt).cast("double") + F.lit(0.5)) / F.lit(1_000_000.0)
+        scored = scored.withColumn(
+            "__key", F.round(F.col("log_weight") - F.log(-F.log(u)), 6)
+        )
+    else:
+        scored = scored.withColumn("__key", F.col("log_weight"))
+    out = (
+        scored.orderBy(F.desc("__key"), F.asc("id"))
+        .limit(k)
+        .select(F.col("id").alias(id_col), "log_weight")
+    )
+    return _attach_release(out, cr, ct)
+
+
 def shuffle_shards(
     df: DataFrame,
     n_shards: int,

@@ -1,0 +1,272 @@
+"""Round-10 curation operators: corpus-wide line-level dedup
+(dedup.line_dedup — CCNet/RefinedWeb boilerplate-line removal), DSIR
+importance selection (pipeline.dsir_select), and URL canonicalization +
+URL-level dedup (functions/url.py, dedup.url_dedup). Each is checked
+against a from-scratch pure-Python reference on the same inputs, plus
+the edge cases the contract rows don't reach (empty docs, short lines,
+schemeless URLs, gumbel-vs-topk modes)."""
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from codd_spark.operators.dedup import line_dedup, url_dedup
+from codd_spark.operators.pipeline import dsir_select
+
+
+# ---------------------------------------------------------------------------
+# line_dedup
+# ---------------------------------------------------------------------------
+
+DOCS = [
+    (1, "unique one\nSubscribe to our newsletter\nreal content here\n\ncopyright 2020 corp"),
+    (2, "subscribe to  our newsletter\nanother unique line\ncopyright 2020 corp"),
+    (3, "totally distinct\n\ncopyright 2020 corp"),
+    (4, None),
+    (5, ""),
+    (6, "subscribe TO our Newsletter"),  # whole doc is one boilerplate line
+]
+
+
+def _norm(line):
+    return " ".join(line.lower().split())
+
+
+def _py_line_dedup(rows, min_count=2, min_line_chars=1):
+    split = {
+        i: ([""] if t is None or t == "" else t.split("\n")) for i, t in rows
+    }
+    freq = Counter(
+        _norm(l)
+        for ls in split.values()
+        for l in ls
+        if len(l.strip()) >= min_line_chars
+    )
+    out = {}
+    for i, ls in split.items():
+        dup = [
+            len(l.strip()) >= min_line_chars and freq[_norm(l)] >= min_count
+            for l in ls
+        ]
+        kept = [l for l, d in zip(ls, dup) if not d]
+        out[i] = ("\n".join(kept), len(ls), sum(dup))
+    return out
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5_60"])
+def test_line_dedup_matches_python_reference(spark, hash_fn):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in DOCS], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_lines, r.n_removed)
+        for r in line_dedup(df, min_count=2, hash_fn=hash_fn).collect()
+    }
+    # None text splits to a single null line; the reference models it as ""
+    want = _py_line_dedup([(i, t) for i, t in DOCS])
+    assert got == want
+
+
+def test_line_dedup_all_lines_removed_keeps_row(spark):
+    df = spark.createDataFrame(
+        [(1, "same line"), (2, "same line"), (3, "same line")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in line_dedup(df).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert all(r.cleaned_text == "" and r.n_removed == 1 for r in rows.values())
+
+
+def test_line_dedup_min_line_chars_protects_short_lines(spark):
+    df = spark.createDataFrame(
+        [(1, "ok\nlong duplicated line"), (2, "ok\nlong duplicated line")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in line_dedup(df, min_line_chars=5).collect()}
+    # "ok" repeats but is under the length floor; the long line is removed
+    assert rows[1].cleaned_text == "ok" and rows[1].n_removed == 1
+
+
+def test_line_dedup_bad_hash_fn(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="hash_fn"):
+        line_dedup(df, hash_fn="sha1")
+
+
+# ---------------------------------------------------------------------------
+# dsir_select
+# ---------------------------------------------------------------------------
+
+
+def _py_dsir_scores(raw, target, n_features=256, alpha=1.0):
+    import hashlib
+
+    def feats(text):
+        toks = [t for t in text.lower().split() if t]
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return Counter(
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % n_features
+            for g in grams
+        )
+
+    cr, ct = Counter(), Counter()
+    for _, t in raw:
+        cr.update(feats(t))
+    for _, t in target:
+        ct.update(feats(t))
+    Cr, Ct = sum(cr.values()), sum(ct.values())
+    aD = alpha * n_features
+    out = {}
+    for i, t in raw:
+        s = sum(
+            x
+            * (
+                math.log(ct.get(f, 0) + alpha)
+                - math.log(Ct + aD)
+                - math.log(cr[f] + alpha)
+                + math.log(Cr + aD)
+            )
+            for f, x in feats(t).items()
+        )
+        out[i] = round(s, 6)
+    return out
+
+
+def test_dsir_scores_match_python_reference(spark):
+    from codd_spark.operators.classify import planted_label_docs
+
+    corpus = planted_label_docs(spark.range(0, 80).selectExpr("id AS doc_id"))
+    rows = [(r.doc_id, r.text, r.y) for r in corpus.collect()]
+    target = [(i, t) for i, t, y in rows if y == 1 and i % 4 == 1]
+    raw = [(i, t) for i, t, y in rows if i % 4 != 1]
+
+    target_df = spark.createDataFrame(target, "doc_id long, text string")
+    raw_df = spark.createDataFrame(raw, "doc_id long, text string")
+    got = {
+        r.doc_id: r.log_weight
+        for r in dsir_select(
+            raw_df, target_df, k=len(raw), n_features=256
+        ).collect()
+    }
+    want = _py_dsir_scores(raw, target, n_features=256)
+    assert len(got) == len(raw)
+    for i, w in want.items():
+        assert got[i] == pytest.approx(w, abs=2e-6)
+
+
+def test_dsir_topk_selects_target_like_docs(spark):
+    from codd_spark.operators.classify import planted_label_docs
+
+    corpus = planted_label_docs(spark.range(0, 400).selectExpr("id AS doc_id"))
+    target = corpus.filter("doc_id % 5 = 0 AND y = 1").select("doc_id", "text")
+    raw = corpus.filter("doc_id % 5 != 0").select("doc_id", "text")
+    sel = dsir_select(raw, target, k=80, n_features=2048)
+    got = sel.join(corpus.select("doc_id", "y"), on="doc_id").collect()
+    assert len(got) == 80
+    # planted signal: the target-like class dominates the selection
+    assert sum(r.y for r in got) >= 76
+
+
+def test_dsir_gumbel_is_deterministic_and_biased_to_target(spark):
+    from codd_spark.operators.classify import planted_label_docs
+
+    corpus = planted_label_docs(spark.range(0, 400).selectExpr("id AS doc_id"))
+    target = corpus.filter("doc_id % 5 = 0 AND y = 1").select("doc_id", "text")
+    raw = corpus.filter("doc_id % 5 != 0").select("doc_id", "text")
+    a = dsir_select(raw, target, k=60, n_features=2048, mode="gumbel")
+    b = dsir_select(raw, target, k=60, n_features=2048, mode="gumbel")
+    ids_a = sorted(r.doc_id for r in a.collect())
+    ids_b = sorted(r.doc_id for r in b.collect())
+    assert ids_a == ids_b  # LCG noise, not RNG
+    got = (
+        spark.createDataFrame([(i,) for i in ids_a], "doc_id long")
+        .join(corpus.select("doc_id", "y"), on="doc_id")
+        .collect()
+    )
+    assert sum(r.y for r in got) >= 50
+
+
+def test_dsir_empty_doc_scores_zero(spark):
+    raw = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "   ")], "doc_id long, text string"
+    )
+    target = spark.createDataFrame([(9, "alpha alpha")], "doc_id long, text string")
+    got = {r.doc_id: r.log_weight for r in dsir_select(raw, target, k=2).collect()}
+    assert got[2] == 0.0
+
+
+def test_dsir_arg_validation(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="mode"):
+        dsir_select(df, df, k=1, mode="uniform")
+    with pytest.raises(ValueError, match="k"):
+        dsir_select(df, df, k=0)
+    with pytest.raises(ValueError, match="empty"):
+        dsir_select(df, df.filter("doc_id < 0"), k=1)
+
+
+# ---------------------------------------------------------------------------
+# canonical_url / url_dedup
+# ---------------------------------------------------------------------------
+
+URL_CASES = [
+    # (raw, canonical)
+    ("HTTPS://WWW.Example.COM:443/a/b/?utm_source=f&id=3#x", "https://example.com/a/b?id=3"),
+    ("https://example.com/a/b?id=3", "https://example.com/a/b?id=3"),
+    ("https://user:pw@example.com./a/b?id=3&ref=tw", "https://example.com/a/b?id=3"),
+    ("http://example.com:80/", "http://example.com"),
+    ("http://example.com:8080/x", "http://example.com:8080/x"),
+    ("https://example.com/a?z=1&a=2", "https://example.com/a?a=2&z=1"),
+    ("https://example.com/a?gclid=1&fbclid=2&msclkid=3&ref=r", "https://example.com/a"),
+    ("https://example.com/a?utm_campaign=c&utm_source=s", "https://example.com/a"),
+    ("  https://example.com/a  ", "https://example.com/a"),
+    ("ftp://Files.Example.org/pub/", "ftp://files.example.org/pub"),
+    ("no scheme here", "no scheme here"),
+    ("/relative/path?utm_source=x", "/relative/path?utm_source=x"),
+]
+
+
+def test_canonical_url_cases(spark):
+    from codd_spark.functions.url import canonical_url
+
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(URL_CASES)], "i long, url string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(URL_CASES):
+        assert got[i] == want, f"case {i}: {URL_CASES[i][0]!r}"
+
+
+def test_url_host(spark):
+    from codd_spark.functions.url import url_host
+
+    df = spark.createDataFrame(
+        [(1, "HTTPS://WWW.News.Site.ORG.:8443/x"), (2, "nope")],
+        "i long, url string",
+    )
+    got = {r.i: r.h for r in df.select("i", url_host(F.col("url")).alias("h")).collect()}
+    assert got[1] == "news.site.org"
+    assert got[2] == ""
+
+
+def test_url_dedup_groups_and_keeper(spark):
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/a/b/?utm_source=feed&id=3#frag"),
+        (2, "https://example.com/a/b?id=3"),
+        (3, "https://example.com/a/b?id=3&gclid=xyz"),
+        (4, "http://example.com:80/a/b?id=3"),
+        (5, "https://user:pw@example.com./a/b?id=3&ref=tw"),
+        (6, "https://example.com/a/b?z=1&a=2"),
+        (7, "https://example.com/a/b?a=2&z=1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.canonical_url: r for r in url_dedup(df).collect()}
+    g = got["https://example.com/a/b?id=3"]
+    assert g.doc_id == 1 and g.n_dups == 4
+    assert got["http://example.com/a/b?id=3"].n_dups == 1  # scheme differs
+    assert got["https://example.com/a/b?a=2&z=1"].n_dups == 2

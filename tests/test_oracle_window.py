@@ -363,6 +363,15 @@ ROUND10_ADDITIONS = [
     # persisted classifier: saved/reloaded weights score the held-out
     # fold; oracle = quality_classifier's full weight+score replay
     "quality_classifier_persisted",
+    # CCNet-style corpus-wide line dedup over planted boilerplate pages;
+    # oracle replays the md5_60 line hash, count, removal and reassembly
+    "line_dedup_docs",
+    # DSIR top-k selection on the planted corpus; oracle replays both
+    # hashed-ngram LMs, every importance score, and the top-100
+    "dsir_select_docs",
+    # URL canonicalization + keeper election over closed-form messy
+    # URLs; oracle replays the RE2-safe canonical form char-for-char
+    "url_dedup_docs",
 ]
 
 
