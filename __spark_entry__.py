@@ -3750,11 +3750,19 @@ def q_url_dedup_docs(spark, sf_dir):
     the cheapest dedup pass a pipeline runs, before any content hash."""
     from codd_spark.operators.dedup import url_dedup
 
+    return url_dedup(_messy_urls(spark, sf_dir))
+
+
+def _messy_urls(spark, sf_dir):
+    """(doc_id, url): closed-form crawl-messy URLs from doc ids — case,
+    ports, userinfo, fragments, tracking params, param order, trailing
+    slashes all vary by id arithmetic, so variants of one page carry
+    different raw strings and identical canonical forms."""
     docs = read_table(spark, sf_dir, "documents")
     v = F.col("doc_id") % 4
     page = (F.col("doc_id") % 50).cast("string")
     host_id = F.col("doc_id") % 3
-    urls = docs.select(
+    return docs.select(
         "doc_id",
         F.concat(
             F.when(v == 2, F.lit("http")).when(v == 1, F.lit("HTTPS")).otherwise(
@@ -3778,7 +3786,33 @@ def q_url_dedup_docs(spark, sf_dir):
             F.when(v == 2, F.lit("#sec2")).otherwise(F.lit("")),
         ).alias("url"),
     )
-    return url_dedup(urls)
+
+
+def q_incremental_url_dedup(spark, sf_dir):
+    """Incremental exact-key dedup through the ARRIVAL machinery
+    (round 10; dedup.IncrementalExactDeduplicator — the URL-first pass
+    a continuous crawl runs before any fuzzy stage): two crawl batches
+    (even ids, then odd ids) of closed-form messy URLs are
+    canonicalized and fed through add_batch — min-id keeper per
+    canonical URL within each batch (one aggregate; key equality is
+    transitive, no closure), earlier-kept-wins across batches, state
+    keyed by a 128-bit hash pair so probes never ship URL strings. The
+    oracle replays canonicalization, both batch keeper elections, and
+    the cross-batch drop in pure SQL."""
+    from codd_spark.functions.url import canonical_url
+    from codd_spark.operators.dedup import IncrementalExactDeduplicator
+
+    urls = _messy_urls(spark, sf_dir).withColumn(
+        "canonical_url", canonical_url(F.col("url"))
+    )
+    d = IncrementalExactDeduplicator(spark, key_col="canonical_url")
+    k1 = d.add_batch(urls.where("doc_id % 2 = 0"))
+    k2 = d.add_batch(urls.where("doc_id % 2 = 1"))
+    return k1.select(
+        "doc_id", F.lit(1).alias("batch"), "canonical_url"
+    ).unionByName(
+        k2.select("doc_id", F.lit(2).alias("batch"), "canonical_url")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4050,6 +4084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_docs": q_line_dedup_docs,
         "dsir_select_docs": q_dsir_select,
         "url_dedup_docs": q_url_dedup_docs,
+        "incremental_url_dedup": q_incremental_url_dedup,
     }
 
 
@@ -4239,7 +4274,7 @@ _LINE_DEDUP_ORACLE_SQL = r"""
 """
 
 
-_URL_DEDUP_ORACLE_SQL = r"""
+_URL_CANON_CTES = r"""
     WITH synth AS (
       SELECT doc_id,
         (CASE WHEN doc_id % 4 = 2 THEN 'http'
@@ -4306,9 +4341,30 @@ _URL_DEDUP_ORACLE_SQL = r"""
         END AS canonical_url
       FROM h
     )
+"""
+
+_URL_DEDUP_ORACLE_SQL = _URL_CANON_CTES + """
     SELECT MIN(doc_id) AS doc_id, canonical_url, host,
            COUNT(*) AS n_dups
     FROM c GROUP BY canonical_url, host
+"""
+
+# incremental URL dedup: batch 1 = even ids, batch 2 = odd ids; min-id
+# keeper per canonical URL within each batch, earlier-kept-wins across
+# (a batch-2 keeper whose canonical URL batch 1 already kept is dropped)
+_INCR_URL_DEDUP_ORACLE_SQL = _URL_CANON_CTES + """
+    , b1 AS (
+      SELECT MIN(doc_id) AS doc_id, canonical_url
+      FROM c WHERE doc_id % 2 = 0 GROUP BY canonical_url
+    ), b2 AS (
+      SELECT MIN(doc_id) AS doc_id, canonical_url
+      FROM c WHERE doc_id % 2 = 1 GROUP BY canonical_url
+    )
+    SELECT doc_id, CAST(1 AS INT) AS batch, canonical_url FROM b1
+    UNION ALL
+    SELECT b2.doc_id, CAST(2 AS INT) AS batch, b2.canonical_url
+    FROM b2 LEFT JOIN b1 ON b2.canonical_url = b1.canonical_url
+    WHERE b1.doc_id IS NULL
 """
 
 
@@ -7075,4 +7131,7 @@ def oracle_sql() -> dict[str, str]:
     out["line_dedup_docs"] = _LINE_DEDUP_ORACLE_SQL
     out["dsir_select_docs"] = _dsir_oracle_sql()
     out["url_dedup_docs"] = _URL_DEDUP_ORACLE_SQL
+    # arrival-order contract for the exact-key deduplicator: per-batch
+    # min-id keepers + the earlier-kept-wins cross-batch drop
+    out["incremental_url_dedup"] = _INCR_URL_DEDUP_ORACLE_SQL
     return out

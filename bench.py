@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "line_dedup_docs",          # corpus-wide CCNet line dedup + reassembly
     "dsir_select_docs",         # DSIR hashed-ngram importance top-k selection
     "url_dedup_docs",           # URL canonicalization + keeper election
+    "incremental_url_dedup",    # exact-key arrival dedup over two URL batches
 ]
 
 # Queries added DURING the current round (reset to empty at each round
@@ -169,6 +170,7 @@ CURRENT_ROUND_ADDITIONS = frozenset(
         "line_dedup_docs",
         "dsir_select_docs",
         "url_dedup_docs",
+        "incremental_url_dedup",
     }
 )
 PREV_ROUND_QUERIES = (

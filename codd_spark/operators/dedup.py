@@ -2981,6 +2981,253 @@ class IncrementalDeduplicator:
         return False
 
 
+class IncrementalExactDeduplicator:
+    """Arrival-order EXACT dedup for a growing corpus — the degenerate
+    (and cheapest) member of the incremental family: each arriving
+    batch keeps only rows whose KEY was never kept before. The key is
+    either a caller-named column (``key_col`` — canonical URL, content
+    fingerprint, simhash...) or, by default, the whitespace-normalized
+    document text (exact content dedup). This is the URL-first pass a
+    continuous crawl runs before any fuzzy machinery: refetches never
+    reach shingling.
+
+    Keys travel as a PAIR of independent 64-bit hashes (xxhash64 with
+    two seeds — 128 effective bits, so a false merge needs a 2^-128
+    collision event; the raw key string never enters the state, keeping
+    state rows fixed-width). Within a batch the min-id row per key wins
+    (one aggregate — key equality is transitive, no closure machinery
+    needed); across batches earlier-kept-wins. Rows with a NULL key
+    never match anything: they are always kept and never enter the
+    state (documents without a URL must not collapse together).
+
+    State = the same restart-surviving machinery as the fuzzy/image
+    deduplicators (``_BucketedMinhashState``): one bucket row per kept
+    key (band 0, h = hash1), the second hash riding the shingle table
+    as a 1-element array — crash matrix, orphan sweep, compaction and
+    HCFS backends apply unchanged, and probes stay zero-Exchange on the
+    state side in persistent mode. No ``max_bucket_size`` guard exists
+    or is needed: the state holds AT MOST ONE row per distinct key by
+    construction (a key only appends when it did not match), so a
+    million refetches of one page cost one aggregate row per batch,
+    never a hot bucket.
+
+    Per-arrival cost is O(batch): one projection, one (h1,h2) keeper
+    aggregate, one probe join against the bucketed state, one append.
+    """
+
+    def __init__(
+        self,
+        spark,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        *,
+        key_col: str | None = None,
+        seed: DataFrame | None = None,
+        state_dir: str | None = None,
+        state_buckets: int = 32,
+    ):
+        self.id_col, self.text_col, self.key_col = id_col, text_col, key_col
+        self.params = dict(
+            key=f"column:{key_col}" if key_col else "normalized_text"
+        )
+        self.n_kept = 0
+        self._state = None
+        if state_dir is not None:
+            resuming = _BucketedMinhashState.exists(state_dir, spark)
+            self._state = _BucketedMinhashState(
+                spark,
+                state_dir,
+                n_buckets=state_buckets,
+                params=self.params,
+                extra=dict(
+                    kind="exact_dedup",
+                    id_col=id_col,
+                    text_col=text_col,
+                    key_col=key_col,
+                ),
+            )
+            if resuming:
+                if seed is not None:
+                    raise ValueError(
+                        "seed only applies to a FRESH state_dir — this one "
+                        "already holds kept-corpus state"
+                    )
+                self.n_kept = self._state.shingles().count()
+            elif seed is not None:
+                ks = self._prep(seed)
+                self._state.append(*self._state_rows(ks))
+                self.n_kept = self._state.shingles().count()
+            return
+        self._empty_b = spark.createDataFrame([], "id LONG, band INT, h LONG")
+        self._empty_s = spark.createDataFrame([], "id LONG, sh ARRAY<LONG>")
+        self._bucket_parts: list[DataFrame] = []
+        self._shingle_parts: list[DataFrame] = []
+        if seed is not None:
+            ks = self._prep(seed)
+            self._append_memory(*self._state_rows(ks))
+            self.n_kept = self._kept_shingles.count()
+
+    @classmethod
+    def open(cls, spark, state_dir: str) -> "IncrementalExactDeduplicator":
+        """Reopen a persistent state dir after a process restart; key
+        derivation and columns come from the manifest."""
+        if not _BucketedMinhashState.exists(state_dir, spark):
+            raise ValueError(f"no incremental exact-dedup state at {state_dir}")
+        st = _BucketedMinhashState(spark, state_dir)
+        e = st.extra
+        if e.get("kind") != "exact_dedup":
+            raise ValueError(
+                f"{state_dir} holds {e.get('kind')!r} state, not exact_dedup"
+            )
+        return cls(
+            spark,
+            e["id_col"],
+            e["text_col"],
+            key_col=e.get("key_col"),
+            state_dir=state_dir,
+            state_buckets=st.n_buckets,
+        )
+
+    @property
+    def _kept_buckets(self) -> DataFrame:
+        if self._state is not None:
+            return self._state.buckets()
+        if not self._bucket_parts:
+            return self._empty_b
+        return functools.reduce(DataFrame.union, self._bucket_parts)
+
+    @property
+    def _kept_shingles(self) -> DataFrame:
+        if self._state is not None:
+            return self._state.shingles()
+        if not self._shingle_parts:
+            return self._empty_s
+        return functools.reduce(DataFrame.union, self._shingle_parts)
+
+    _MEMORY_COMPACT_PARTS = 16
+
+    def _append_memory(self, new_b: DataFrame, new_s: DataFrame) -> None:
+        """Same single-checkpoint tagged-delta append as the fuzzy
+        deduplicator (VERDICT r9 item 7): one O(batch) materialization
+        per arrival, lazy-union views, periodic consolidation."""
+        combined = (
+            new_b.select(
+                F.lit(0).alias("__t"),
+                "id",
+                "band",
+                "h",
+                F.lit(None).cast("array<long>").alias("sh"),
+            )
+            .unionByName(
+                new_s.select(
+                    F.lit(1).alias("__t"),
+                    "id",
+                    F.lit(None).cast("int").alias("band"),
+                    F.lit(None).cast("long").alias("h"),
+                    "sh",
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+        self._bucket_parts.append(
+            combined.filter("__t = 0").select("id", "band", "h")
+        )
+        self._shingle_parts.append(
+            combined.filter("__t = 1").select("id", "sh")
+        )
+        if len(self._bucket_parts) >= self._MEMORY_COMPACT_PARTS:
+            b, s = self._kept_buckets, self._kept_shingles
+            self._bucket_parts, self._shingle_parts = [], []
+            self._append_memory(b, s)
+
+    def _key_expr(self) -> Column:
+        if self.key_col is not None:
+            return F.col(self.key_col).cast("string")
+        return normalize_ws(F.col(self.text_col))
+
+    def _prep(self, batch: DataFrame) -> DataFrame:
+        """(id, h, h2) per NON-NULL-key row, min-id per key already
+        elected — within one batch, key equality is transitive, so the
+        keeper election is a single aggregate, no closure."""
+        key = self._key_expr()
+        return (
+            batch.where(key.isNotNull())
+            .select(
+                F.col(self.id_col).alias("id"),
+                F.xxhash64(key).alias("h"),
+                F.xxhash64(F.lit(1), key).alias("h2"),
+            )
+            .groupBy("h", "h2")
+            .agg(F.min("id").alias("id"))
+        )
+
+    @staticmethod
+    def _state_rows(ks: DataFrame) -> tuple[DataFrame, DataFrame]:
+        new_b = ks.select("id", F.lit(0).alias("band"), "h")
+        new_s = ks.select("id", F.array("h2").alias("sh"))
+        return new_b, new_s
+
+    def add_batch(self, batch: DataFrame) -> DataFrame:
+        """Process one arriving batch; returns the KEPT rows (original
+        columns — batch keepers minus already-kept keys, plus every
+        NULL-key row) and appends the survivors' keys for future
+        arrivals."""
+        ks = self._prep(batch).localCheckpoint(eager=True)
+
+        # probe the kept corpus: bucketed state side, O(batch) probe side
+        cand = self._kept_buckets.select(
+            F.col("h"), F.col("id").alias("__kept_id")
+        ).join(ks.hint("shuffle_merge"), on="h")
+        dropped = (
+            cand.join(
+                self._kept_shingles.select(
+                    F.col("id").alias("__kept_id"),
+                    F.element_at("sh", 1).alias("__h2_kept"),
+                ),
+                on="__kept_id",
+            )
+            .where(F.col("__h2_kept") == F.col("h2"))
+            .select("id")
+            .distinct()
+        )
+        survivors = ks.join(
+            dropped.hint("shuffle_merge"), on="id", how="left_anti"
+        ).localCheckpoint(eager=True)
+
+        if self._state is not None:
+            self._state.append(*self._state_rows(survivors))
+        else:
+            self._append_memory(*self._state_rows(survivors))
+        self.n_kept += survivors.count()
+
+        key = self._key_expr()
+        kept_keyed = batch.join(
+            survivors.select(F.col("id").alias(self.id_col)).hint(
+                "shuffle_merge"
+            ),
+            on=self.id_col,
+            how="left_semi",
+        )
+        null_rows = batch.where(key.isNull())
+        return kept_keyed.unionByName(null_rows)
+
+    def compact(self) -> dict:
+        """Consolidate persistent state generations (no-op in memory)."""
+        if self._state is None:
+            return {"generation": None, "files_swept": 0}
+        return self._state.compact()
+
+    def close(self) -> None:
+        """Idempotent; state checkpoints are GC-managed, nothing pinned."""
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str,

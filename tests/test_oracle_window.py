@@ -372,6 +372,10 @@ ROUND10_ADDITIONS = [
     # URL canonicalization + keeper election over closed-form messy
     # URLs; oracle replays the RE2-safe canonical form char-for-char
     "url_dedup_docs",
+    # exact-key arrival dedup (IncrementalExactDeduplicator) over two
+    # crawl batches of canonical URLs; oracle replays both batch keeper
+    # elections and the earlier-kept-wins cross drop
+    "incremental_url_dedup",
 ]
 
 
