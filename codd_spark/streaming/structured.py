@@ -156,23 +156,26 @@ def bloom_decontaminate_batch_fn(
 
 
 def incremental_dedup_batch_fn(dedup, sink):
-    """foreachBatch callable that drives an
-    ``operators.dedup.IncrementalDeduplicator`` from a document stream:
-    each micro-batch is deduplicated within itself (MinHash closure +
-    min-id keeper) and against everything previously kept, then the
-    surviving novel rows go to ``sink(kept_df, epoch_id)`` and their
-    MinHash state is appended for future batches. The streaming form of
-    the continuous-crawl arrival pipeline:
+    """foreachBatch callable that drives ANY of the arrival
+    deduplicators — ``dedup.IncrementalDeduplicator`` (fuzzy text),
+    ``dedup.IncrementalExactDeduplicator`` (exact URL/content keys), or
+    ``multimodal.IncrementalImageDeduplicator`` (perceptual) — from a
+    stream: each micro-batch is deduplicated within itself and against
+    everything previously kept, then the surviving novel rows go to
+    ``sink(kept_df, epoch_id)`` and their key state is appended for
+    future batches. The streaming form of the continuous-crawl arrival
+    pipeline:
 
-        dd = IncrementalDeduplicator(spark)
+        dd = IncrementalDeduplicator(spark)   # or the exact/image twin
         q = (docs_stream.writeStream
              .foreachBatch(incremental_dedup_batch_fn(dd, sink))
              .start())
 
-    Semantics are exactly ``IncrementalDeduplicator.add_batch`` per
-    micro-batch (greedy earlier-kept-wins across batches, closure within
-    one); batch boundaries only affect near-dup CHAINS that span them —
-    see the class docstring."""
+    Semantics are exactly ``add_batch`` per micro-batch (greedy
+    earlier-kept-wins across batches, within-batch keeper election);
+    for the fuzzy/image members, batch boundaries only affect near-dup
+    CHAINS that span them — see the class docstrings. Exact-key dedup
+    is chain-free, so its kept KEY set is batching-independent."""
 
     def _fn(batch_df: DataFrame, epoch_id: int) -> None:
         sink(dedup.add_batch(batch_df), epoch_id)

@@ -144,6 +144,41 @@ def test_memory_equals_persistent(spark, tmp_path):
     assert mem.n_kept == per.n_kept
 
 
+def test_streaming_foreach_batch_drives_exact_dedup(spark, tmp_path):
+    """File-source stream -> foreachBatch(IncrementalExactDeduplicator):
+    the generic arrival adapter drives the exact-key member too, and the
+    accumulated kept KEY set is batching-independent."""
+    from codd_spark.streaming.structured import (
+        incremental_dedup_batch_fn,
+        stream_from_directory,
+    )
+
+    schema = "doc_id LONG, url STRING"
+    d = str(tmp_path / "urls_stream")
+    spark.createDataFrame(
+        [(1, "u1"), (2, "u2")], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        [(10, "u1"), (11, "u3")], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    dd = IncrementalExactDeduplicator(spark, key_col="url")
+    kept = []
+
+    def sink(df, epoch_id):
+        kept.extend(r.doc_id for r in df.collect())
+
+    sdf = stream_from_directory(spark, d, schema)
+    q = sdf.writeStream.foreachBatch(incremental_dedup_batch_fn(dd, sink)).start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(120)
+
+    # u1's duplicate is dropped whatever micro-batching the source picked
+    assert sorted(kept) == [1, 2, 11]
+    assert dd.n_kept == 3
+
+
 def test_canonical_url_composition(spark):
     """The intended pipeline: canonicalize, then exact-dedup on the
     canonical key — messy refetch variants of one page collapse."""
