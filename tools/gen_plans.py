@@ -65,6 +65,9 @@ PICK = {
     "quality_classifier": "Trained NB linear classifier (r9): feature extraction is pure codegen (tokens -> bigrams -> md5 hash -> modulo, one explode); training is ONE (feature)-keyed aggregate with map-side partial counts plus a 1-row totals aggregate; the bounded model (<= n_features rows) is explicitly BROADCAST, so held-out scoring is a map-side join + per-doc aggregate — no corpus-sized shuffle after the count.",
     "ann_ivf_persisted": "Persisted IVF probe (r10): the lists scan carries a static PartitionFilters IN over the routed list ids (only n_probe directories read) plus Spark's own dynamic pruning subquery; routed queries broadcast, so the corpus side reaches the join with NO Exchange — the only exchanges are post-join over scored candidates.",
     "jpeg_metadata": "Baseline JPEG decode contract (r9): synthesis ids repartitioned before mapInPandas so the CPU-bound pure-Python encode+decode runs on every core (the frame_sample discipline); Arrow-batched, bounded memory; everything after the 6-column feature rows is expression-only.",
+    "line_dedup_docs": "Corpus-wide line dedup (r10): posexplode to (id, pos, line) then exactly three exchanges — the hashed-line frequency aggregate (map-side partials), the shuffle-pinned flag join against the boilerplate-sized duplicated-hash set (broadcast would bet on a corpus-derived side), and the per-doc reassembly aggregate. No pairwise stage, no Python.",
+    "dsir_select_docs": "DSIR selection (r10): both hashed-n-gram LMs are bounded (feature)-keyed count aggregates read from a persisted cache (one raw-corpus scan for the LM, one for scoring); the log-ratio table (<= n_features rows) is explicitly BROADCAST so per-doc scoring is a map-side join + id-keyed sum; the top-k is TakeOrderedAndProject, never a global sort.",
+    "url_dedup_docs": "URL dedup (r10): canonicalization is a pure codegen projection (regexp/array expressions, no UDF); the whole operator is ONE min/count aggregate on the canonical key — a single exchange end to end.",
 }
 
 
