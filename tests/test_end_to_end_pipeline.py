@@ -192,3 +192,67 @@ def test_quality_gate_and_tokenizer_pipeline(spark):
         set_similarity_join(docs, "doc_id", "text", threshold=0.35, ngram_n=3)
     ).filter("id != component")
     assert drop2.count() == n_dups
+
+
+def test_crawl_frontend_pipeline(spark):
+    """Third composition (round 10): the crawl FRONT-END that runs before
+    everything above. Messy refetch URLs -> canonical_url + url_dedup
+    (URL-level keeper election) -> line_dedup (corpus-wide boilerplate
+    line removal) -> DSIR selection toward a target corpus. Asserts the
+    stages compose (keeper rows join back to payloads, cleaned text
+    feeds scoring) and the whole front-end is deterministic."""
+    from codd_spark.functions.url import canonical_url, url_host
+    from codd_spark.operators.dedup import line_dedup, url_dedup
+    from codd_spark.operators.pipeline import dsir_select
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_raw = docs.count()
+
+    # 1. every doc arrives under a messy URL; ~2 raw URLs per page
+    pages = docs.withColumn(
+        "url",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://WWW.Crawl.NET"))
+            .otherwise(F.lit("https://crawl.net")),
+            F.lit("/p/"),
+            (F.col("doc_id") % ((500 // 2) or 1)).cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("/?utm_source=feed"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    kept_urls = url_dedup(pages, "doc_id", "url")
+    n_pages = kept_urls.count()
+    assert n_pages < n_raw  # refetch variants collapsed
+    assert kept_urls.filter("n_dups >= 2").count() > 0
+    # host rollup agrees with the canonicalizer
+    hosts = {r.host for r in kept_urls.select("host").distinct().collect()}
+    assert hosts == {"crawl.net"}
+    fetched = docs.join(kept_urls.select("doc_id"), "doc_id", "left_semi")
+    assert fetched.count() == n_pages
+
+    # 2. strip boilerplate chrome lines injected by the "template"
+    lined = fetched.select(
+        "doc_id",
+        F.concat(
+            F.lit("Subscribe to crawl.net!\n"), "text", F.lit("\n(c) crawl.net")
+        ).alias("text"),
+    )
+    cleaned = line_dedup(lined, min_count=4)
+    assert cleaned.filter("n_removed < 2").count() == 0  # chrome gone everywhere
+    assert cleaned.count() == n_pages  # no document lost, only lines
+
+    # 3. DSIR-select the half of the pool most like an 'en' target
+    pool = cleaned.select("doc_id", F.col("cleaned_text").alias("text"))
+    target = fetched.filter("lang = 'en'").select("doc_id", "text").limit(50)
+    k = n_pages // 2
+    sel = dsir_select(pool, target, k=k, n_features=1024)
+    got = sel.count()
+    assert got == k
+    sel.release_cache()
+
+    # 4. determinism end-to-end: rerun reproduces the same selection
+    sel2 = dsir_select(pool, target, k=k, n_features=1024)
+    a = sorted((r.doc_id, r.log_weight) for r in sel.collect())
+    b = sorted((r.doc_id, r.log_weight) for r in sel2.collect())
+    sel2.release_cache()
+    assert a == b
