@@ -54,11 +54,21 @@ def url_host(c: Column, *, strip_www: bool = True) -> Column:
     dropped, trailing dot stripped, leading ``www.`` stripped (the
     host-level rollup key — per-site document counts, domain caps,
     robots policy joins). '' when the input has no ``scheme://``."""
-    _, host, _, _, _ = _parts(F.trim(c))
+    u = F.trim(c)
+    _, host, _, _, _ = _parts(u)
     host = F.regexp_replace(host, r"\.$", "")
     if strip_www:
         host = F.regexp_replace(host, r"^www\.", "")
-    return host
+    # IPv6 literals: return the whole bracketed host, not its prefix
+    hostport = F.regexp_extract(
+        F.regexp_extract(F.regexp_extract(u, _REST_RE, 1), r"^([^/?#]*)", 1),
+        r"([^@]*)$",
+        1,
+    )
+    return F.when(
+        hostport.startswith("["),
+        F.lower(F.regexp_extract(hostport, r"^(\[[^\]]*\])", 1)),
+    ).otherwise(host)
 
 
 def canonical_url(
@@ -94,6 +104,12 @@ def canonical_url(
         F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&")),
     ).otherwise(F.lit(""))
 
+    # IPv6 literal hosts ([::1]:8080) don't fit the host:port split —
+    # pass them through untouched rather than canonicalize them wrong
+    hostport = F.regexp_extract(
+        F.regexp_extract(u, _REST_RE, 1), r"^([^/?#]*)", 1
+    )
+    bracketed = F.regexp_extract(hostport, r"([^@]*)$", 1).startswith("[")
     return F.when(
-        scheme == "", u
+        (scheme == "") | bracketed, u
     ).otherwise(F.concat(scheme, F.lit("://"), host, portpart, path, qpart))

@@ -1363,9 +1363,16 @@ def line_dedup(
     else:
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5_60', got {hash_fn!r}")
 
+    # F.split takes a Java REGEX — quote the separator so "." or "|"
+    # split literally (\Q...\E quoting; a separator containing the
+    # two-char sequence \E is not supported)
+    if "\\E" in sep:
+        raise ValueError(r"sep must not contain the sequence \E")
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode_outer(F.split(F.col(text_col), sep)).alias("pos", "__line"),
+        F.posexplode_outer(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E")
+        ).alias("pos", "__line"),
     )
     key = normalize_ws(F.col("__line")) if normalize else F.col("__line")
     eligible = F.length(F.trim(F.col("__line"))) >= min_line_chars

@@ -242,6 +242,38 @@ def test_canonical_url_cases(spark):
         assert got[i] == want, f"case {i}: {URL_CASES[i][0]!r}"
 
 
+def test_canonical_url_ipv6_passthrough_and_literal_sep(spark):
+    """IPv6-literal hosts pass through unchanged (the host:port regex
+    split cannot canonicalize them correctly), and line_dedup's sep is
+    a LITERAL separator, not a regex."""
+    from codd_spark.functions.url import canonical_url, url_host
+
+    df = spark.createDataFrame(
+        [(1, "http://[::1]:8080/a?utm_source=x"), (2, "https://user@[2001:db8::1]/b")],
+        "i long, url string",
+    )
+    got = {
+        r.i: (r.c, r.h)
+        for r in df.select(
+            "i",
+            canonical_url(F.col("url")).alias("c"),
+            url_host(F.col("url")).alias("h"),
+        ).collect()
+    }
+    assert got[1] == ("http://[::1]:8080/a?utm_source=x", "[::1]")
+    assert got[2] == ("https://user@[2001:db8::1]/b", "[2001:db8::1]")
+
+    # literal "." separator: a regex split would explode every char away
+    docs = spark.createDataFrame(
+        [(1, "dup.unique one.tail"), (2, "dup.unique two.tail")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in line_dedup(docs, sep=".", min_count=2).collect()}
+    assert rows[1].cleaned_text == "unique one" and rows[1].n_removed == 2
+    with pytest.raises(ValueError, match="sep"):
+        line_dedup(docs, sep="x\\Ey")
+
+
 def test_url_host(spark):
     from codd_spark.functions.url import url_host
 
