@@ -3788,6 +3788,43 @@ def _messy_urls(spark, sf_dir):
     )
 
 
+def q_unicode_dedup(spark, sf_dir):
+    """Unicode-normalized exact dedup (round 10): web text arrives both
+    COMPOSED (U+00E9) and DECOMPOSED (e + U+0301) — different byte
+    strings every hash-based dedup treats as distinct documents. The
+    NFC kernel (functions/text.py::unicode_normalize_udf — Arrow-
+    batched, map-only; Spark SQL has no normalization expression, the
+    same justified-Python class as the media decode kernels) unifies
+    them, and ONE min/count aggregate elects the keeper. Variants are
+    synthesized closed-form from doc ids (even ids decomposed, odd ids
+    composed, same logical page), so both encodings of each page
+    collapse and DuckDB replays the whole thing via its own
+    spec-defined nfc_normalize."""
+    from codd_spark.functions.text import unicode_normalize_udf
+
+    docs = read_table(spark, sf_dir, "documents")
+    page = (F.col("doc_id") % 50).cast("string")
+    synth = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            # DECOMPOSED: e + combining acute (U+0301)
+            F.concat(F.lit("resume of cafe\u0301 menu page "), page),
+        )
+        .otherwise(
+            # COMPOSED: U+00E9
+            F.concat(F.lit("resume of caf\u00e9 menu page "), page)
+        )
+        .alias("t"),
+    )
+    nfc = unicode_normalize_udf("NFC")
+    return (
+        synth.select("doc_id", nfc(F.col("t")).alias("norm_text"))
+        .groupBy("norm_text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_variants"))
+    )
+
+
 def q_incremental_url_dedup(spark, sf_dir):
     """Incremental exact-key dedup through the ARRIVAL machinery
     (round 10; dedup.IncrementalExactDeduplicator — the URL-first pass
@@ -4085,6 +4122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select_docs": q_dsir_select,
         "url_dedup_docs": q_url_dedup_docs,
         "incremental_url_dedup": q_incremental_url_dedup,
+        "unicode_dedup_docs": q_unicode_dedup,
     }
 
 
@@ -4365,6 +4403,28 @@ _INCR_URL_DEDUP_ORACLE_SQL = _URL_CANON_CTES + """
     SELECT b2.doc_id, CAST(2 AS INT) AS batch, b2.canonical_url
     FROM b2 LEFT JOIN b1 ON b2.canonical_url = b1.canonical_url
     WHERE b1.doc_id IS NULL
+"""
+
+
+
+# unicode dedup: DuckDB's nfc_normalize implements the same UAX #15
+# normalization as Python's unicodedata — the synthesized decomposed
+# (chr(769) = U+0301) and composed (chr(233) = U+00E9) variants of each
+# page collapse to one key in both engines
+_UNICODE_DEDUP_ORACLE_SQL = """
+    WITH synth AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0
+             THEN 'resume of cafe' || chr(769) || ' menu page '
+                  || CAST(doc_id % 50 AS VARCHAR)
+             ELSE 'resume of caf' || chr(233) || ' menu page '
+                  || CAST(doc_id % 50 AS VARCHAR)
+        END AS t
+      FROM documents
+    )
+    SELECT nfc_normalize(t) AS norm_text, MIN(doc_id) AS doc_id,
+           COUNT(*) AS n_variants
+    FROM synth GROUP BY nfc_normalize(t)
 """
 
 
@@ -7134,4 +7194,5 @@ def oracle_sql() -> dict[str, str]:
     # arrival-order contract for the exact-key deduplicator: per-batch
     # min-id keepers + the earlier-kept-wins cross-batch drop
     out["incremental_url_dedup"] = _INCR_URL_DEDUP_ORACLE_SQL
+    out["unicode_dedup_docs"] = _UNICODE_DEDUP_ORACLE_SQL
     return out

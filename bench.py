@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "dsir_select_docs",         # DSIR hashed-ngram importance top-k selection
     "url_dedup_docs",           # URL canonicalization + keeper election
     "incremental_url_dedup",    # exact-key arrival dedup over two URL batches
+    "unicode_dedup_docs",       # NFC-normalized exact dedup (Arrow kernel)
 ]
 
 # Queries added DURING the current round (reset to empty at each round
@@ -171,6 +172,7 @@ CURRENT_ROUND_ADDITIONS = frozenset(
         "dsir_select_docs",
         "url_dedup_docs",
         "incremental_url_dedup",
+        "unicode_dedup_docs",
     }
 )
 PREV_ROUND_QUERIES = (

@@ -2,6 +2,7 @@ from codd_spark.functions.vector import cosine_similarity, dot, l2_norm
 from codd_spark.functions.url import canonical_url, url_host
 from codd_spark.functions.text import (
     fingerprint_md5,
+    unicode_normalize_udf,
     normalize_ws,
     punct_ratio,
     token_count,
@@ -18,5 +19,6 @@ __all__ = [
     "punct_ratio",
     "token_count",
     "tokens",
+    "unicode_normalize_udf",
     "url_host",
 ]

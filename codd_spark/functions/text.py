@@ -32,3 +32,35 @@ def fingerprint_md5(c: Column) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized lowercase text
     — the exact-dup key for content-level dedup."""
     return F.md5(normalize_ws(c))
+
+
+def unicode_normalize_udf(form: str = "NFC"):
+    """Arrow-batched Unicode normalizer (string -> string): returns a
+    vectorized pandas UDF applying ``unicodedata.normalize(form, s)``.
+
+    Why a UDF at all (the repo's hot paths are expression-only): Spark
+    SQL has NO Unicode-normalization expression, and dedup keys are
+    wrong without it — "café" arrives from the web both composed
+    (U+00E9) and decomposed (e + U+0301), different byte strings that
+    every hash-based dedup treats as distinct documents. This is the
+    same justified-Python class as the media decode kernels: no column-
+    expression form exists, so it ships as a stateless Arrow-batched
+    scalar UDF (map-only, no shuffle, scales with executor count).
+
+    Cross-engine contract: NFC/NFD/NFKC/NFKD are defined by Unicode
+    UAX #15 — Python's unicodedata and DuckDB's nfc_normalize agree by
+    specification, so normalized keys are oracle-replayable.
+
+    NULL passes through as NULL.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be NFC/NFD/NFKC/NFKD, got {form!r}")
+
+    def _norm(s):
+        return s.map(lambda x: unicodedata.normalize(form, x), na_action="ignore")
+
+    return pandas_udf(_norm, "string")

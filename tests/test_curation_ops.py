@@ -302,3 +302,60 @@ def test_url_dedup_groups_and_keeper(spark):
     assert g.doc_id == 1 and g.n_dups == 4
     assert got["http://example.com/a/b?id=3"].n_dups == 1  # scheme differs
     assert got["https://example.com/a/b?a=2&z=1"].n_dups == 2
+
+
+# ---------------------------------------------------------------------------
+# unicode_normalize_udf
+# ---------------------------------------------------------------------------
+
+
+def test_unicode_normalize_forms(spark):
+    import unicodedata
+
+    from codd_spark.functions.text import unicode_normalize_udf
+
+    rows = [
+        (1, "caf\u00e9"),          # composed
+        (2, "cafe\u0301"),         # decomposed
+        (3, None),
+        (4, "\ufb01ne"),           # fi ligature
+        (5, "A\u030a"),            # A + combining ring
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    for form in ("NFC", "NFD", "NFKC", "NFKD"):
+        udf = unicode_normalize_udf(form)
+        got = {r.i: r.n for r in df.select("i", udf(F.col("t")).alias("n")).collect()}
+        for i, t in rows:
+            want = None if t is None else unicodedata.normalize(form, t)
+            assert got[i] == want, (form, i)
+    # composed == decomposed under NFC; ligature folds only under NFK*
+    nfc = unicode_normalize_udf("NFC")
+    out = {r.i: r.n for r in df.select("i", nfc(F.col("t")).alias("n")).collect()}
+    assert out[1] == out[2] == "café"
+    assert out[4] == "ﬁne"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="form"):
+        unicode_normalize_udf("NFX")
+
+
+def test_unicode_normalize_matches_duckdb_nfc(spark):
+    """The cross-engine contract the unicode_dedup_docs oracle rests on:
+    Python unicodedata NFC == DuckDB nfc_normalize on mixed-form text."""
+    import duckdb
+
+    from codd_spark.functions.text import unicode_normalize_udf
+
+    texts = [
+        "caf\u00e9 cafe\u0301",
+        "A\u030aA\u00c5",
+        "n\u0303 vs \u00f1",
+        "plain ascii",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    nfc = unicode_normalize_udf("NFC")
+    got = {r.i: r.n for r in df.select("i", nfc(F.col("t")).alias("n")).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = con.execute("SELECT nfc_normalize(?)", [t]).fetchone()[0]
+        assert got[i] == want

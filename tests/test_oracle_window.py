@@ -376,6 +376,9 @@ ROUND10_ADDITIONS = [
     # crawl batches of canonical URLs; oracle replays both batch keeper
     # elections and the earlier-kept-wins cross drop
     "incremental_url_dedup",
+    # NFC-normalized exact dedup (composed/decomposed variants collapse);
+    # oracle = DuckDB nfc_normalize (both engines implement UAX #15)
+    "unicode_dedup_docs",
 ]
 
 
