@@ -3825,6 +3825,36 @@ def q_unicode_dedup(spark, sf_dir):
     )
 
 
+def q_multiclass_classifier(spark, sf_dir):
+    """Multiclass NB classifier contract (round 10): the K-way sibling
+    of quality_classifier — trained language-ID / domain routing as a
+    4-class multinomial NB over hashed unigram+bigram counts
+    (operators/classify.py::nb_multiclass_train/score). Trained
+    in-engine on the K-class planted-signal corpus (class tokens are
+    closed forms of the id, so the oracle rebuilds the corpus), scored
+    on the held-out 20%% split: pred = argmax class of the log-joint
+    ln N_l + sum_f x_f ln p_l(f) (ties to the smallest label), score =
+    the winning log-joint rounded to 6. Training is exact integer
+    counting; the bounded K*(n_features+1)-row model broadcasts and
+    scoring is map-side — DuckDB replays synthesis, all four class LMs,
+    every score, and the argmax. Held-out accuracy 1.0 pinned in
+    tests/test_classify.py."""
+    from codd_spark.operators.classify import (
+        nb_multiclass_score,
+        nb_multiclass_train,
+        planted_class_docs,
+    )
+
+    ids = read_table(spark, sf_dir, "documents").select("doc_id")
+    corpus = planted_class_docs(ids, n_classes=4)
+    model = nb_multiclass_train(
+        corpus.filter("doc_id % 5 != 4"), "y", n_features=2048
+    )
+    return nb_multiclass_score(
+        corpus.filter("doc_id % 5 = 4"), model, n_features=2048
+    )
+
+
 def q_incremental_url_dedup(spark, sf_dir):
     """Incremental exact-key dedup through the ARRIVAL machinery
     (round 10; dedup.IncrementalExactDeduplicator — the URL-first pass
@@ -4123,6 +4153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup_docs": q_url_dedup_docs,
         "incremental_url_dedup": q_incremental_url_dedup,
         "unicode_dedup_docs": q_unicode_dedup,
+        "multiclass_classifier": q_multiclass_classifier,
     }
 
 
@@ -4426,6 +4457,81 @@ _UNICODE_DEDUP_ORACLE_SQL = """
            COUNT(*) AS n_variants
     FROM synth GROUP BY nfc_normalize(t)
 """
+
+
+
+def _multiclass_oracle_sql() -> str:
+    """Full DuckDB replay of q_multiclass_classifier: K-class planted
+    synthesis (class tokens are pure id arithmetic), hashed uni+bigram
+    counting, the four class-conditional LMs from the 80%% train split,
+    per-class log-joint scores for the held-out docs, and the argmax
+    with the smallest-label tie-break — exact to ROUND(., 6)."""
+    from codd_spark.operators.classify import SHARED_VOCAB
+
+    def lits(ws):
+        return "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+
+    r = "(doc_id*104729 + i*7919) % 96"
+    return f"""
+        WITH d AS (
+          SELECT doc_id, CAST(doc_id % 4 AS INT) AS y,
+                 list_transform(range(1, 31 + CAST(doc_id % 20 AS INT)), i ->
+                   CASE WHEN {r} < 32
+                        THEN ({lits(SHARED_VOCAB)})[CAST({r} % 16 AS INT) + 1]
+                        ELSE 'c' || CAST(doc_id % 4 AS VARCHAR)
+                             || 'w' || CAST({r} % 16 AS VARCHAR)
+                   END) AS toks
+          FROM documents
+        ), feat_raw AS (
+          SELECT doc_id, y, s FROM (
+            SELECT doc_id, y, unnest(toks) AS s FROM d
+            UNION ALL
+            SELECT doc_id, y, toks[i] || ' ' || toks[i+1] AS s
+            FROM (SELECT doc_id, y, toks, unnest(range(1, len(toks))) AS i
+                  FROM d)
+          )
+        ), fx AS (
+          SELECT doc_id, y,
+                 CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2048
+                   AS feature,
+                 COUNT(*) AS x
+          FROM feat_raw GROUP BY doc_id, y, feature
+        ), per_lf AS (
+          SELECT y, feature, SUM(x) AS c FROM fx
+          WHERE doc_id % 5 <> 4 GROUP BY y, feature
+        ), per_l AS (
+          SELECT y, SUM(c) AS ct FROM per_lf GROUP BY y
+        ), pri AS (
+          SELECT CAST(doc_id % 4 AS INT) AS y, COUNT(*) AS n
+          FROM documents WHERE doc_id % 5 <> 4 GROUP BY CAST(doc_id % 4 AS INT)
+        ), held AS (
+          SELECT doc_id, SUM(x) AS tx FROM fx
+          WHERE doc_id % 5 = 4 GROUP BY doc_id
+        ), obs AS (
+          SELECT fx.doc_id, per_lf.y,
+                 SUM(fx.x * ln(per_lf.c + 1.0)) AS o
+          FROM fx JOIN per_lf ON fx.feature = per_lf.feature
+          WHERE fx.doc_id % 5 = 4
+          GROUP BY fx.doc_id, per_lf.y
+        ), sc AS (
+          SELECT ids.doc_id, pri.y,
+                 ROUND(ln(pri.n)
+                       + COALESCE(held.tx, 0) * (0 - ln(per_l.ct + 2048.0))
+                       + COALESCE(obs.o, 0), 6) AS s
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) ids
+          CROSS JOIN pri
+          JOIN per_l ON per_l.y = pri.y
+          LEFT JOIN held ON held.doc_id = ids.doc_id
+          LEFT JOIN obs ON obs.doc_id = ids.doc_id AND obs.y = pri.y
+        ), ranked AS (
+          SELECT doc_id, y, s,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY s DESC, y ASC) AS rn
+          FROM sc
+        )
+        SELECT doc_id, CAST(y AS INT) AS pred, s AS score
+        FROM ranked WHERE rn = 1
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7195,4 +7301,5 @@ def oracle_sql() -> dict[str, str]:
     # min-id keepers + the earlier-kept-wins cross-batch drop
     out["incremental_url_dedup"] = _INCR_URL_DEDUP_ORACLE_SQL
     out["unicode_dedup_docs"] = _UNICODE_DEDUP_ORACLE_SQL
+    out["multiclass_classifier"] = _multiclass_oracle_sql()
     return out

@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "url_dedup_docs",           # URL canonicalization + keeper election
     "incremental_url_dedup",    # exact-key arrival dedup over two URL batches
     "unicode_dedup_docs",       # NFC-normalized exact dedup (Arrow kernel)
+    "multiclass_classifier",    # 4-class NB train + held-out argmax scoring
 ]
 
 # Queries added DURING the current round (reset to empty at each round
@@ -173,6 +174,7 @@ CURRENT_ROUND_ADDITIONS = frozenset(
         "url_dedup_docs",
         "incremental_url_dedup",
         "unicode_dedup_docs",
+        "multiclass_classifier",
     }
 )
 PREV_ROUND_QUERIES = (

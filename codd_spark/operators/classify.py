@@ -243,6 +243,175 @@ def planted_label_docs(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def nb_multiclass_train(
+    df: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_features: int = 2048,
+    alpha: float = 1.0,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Multiclass multinomial NB — the K-way sibling of
+    ``nb_linear_train`` (trained language ID, domain routing, K-way
+    quality tiers). ``label_col`` holds small non-negative ints.
+
+    Returns the MODEL as a DataFrame bounded at K * (n_features + 1)
+    rows:
+
+    - one row per (label, OBSERVED feature): weight = the ADJUSTED
+      class-conditional log-prob ln(c_lf + a) - ln(C_l + aD) MINUS the
+      class's unseen weight — pre-subtracting w_unseen at train time is
+      what lets scoring join ONLY observed rows (see below) instead of
+      densifying K * n_features;
+    - one const row per label (feature = -1): weight = ln(N_l) (the
+      class log-prior) and ``w_unseen`` = ln(a) - ln(C_l + aD).
+
+    Same exactness contract as the binary trainer: everything except
+    the final ln() is integer counting, so a SQL oracle replays the
+    learned weights to the rounding digit.
+    """
+    feats = hashed_text_features(
+        df, id_col, text_col, n_features=n_features, bigrams=bigrams
+    )
+    labels = df.select(
+        F.col(id_col).alias("id"), F.col(label_col).cast("int").alias("y")
+    )
+    fl = feats.join(labels, on="id")
+    per_lf = fl.groupBy("y", "feature").agg(F.sum("x").alias("cnt"))
+    per_l = per_lf.groupBy("y").agg(F.sum("cnt").alias("cls_total")).join(
+        labels.groupBy("y").agg(F.count("*").alias("n_docs")), on="y", how="right"
+    )
+    aD = float(alpha) * n_features
+    # classes with no observed features at all still get consts rows
+    # (cls_total null -> 0) so an all-empty class scores its prior
+    consts = per_l.select(
+        F.col("y").alias("label"),
+        F.lit(-1).cast("long").alias("feature"),
+        F.log(F.col("n_docs").cast("double")).alias("weight"),
+        (
+            F.log(F.lit(float(alpha)))
+            - F.log(F.coalesce(F.col("cls_total"), F.lit(0)) + F.lit(aD))
+        ).alias("w_unseen"),
+    )
+    w = (
+        per_lf.join(per_l.select("y", "cls_total"), on="y")
+        .select(
+            F.col("y").alias("label"),
+            "feature",
+            # ln(cnt + a) - ln(a): the class-conditional log-prob with the
+            # class's unseen weight pre-subtracted (the ln(cls_total + aD)
+            # terms cancel exactly)
+            (
+                F.log(F.col("cnt") + F.lit(float(alpha)))
+                - F.log(F.lit(float(alpha)))
+            ).alias("weight"),
+            F.lit(None).cast("double").alias("w_unseen"),
+        )
+    )
+    return w.unionByName(consts)
+
+
+def nb_multiclass_score(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_features: int = 2048,
+    bigrams: bool = True,
+) -> DataFrame:
+    """(id, pred, score): argmax-class prediction under a multiclass NB
+    model; score = the winning class's log-joint ln N_l + sum_f x_f
+    ln p_l(f), rounded to 6 (ties break to the smallest label, so the
+    argmax is deterministic and SQL-replayable).
+
+    Scoring never densifies: because observed weights were stored with
+    the class's unseen weight pre-subtracted, the class score
+    decomposes as  bias_l + X * w_unseen_l + sum over OBSERVED (l, f)
+    of x_f * weight'_lf  — one inner join of the doc-feature stream
+    against the broadcast model, one (id, label) aggregate, and a
+    K-row-per-doc argmax. Empty documents score every class's prior
+    (every input id appears in the output)."""
+    feats = hashed_text_features(
+        df, id_col, text_col, n_features=n_features, bigrams=bigrams
+    )
+    consts = model.filter(F.col("feature") == -1).select(
+        "label", F.col("weight").alias("bias"), F.col("w_unseen").alias("w0")
+    )
+    weights = model.filter(F.col("feature") >= 0).select(
+        "label", "feature", "weight"
+    )
+    partial = (
+        feats.join(F.broadcast(weights), on="feature")
+        .groupBy("id", "label")
+        .agg(F.sum(F.col("x") * F.col("weight")).alias("obs"))
+    )
+    totals = feats.groupBy("id").agg(F.sum("x").alias("X"))
+    scored = (
+        df.select(F.col(id_col).alias("id"))
+        .join(totals, on="id", how="left")
+        .crossJoin(F.broadcast(consts))
+        .join(partial, on=["id", "label"], how="left")
+        .select(
+            "id",
+            "label",
+            F.round(
+                F.col("bias")
+                + F.coalesce(F.col("X"), F.lit(0)) * F.col("w0")
+                + F.coalesce(F.col("obs"), F.lit(0.0)),
+                6,
+            ).alias("s"),
+        )
+    )
+    best = scored.groupBy("id").agg(
+        F.max(F.struct(F.col("s"), (-F.col("label")).alias("nl"))).alias("b")
+    )
+    return best.select(
+        F.col("id").alias(id_col),
+        (-F.col("b.nl")).cast("int").alias("pred"),
+        F.col("b.s").alias("score"),
+    )
+
+
+def planted_class_docs(
+    ids: DataFrame, n_classes: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, y, text): the K-class sibling of ``planted_label_docs``
+    — a synthetic labeled corpus with real token-distribution signal,
+    generated expression-only from ids. y = doc_id % K; token i draws
+    r = (doc_id*104729 + i*7919) % 96 and picks SHARED_VOCAB[r % 16]
+    when r < 32, else the closed-form class token 'c<y>w<r % 16>' — so
+    ~1/3 of tokens are class-neutral and ~2/3 are class-pure, trivially
+    separable by a working K-way trainer while exercising real
+    count-based learning; every literal is id arithmetic an oracle
+    reconstructs."""
+    if n_classes < 2:
+        raise ValueError("n_classes must be >= 2")
+    sh = F.array(*[F.lit(w) for w in SHARED_VOCAB])
+    d = F.col(id_col)
+    y = d % n_classes
+
+    def word(i):
+        r = (d * 104729 + i * 7919) % 96
+        return (
+            F.when(r < 32, F.element_at(sh, (r % 16 + 1).cast("int")))
+            .otherwise(
+                F.concat(
+                    F.lit("c"), y.cast("string"), F.lit("w"), (r % 16).cast("string")
+                )
+            )
+        )
+
+    toks = F.transform(F.sequence(F.lit(1), (F.lit(30) + d % 20).cast("int")), word)
+    return ids.select(
+        d.alias("doc_id"),
+        y.cast("int").alias("y"),
+        F.concat_ws(" ", toks).alias("text"),
+    )
+
+
 def nb_model_save(
     spark,
     model: DataFrame,

@@ -107,3 +107,152 @@ def test_unseen_features_and_empty_docs(spark, corpus):
     got = {r.doc_id: r.score for r in nb_linear_score(odd, model, n_features=D).collect()}
     assert got[901] == pytest.approx(round(bias, 6), abs=1e-6)
     assert 900 in got and 901 in got
+
+
+# ---------------------------------------------------------------------------
+# multiclass NB (round 10)
+# ---------------------------------------------------------------------------
+
+
+def _py_multiclass(train_rows, test_rows, n_features, alpha=1.0):
+    """From-scratch multiclass multinomial NB on the same hashed counts."""
+    import hashlib
+    import math
+    from collections import Counter, defaultdict
+
+    def feats(text):
+        toks = [t for t in text.lower().split() if t]
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return Counter(
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % n_features
+            for g in grams
+        )
+
+    cnt = defaultdict(Counter)
+    ndocs = Counter()
+    for _, y, t in train_rows:
+        cnt[y].update(feats(t))
+        ndocs[y] += 1
+    tot = {y: sum(c.values()) for y, c in cnt.items()}
+    aD = alpha * n_features
+    out = {}
+    for i, _, t in test_rows:
+        fx = feats(t)
+        best = None
+        for y in sorted(ndocs):
+            s = math.log(ndocs[y]) + sum(
+                x * math.log((cnt[y].get(f, 0) + alpha) / (tot[y] + aD))
+                for f, x in fx.items()
+            )
+            s = round(s, 6)
+            if best is None or s > best[1]:
+                best = (y, s)
+        out[i] = best
+    return out
+
+
+def test_multiclass_matches_python_reference(spark):
+    from codd_spark.operators.classify import (
+        nb_multiclass_score,
+        nb_multiclass_train,
+        planted_class_docs,
+    )
+
+    corpus = planted_class_docs(
+        spark.range(0, 120).selectExpr("id AS doc_id"), n_classes=3
+    )
+    rows = [(r.doc_id, r.y, r.text) for r in corpus.collect()]
+    train = [r for r in rows if r[0] % 5 != 4]
+    test = [r for r in rows if r[0] % 5 == 4]
+    model = nb_multiclass_train(
+        spark.createDataFrame(train, "doc_id long, y int, text string"),
+        "y",
+        n_features=D,
+    )
+    got = {
+        r.doc_id: (r.pred, r.score)
+        for r in nb_multiclass_score(
+            spark.createDataFrame(test, "doc_id long, y int, text string"),
+            model,
+            n_features=D,
+        ).collect()
+    }
+    want = _py_multiclass(train, test, n_features=D)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0], i
+        assert got[i][1] == pytest.approx(want[i][1], abs=2e-6)
+
+
+def test_multiclass_learns_planted_signal(spark):
+    from codd_spark.operators.classify import (
+        nb_multiclass_score,
+        nb_multiclass_train,
+        planted_class_docs,
+    )
+
+    corpus = planted_class_docs(
+        spark.range(0, 400).selectExpr("id AS doc_id"), n_classes=4
+    )
+    model = nb_multiclass_train(
+        corpus.filter("doc_id % 5 != 4"), "y", n_features=2048
+    )
+    out = nb_multiclass_score(
+        corpus.filter("doc_id % 5 = 4"), model, n_features=2048
+    )
+    j = out.join(corpus.select("doc_id", "y"), on="doc_id")
+    n = j.count()
+    assert n == 80
+    assert j.filter("pred = y").count() == n  # planted signal fully separable
+
+
+def test_multiclass_empty_doc_scores_prior(spark):
+    from codd_spark.operators.classify import (
+        nb_multiclass_score,
+        nb_multiclass_train,
+        planted_class_docs,
+    )
+
+    # class 1 has twice the docs of class 0 -> empty doc predicts 1...
+    ids = spark.range(0, 90).selectExpr("id AS doc_id")
+    corpus = planted_class_docs(ids, n_classes=3).withColumn(
+        "y", F.when(F.col("y") == 2, 1).otherwise(F.col("y")).cast("int")
+    )
+    model = nb_multiclass_train(corpus, "y", n_features=256)
+    e = spark.createDataFrame([(999, "")], "doc_id long, text string")
+    [r] = nb_multiclass_score(e, model, n_features=256).collect()
+    assert r.pred == 1
+
+
+def test_multiclass_binary_agrees_with_linear(spark):
+    from codd_spark.operators.classify import (
+        nb_linear_score,
+        nb_linear_train,
+        nb_multiclass_score,
+        nb_multiclass_train,
+        planted_label_docs,
+    )
+
+    corpus = planted_label_docs(spark.range(0, 200).selectExpr("id AS doc_id"))
+    train = corpus.filter("doc_id % 5 != 4")
+    test = corpus.filter("doc_id % 5 = 4")
+    lin = {
+        r.doc_id: r.pred
+        for r in nb_linear_score(
+            test, nb_linear_train(train, "y", n_features=D), n_features=D
+        ).collect()
+    }
+    multi = {
+        r.doc_id: r.pred
+        for r in nb_multiclass_score(
+            test, nb_multiclass_train(train, "y", n_features=D), n_features=D
+        ).collect()
+    }
+    assert lin == multi
+
+
+def test_planted_class_docs_validation(spark):
+    from codd_spark.operators.classify import planted_class_docs
+
+    with pytest.raises(ValueError, match="n_classes"):
+        planted_class_docs(spark.range(1).selectExpr("id AS doc_id"), n_classes=1)

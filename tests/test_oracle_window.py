@@ -379,6 +379,9 @@ ROUND10_ADDITIONS = [
     # NFC-normalized exact dedup (composed/decomposed variants collapse);
     # oracle = DuckDB nfc_normalize (both engines implement UAX #15)
     "unicode_dedup_docs",
+    # 4-class multinomial NB (trained LID/domain gate); oracle replays
+    # synthesis, all class LMs, every log-joint score, and the argmax
+    "multiclass_classifier",
 ]
 
 
