@@ -429,16 +429,20 @@ def nb_model_save(
     wrong hash width would silently misroute every feature, so the
     params travel WITH the weights. Any statefs scheme works; the
     manifest commit is the publish point."""
+    _nb_save(spark, model, state_dir, "nb_linear", n_features, bigrams)
+
+
+def _nb_save(spark, model, state_dir, kind, n_features, bigrams) -> None:
     from codd_spark.sources.statefs import resolve_statefs
 
     fs = resolve_statefs(spark, state_dir)
-    if fs.manifest_exists() and fs.read_manifest().get("kind") != "nb_linear":
-        raise ValueError(f"{state_dir} holds non-classifier state — refusing to adopt")
+    if fs.manifest_exists() and fs.read_manifest().get("kind") != kind:
+        raise ValueError(f"{state_dir} holds non-{kind} state — refusing to adopt")
     fs.mkdirs()
     model.write.mode("overwrite").parquet(fs.table_location("weights"))
     fs.commit_manifest(
         {
-            "kind": "nb_linear",
+            "kind": kind,
             "n_features": int(n_features),
             "bigrams": bool(bigrams),
         }
@@ -453,15 +457,42 @@ def nb_model_load(spark, state_dir: str) -> tuple[DataFrame, dict]:
         model, p = nb_model_load(spark, d)
         scored = nb_linear_score(batch, model, **p)
     """
+    return _nb_load(spark, state_dir, "nb_linear")
+
+
+def _nb_load(spark, state_dir, kind):
     from codd_spark.sources.statefs import resolve_statefs
 
     fs = resolve_statefs(spark, state_dir)
     if not fs.manifest_exists():
         raise ValueError(f"no classifier manifest at {state_dir}")
     m = fs.read_manifest()
-    if m.get("kind") != "nb_linear":
+    if m.get("kind") != kind:
         raise ValueError(
-            f"{state_dir} holds {m.get('kind')!r} state, not an nb_linear model"
+            f"{state_dir} holds {m.get('kind')!r} state, not an {kind} model"
         )
     model = spark.read.parquet(fs.table_location("weights"))
     return model, {"n_features": m["n_features"], "bigrams": m["bigrams"]}
+
+
+def nb_multiclass_save(
+    spark,
+    model: DataFrame,
+    state_dir: str,
+    *,
+    n_features: int = 2048,
+    bigrams: bool = True,
+) -> None:
+    """Persist a trained multiclass model — same contract as
+    :func:`nb_model_save` (bounded weight table as parquet, the
+    feature-extraction hyperparams riding the statefs manifest so
+    scoring hashes identically to training), distinguished by manifest
+    kind so the two model families can never adopt each other's
+    state."""
+    _nb_save(spark, model, state_dir, "nb_multiclass", n_features, bigrams)
+
+
+def nb_multiclass_load(spark, state_dir: str) -> tuple[DataFrame, dict]:
+    """Reload a model persisted by :func:`nb_multiclass_save`; pass the
+    returned params through to :func:`nb_multiclass_score`."""
+    return _nb_load(spark, state_dir, "nb_multiclass")

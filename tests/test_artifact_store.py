@@ -147,3 +147,47 @@ def test_nb_model_save_load_scores_identically(spark, tmp_path):
 
     with pytest.raises(ValueError, match="non-BPE"):
         bpe_save(spark, [(0, "a", "b", 1)], d)
+
+
+def test_nb_multiclass_save_load_scores_identically(spark, tmp_path):
+    """Multiclass sibling of the nb_linear round-trip: saved/reloaded
+    weights + hyperparams reproduce live preds and scores exactly, and
+    the two model families refuse each other's state dirs."""
+    from codd_spark.operators.classify import (
+        nb_model_load,
+        nb_multiclass_load,
+        nb_multiclass_save,
+        nb_multiclass_score,
+        nb_multiclass_train,
+        planted_class_docs,
+    )
+
+    corpus = planted_class_docs(
+        spark.range(0, 150).selectExpr("id AS doc_id"), n_classes=3
+    )
+    train = corpus.filter("doc_id % 5 != 4")
+    test = corpus.filter("doc_id % 5 = 4")
+    model = nb_multiclass_train(train, "y", n_features=512)
+    live = {
+        r.doc_id: (r.pred, r.score)
+        for r in nb_multiclass_score(test, model, n_features=512).collect()
+    }
+
+    d = str(tmp_path / "mc_model")
+    nb_multiclass_save(spark, model, d, n_features=512)
+    back, params = nb_multiclass_load(spark, d)
+    reloaded = {
+        r.doc_id: (r.pred, r.score)
+        for r in nb_multiclass_score(test, back, **params).collect()
+    }
+    assert reloaded == live
+
+    # cross-kind adoption refused in both directions
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="nb_linear"):
+        nb_model_load(spark, d)
+    from codd_spark.operators.classify import nb_model_save
+
+    with _pytest.raises(ValueError, match="non-nb_linear"):
+        nb_model_save(spark, model, d, n_features=512)
