@@ -3855,6 +3855,38 @@ def q_multiclass_classifier(spark, sf_dir):
     )
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML -> text extraction contract (round 10): the fetch-side step
+    before line dedup / quality scoring, as a pure regexp expression
+    chain (functions/text.py::html_to_text — RE2-safe, codegen, no
+    UDF). Pages are synthesized closed-form from real corpus text
+    (title + script junk + optional heading, paragraphs broken every
+    10 tokens, optional entity-bearing footer, a comment), so the
+    oracle rebuilds the same pages and replays the extraction character
+    for character — script/style/comment removal, block-closer
+    newlines, tag stripping, the fixed entity set, and whitespace
+    normalization all covered on every row."""
+    from codd_spark.functions.text import html_to_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), did, F.lit("</title>"),
+        F.lit("<script>var page = "), did, F.lit(";</script></head><body>"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("<h1>Section &amp; heading</h1>")
+        ).otherwise(F.lit("")),
+        F.lit("<p>"),
+        F.regexp_replace(F.col("text"), r"((\S+ ){9}\S+) ", "$1</p><p>"),
+        F.lit("</p>"),
+        F.when(
+            F.col("doc_id") % 4 == 0, F.lit("<div>footer&nbsp;block</div>")
+        ).otherwise(F.lit("")),
+        F.lit("<!-- id "), did, F.lit(" --></body></html>"),
+    )
+    return docs.select("doc_id", html_to_text(page).alias("extracted"))
+
+
 def q_incremental_url_dedup(spark, sf_dir):
     """Incremental exact-key dedup through the ARRIVAL machinery
     (round 10; dedup.IncrementalExactDeduplicator — the URL-first pass
@@ -4154,6 +4186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_url_dedup": q_incremental_url_dedup,
         "unicode_dedup_docs": q_unicode_dedup,
         "multiclass_classifier": q_multiclass_classifier,
+        "html_extract_docs": q_html_extract,
     }
 
 
@@ -4532,6 +4565,51 @@ def _multiclass_oracle_sql() -> str:
         SELECT doc_id, CAST(y AS INT) AS pred, s AS score
         FROM ranked WHERE rn = 1
     """
+
+
+
+# html_to_text replay: the same RE2 regex chain and entity replace
+# order as functions/text.py::html_to_text, over the same synthesized
+# pages
+_HTML_EXTRACT_ORACLE_SQL = r"""
+    WITH synth AS (
+      SELECT doc_id,
+        '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+        || '<script>var page = ' || CAST(doc_id AS VARCHAR)
+        || ';</script></head><body>'
+        || CASE WHEN doc_id % 3 = 0
+                THEN '<h1>Section &amp; heading</h1>' ELSE '' END
+        || '<p>' || regexp_replace(text, '((\S+ ){9}\S+) ', '\1</p><p>', 'g')
+        || '</p>'
+        || CASE WHEN doc_id % 4 = 0
+                THEN '<div>footer&nbsp;block</div>' ELSE '' END
+        || '<!-- id ' || CAST(doc_id AS VARCHAR) || ' --></body></html>'
+          AS h
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(h, '(?is)<script[^>]*>.*?</script>', '', 'g'),
+          '(?is)<style[^>]*>.*?</style>', '', 'g'),
+          '(?s)<!--.*?-->', '', 'g'),
+          '(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr)[^>]*>', chr(10), 'g'),
+          '(?s)<[^>]*>', '', 'g') AS t
+      FROM synth
+    ), e AS (
+      SELECT doc_id,
+        replace(replace(replace(replace(replace(replace(t,
+          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+          '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t
+      FROM c
+    )
+    SELECT doc_id,
+      trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        '[ ' || chr(9) || chr(13) || ']+', ' ', 'g'),
+        ' ?' || chr(10) || ' ?', chr(10), 'g'),
+        chr(10) || '+', chr(10), 'g'),
+        '^' || chr(10) || '|' || chr(10) || '$', '', 'g')) AS extracted
+    FROM e
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7302,4 +7380,5 @@ def oracle_sql() -> dict[str, str]:
     out["incremental_url_dedup"] = _INCR_URL_DEDUP_ORACLE_SQL
     out["unicode_dedup_docs"] = _UNICODE_DEDUP_ORACLE_SQL
     out["multiclass_classifier"] = _multiclass_oracle_sql()
+    out["html_extract_docs"] = _HTML_EXTRACT_ORACLE_SQL
     return out

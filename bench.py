@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "incremental_url_dedup",    # exact-key arrival dedup over two URL batches
     "unicode_dedup_docs",       # NFC-normalized exact dedup (Arrow kernel)
     "multiclass_classifier",    # 4-class NB train + held-out argmax scoring
+    "html_extract_docs",        # regex-tier HTML -> text extraction (codegen)
 ]
 
 # Queries added DURING the current round (reset to empty at each round
@@ -175,6 +176,7 @@ CURRENT_ROUND_ADDITIONS = frozenset(
         "incremental_url_dedup",
         "unicode_dedup_docs",
         "multiclass_classifier",
+        "html_extract_docs",
     }
 )
 PREV_ROUND_QUERIES = (

@@ -64,3 +64,43 @@ def unicode_normalize_udf(form: str = "NFC"):
         return s.map(lambda x: unicodedata.normalize(form, x), na_action="ignore")
 
     return pandas_udf(_norm, "string")
+
+
+def html_to_text(c: Column) -> Column:
+    """Crude-but-deterministic HTML -> text extraction — the fetch-side
+    step every crawl pipeline runs before line dedup and quality
+    scoring. Pure expression tree (chained regexp_replace, all RE2-safe:
+    inline (?is) flags + lazy quantifiers, no lookarounds), so it runs
+    in codegen at scan speed and a SQL oracle replays the extraction
+    character for character.
+
+    Not a spec HTML5 parser (that class needs a real tree builder);
+    this is the regex tier real pipelines use for the bulk pass:
+
+    - <script>/<style> blocks and <!-- comments --> dropped whole
+    - block-level closers (</p> </div> </li> </h1-6> </tr>) and <br>
+      become NEWLINES, so downstream line_dedup sees the page's block
+      structure
+    - every remaining tag stripped
+    - the six ubiquitous entities decoded (&nbsp; &lt; &gt; &quot;
+      &#39; then &amp; LAST so &amp;lt; decodes exactly once)
+    - horizontal whitespace collapsed, blank lines squeezed, trimmed
+    """
+    t = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", "")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", "")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", "")
+    t = F.regexp_replace(t, r"(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr)[^>]*>", "\n")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", "")
+    for ent, rep in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    t = F.regexp_replace(t, r"[ \t\r]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n+", "\n")
+    return F.trim(F.regexp_replace(t, r"^\n|\n$", ""))

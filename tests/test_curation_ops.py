@@ -359,3 +359,51 @@ def test_unicode_normalize_matches_duckdb_nfc(spark):
     for i, t in enumerate(texts):
         want = con.execute("SELECT nfc_normalize(?)", [t]).fetchone()[0]
         assert got[i] == want
+
+
+# ---------------------------------------------------------------------------
+# html_to_text
+# ---------------------------------------------------------------------------
+
+
+def test_html_to_text_extraction(spark):
+    from codd_spark.functions.text import html_to_text
+
+    cases = [
+        # (html, expected)
+        ("<p>plain</p>", "plain"),
+        ("<script>var x = '<p>no</p>';</script>yes", "yes"),
+        ("<STYLE>p{}</STYLE>text", "text"),
+        ("a<!-- hidden -->b", "ab"),
+        ("one<br/>two</p>three", "one\ntwo\nthree"),
+        ("<h1>H</h1><ul><li>i1</li><li>i2</li></ul>", "H\ni1\ni2"),
+        ("A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end",
+         'A & B <tag> "q" \'s\' end'),
+        # &amp; decodes LAST: &amp;lt; -> &lt; (one decode, not <)
+        ("&amp;lt;", "&lt;"),
+        ("  spaced\t\tout  \n\n\n  lines  ", "spaced out\nlines"),
+        ("", ""),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, h string"
+    )
+    got = {r.i: r.t for r in df.select("i", html_to_text(F.col("h")).alias("t")).collect()}
+    for i, (h, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {h!r} -> {got[i]!r}, want {want!r}"
+
+
+def test_html_to_text_feeds_line_dedup(spark):
+    """The intended composition: extraction preserves block structure as
+    lines, so template chrome dedups away downstream."""
+    from codd_spark.functions.text import html_to_text
+
+    pages = [
+        (i, f"<div>Cookie banner</div><p>content {i}</p><div>(c) site</div>")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, h string").select(
+        "doc_id", html_to_text(F.col("h")).alias("text")
+    )
+    out = {r.doc_id: r for r in line_dedup(df, min_count=4).collect()}
+    assert all(r.cleaned_text == f"content {i}" for i, r in out.items())

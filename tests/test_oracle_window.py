@@ -382,6 +382,9 @@ ROUND10_ADDITIONS = [
     # 4-class multinomial NB (trained LID/domain gate); oracle replays
     # synthesis, all class LMs, every log-joint score, and the argmax
     "multiclass_classifier",
+    # regex-tier HTML -> text extraction over synthesized pages; oracle
+    # replays the RE2 chain + entity decode character for character
+    "html_extract_docs",
 ]
 
 
