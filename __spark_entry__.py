@@ -3887,6 +3887,23 @@ def q_html_extract(spark, sf_dir):
     return docs.select("doc_id", html_to_text(page).alias("extracted"))
 
 
+def q_diverse_sample(spark, sf_dir):
+    """Farthest-point (k-center) diversity sampling contract (round
+    10): greedily select the 8 mutually most-distant embedding vectors
+    — the diverse-seed-subset curation move (eval seeding, cluster
+    exemplars) where uniform sampling oversamples dense modes. Runs on
+    exact-integer scalar-quantized codes (the kmeans_quantized
+    discipline: float FPS is not engine-replayable, an ulp flips an
+    argmax and the whole downstream chain), lowest-id seed, ties to the
+    smallest id — so the oracle unrolls all 8 greedy steps in SQL and
+    replays the selection AND the k-center radius curve (d2 per pick)
+    exactly."""
+    from codd_spark.operators.similarity import farthest_point_sample
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return farthest_point_sample(emb, 8, dim=64)
+
+
 def q_incremental_url_dedup(spark, sf_dir):
     """Incremental exact-key dedup through the ARRIVAL machinery
     (round 10; dedup.IncrementalExactDeduplicator — the URL-first pass
@@ -4187,6 +4204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_dedup_docs": q_unicode_dedup,
         "multiclass_classifier": q_multiclass_classifier,
         "html_extract_docs": q_html_extract,
+        "diverse_sample_fps": q_diverse_sample,
     }
 
 
@@ -4610,6 +4628,68 @@ _HTML_EXTRACT_ORACLE_SQL = r"""
         '^' || chr(10) || '|' || chr(10) || '$', '', 'g')) AS extracted
     FROM e
 """
+
+
+
+def _fps_oracle_sql(k: int = 8) -> str:
+    """Unrolled DuckDB replay of q_diverse_sample: the sq-codes CTE
+    (same closed-form quantization as the sq_codes oracle), then k-1
+    greedy steps — each joins the running min-distance table against
+    the newest center\'s code rows, takes LEAST, and picks the next
+    argmax (d2 DESC, id ASC). Exact integers end to end, so every step
+    and the final radius curve hash-match. Generated like the unrolled
+    kmeans/bpe oracles."""
+    parts = ["""
+        WITH x AS MATERIALIZED (
+          SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+          FROM embeddings, (SELECT UNNEST(range(1, 65)) AS i) t
+        ), mm AS (
+          SELECT pos, MIN(v) AS lo, MAX(v) AS hi FROM x GROUP BY pos
+        ), c AS MATERIALIZED (
+          SELECT x.vec_id, x.pos,
+                 CASE WHEN mm.hi = mm.lo THEN 0
+                      ELSE CAST(ROUND((x.v - mm.lo) / (mm.hi - mm.lo) * 255, 0)
+                           AS BIGINT)
+                 END AS code
+          FROM x JOIN mm USING (pos)
+        ), s1 AS MATERIALIZED (
+          SELECT MIN(vec_id) AS id FROM c
+        ), d1 AS MATERIALIZED (
+          SELECT a.vec_id,
+                 SUM((a.code - b.code) * (a.code - b.code)) AS d2
+          FROM c a JOIN c b ON a.pos = b.pos
+                    AND b.vec_id = (SELECT id FROM s1)
+          WHERE a.vec_id <> (SELECT id FROM s1)
+          GROUP BY a.vec_id
+        )"""]
+    for r in range(2, k + 1):
+        parts.append(f"""
+        , s{r} AS MATERIALIZED (
+          SELECT vec_id AS id, d2 FROM d{r - 1}
+          ORDER BY d2 DESC, vec_id ASC LIMIT 1
+        )""")
+        if r < k:
+            parts.append(f"""
+        , nd{r} AS (
+          SELECT a.vec_id,
+                 SUM((a.code - b.code) * (a.code - b.code)) AS d2
+          FROM c a JOIN c b ON a.pos = b.pos
+                    AND b.vec_id = (SELECT id FROM s{r})
+          GROUP BY a.vec_id
+        ), d{r} AS MATERIALIZED (
+          SELECT p.vec_id, LEAST(p.d2, nd{r}.d2) AS d2
+          FROM d{r - 1} p JOIN nd{r} USING (vec_id)
+          WHERE p.vec_id <> (SELECT id FROM s{r})
+        )""")
+    sels = [
+        "SELECT CAST(1 AS INT) AS rank, (SELECT id FROM s1) AS vec_id, "
+        "CAST(NULL AS BIGINT) AS d2"
+    ] + [
+        f"SELECT CAST({r} AS INT), (SELECT id FROM s{r}), "
+        f"CAST((SELECT d2 FROM s{r}) AS BIGINT)"
+        for r in range(2, k + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(sels)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7381,4 +7461,5 @@ def oracle_sql() -> dict[str, str]:
     out["unicode_dedup_docs"] = _UNICODE_DEDUP_ORACLE_SQL
     out["multiclass_classifier"] = _multiclass_oracle_sql()
     out["html_extract_docs"] = _HTML_EXTRACT_ORACLE_SQL
+    out["diverse_sample_fps"] = _fps_oracle_sql(8)
     return out

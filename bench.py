@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "unicode_dedup_docs",       # NFC-normalized exact dedup (Arrow kernel)
     "multiclass_classifier",    # 4-class NB train + held-out argmax scoring
     "html_extract_docs",        # regex-tier HTML -> text extraction (codegen)
+    "diverse_sample_fps",       # k-center FPS on exact-integer sq codes
 ]
 
 # Queries added DURING the current round (reset to empty at each round
@@ -177,6 +178,7 @@ CURRENT_ROUND_ADDITIONS = frozenset(
         "unicode_dedup_docs",
         "multiclass_classifier",
         "html_extract_docs",
+        "diverse_sample_fps",
     }
 )
 PREV_ROUND_QUERIES = (

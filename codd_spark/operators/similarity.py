@@ -1008,6 +1008,94 @@ def hard_negatives(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def farthest_point_sample(
+    df: DataFrame,
+    k: int,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """k-center / farthest-point diversity sampling over an embedding
+    column: greedily pick the vector farthest from everything selected
+    so far, k times — the classic 2-approximation to the k-center
+    cover, and the curation move behind "give me a maximally DIVERSE
+    seed subset" (eval-set seeding, dedup-cluster exemplars, active-
+    learning batches) where uniform sampling oversamples dense modes.
+
+    Determinism / replayability: greedy FPS on float distances is not
+    engine-replayable — one low-bit difference flips an argmax and the
+    whole downstream chain. Like ``kmeans_quantized``, this runs on the
+    exact-integer scalar-quantized codes (``sq_train_encode`` — a
+    closed form of the corpus): squared distances are exact integers,
+    the argmax (ties -> smallest id) is bit-stable, and the seed is the
+    lowest id, so a SQL oracle replays the ENTIRE selection chain.
+
+    Returns the k selected rows as (rank, id, d2): rank = selection
+    order (1..k), d2 = the squared quantized distance from the selected
+    vector to the previously-selected set at selection time (NULL for
+    the rank-1 seed; d2 is non-increasing in rank — the k-center radius
+    curve, useful directly as a coverage diagnostic).
+
+    Scale shape: k iterations; each is ONE shuffle-free projection
+    (the newest center rides the plan as a dim-length literal array,
+    bounded by the model, not the data) plus a TakeOrderedAndProject
+    argmax collecting ONE row; running min-distances live in a column
+    that is eagerly checkpointed per iteration, so lineage stays O(1)
+    and each pass reads the previous pass's cache. Driver state = k
+    quantized vectors (k*dim ints) — the same bounded boundary as the
+    trained k-means centroids. Overflow: d2 <= dim * levels² (~4.2M at
+    dim=64) — long forever."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    encoded, _scales = sq_train_encode(
+        df, dim=dim, id_col=id_col, emb_col=emb_col, levels=levels
+    )
+    q = (
+        encoded.select(
+            F.col(id_col).alias("id"), F.col("codes").cast("array<long>").alias("qv")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def dist2_to(center_codes: list[int]) -> Column:
+        arr = ",".join(f"{int(v)}L" for v in center_codes)
+        c = F.expr(f"array({arr})")
+        return F.aggregate(
+            F.zip_with(F.col("qv"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    seed = q.orderBy("id").limit(1).collect()
+    if not seed:
+        raise ValueError("input is empty — nothing to sample")
+    picked = [(1, int(seed[0].id), None)]
+    center = [int(v) for v in seed[0].qv]
+
+    state = q.filter(F.col("id") != picked[0][1]).select(
+        "id", "qv", dist2_to(center).alias("mind2")
+    )
+    for r in range(2, k + 1):
+        state = state.localCheckpoint(eager=True)
+        top = state.orderBy(F.desc("mind2"), F.asc("id")).limit(1).collect()
+        if not top:
+            break  # fewer than k vectors: return what exists
+        picked.append((r, int(top[0].id), int(top[0].mind2)))
+        center = [int(v) for v in top[0].qv]
+        state = state.filter(F.col("id") != int(top[0].id)).select(
+            "id",
+            "qv",
+            F.least(F.col("mind2"), dist2_to(center)).alias("mind2"),
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(r, i, d) for r, i, d in picked],
+        f"rank INT, {id_col} LONG, d2 LONG",
+    )
+
+
 def _kmeans_quad_expr(qq: Column, ct: Column, use_decimal: bool) -> Column:
     """Exact-integer quad sum Q_c = ||n_c·x − s_c||² for the quantized
     k-means argmin. v = n_c·x − s_c stays in LONG (|v| ≤ 2·levels·N,

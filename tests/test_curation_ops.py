@@ -407,3 +407,68 @@ def test_html_to_text_feeds_line_dedup(spark):
     )
     out = {r.doc_id: r for r in line_dedup(df, min_count=4).collect()}
     assert all(r.cleaned_text == f"content {i}" for i, r in out.items())
+
+
+# ---------------------------------------------------------------------------
+# farthest_point_sample
+# ---------------------------------------------------------------------------
+
+
+def test_fps_matches_python_reference(spark):
+    """The whole greedy chain vs a from-scratch reference on the same
+    quantized codes (codes fetched FROM the engine so the reference
+    checks the selection logic, not the quantizer — the quantizer has
+    its own oracle row)."""
+    from codd_spark.operators.similarity import (
+        farthest_point_sample,
+        sq_train_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").where(
+        "vec_id < 120"
+    )
+    encoded, _ = sq_train_encode(emb, dim=64)
+    codes = {r.vec_id: list(r.codes) for r in encoded.collect()}
+
+    k = 6
+    got = [
+        (r.rank, r.vec_id, r.d2)
+        for r in farthest_point_sample(emb, k, dim=64).orderBy("rank").collect()
+    ]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    sel = min(codes)
+    want = [(1, sel, None)]
+    mind = {i: d2(codes[i], codes[sel]) for i in codes if i != sel}
+    for r in range(2, k + 1):
+        nxt = max(mind, key=lambda i: (mind[i], -i))
+        want.append((r, nxt, mind[nxt]))
+        c = codes[nxt]
+        del mind[nxt]
+        for i in mind:
+            mind[i] = min(mind[i], d2(codes[i], c))
+    assert got == want
+    d2s = [d for _, _, d in got if d is not None]
+    assert d2s == sorted(d2s, reverse=True)  # radius curve non-increasing
+
+
+def test_fps_k_exceeds_corpus(spark):
+    from codd_spark.operators.similarity import farthest_point_sample
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").where(
+        "vec_id < 3"
+    )
+    out = farthest_point_sample(emb, 10, dim=64).collect()
+    assert len(out) == 3  # returns what exists, no error
+
+
+def test_fps_validation(spark):
+    from codd_spark.operators.similarity import farthest_point_sample
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="k must be"):
+        farthest_point_sample(emb, 0, dim=64)
+    with pytest.raises(ValueError, match="empty"):
+        farthest_point_sample(emb.where("vec_id < 0"), 3, dim=64)

@@ -385,6 +385,9 @@ ROUND10_ADDITIONS = [
     # regex-tier HTML -> text extraction over synthesized pages; oracle
     # replays the RE2 chain + entity decode character for character
     "html_extract_docs",
+    # k-center farthest-point sampling on exact-integer sq codes; the
+    # oracle unrolls all 8 greedy steps (MATERIALIZED per step)
+    "diverse_sample_fps",
 ]
 
 
