@@ -68,6 +68,9 @@ PICK = {
     "line_dedup_docs": "Corpus-wide line dedup (r10): posexplode to (id, pos, line) then exactly three exchanges — the hashed-line frequency aggregate (map-side partials), the shuffle-pinned flag join against the boilerplate-sized duplicated-hash set (broadcast would bet on a corpus-derived side), and the per-doc reassembly aggregate. No pairwise stage, no Python.",
     "dsir_select_docs": "DSIR selection (r10): both hashed-n-gram LMs are bounded (feature)-keyed count aggregates read from a persisted cache (one raw-corpus scan for the LM, one for scoring); the log-ratio table (<= n_features rows) is explicitly BROADCAST so per-doc scoring is a map-side join + id-keyed sum; the top-k is TakeOrderedAndProject, never a global sort.",
     "url_dedup_docs": "URL dedup (r10): canonicalization is a pure codegen projection (regexp/array expressions, no UDF); the whole operator is ONE min/count aggregate on the canonical key — a single exchange end to end.",
+    "multiclass_classifier": "Multiclass NB (r10): training is one (label, feature)-keyed count aggregate; the bounded K*(n_features+1)-row model BROADCASTS; scoring joins only observed rows (unseen weights pre-subtracted at train time — never densifies), then one (id, label) aggregate and a struct-max argmax.",
+    "html_extract_docs": "HTML extraction (r10): the entire operator is a chained regexp_replace/replace projection — whole-stage codegen, zero exchanges of its own (the one exchange belongs to the contract's synthesis/compare harness, not the extraction).",
+    "diverse_sample_fps": "k-center FPS (r10): per pick, the newest center is a dim-length literal array in a shuffle-free projection over the checkpointed running-min column; the argmax is TakeOrderedAndProject(1); no corpus-sized shuffle in any iteration.",
 }
 
 
