@@ -4429,7 +4429,7 @@ _URL_CANON_CTES = r"""
         regexp_extract(regexp_extract(rest, '^([^/?#]*)', 1), '([^@]*)$', 1)
           AS hostport,
         regexp_extract(rest, '^[^/?#]*([^?#]*)', 1) AS path,
-        regexp_extract(rest, '^[^#]*\?([^#]*)', 1) AS query
+        regexp_extract(rest, '^[^?#]*\?([^#]*)', 1) AS query
       FROM p
     ), h AS (
       SELECT doc_id, u, scheme, path, query,

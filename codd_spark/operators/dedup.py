@@ -1390,7 +1390,6 @@ def line_dedup(
         on="h",
         how="left",
     )
-    kept_line = F.when(F.col("__dup").isNull(), F.col("__line"))
     return (
         flagged.groupBy("id")
         .agg(
@@ -1441,30 +1440,42 @@ def url_dedup(
     Returns (id, canonical_url, host, n_dups) — one row per kept
     document, ``n_dups`` = how many raw URLs collapsed onto it.
 
+    NULL semantics: documents with a NULL url are NOT a duplicate set.
+    ``canonical_url(NULL)`` is NULL and ``groupBy`` would treat NULL as
+    one key, silently dropping every url-less document except the
+    min-id one — the exact defect class IncrementalExactDeduplicator's
+    contract forbids (NULL keys never collapse together). NULL-url rows
+    bypass the aggregate and pass through unchanged with ``n_dups=1``.
+
     Scale shape: canonicalization is a pure projection (codegen string
     expressions, no UDF); the keeper election is ONE min/count aggregate
     keyed on the canonical URL — map-side partials, corpus-linear, no
-    join anywhere. At 100 TB this is a single shuffle of (url, id)
-    pairs.
+    join anywhere (the NULL-url branch is a map-only filter unioned
+    back). At 100 TB this is a single shuffle of (url, id) pairs.
     """
     from codd_spark.functions.url import canonical_url, url_host
 
-    return (
-        df.select(
-            F.col(id_col).alias("id"),
-            canonical_url(F.col(url_col), strip_www=strip_www).alias(
-                "canonical_url"
-            ),
-            url_host(F.col(url_col), strip_www=strip_www).alias("host"),
-        )
+    projected = df.select(
+        F.col(id_col).alias("id"),
+        canonical_url(F.col(url_col), strip_www=strip_www).alias(
+            "canonical_url"
+        ),
+        url_host(F.col(url_col), strip_www=strip_www).alias("host"),
+        F.col(url_col).isNull().alias("__no_url"),
+    )
+    deduped = (
+        projected.where(~F.col("__no_url"))
         .groupBy("canonical_url", "host")
         .agg(F.min("id").alias("id"), F.count("*").alias("n_dups"))
-        .select(
-            F.col("id").alias(id_col),
-            "canonical_url",
-            "host",
-            F.col("n_dups").cast("long").alias("n_dups"),
-        )
+    )
+    passthrough = projected.where(F.col("__no_url")).select(
+        "canonical_url", "host", "id", F.lit(1).alias("n_dups")
+    )
+    return deduped.unionByName(passthrough).select(
+        F.col("id").alias(id_col),
+        "canonical_url",
+        "host",
+        F.col("n_dups").cast("long").alias("n_dups"),
     )
 
 

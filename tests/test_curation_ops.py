@@ -304,6 +304,40 @@ def test_url_dedup_groups_and_keeper(spark):
     assert got["https://example.com/a/b?a=2&z=1"].n_dups == 2
 
 
+def test_url_dedup_null_urls_never_collapse(spark):
+    """ADVICE r10: documents without a URL are not duplicates of each
+    other — every NULL-url row passes through as its own keeper with
+    n_dups=1, matching IncrementalExactDeduplicator's NULL contract."""
+    rows = [
+        (1, "https://example.com/a"),
+        (2, None),
+        (3, None),
+        (4, None),
+        (5, "https://example.com/a/"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = url_dedup(df).collect()
+    null_rows = [r for r in out if r.canonical_url is None]
+    assert sorted(r.doc_id for r in null_rows) == [2, 3, 4]
+    assert all(r.n_dups == 1 for r in null_rows)
+    kept = {r.canonical_url: r for r in out if r.canonical_url is not None}
+    assert kept["https://example.com/a"].doc_id == 1
+    assert kept["https://example.com/a"].n_dups == 2
+
+
+def test_url_query_splits_at_first_question_mark(spark):
+    """ADVICE r10: a URL containing two '?' must canonicalize by the
+    FIRST one (the second is query content), matching the oracle CTE."""
+    from codd_spark.functions.url import canonical_url
+
+    df = spark.createDataFrame(
+        [(1, "https://example.com/a?q=what?&utm_source=x")],
+        "doc_id long, url string",
+    )
+    got = df.select(canonical_url(F.col("url")).alias("c")).head().c
+    assert got == "https://example.com/a?q=what?"
+
+
 # ---------------------------------------------------------------------------
 # unicode_normalize_udf
 # ---------------------------------------------------------------------------
