@@ -4006,26 +4006,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window_top3_orders_per_cust ~ user_sessions (window class) —
         # all six stay oracle-replayed in test_oracle_window.py ---
         "minhash_near_dups": q_minhash_near_dups,
-        "decontaminate_corpus": q_decontaminate_corpus,
         "set_similarity_pairs": q_set_similarity_pairs,
-        "semantic_dedup": q_semantic_dedup,
         "triangle_count": q_triangle_count,
-        "merge_upsert": q_merge_upsert,
-        "heavy_hitter_words": q_heavy_hitter_words,
-        "scd2_history": q_scd2_history,
-        # --- round-5 flagships rotated in r5->r6 (6 rows) ---
+        # --- round-5 flagships rotated in r5->r6 ---
         "fuzzy_dedup_docs": q_fuzzy_dedup,
         "kmeans_clusters": q_kmeans_clusters,
-        "simhash_near_dups": q_simhash_near_dups,
         "winnowing_pairs": q_winnowing_pairs,
         "bigram_surprisal": q_bigram_surprisal,
-        # --- round-6 flagships (2 rows, rotated in within r6) ---
-        "exact_substr_spans": q_exact_substr_spans,
-        "events_resample_stream": q_events_resample_stream,
-        # --- round-6-upgraded queries rotated in r6->r7 (6 rows) ---
-        "ann_lsh_topk": q_ann_lsh_topk,
+        # --- round-6-upgraded queries rotated in r6->r7 ---
         "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_sq_topk": q_ann_sq_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "exact_substr_removal": q_exact_substr_removal,
         "decontaminate_bloom_stream": q_decontaminate_bloom_stream,
@@ -4052,7 +4041,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # had never been driver-scored plus the three r9 flagships ---
         "salted_skew_join": q_salted_skew_join,
         "decontaminate_bloom_multi": q_decontaminate_bloom_multi,
-        "incremental_dedup_two_batch": q_incremental_dedup_two_batch,
         "image_near_dups": q_image_near_dups,
         "quality_classifier": q_quality_classifier,
         "jpeg_metadata": q_jpeg_metadata,
@@ -4063,7 +4051,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dups": q_audio_near_dups,
         "incremental_image_dedup": q_incremental_image_dedup,
         "curate_media_pipeline": q_curate_media,
+        # --- round-11 rotation (VERDICT r10 item 1): IN the eleven
+        # round-10 additions that had never been driver-scored (all
+        # oracle-green in the full sweep every CI run); OUT eleven
+        # redundant siblings whose operator class stays covered
+        # in-window: decontaminate_corpus ~ decontaminate_bloom_multi +
+        # decontaminate_bloom_stream, semantic_dedup ~ diverse_sample_fps
+        # + kmeans_clusters + the ANN rows (embedding-distance ops),
+        # merge_upsert + scd2_history ~ streaming_scd2 (keyed
+        # upsert/SCD2), heavy_hitter_words ~ bigram_surprisal (corpus
+        # token aggregation), simhash_near_dups ~ minhash_near_dups +
+        # winnowing_pairs + set_similarity_pairs (near-dup pair miners),
+        # exact_substr_spans ~ exact_substr_removal, events_resample_
+        # stream ~ streaming_drift + user_sessions (stateful event-time
+        # streaming), ann_lsh_topk + ann_sq_topk ~ ann_ivf_topk +
+        # ann_pq_topk + the two persisted ANN rows,
+        # incremental_dedup_two_batch (driver-green r9 AND r10) ~
+        # incremental_url_dedup + incremental_image_dedup (arrival
+        # machinery). All eleven rotated-out rows stay oracle-replayed
+        # every CI run in tests/test_oracle_window.py. ---
+        "ann_ivf_persisted": q_ann_ivf_persisted,
+        "ann_pq_persisted": q_ann_pq_persisted,
+        "quality_classifier_persisted": q_quality_classifier_persisted,
+        "line_dedup_docs": q_line_dedup_docs,
+        "dsir_select_docs": q_dsir_select,
+        "url_dedup_docs": q_url_dedup_docs,
+        "incremental_url_dedup": q_incremental_url_dedup,
+        "unicode_dedup_docs": q_unicode_dedup,
+        "multiclass_classifier": q_multiclass_classifier,
+        "html_extract_docs": q_html_extract,
+        "diverse_sample_fps": q_diverse_sample,
         # ---------------- end of the driver's 50-query window ----------------
+        # rotated out r10->r11 (see the rotation note above)
+        "decontaminate_corpus": q_decontaminate_corpus,
+        "semantic_dedup": q_semantic_dedup,
+        "merge_upsert": q_merge_upsert,
+        "heavy_hitter_words": q_heavy_hitter_words,
+        "scd2_history": q_scd2_history,
+        "simhash_near_dups": q_simhash_near_dups,
+        "exact_substr_spans": q_exact_substr_spans,
+        "events_resample_stream": q_events_resample_stream,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_sq_topk": q_ann_sq_topk,
+        "incremental_dedup_two_batch": q_incremental_dedup_two_batch,
         # rotated out r9->r10 (see the rotation note above)
         "asof_join_events": q_asof_join_events,
         "token_count_bpe": q_token_count_bpe,
@@ -4193,18 +4223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "histogram_prices": q_histogram_prices,
         "weighted_sample": q_weighted_sample,
-        # --- round-10 additions past the window (oracle-swept + bench) ---
-        "ann_ivf_persisted": q_ann_ivf_persisted,
-        "ann_pq_persisted": q_ann_pq_persisted,
-        "quality_classifier_persisted": q_quality_classifier_persisted,
-        "line_dedup_docs": q_line_dedup_docs,
-        "dsir_select_docs": q_dsir_select,
-        "url_dedup_docs": q_url_dedup_docs,
-        "incremental_url_dedup": q_incremental_url_dedup,
-        "unicode_dedup_docs": q_unicode_dedup,
-        "multiclass_classifier": q_multiclass_classifier,
-        "html_extract_docs": q_html_extract,
-        "diverse_sample_fps": q_diverse_sample,
+        # (the eleven round-10 additions moved INTO the scored window
+        # r10->r11 — see the rotation note at the top of the dict)
     }
 
 

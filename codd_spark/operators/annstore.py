@@ -51,6 +51,54 @@ class PersistentANNIndex:
         self.kind = manifest["kind"]
         self.params = manifest["params"]
         self.model = manifest["model"]
+        # committed data generations: 0 = the build; each add_vectors
+        # publishes one more. Pre-r11 manifests carry no key -> [0].
+        self.gens = list(manifest.get("gens", [0]))
+
+    # -- generation layout ---------------------------------------------
+
+    def _gen_dir(self, base: str, gen: int) -> str:
+        """Directory of one data generation. Generation 0 keeps the
+        un-suffixed name (``lists``/``codes``/``corpus``) so pre-r11
+        indexes open unchanged; appends land in ``<base>_gen<N>``."""
+        loc = self.fs.table_location(base)
+        return loc if gen == 0 else f"{loc}_gen{gen}"
+
+    def _read_gens(self, base: str) -> DataFrame:
+        """Union-read the COMMITTED generations of one table. Each
+        generation dir is read as its own root (IVF dirs are
+        list_id-partitioned; per-root reads keep partition pruning
+        static — no ambiguous multi-basePath discovery)."""
+        dfs = [
+            self.spark.read.parquet(self._gen_dir(base, g)) for g in self.gens
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def _sweep_orphan_gens(self) -> int:
+        """Delete generation dirs ABOVE the committed set: a crash after
+        the staged parquet write but before the manifest commit leaves
+        an orphan directory that no reader sees (reads go through
+        ``self.gens``) — but the NEXT append must not adopt or collide
+        with it. Single-writer contract, same as the dedup state's
+        orphan sweep (``dedup._BucketedMinhashState``)."""
+        import re
+
+        committed = set(self.gens)
+        swept = 0
+        bases = ["lists"] if self.kind == "ivf" else ["codes", "corpus"]
+        for base in bases:
+            prefix = base + "_gen"
+            for name in self.fs.listdir(self.state_dir):
+                m = re.fullmatch(re.escape(prefix) + r"(\d+)", name)
+                if m and int(m.group(1)) not in committed:
+                    self.fs.delete_recursive(
+                        self.fs.join(self.state_dir, name)
+                    )
+                    swept += 1
+        return swept
 
     # -- construction -------------------------------------------------
 
@@ -115,6 +163,7 @@ class PersistentANNIndex:
                 "trainer": trainer,
             },
             "model": {"centroids": centroids},
+            "gens": [0],
         }
         fs.commit_manifest(manifest)  # the publish point
         return cls(spark, state_dir, fs, manifest)
@@ -168,6 +217,7 @@ class PersistentANNIndex:
                 "has_corpus": store_corpus,
             },
             "model": {"codebooks": codebooks},
+            "gens": [0],
         }
         fs.commit_manifest(manifest)
         return cls(spark, state_dir, fs, manifest)
@@ -207,41 +257,80 @@ class PersistentANNIndex:
     # -- growth -------------------------------------------------------
 
     def add_vectors(self, df: DataFrame) -> int:
-        """Append new corpus vectors to a persisted IVF index WITHOUT
-        retraining: each vector routes to its nearest existing centroid
-        (one broadcast/inline expression — map-only, no shuffle of the
-        batch beyond the partitioned write) and lands in that list's
-        partition directory. This is the crawl-pipeline growth path:
-        centroids train once on a representative sample, the corpus
-        keeps arriving. Returns the number of vectors appended.
+        """Append new corpus vectors to a persisted index WITHOUT
+        retraining — the crawl-pipeline growth path: the model trains
+        once on a representative sample, the corpus keeps arriving.
 
-        Not crash-atomic: a failure mid-append can leave a partial
-        batch visible (plain parquet append has no commit point like
-        the dedup state's generation protocol). Re-run the append with
-        deduplicated input, or rebuild, after a crash."""
-        if self.kind != "ivf":
-            raise ValueError("add_vectors applies to IVF indexes only")
-        from codd_spark.operators.similarity import route_queries_to_lists
+        - **IVF**: each vector routes to its nearest existing centroid
+          (inline literal-centroid argmin — map-only) and lands in that
+          list's partition directory of a NEW generation.
+        - **PQ**: the batch encodes under the FROZEN codebooks
+          (``similarity.pq_encode`` — the identical expression the
+          build used), codes + raw embeddings (when the index stores a
+          rerank corpus) land in a new generation.
 
+        Crash-atomic via the same protocol as every other persistent
+        component (``sources/statefs``): the batch is STAGED into a
+        fresh generation directory, then the manifest commit — which
+        appends the generation to ``gens`` — is the publish point.
+        A crash mid-append leaves an orphan directory no reader sees;
+        the next append sweeps it (single-writer contract). One
+        routing/encoding pass: the staged batch is persisted, counted,
+        and written from the same materialization. Returns the number
+        of vectors appended."""
+        gen = max(self.gens) + 1
+        self._sweep_orphan_gens()
         p = self.params
-        routed = route_queries_to_lists(
-            df,
-            self.model["centroids"],
-            n_probe=1,
-            query_id_col=p["id_col"],
-            query_emb_col=p["emb_col"],
-        ).select(
-            F.col(p["id_col"]).alias("neighbor_id"),
-            F.col("_qemb").alias("_emb"),
-            "list_id",
-        )
-        n = routed.count()
-        (
-            routed.repartition(max(len(self.model["centroids"]), 1), "list_id")
-            .write.mode("append")
-            .partitionBy("list_id")
-            .parquet(self.fs.table_location("lists"))
-        )
+        if self.kind == "ivf":
+            from codd_spark.operators.similarity import route_queries_to_lists
+
+            staged = route_queries_to_lists(
+                df,
+                self.model["centroids"],
+                n_probe=1,
+                query_id_col=p["id_col"],
+                query_emb_col=p["emb_col"],
+            ).select(
+                F.col(p["id_col"]).alias("neighbor_id"),
+                F.col("_qemb").alias("_emb"),
+                "list_id",
+            )
+            staged = staged.persist()
+            n = staged.count()
+            (
+                staged.repartition(
+                    max(len(self.model["centroids"]), 1), "list_id"
+                )
+                .write.partitionBy("list_id")
+                .parquet(self._gen_dir("lists", gen))
+            )
+            staged.unpersist()
+        elif self.kind == "pq":
+            from codd_spark.operators.similarity import pq_encode
+
+            batch = df.select(
+                p["id_col"], F.col(p["emb_col"])
+            ).persist()
+            n = batch.count()
+            pq_encode(
+                batch,
+                self.model["codebooks"],
+                id_col=p["id_col"],
+                emb_col=p["emb_col"],
+            ).write.parquet(self._gen_dir("codes", gen))
+            if p.get("has_corpus"):
+                batch.write.parquet(self._gen_dir("corpus", gen))
+            batch.unpersist()
+        else:
+            raise ValueError(f"unknown index kind {self.kind!r}")
+        manifest = {
+            "kind": self.kind,
+            "params": self.params,
+            "model": self.model,
+            "gens": self.gens + [gen],
+        }
+        self.fs.commit_manifest(manifest)  # the publish point
+        self.gens.append(gen)
         return n
 
     # -- search -------------------------------------------------------
@@ -263,7 +352,7 @@ class PersistentANNIndex:
         if self.kind == "ivf":
             from codd_spark.operators.similarity import ivf_probe
 
-            lists = self.spark.read.parquet(self.fs.table_location("lists"))
+            lists = self._read_gens("lists")
             return ivf_probe(
                 lists,
                 self.model["centroids"],
@@ -278,11 +367,9 @@ class PersistentANNIndex:
             from codd_spark.operators.similarity import pq_top_k
 
             p = self.params
-            encoded = self.spark.read.parquet(self.fs.table_location("codes"))
+            encoded = self._read_gens("codes")
             rerank = (
-                self.spark.read.parquet(self.fs.table_location("corpus"))
-                if p.get("has_corpus")
-                else None
+                self._read_gens("corpus") if p.get("has_corpus") else None
             )
             return pq_top_k(
                 encoded,

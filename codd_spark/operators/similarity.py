@@ -791,8 +791,27 @@ def pq_train_encode(
         model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(feats)
         codebooks.append([list(map(float, c)) for c in model.clusterCenters()])
 
+    encoded = base.select(
+        id_col, _pq_codes_expr(F.col("_emb"), codebooks).alias("codes")
+    )
+    encoded = encoded.localCheckpoint(eager=True)
+    base.unpersist()
+    return encoded, codebooks
+
+
+def _pq_codes_expr(
+    emb: Column, codebooks: list[list[list[float]]]
+) -> Column:
+    """PQ encoding as a pure column expression over FROZEN codebooks:
+    per subspace, argmin squared distance over the k literal centroids.
+    Shared by training-time encoding and the persisted-index growth
+    path (annstore.add_vectors), so an appended batch encodes exactly
+    as the original build did."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+
     def code_for(j: int) -> Column:
-        subvec = F.slice(F.col("_emb"), j * sub + 1, sub)
+        subvec = F.slice(emb, j * sub + 1, sub)
         dists = F.array(
             *[
                 F.struct(
@@ -807,17 +826,31 @@ def pq_train_encode(
                     ).alias("d"),
                     F.lit(c).alias("code"),
                 )
-                for c in range(k)
+                for c in range(len(codebooks[j]))
             ]
         )
         return F.array_sort(dists)[0]["code"]
 
-    encoded = base.select(
-        id_col, F.array(*[code_for(j) for j in range(m)]).alias("codes")
+    return F.array(*[code_for(j) for j in range(m)])
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors with FROZEN codebooks (no training pass): the
+    crawl-growth path of a persisted PQ index — new corpus batches
+    compress under the exact model the index was built with. Pure
+    expression, map-only."""
+    return df.select(
+        id_col,
+        _pq_codes_expr(
+            F.col(emb_col).cast("array<double>"), codebooks
+        ).alias("codes"),
     )
-    encoded = encoded.localCheckpoint(eager=True)
-    base.unpersist()
-    return encoded, codebooks
 
 
 def pq_top_k(

@@ -136,9 +136,13 @@ def test_ivf_add_vectors_grows_index_without_retrain(spark, emb, tmp_path):
     n2 = idx.add_vectors(half2)
     assert n2 == half2.count()
 
-    lists = spark.read.parquet(idx.fs.table_location("lists"))
+    lists = idx._read_gens("lists")
     assert lists.count() == emb.count()
     assert lists.select("neighbor_id").distinct().count() == emb.count()
+    # the append is a committed generation, not an in-place mutation of
+    # the build's directory (crash-atomicity depends on this layout)
+    assert idx.gens == [0, 1]
+    assert PersistentANNIndex.open(spark, d).gens == [0, 1]
 
     # equivalence vs a manual same-centroid assignment (no persistence)
     assigned1, cents = ivf_train_assign(
@@ -171,6 +175,90 @@ def test_ivf_add_vectors_grows_index_without_retrain(spark, emb, tmp_path):
         F.lit(999999).alias("query_id"), F.col("embedding").alias("q_emb")
     )
     top = idx.top_k(probe_vec, k=1, n_probe=1).collect()
+    assert top and top[0].neighbor_id == 11 and top[0].cos_sim == 1.0
+
+
+def test_ivf_add_vectors_crash_matrix(spark, emb, tmp_path):
+    """VERDICT r10 item 2: an append that dies between the staged
+    parquet write and the manifest commit must be INVISIBLE — probes
+    and reopens see only the committed generations — and the retried
+    append must sweep the orphan directory and land exactly one copy
+    of the batch."""
+    half1 = emb.filter("vec_id % 2 = 0")
+    half2 = emb.filter("vec_id % 2 = 1")
+    d = str(tmp_path / "crash")
+    idx = PersistentANNIndex.build_ivf(
+        spark, half1, d, n_lists=8, trainer="sq_kmeans"
+    )
+    n1 = half1.count()
+
+    real_commit = idx.fs.commit_manifest
+    idx.fs.commit_manifest = lambda m: (_ for _ in ()).throw(
+        IOError("simulated crash before manifest commit")
+    )
+    with pytest.raises(IOError):
+        idx.add_vectors(half2)
+    idx.fs.commit_manifest = real_commit
+
+    # the staged-but-uncommitted generation exists on disk...
+    assert os.path.isdir(os.path.join(d, "lists_gen1"))
+    # ...but no reader sees it: fresh open still holds ONLY the build
+    reopened = PersistentANNIndex.open(spark, d)
+    assert reopened.gens == [0]
+    assert reopened._read_gens("lists").count() == n1
+
+    # retried append sweeps the orphan, reuses its generation number,
+    # and publishes exactly one copy of the batch
+    n2 = reopened.add_vectors(half2)
+    assert n2 == half2.count()
+    assert reopened.gens == [0, 1]
+    gen1 = spark.read.parquet(reopened._gen_dir("lists", 1))
+    assert gen1.count() == n2  # swept + rewritten, not doubled
+    lists = reopened._read_gens("lists")
+    assert lists.count() == emb.count()
+    assert lists.select("neighbor_id").distinct().count() == emb.count()
+
+
+def test_pq_add_vectors_grows_index(spark, emb, tmp_path):
+    """PQ growth path (VERDICT r10 item 2 / missing-gap 3): the batch
+    encodes under the FROZEN codebooks — byte-identical to what the
+    original build would have produced — and codes + rerank corpus land
+    as a committed generation. An appended vector must find itself as
+    its own exact nearest neighbor through the rerank."""
+    from codd_spark.operators.similarity import pq_encode
+
+    half1 = emb.filter("vec_id % 2 = 0")
+    half2 = emb.filter("vec_id % 2 = 1")
+    d = str(tmp_path / "pqgrow")
+    idx = PersistentANNIndex.build_pq(
+        spark, half1, d, dim=64, m=8, k=16, max_iter=5
+    )
+    n2 = idx.add_vectors(half2)
+    assert n2 == half2.count()
+    assert idx.gens == [0, 1]
+
+    codes = idx._read_gens("codes")
+    corpus = idx._read_gens("corpus")
+    assert codes.count() == emb.count() == corpus.count()
+
+    # appended codes == frozen-codebook encoding of the batch
+    want = {
+        (r.vec_id, tuple(r.codes))
+        for r in pq_encode(half2, idx.model["codebooks"]).collect()
+    }
+    got = {
+        (r.vec_id, tuple(r.codes))
+        for r in spark.read.parquet(
+            idx._gen_dir("codes", 1)
+        ).collect()
+    }
+    assert got == want
+
+    # an appended vector's own embedding reranks to itself at sim 1
+    probe_vec = emb.filter("vec_id = 11").select(
+        F.lit(999999).alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    top = PersistentANNIndex.open(spark, d).top_k(probe_vec, k=1).collect()
     assert top and top[0].neighbor_id == 11 and top[0].cos_sim == 1.0
 
 
