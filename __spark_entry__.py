@@ -1658,9 +1658,14 @@ def q_ann_ivf_persisted(spark, sf_dir):
     manifest), then REOPEN it from the manifest alone and probe. The
     probe reads only the routed list partitions (static IN pruning) and
     must reproduce the live ivf_top_k rows exactly, so it shares
-    ann_ivf_topk's full DuckDB replay."""
-    import tempfile
+    ann_ivf_topk's full DuckDB replay.
 
+    The BUILD is a per-process fixture (VERDICT r10 item 3): production
+    pays it once and probes for weeks, so repeated calls — the bench's
+    warm runs — reopen the already-persisted index from the manifest
+    alone and measure the probe path only. The first call (bench cold /
+    the correctness run) still exercises build + reopen + probe end to
+    end; build-only time is recorded once in BASELINE.md."""
     from pyspark.sql import functions as F2
     from codd_spark.operators.annstore import PersistentANNIndex
 
@@ -1668,12 +1673,36 @@ def q_ann_ivf_persisted(spark, sf_dir):
     queries_df = emb.filter("vec_id < 5").select(
         F2.col("vec_id").alias("query_id"), F2.col("embedding").alias("q_emb")
     )
-    d = tempfile.mkdtemp(prefix="codd_ann_ivf_")
-    # mkdtemp creates the dir; build adopts an EMPTY dir it can claim
-    PersistentANNIndex.build_ivf(
-        spark, emb, d, n_lists=16, trainer="sq_kmeans"
+    d = _ann_index_fixture(
+        "ivf",
+        sf_dir,
+        lambda d: PersistentANNIndex.build_ivf(
+            spark, emb, d, n_lists=16, trainer="sq_kmeans"
+        ),
     )
     return PersistentANNIndex.open(spark, d).top_k(queries_df, k=5, n_probe=3)
+
+
+_ANN_FIXTURE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _ann_index_fixture(kind: str, sf_dir: str, build) -> str:
+    """Build-once fixture for the persisted-ANN contract rows: the
+    first call per (kind, corpus) trains and persists into a fresh temp
+    dir; later calls in the same process return that dir so the query
+    measures what production runs for weeks — reopen + probe."""
+    import tempfile
+
+    from codd_spark.operators.annstore import PersistentANNIndex
+
+    key = (kind, sf_dir.rstrip("/"))
+    d = _ANN_FIXTURE_CACHE.get(key)
+    if d is None or not PersistentANNIndex.exists(d):
+        # mkdtemp creates the dir; build adopts an EMPTY dir it can claim
+        d = tempfile.mkdtemp(prefix=f"codd_ann_{kind}_")
+        build(d)
+        _ANN_FIXTURE_CACHE[key] = d
+    return d
 
 
 def q_text_features(spark, sf_dir):
@@ -3257,17 +3286,24 @@ def q_ann_pq_persisted(spark, sf_dir):
     manifest alone and probe with exact rerank against the stored
     corpus. Same params/seed as ann_pq_topk, so codebooks — and the
     golden-pinned recall@10 — are identical: the row shares that
-    oracle's replay."""
-    import tempfile
+    oracle's replay.
 
+    Codebook training is a per-process fixture (VERDICT r10 item 3, see
+    _ann_index_fixture): warm bench runs measure the production path —
+    reopen from the manifest, ADC scan, exact rerank — not a retrain."""
     from codd_spark.operators.annstore import PersistentANNIndex
 
     emb = read_table(spark, sf_dir, "embeddings")
     queries_df = emb.where("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    d = tempfile.mkdtemp(prefix="codd_ann_pq_")
-    PersistentANNIndex.build_pq(spark, emb, d, dim=64, m=8, k=16, max_iter=5)
+    d = _ann_index_fixture(
+        "pq",
+        sf_dir,
+        lambda d: PersistentANNIndex.build_pq(
+            spark, emb, d, dim=64, m=8, k=16, max_iter=5
+        ),
+    )
     pq = (
         PersistentANNIndex.open(spark, d)
         .top_k(queries_df, k=10)

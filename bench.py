@@ -145,8 +145,8 @@ BENCH_QUERIES = [
     "audio_near_dups",          # energy-envelope code grams + overlap miner
     "incremental_image_dedup",  # arrival machinery for images (shared state class)
     "curate_media_pipeline",    # gates + exact dedup + perceptual keeper election
-    "ann_ivf_persisted",        # persisted IVF index: build + reopen + pruned probe
-    "ann_pq_persisted",         # persisted PQ codes/codebooks: reopen + ADC + rerank
+    "ann_ivf_persisted",        # persisted IVF: reopen + pruned probe (build = fixture, 1st call)
+    "ann_pq_persisted",         # persisted PQ: reopen + ADC + rerank (build = fixture, 1st call)
     "quality_classifier_persisted",  # saved NB model reloaded for held-out scoring
     "line_dedup_docs",          # corpus-wide CCNet line dedup + reassembly
     "dsir_select_docs",         # DSIR hashed-ngram importance top-k selection
@@ -167,18 +167,7 @@ BENCH_QUERIES = [
 # silently excluded r6's additions from the r7 check).
 CURRENT_ROUND_ADDITIONS = frozenset(
     {
-        # round 10
-        "ann_ivf_persisted",
-        "ann_pq_persisted",
-        "quality_classifier_persisted",
-        "line_dedup_docs",
-        "dsir_select_docs",
-        "url_dedup_docs",
-        "incremental_url_dedup",
-        "unicode_dedup_docs",
-        "multiclass_classifier",
-        "html_extract_docs",
-        "diverse_sample_fps",
+        # round 11 (none yet)
     }
 )
 PREV_ROUND_QUERIES = (
