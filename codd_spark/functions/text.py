@@ -104,3 +104,122 @@ def html_to_text(c: Column) -> Column:
     t = F.regexp_replace(t, r" ?\n ?", "\n")
     t = F.regexp_replace(t, r"\n+", "\n")
     return F.trim(F.regexp_replace(t, r"^\n|\n$", ""))
+
+
+def html_needs_tree_tier(c: Column) -> Column:
+    """Routing predicate for the two-tier HTML extractor (VERDICT r10
+    item 4): TRUE for pages the regex tier (``html_to_text``) is known
+    to degrade on — '>' inside a quoted attribute value (the tag-strip
+    regex cuts the tag short), CDATA sections (not text in HTML, but
+    the regex tier leaves their payload in), and tables (cell text
+    concatenates without separators). Pure RE2-safe expression, so the
+    router costs one scan-speed predicate, and the expensive tree tier
+    only ever sees the pages that need it."""
+    return (
+        c.rlike(r'(?s)<[A-Za-z][^<>]*"[^"<]*>')
+        | c.contains("<![CDATA[")
+        | c.rlike(r"(?i)<table[\s>]")
+    )
+
+
+def html_to_text_tree_udf():
+    """Tree-builder tier of HTML -> text extraction: an Arrow-batched
+    pandas UDF over the stdlib ``html.parser`` state machine — the
+    spec-hard companion to the regex tier ``html_to_text`` (same
+    two-tier shape as the PIL-gated codecs in functions/codecs.py: a
+    fast bulk path plus a gated exact path for the inputs that defeat
+    it).
+
+    What the tree walk gets right that tag-strip regexes cannot:
+
+    - attribute values containing ``>`` (``<a title="a > b">``) — the
+      tokenizer knows quoting, the regex tier truncates the tag
+    - ``<![CDATA[...]]>`` — a bogus comment per the HTML spec, dropped
+      whole (the regex tier leaks its payload into the text)
+    - table semantics — cells separated by spaces, rows by newlines,
+      so downstream line dedup sees one line per row
+    - ALL character references decoded (``convert_charrefs``), not just
+      the fixed six the regex tier handles
+    - script/style content-mode parsing (a ``</div>`` inside a JS
+      string never terminates the skip)
+
+    Output whitespace discipline matches the regex tier exactly
+    (horizontal runs -> one space, blank lines squeezed, trimmed), so
+    easy pages produce identical text through either tier. NULL passes
+    through as NULL. Justified-Python class: tokenizing HTML needs a
+    stateful scanner, which no SQL expression provides; the kernel is
+    stateless per row, map-only, Arrow-batched."""
+    import re as _re
+    from html.parser import HTMLParser
+
+    from pyspark.sql.functions import pandas_udf
+
+    _NL_CLOSERS = frozenset(
+        ["p", "div", "li", "h1", "h2", "h3", "h4", "h5", "h6", "tr"]
+    )
+
+    class _Extractor(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.out = []
+            self._skip = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in ("script", "style"):
+                self._skip += 1
+            elif tag == "br":
+                self.out.append("\n")
+
+        def handle_startendtag(self, tag, attrs):
+            if tag == "br":
+                self.out.append("\n")
+
+        def handle_endtag(self, tag):
+            if tag in ("script", "style"):
+                self._skip = max(0, self._skip - 1)
+            elif tag in _NL_CLOSERS:
+                self.out.append("\n")
+            elif tag in ("td", "th"):
+                self.out.append(" ")
+
+        def handle_data(self, data):
+            if not self._skip:
+                self.out.append(data)
+
+        def unknown_decl(self, data):
+            pass  # <![CDATA[...]]> is a bogus comment in HTML: drop
+
+    def _one(page: str) -> str:
+        p = _Extractor()
+        p.feed(page)
+        p.close()
+        t = "".join(p.out)
+        # convert_charrefs decodes &nbsp; to U+00A0; the regex tier maps
+        # it to a plain space — match it so both tiers agree on output
+        t = t.replace("\xa0", " ")
+        t = _re.sub(r"[ \t\r]+", " ", t)
+        t = _re.sub(r" ?\n ?", "\n", t)
+        t = _re.sub(r"\n+", "\n", t)
+        return t.strip("\n").strip()
+
+    def _batch(s):
+        return s.map(_one, na_action="ignore")
+
+    return pandas_udf(_batch, "string")
+
+
+def html_extract_routed(
+    df, html_col: str = "html", out_col: str = "text"
+):
+    """Two-tier HTML extraction over a DataFrame: pages flagged by
+    ``html_needs_tree_tier`` go through the exact ``html.parser`` tree
+    walk, everything else through the codegen regex chain — union of
+    two map-only branches, no shuffle, each branch's filter pushed to
+    the scan. At 100 TB the bulk of a crawl takes the scan-speed regex
+    path and only the spec-hard sliver pays Python."""
+    hard = html_needs_tree_tier(F.col(html_col))
+    easy = df.where(~hard).withColumn(out_col, html_to_text(F.col(html_col)))
+    tree = df.where(hard).withColumn(
+        out_col, html_to_text_tree_udf()(F.col(html_col))
+    )
+    return easy.unionByName(tree)

@@ -506,3 +506,92 @@ def test_fps_validation(spark):
         farthest_point_sample(emb, 0, dim=64)
     with pytest.raises(ValueError, match="empty"):
         farthest_point_sample(emb.where("vec_id < 0"), 3, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# html_to_text tree tier (VERDICT r10 item 4)
+# ---------------------------------------------------------------------------
+
+
+def _tree_extract(spark, pages):
+    from codd_spark.functions.text import html_to_text_tree_udf
+
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pages)], "i long, html string"
+    )
+    out = df.select("i", html_to_text_tree_udf()(F.col("html")).alias("t"))
+    return [r.t for r in out.orderBy("i").collect()]
+
+
+def test_html_tree_tier_matches_regex_tier_on_easy_pages(spark):
+    """Pages without spec-hard constructs must extract IDENTICALLY
+    through either tier — the router can take either path for them."""
+    from codd_spark.functions.text import html_to_text
+
+    pages = [
+        "<html><head><title>T</title><script>var x=1;</script></head>"
+        "<body><h1>Head &amp; tail</h1><p>one two</p><p>three</p>"
+        "<div>footer&nbsp;block</div><!-- c --></body></html>",
+        "<p>a<br>b</p><ul><li>x</li><li>y</li></ul>",
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pages)], "i long, html string"
+    )
+    regex_out = [
+        r.t
+        for r in df.select("i", html_to_text(F.col("html")).alias("t"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert _tree_extract(spark, pages) == regex_out
+
+
+def test_html_tree_tier_attr_gt_cdata_tables(spark):
+    """The three constructs the tree tier exists for: '>' inside a
+    quoted attribute value, CDATA payloads, and table cell/row
+    structure."""
+    got = _tree_extract(
+        spark,
+        [
+            '<p><a title="a > b">link</a> text</p>',
+            "<p>before</p><![CDATA[ secret <b>payload</b> ]]><p>after</p>",
+            "<table><tr><td>a1</td><td>b1</td></tr>"
+            "<tr><td>a2</td><td>b2</td></tr></table>",
+            "<script>if (1 > 0) { s = '<div>'; }</script><p>kept</p>",
+        ],
+    )
+    assert got[0] == "link text"
+    assert got[1] == "before\nafter"          # CDATA dropped whole
+    assert got[2] == "a1 b1\na2 b2"           # cells spaced, rows lined
+    assert got[3] == "kept"                   # script content-mode skip
+
+
+def test_html_routing_sends_only_hard_pages_to_python(spark):
+    """html_extract_routed: the predicate routes spec-hard pages to the
+    tree tier and everything else through the codegen regex chain; the
+    union holds every row exactly once with the right text."""
+    from codd_spark.functions.text import (
+        html_extract_routed,
+        html_needs_tree_tier,
+    )
+
+    rows = [
+        (1, "<p>easy page</p>"),
+        (2, '<p><a title="a > b">hard</a></p>'),
+        (3, "x<![CDATA[y]]><p>z</p>"),
+        (4, "<table><tr><td>c</td></tr></table>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    flags = {
+        r.doc_id: r.h
+        for r in df.select(
+            "doc_id", html_needs_tree_tier(F.col("html")).alias("h")
+        ).collect()
+    }
+    assert flags == {1: False, 2: True, 3: True, 4: True}
+    got = {
+        r.doc_id: r.text for r in html_extract_routed(df).collect()
+    }
+    assert got[1] == "easy page" and got[2] == "hard" and got[4] == "c"
+    # CDATA dropped whole; no break (both tiers break on CLOSERS only)
+    assert got[3] == "xz"
