@@ -3891,6 +3891,37 @@ def q_multiclass_classifier(spark, sf_dir):
     )
 
 
+def q_langid_chargram(spark, sf_dir):
+    """Language-ID contract on REAL LID features (round 11, VERDICT r10
+    item 5): a 4-language multinomial NB over hashed character
+    2..4-grams — the langid.py / CLD feature space — instead of planted
+    word tokens. The corpus is a closed-form multilingual synthesis
+    (operators/classify.py::planted_lang_docs — four syllable
+    inventories with deliberate cross-language overlap, words = two
+    syllables chosen by id arithmetic), trained on the 80%% split and
+    scored held-out: pred = argmax log-joint, ties to the smallest
+    label, score rounded to 6. Char-gram extraction is sequence ->
+    substr -> md5_60 hash -> count (all codegen); DuckDB replays the
+    synthesis, every gram of every length, all four class LMs, and the
+    argmax. Held-out accuracy 1.0 pinned in tests/test_classify.py."""
+    from codd_spark.operators.classify import (
+        nb_multiclass_score,
+        nb_multiclass_train,
+        planted_lang_docs,
+    )
+
+    ids = read_table(spark, sf_dir, "documents").select("doc_id")
+    corpus = planted_lang_docs(ids)
+    model = nb_multiclass_train(
+        corpus.filter("doc_id % 5 != 4"), "y", n_features=4096,
+        features="char",
+    )
+    return nb_multiclass_score(
+        corpus.filter("doc_id % 5 = 4"), model, n_features=4096,
+        features="char",
+    )
+
+
 def q_html_extract(spark, sf_dir):
     """HTML -> text extraction contract (round 10): the fetch-side step
     before line dedup / quality scoring, as a pure regexp expression
@@ -4261,6 +4292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         # (the eleven round-10 additions moved INTO the scored window
         # r10->r11 — see the rotation note at the top of the dict)
+        # --- round-11 additions past the window (oracle-swept + bench) ---
+        "langid_chargram": q_langid_chargram,
     }
 
 
@@ -4565,6 +4598,86 @@ _UNICODE_DEDUP_ORACLE_SQL = """
     FROM synth GROUP BY nfc_normalize(t)
 """
 
+
+
+def _langid_oracle_sql() -> str:
+    """Full DuckDB replay of q_langid_chargram: the multilingual
+    syllable synthesis (nested list literals indexed by pure id
+    arithmetic — the SAME module constants the Spark side uses), char
+    2..4-gram extraction over every position window, md5_60 hashing to
+    4096 features, the four class-conditional LMs from the 80%% train
+    split, held-out log-joint scores, and the smallest-label-tie-break
+    argmax — exact to ROUND(., 6)."""
+    from codd_spark.operators.classify import LANG_SYLLABLES
+
+    books = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(f"'{s}'" for s in sy) + "]"
+            for sy in LANG_SYLLABLES
+        )
+        + "]"
+    )
+    a = "CAST((doc_id*104729 + i*7919) % 16 AS INT)"
+    b = "CAST((doc_id*52361 + i*104729) % 16 AS INT)"
+    word = f"({books})[CAST(doc_id % 4 AS INT) + 1][{a} + 1] || ({books})[CAST(doc_id % 4 AS INT) + 1][{b} + 1]"
+    return f"""
+        WITH d AS (
+          SELECT doc_id, CAST(doc_id % 4 AS INT) AS y,
+                 array_to_string(
+                   list_transform(range(1, 31 + CAST(doc_id % 20 AS INT)),
+                                  i -> {word}),
+                   ' ') AS text
+          FROM documents
+        ), g AS (
+          SELECT doc_id, y,
+                 unnest(list_transform(range(1, len(text) - n + 2),
+                        i -> substr(text, CAST(i AS INT), CAST(n AS INT))))
+                   AS s
+          FROM (SELECT doc_id, y, text, unnest([2, 3, 4]) AS n FROM d)
+          WHERE len(text) >= n
+        ), fx AS (
+          SELECT doc_id, y,
+                 CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT) % 4096
+                   AS feature,
+                 COUNT(*) AS x
+          FROM g GROUP BY doc_id, y, feature
+        ), per_lf AS (
+          SELECT y, feature, SUM(x) AS c FROM fx
+          WHERE doc_id % 5 <> 4 GROUP BY y, feature
+        ), per_l AS (
+          SELECT y, SUM(c) AS ct FROM per_lf GROUP BY y
+        ), pri AS (
+          SELECT CAST(doc_id % 4 AS INT) AS y, COUNT(*) AS n
+          FROM documents WHERE doc_id % 5 <> 4 GROUP BY CAST(doc_id % 4 AS INT)
+        ), held AS (
+          SELECT doc_id, SUM(x) AS tx FROM fx
+          WHERE doc_id % 5 = 4 GROUP BY doc_id
+        ), obs AS (
+          SELECT fx.doc_id, per_lf.y,
+                 SUM(fx.x * ln(per_lf.c + 1.0)) AS o
+          FROM fx JOIN per_lf ON fx.feature = per_lf.feature
+          WHERE fx.doc_id % 5 = 4
+          GROUP BY fx.doc_id, per_lf.y
+        ), sc AS (
+          SELECT ids.doc_id, pri.y,
+                 ROUND(ln(pri.n)
+                       + COALESCE(held.tx, 0) * (0 - ln(per_l.ct + 4096.0))
+                       + COALESCE(obs.o, 0), 6) AS s
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) ids
+          CROSS JOIN pri
+          JOIN per_l ON per_l.y = pri.y
+          LEFT JOIN held ON held.doc_id = ids.doc_id
+          LEFT JOIN obs ON obs.doc_id = ids.doc_id AND obs.y = pri.y
+        ), ranked AS (
+          SELECT doc_id, y, s,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY s DESC, y ASC) AS rn
+          FROM sc
+        )
+        SELECT doc_id, CAST(y AS INT) AS pred, s AS score
+        FROM ranked WHERE rn = 1
+    """
 
 
 def _multiclass_oracle_sql() -> str:
@@ -7516,6 +7629,7 @@ def oracle_sql() -> dict[str, str]:
     out["incremental_url_dedup"] = _INCR_URL_DEDUP_ORACLE_SQL
     out["unicode_dedup_docs"] = _UNICODE_DEDUP_ORACLE_SQL
     out["multiclass_classifier"] = _multiclass_oracle_sql()
+    out["langid_chargram"] = _langid_oracle_sql()
     out["html_extract_docs"] = _HTML_EXTRACT_ORACLE_SQL
     out["diverse_sample_fps"] = _fps_oracle_sql(8)
     return out

@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "multiclass_classifier",    # 4-class NB train + held-out argmax scoring
     "html_extract_docs",        # regex-tier HTML -> text extraction (codegen)
     "diverse_sample_fps",       # k-center FPS on exact-integer sq codes
+    # round-11 additions
+    "langid_chargram",          # char 2..4-gram NB language ID (langid.py space)
 ]
 
 # Queries added DURING the current round (reset to empty at each round
@@ -167,7 +169,8 @@ BENCH_QUERIES = [
 # silently excluded r6's additions from the r7 check).
 CURRENT_ROUND_ADDITIONS = frozenset(
     {
-        # round 11 (none yet)
+        # round 11
+        "langid_chargram",
     }
 )
 PREV_ROUND_QUERIES = (

@@ -243,6 +243,21 @@ def planted_label_docs(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _nb_features(
+    df, id_col, text_col, *, n_features, bigrams, features
+) -> DataFrame:
+    """Featurizer dispatch shared by the multiclass trainer/scorer."""
+    if features == "word":
+        return hashed_text_features(
+            df, id_col, text_col, n_features=n_features, bigrams=bigrams
+        )
+    if features == "char":
+        return hashed_char_ngram_features(
+            df, id_col, text_col, n_features=n_features
+        )
+    raise ValueError(f"features must be 'word' or 'char', got {features!r}")
+
+
 def nb_multiclass_train(
     df: DataFrame,
     label_col: str,
@@ -252,10 +267,15 @@ def nb_multiclass_train(
     n_features: int = 2048,
     alpha: float = 1.0,
     bigrams: bool = True,
+    features: str = "word",
 ) -> DataFrame:
     """Multiclass multinomial NB — the K-way sibling of
     ``nb_linear_train`` (trained language ID, domain routing, K-way
     quality tiers). ``label_col`` holds small non-negative ints.
+    ``features`` picks the featurizer: ``"word"`` = hashed lowercase
+    uni+bigram tokens (domain routing, quality tiers); ``"char"`` =
+    hashed character 2..4-grams (``hashed_char_ngram_features`` — the
+    langid.py feature space, right for language ID).
 
     Returns the MODEL as a DataFrame bounded at K * (n_features + 1)
     rows:
@@ -272,8 +292,9 @@ def nb_multiclass_train(
     the final ln() is integer counting, so a SQL oracle replays the
     learned weights to the rounding digit.
     """
-    feats = hashed_text_features(
-        df, id_col, text_col, n_features=n_features, bigrams=bigrams
+    feats = _nb_features(
+        df, id_col, text_col, n_features=n_features, bigrams=bigrams,
+        features=features,
     )
     labels = df.select(
         F.col(id_col).alias("id"), F.col(label_col).cast("int").alias("y")
@@ -321,9 +342,11 @@ def nb_multiclass_score(
     *,
     n_features: int = 2048,
     bigrams: bool = True,
+    features: str = "word",
 ) -> DataFrame:
     """(id, pred, score): argmax-class prediction under a multiclass NB
-    model; score = the winning class's log-joint ln N_l + sum_f x_f
+    model (``features`` must match what the model was trained with);
+    score = the winning class's log-joint ln N_l + sum_f x_f
     ln p_l(f), rounded to 6 (ties break to the smallest label, so the
     argmax is deterministic and SQL-replayable).
 
@@ -334,8 +357,9 @@ def nb_multiclass_score(
     against the broadcast model, one (id, label) aggregate, and a
     K-row-per-doc argmax. Empty documents score every class's prior
     (every input id appears in the output)."""
-    feats = hashed_text_features(
-        df, id_col, text_col, n_features=n_features, bigrams=bigrams
+    feats = _nb_features(
+        df, id_col, text_col, n_features=n_features, bigrams=bigrams,
+        features=features,
     )
     consts = model.filter(F.col("feature") == -1).select(
         "label", F.col("weight").alias("bias"), F.col("w_unseen").alias("w0")
@@ -403,6 +427,103 @@ def planted_class_docs(
                 )
             )
         )
+
+    toks = F.transform(F.sequence(F.lit(1), (F.lit(30) + d % 20).cast("int")), word)
+    return ids.select(
+        d.alias("doc_id"),
+        y.cast("int").alias("y"),
+        F.concat_ws(" ", toks).alias("text"),
+    )
+
+
+def hashed_char_ngram_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_features: int = 4096,
+    n_min: int = 2,
+    n_max: int = 4,
+) -> DataFrame:
+    """(id, feature, x): hashed character n-gram counts — the standard
+    language-ID feature space (langid.py, Lui & Baldwin 2012, uses byte
+    1..4-grams; CLD-class detectors use char 2..4-grams). Word features
+    generalize poorly across languages — inflection explodes the vocab
+    and many scripts don't whitespace-tokenize — while char 2..4-grams
+    capture the orthographic signature (digraphs, affixes, script) in a
+    bounded hashed space.
+
+    Every position window of each length in [n_min, n_max] over the RAW
+    text (no lowercasing or tokenization — case and whitespace ARE
+    signal for LID) hashes to ``md5_60(g) % n_features``; counts keep
+    multiplicity. Pure expressions end to end (sequence -> substr ->
+    hash -> count, all codegen), exactly replayable in SQL."""
+    if not (1 <= n_min <= n_max):
+        raise ValueError(f"need 1 <= n_min <= n_max, got {n_min}..{n_max}")
+    t = F.col(text_col)
+
+    def grams_for(n: int):
+        return F.when(
+            F.length(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - n + 1),
+                lambda i: t.substr(i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    allgrams = F.concat(*[grams_for(n) for n in range(n_min, n_max + 1)])
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(allgrams).alias("s"))
+        .select("id", (_md5_60(F.col("s")) % n_features).alias("feature"))
+        .groupBy("id", "feature")
+        .agg(F.count("*").alias("x"))
+    )
+
+
+# Per-language syllable inventories for the closed-form multilingual
+# synthesis (planted_lang_docs): ASCII orthographic signatures of four
+# language families. Some syllables deliberately recur across languages
+# ("che", "con", "ver", "ere", "und"/"un") so char-gram distributions
+# overlap realistically and the trained model must weigh evidence, not
+# match single tokens.
+LANG_SYLLABLES = [
+    # 0: English-ish
+    ["the", "ing", "ion", "and", "ent", "ati", "for", "her",
+     "ter", "tha", "ere", "ate", "his", "con", "res", "ver"],
+    # 1: German-ish
+    ["sch", "ein", "ich", "nde", "die", "und", "der", "che",
+     "end", "gen", "sse", "ung", "cht", "das", "ver", "eit"],
+    # 2: Italian-ish
+    ["che", "ere", "zio", "del", "lla", "nte", "con", "per",
+     "ato", "one", "ndo", "gli", "ess", "are", "ita", "men"],
+    # 3: Finnish-ish
+    ["en", "in", "ta", "ja", "ka", "sta", "lla", "aan",
+     "sia", "nen", "ssa", "tte", "ksi", "uus", "iin", "ain"],
+]
+
+
+def planted_lang_docs(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, y, text): closed-form MULTILINGUAL synthesis for the
+    char-gram language-ID contract. y = doc_id % 4 picks a language;
+    word i concatenates two syllables from that language's inventory,
+    chosen by independent id arithmetic (a = (id*104729 + i*7919) % 16,
+    b = (id*52361 + i*104729) % 16 — no division, so DuckDB replays the
+    exact strings). 30 + id % 20 words per document. The languages
+    share several syllables, so character n-gram distributions overlap
+    and separation requires aggregating evidence across the document —
+    the actual shape of the LID problem — while staying a pure function
+    of the id."""
+    books = F.array(
+        *[F.array(*[F.lit(s) for s in sy]) for sy in LANG_SYLLABLES]
+    )
+    d = F.col(id_col)
+    y = d % 4
+    lang = F.element_at(books, (y + 1).cast("int"))
+
+    def word(i):
+        a = ((d * 104729 + i * 7919) % 16 + 1).cast("int")
+        b = ((d * 52361 + i * 104729) % 16 + 1).cast("int")
+        return F.concat(F.element_at(lang, a), F.element_at(lang, b))
 
     toks = F.transform(F.sequence(F.lit(1), (F.lit(30) + d % 20).cast("int")), word)
     return ids.select(

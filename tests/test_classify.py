@@ -256,3 +256,82 @@ def test_planted_class_docs_validation(spark):
 
     with pytest.raises(ValueError, match="n_classes"):
         planted_class_docs(spark.range(1).selectExpr("id AS doc_id"), n_classes=1)
+
+
+# ---------------------------------------------------------------------------
+# char-n-gram language ID (round 11)
+# ---------------------------------------------------------------------------
+
+
+def test_char_ngram_features_match_python_reference(spark):
+    """hashed_char_ngram_features == a from-scratch reference: every
+    position window of lengths 2..4 over the RAW text, md5_60 % D,
+    multiplicity kept; short/empty/NULL-free edge rows included."""
+    import hashlib
+
+    from codd_spark.operators.classify import hashed_char_ngram_features
+
+    rows = [(1, "abcd"), (2, "a"), (3, ""), (4, "xy zy")]
+    D = 64
+
+    def ref(text):
+        from collections import Counter
+
+        grams = [
+            text[i : i + n]
+            for n in (2, 3, 4)
+            for i in range(len(text) - n + 1)
+        ]
+        return Counter(
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % D
+            for g in grams
+        )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in hashed_char_ngram_features(df, n_features=D).collect():
+        got.setdefault(r.id, {})[r.feature] = r.x
+    for i, t in rows:
+        assert got.get(i, {}) == dict(ref(t)), f"doc {i}"
+
+
+def test_char_ngram_features_validation(spark):
+    from codd_spark.operators.classify import hashed_char_ngram_features
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_min"):
+        hashed_char_ngram_features(df, n_min=3, n_max=2)
+
+
+def test_langid_chargram_heldout_accuracy_pinned(spark):
+    """The load-bearing LID claim (VERDICT r10 item 5): char 2..4-gram
+    NB over the multilingual syllable synthesis classifies EVERY
+    held-out document correctly at sf0.001 scale — accuracy pinned at
+    1.0, not a threshold."""
+    from codd_spark.operators.classify import (
+        nb_multiclass_score,
+        nb_multiclass_train,
+        planted_lang_docs,
+    )
+
+    ids = spark.range(0, 500).selectExpr("id AS doc_id")
+    corpus = planted_lang_docs(ids)
+    model = nb_multiclass_train(
+        corpus.filter("doc_id % 5 != 4"), "y", n_features=4096,
+        features="char",
+    )
+    scored = nb_multiclass_score(
+        corpus.filter("doc_id % 5 = 4"), model, n_features=4096,
+        features="char",
+    )
+    joined = scored.join(corpus.select("doc_id", "y"), on="doc_id").collect()
+    assert len(joined) == 100
+    assert all(r.pred == r.y for r in joined)  # accuracy == 1.0
+
+
+def test_nb_features_dispatch_validation(spark):
+    from codd_spark.operators.classify import nb_multiclass_train
+
+    df = spark.createDataFrame([(1, "x", 0)], "doc_id long, text string, y int")
+    with pytest.raises(ValueError, match="features"):
+        nb_multiclass_train(df, "y", features="byte")

@@ -414,3 +414,16 @@ ROUND10_ADDITIONS = [
 # (no parametrized replay for ROUND10_ADDITIONS: all eleven rotated
 # into the scored window r10 -> r11 and now replay via FLAGSHIPS above —
 # a second replay here would double CI time for no extra signal)
+
+
+ROUND11_ADDITIONS = [
+    # char 2..4-gram language ID (langid.py feature space) over the
+    # closed-form multilingual syllable synthesis; oracle replays
+    # synthesis, every gram, all four class LMs, and the argmax
+    "langid_chargram",
+]
+
+
+@pytest.mark.parametrize("name", ROUND11_ADDITIONS)
+def test_round11_addition_matches_oracle(spark, duck, name):
+    _replay(spark, duck, name)
