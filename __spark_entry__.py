@@ -3971,6 +3971,22 @@ def q_diverse_sample(spark, sf_dir):
     return farthest_point_sample(emb, 8, dim=64)
 
 
+def q_diverse_sample_batched(spark, sf_dir):
+    """Batched farthest-point sampling contract (round 11, VERDICT r10
+    item 7): the SAME k=8 selection as diverse_sample_fps — provably
+    identical output (see farthest_point_sample_batched's dominance
+    argument) — executed in ~k/m candidate-collect rounds instead of k
+    sequential jobs. m=3 here deliberately forces several multi-accept
+    AND spill-to-next-round boundaries, so the contract exercises the
+    batching logic, not just the trivial one-round case. Shares the
+    sequential row's unrolled DuckDB oracle: equality to it IS the
+    exactness claim."""
+    from codd_spark.operators.similarity import farthest_point_sample_batched
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return farthest_point_sample_batched(emb, 8, dim=64, m=3)
+
+
 def q_incremental_url_dedup(spark, sf_dir):
     """Incremental exact-key dedup through the ARRIVAL machinery
     (round 10; dedup.IncrementalExactDeduplicator — the URL-first pass
@@ -4294,6 +4310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10->r11 — see the rotation note at the top of the dict)
         # --- round-11 additions past the window (oracle-swept + bench) ---
         "langid_chargram": q_langid_chargram,
+        "diverse_sample_fps_batched": q_diverse_sample_batched,
     }
 
 
@@ -7632,4 +7649,7 @@ def oracle_sql() -> dict[str, str]:
     out["langid_chargram"] = _langid_oracle_sql()
     out["html_extract_docs"] = _HTML_EXTRACT_ORACLE_SQL
     out["diverse_sample_fps"] = _fps_oracle_sql(8)
+    # the batched variant provably selects the identical sequence —
+    # sharing the unrolled oracle IS its exactness contract
+    out["diverse_sample_fps_batched"] = _fps_oracle_sql(8)
     return out

@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "diverse_sample_fps",       # k-center FPS on exact-integer sq codes
     # round-11 additions
     "langid_chargram",          # char 2..4-gram NB language ID (langid.py space)
+    "diverse_sample_fps_batched",  # multi-pick FPS: ~k/m rounds, same output
 ]
 
 # Queries added DURING the current round (reset to empty at each round
@@ -171,6 +172,7 @@ CURRENT_ROUND_ADDITIONS = frozenset(
     {
         # round 11
         "langid_chargram",
+        "diverse_sample_fps_batched",
     }
 )
 PREV_ROUND_QUERIES = (

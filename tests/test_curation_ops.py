@@ -595,3 +595,69 @@ def test_html_routing_sends_only_hard_pages_to_python(spark):
     assert got[1] == "easy page" and got[2] == "hard" and got[4] == "c"
     # CDATA dropped whole; no break (both tiers break on CLOSERS only)
     assert got[3] == "xz"
+
+
+# ---------------------------------------------------------------------------
+# batched farthest-point sampling (round 11, VERDICT r10 item 7)
+# ---------------------------------------------------------------------------
+
+
+def test_batched_fps_equals_sequential(spark):
+    """The exactness claim: batched FPS returns the IDENTICAL (rank,
+    id, d2) sequence as the one-pick-per-job variant, across batch
+    sizes that force single-accept and multi-accept rounds."""
+    from codd_spark.operators.similarity import (
+        farthest_point_sample,
+        farthest_point_sample_batched,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    want = [
+        (r.rank, r.vec_id, r.d2)
+        for r in farthest_point_sample(emb, 12, dim=64).orderBy("rank").collect()
+    ]
+    for m in (2, 4, 32):
+        got = [
+            (r.rank, r.vec_id, r.d2)
+            for r in farthest_point_sample_batched(emb, 12, dim=64, m=m)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == want, f"m={m}"
+
+
+def test_batched_fps_sublinear_rounds(spark):
+    """The scale claim: k picks complete in far fewer candidate-collect
+    rounds than k (each round is O(1) Spark jobs; sequential FPS is
+    exactly k-1 of them)."""
+    from codd_spark.operators.similarity import farthest_point_sample_batched
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    stats = {}
+    out = farthest_point_sample_batched(emb, 64, dim=64, m=32, _stats=stats)
+    assert out.count() == 64
+    assert stats["rounds"] <= 16  # >= 4 accepted picks per round on average
+
+
+def test_batched_fps_validation_and_small_corpus(spark):
+    from codd_spark.operators.similarity import (
+        farthest_point_sample,
+        farthest_point_sample_batched,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="m must"):
+        farthest_point_sample_batched(emb, 4, dim=64, m=1)
+    # k larger than the corpus: returns every vector, same as sequential
+    small = emb.filter("vec_id < 6")
+    want = [
+        (r.rank, r.vec_id, r.d2)
+        for r in farthest_point_sample(small, 10, dim=64).orderBy("rank").collect()
+    ]
+    got = [
+        (r.rank, r.vec_id, r.d2)
+        for r in farthest_point_sample_batched(small, 10, dim=64, m=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want and len(got) == 6

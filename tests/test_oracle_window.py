@@ -421,6 +421,9 @@ ROUND11_ADDITIONS = [
     # closed-form multilingual syllable synthesis; oracle replays
     # synthesis, every gram, all four class LMs, and the argmax
     "langid_chargram",
+    # batched FPS: identical selection to diverse_sample_fps in ~k/m
+    # rounds; shares the unrolled oracle — equality IS the contract
+    "diverse_sample_fps_batched",
 ]
 
 
