@@ -1196,14 +1196,21 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_merges_df(spark, bpe_train(docs, "text", n_merges=20))
 
 
-def _kmeans_assign_ctes(k: int = 8, n_iter: int = 3, dim: int = 64, levels: int = 255) -> str:
+def _kmeans_assign_ctes(
+    k: int = 8, n_iter: int = 3, dim: int = 64, levels: int = 255,
+    train_where: str = "",
+) -> str:
     """The WITH-clause body of the kmeans_quantized replay, ending at the
     final assignment CTE ``a{n_iter}`` — shared by the kmeans_clusters
-    oracle and the IVF(sq_kmeans) oracle, which keeps appending CTEs."""
+    oracle and the IVF(sq_kmeans) oracles, which keep appending CTEs.
+    ``train_where`` (e.g. "WHERE vec_id % 2 = 0") restricts the TRAINING
+    corpus — scales, seeds and every iteration see only those rows, the
+    contract of an index built on a subset and grown later."""
     parts = [f"""
         WITH x AS (
           SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
           FROM embeddings, (SELECT UNNEST(range(1, {dim + 1})) AS i) t
+          {train_where}
         ), sc AS (
           SELECT pos, MIN(v) AS lo, MAX(v) AS hi FROM x GROUP BY pos
         ), codes AS MATERIALIZED (
@@ -1367,6 +1374,82 @@ def _ann_lsh_oracle_sql(k: int = 5, n_planes: int = 8, dim: int = 64, seed: int 
           ) AS rank FROM hits
         ) WHERE rank <= {k}
     """
+
+
+def _ann_ivf_grown_oracle_sql(
+    k: int = 5, n_lists: int = 16, n_probe: int = 3, n_iter: int = 5,
+    dim: int = 64, levels: int = 255,
+) -> str:
+    """Full DuckDB replay of q_ann_ivf_grown: the sq_kmeans training
+    loop RESTRICTED to the build half (even vec_ids — scales, seeds and
+    every iteration), the build half's exact-integer assignment, then
+    the GROWTH path: every odd vec routes to its nearest float centroid
+    mean (squared L2, ties by list id — exactly add_vectors'
+    route_queries_to_lists), the union forming the grown lists that the
+    probe reads. Proves a grown index answers queries identically to
+    the same lists assembled without persistence."""
+    emb_i = "CAST(e.embedding[t.i] AS DOUBLE)"
+    cos = _cos_sql("CAST(qq.embedding AS DOUBLE[])", "CAST(e.embedding AS DOUBLE[])")
+    route_dist = f"""list_sum(list_transform(range(1, {dim + 1}),
+                   i -> (CAST(q.embedding[i] AS DOUBLE) - c.cv[i])
+                      * (CAST(q.embedding[i] AS DOUBLE) - c.cv[i])))"""
+    return (
+        _kmeans_assign_ctes(
+            n_lists, n_iter, dim, levels,
+            train_where="WHERE vec_id % 2 = 0",
+        )
+        + f"""
+        , mean_raw AS (
+          SELECT a.c, t.i AS pos, AVG({emb_i}) AS m
+          FROM a{n_iter} a JOIN embeddings e USING (vec_id),
+               (SELECT UNNEST(range(1, {dim + 1})) AS i) t
+          GROUP BY a.c, t.i
+        ), cent AS MATERIALIZED (
+          SELECT c, list(m ORDER BY pos) AS cv FROM mean_raw GROUP BY c
+        ), remap AS (
+          SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c) - 1 AS INT) AS list_id
+          FROM cent
+        ), assigned_build AS (
+          SELECT a.vec_id, r.list_id FROM a{n_iter} a JOIN remap r USING (c)
+        ), grown AS (
+          SELECT vec_id, list_id FROM (
+            SELECT q.vec_id, r.list_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY {route_dist} ASC, r.list_id ASC
+                   ) AS rn
+            FROM embeddings q CROSS JOIN cent c JOIN remap r ON r.c = c.c
+            WHERE q.vec_id % 2 = 1
+          ) WHERE rn = 1
+        ), assigned AS (
+          SELECT vec_id, list_id FROM assigned_build
+          UNION ALL SELECT vec_id, list_id FROM grown
+        ), route_d AS (
+          SELECT q.vec_id AS query_id, r.list_id, {route_dist} AS d
+          FROM embeddings q CROSS JOIN cent c JOIN remap r ON r.c = c.c
+          WHERE q.vec_id < 5
+        ), qrt AS (
+          SELECT query_id, list_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY d ASC, list_id ASC
+            ) AS rn FROM route_d
+          ) WHERE rn <= {n_probe}
+        ), ivf_hits AS (
+          SELECT DISTINCT p.query_id, e.vec_id AS neighbor_id,
+                 ROUND({cos}, 6) AS cos_sim
+          FROM qrt p
+          JOIN assigned a ON a.list_id = p.list_id
+          JOIN embeddings e ON e.vec_id = a.vec_id
+          JOIN embeddings qq ON qq.vec_id = p.query_id
+          WHERE e.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC NULLS LAST, neighbor_id ASC
+          ) AS rank FROM ivf_hits
+        ) WHERE rank <= {k}
+    """
+    )
 
 
 def _ann_ivf_oracle_sql(
@@ -1703,6 +1786,35 @@ def _ann_index_fixture(kind: str, sf_dir: str, build) -> str:
         build(d)
         _ANN_FIXTURE_CACHE[key] = d
     return d
+
+
+def q_ann_ivf_grown(spark, sf_dir):
+    """Grown-index contract (round 11, VERDICT r10 item 2): build the
+    persisted IVF index on HALF the corpus (even vec_ids), append the
+    other half through the crash-atomic generational add_vectors (each
+    appended vector routes to its nearest FROZEN centroid), reopen, and
+    probe. The oracle replays the sq_kmeans training loop restricted to
+    the build half, the build half's exact-integer assignment, the
+    growth routing of every odd vector to its nearest float centroid
+    mean, and the probe over the unioned lists — a grown index must
+    answer queries exactly as the same lists assembled live."""
+    from pyspark.sql import functions as F2
+    from codd_spark.operators.annstore import PersistentANNIndex
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter("vec_id < 5").select(
+        F2.col("vec_id").alias("query_id"), F2.col("embedding").alias("q_emb")
+    )
+
+    def build(d):
+        idx = PersistentANNIndex.build_ivf(
+            spark, emb.filter("vec_id % 2 = 0"), d,
+            n_lists=16, trainer="sq_kmeans",
+        )
+        idx.add_vectors(emb.filter("vec_id % 2 = 1"))
+
+    d = _ann_index_fixture("ivf_grown", sf_dir, build)
+    return PersistentANNIndex.open(spark, d).top_k(queries_df, k=5, n_probe=3)
 
 
 def q_text_features(spark, sf_dir):
@@ -4311,6 +4423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-11 additions past the window (oracle-swept + bench) ---
         "langid_chargram": q_langid_chargram,
         "diverse_sample_fps_batched": q_diverse_sample_batched,
+        "ann_ivf_grown": q_ann_ivf_grown,
     }
 
 
@@ -7652,4 +7765,5 @@ def oracle_sql() -> dict[str, str]:
     # the batched variant provably selects the identical sequence —
     # sharing the unrolled oracle IS its exactness contract
     out["diverse_sample_fps_batched"] = _fps_oracle_sql(8)
+    out["ann_ivf_grown"] = _ann_ivf_grown_oracle_sql()
     return out

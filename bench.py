@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     # round-11 additions
     "langid_chargram",          # char 2..4-gram NB language ID (langid.py space)
     "diverse_sample_fps_batched",  # multi-pick FPS: ~k/m rounds, same output
+    "ann_ivf_grown",            # build-half + generational growth + probe
 ]
 
 # Queries added DURING the current round (reset to empty at each round
@@ -173,6 +174,7 @@ CURRENT_ROUND_ADDITIONS = frozenset(
         # round 11
         "langid_chargram",
         "diverse_sample_fps_batched",
+        "ann_ivf_grown",
     }
 )
 PREV_ROUND_QUERIES = (

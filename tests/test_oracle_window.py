@@ -424,6 +424,9 @@ ROUND11_ADDITIONS = [
     # batched FPS: identical selection to diverse_sample_fps in ~k/m
     # rounds; shares the unrolled oracle — equality IS the contract
     "diverse_sample_fps_batched",
+    # grown persisted-IVF index: oracle replays half-corpus training,
+    # frozen-centroid growth routing, and the probe over grown lists
+    "ann_ivf_grown",
 ]
 
 
