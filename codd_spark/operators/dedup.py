@@ -2912,7 +2912,11 @@ class IncrementalDeduplicator:
         from codd_spark.operators.graph import dedup_clusters
 
         bb_raw, bsh = _minhash_prep(batch, self.id_col, self.text_col, **self.params)
-        bb = self._guard(bb_raw)
+        # persist the guarded buckets: the within-batch self-join reads
+        # them twice and the keeper/cross/state stages read them again —
+        # without the cache the whole 120-hash signature pipeline
+        # re-executes per consumer (measured ~1.9x per-arrival cost)
+        bb = self._guard(bb_raw).persist()
 
         # 1. within-batch closure -> min-id keeper per cluster
         cand_in = (
@@ -2974,6 +2978,7 @@ class IncrementalDeduplicator:
         else:
             self._append_memory(new_b, new_s)
         _safe_unpersist(bsh)
+        _safe_unpersist(bb)
         self.n_kept += survivors.count()
 
         return batch.join(

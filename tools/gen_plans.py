@@ -71,6 +71,9 @@ PICK = {
     "multiclass_classifier": "Multiclass NB (r10): training is one (label, feature)-keyed count aggregate; the bounded K*(n_features+1)-row model BROADCASTS; scoring joins only observed rows (unseen weights pre-subtracted at train time — never densifies), then one (id, label) aggregate and a struct-max argmax.",
     "html_extract_docs": "HTML extraction (r10): the entire operator is a chained regexp_replace/replace projection — whole-stage codegen, zero exchanges of its own (the one exchange belongs to the contract's synthesis/compare harness, not the extraction).",
     "diverse_sample_fps": "k-center FPS (r10): per pick, the newest center is a dim-length literal array in a shuffle-free projection over the checkpointed running-min column; the argmax is TakeOrderedAndProject(1); no corpus-sized shuffle in any iteration.",
+    "diverse_sample_fps_batched": "Batched FPS (r11): one TakeOrderedAndProject(m) candidate collect per ROUND instead of per pick (k=256 runs in 17 rounds); the round's accepted centers fold into a single least() projection over the checkpointed running-min column — job count sub-linear in k, per-round plan identical in shape to the sequential variant.",
+    "langid_chargram": "Char-gram language ID (r11): gram extraction is sequence->substr->hash->count, all codegen (one explode, one (id,feature) aggregate with map-side partials); the bounded K*(n_features+1)-row model BROADCASTS; scoring is the multiclass_classifier plan on char features — no corpus-sized shuffle after the counts.",
+    "ann_ivf_grown": "Grown persisted IVF (r11): the probe union-reads the build generation and the appended generation as separate partitioned roots — BOTH scans keep their static PartitionFilters IN over the routed list ids, so growth adds directories, never an exchange; append-time routing is a map-only literal-centroid argmin.",
 }
 
 
