@@ -4034,6 +4034,46 @@ def q_langid_chargram(spark, sf_dir):
     )
 
 
+def q_ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet LM-quality bucketing contract (round 11; Wenzek et al.
+    2020): score every document of the multilingual synthesis with the
+    corpus-trained Laplace bigram LM and split each LANGUAGE into
+    head/middle/tail thirds by ascending surprisal — the cut CCNet
+    applies before pretraining (keep head, downsample tail). The engine
+    computes the per-language NTILE WITHOUT a single-task window
+    (scalable global rank + broadcast per-language bases + the NTILE
+    closed form — operators/text.py::perplexity_buckets); the oracle
+    replays it with the plain window function, so the hash match IS the
+    closed-form-equals-NTILE proof. Order key = rounded surprisal
+    (engine-agreed) with id tiebreak."""
+    from codd_spark.operators.classify import planted_lang_docs
+    from codd_spark.operators.text import perplexity_buckets
+
+    ids = read_table(spark, sf_dir, "documents").select("doc_id")
+    corpus = planted_lang_docs(ids)
+    return perplexity_buckets(corpus, lang_col="y")
+
+
+def q_host_cap_docs(spark, sf_dir):
+    """Per-host document cap contract (round 11): keep at most 40
+    documents per canonical host (lowest ids — deterministic across
+    reruns and grown crawls), the crawl-politeness / anti-link-farm
+    curation move. Every 11th URL is NULLed to exercise the NULL-key
+    contract (url-less docs are not a host: they bypass the cap).
+    The engine uses an exact two-phase min-N aggregate (salted partial
+    top-N, bounded state, no per-host window sort — a 10^9-page host
+    never serializes one task); the oracle replays with a plain
+    ROW_NUMBER per host, so the hash match proves the two-phase
+    aggregate computes window semantics."""
+    from codd_spark.operators.pipeline import host_cap
+
+    urls = _messy_urls(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 != 7, F.col("url")).alias("url"),
+    )
+    return host_cap(urls, max_per_host=40)
+
+
 def q_html_extract(spark, sf_dir):
     """HTML -> text extraction contract (round 10): the fetch-side step
     before line dedup / quality scoring, as a pure regexp expression
@@ -4424,6 +4464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_chargram": q_langid_chargram,
         "diverse_sample_fps_batched": q_diverse_sample_batched,
         "ann_ivf_grown": q_ann_ivf_grown,
+        "ccnet_perplexity_buckets": q_ccnet_perplexity_buckets,
+        "host_cap_docs": q_host_cap_docs,
     }
 
 
@@ -4613,7 +4655,7 @@ _LINE_DEDUP_ORACLE_SQL = r"""
 """
 
 
-_URL_CANON_CTES = r"""
+_URL_SYNTH_CTE = r"""
     WITH synth AS (
       SELECT doc_id,
         (CASE WHEN doc_id % 4 = 2 THEN 'http'
@@ -4636,7 +4678,12 @@ _URL_CANON_CTES = r"""
                  ELSE '?ref=tw&id=' || CAST(doc_id % 50 AS VARCHAR) END)
         || (CASE WHEN doc_id % 4 = 2 THEN '#sec2' ELSE '' END) AS url
       FROM documents
-    ), p AS (
+    )"""
+
+# host/canonical extraction CTEs appended to a `synth(doc_id, url)` CTE
+# (split from the synth so the host-cap oracle can NULL some urls first)
+_URL_HOST_CTES = r"""
+    , p AS (
       SELECT doc_id, trim(url) AS u,
         lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
           AS scheme,
@@ -4681,6 +4728,38 @@ _URL_CANON_CTES = r"""
       FROM h
     )
 """
+
+_URL_CANON_CTES = _URL_SYNTH_CTE + _URL_HOST_CTES
+
+# host-cap oracle: NULL every 11th url BEFORE host extraction, cap the
+# hosted docs at 40 lowest ids per host via a plain window (the engine's
+# two-phase aggregate must hash-match it), pass NULL-host rows through
+_HOST_CAP_ORACLE_SQL = (
+    _URL_SYNTH_CTE.replace("WITH synth AS", "WITH synth0 AS")
+    + """
+    , synth AS (
+      SELECT doc_id, CASE WHEN doc_id % 11 <> 7 THEN url END AS url
+      FROM synth0
+    )"""
+    + _URL_HOST_CTES
+    + """
+    , hosted AS (
+      SELECT doc_id, nullif(host, '') AS host FROM h
+      WHERE u IS NOT NULL AND nullif(host, '') IS NOT NULL
+    ), capped AS (
+      SELECT doc_id, host,
+             CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id)
+                  AS INT) AS host_rank
+      FROM hosted
+    )
+    SELECT doc_id, host, host_rank FROM capped WHERE host_rank <= 40
+    UNION ALL
+    SELECT s.doc_id, CAST(NULL AS VARCHAR) AS host,
+           CAST(NULL AS INT) AS host_rank
+    FROM synth s LEFT JOIN hosted hh ON hh.doc_id = s.doc_id
+    WHERE hh.doc_id IS NULL
+"""
+)
 
 _URL_DEDUP_ORACLE_SQL = _URL_CANON_CTES + """
     SELECT MIN(doc_id) AS doc_id, canonical_url, host,
@@ -4730,14 +4809,11 @@ _UNICODE_DEDUP_ORACLE_SQL = """
 
 
 
-def _langid_oracle_sql() -> str:
-    """Full DuckDB replay of q_langid_chargram: the multilingual
-    syllable synthesis (nested list literals indexed by pure id
-    arithmetic — the SAME module constants the Spark side uses), char
-    2..4-gram extraction over every position window, md5_60 hashing to
-    4096 features, the four class-conditional LMs from the 80%% train
-    split, held-out log-joint scores, and the smallest-label-tie-break
-    argmax — exact to ROUND(., 6)."""
+def _planted_lang_cte() -> str:
+    """The ``WITH d AS (...)`` replay of classify.planted_lang_docs —
+    shared by the langid and CCNet-bucket oracles. Syllable literals
+    come from the SAME module constant the Spark side uses, so the two
+    sides cannot drift."""
     from codd_spark.operators.classify import LANG_SYLLABLES
 
     books = (
@@ -4750,7 +4826,10 @@ def _langid_oracle_sql() -> str:
     )
     a = "CAST((doc_id*104729 + i*7919) % 16 AS INT)"
     b = "CAST((doc_id*52361 + i*104729) % 16 AS INT)"
-    word = f"({books})[CAST(doc_id % 4 AS INT) + 1][{a} + 1] || ({books})[CAST(doc_id % 4 AS INT) + 1][{b} + 1]"
+    word = (
+        f"({books})[CAST(doc_id % 4 AS INT) + 1][{a} + 1] || "
+        f"({books})[CAST(doc_id % 4 AS INT) + 1][{b} + 1]"
+    )
     return f"""
         WITH d AS (
           SELECT doc_id, CAST(doc_id % 4 AS INT) AS y,
@@ -4759,7 +4838,19 @@ def _langid_oracle_sql() -> str:
                                   i -> {word}),
                    ' ') AS text
           FROM documents
-        ), g AS (
+        )"""
+
+
+def _langid_oracle_sql() -> str:
+    """Full DuckDB replay of q_langid_chargram: the multilingual
+    syllable synthesis (nested list literals indexed by pure id
+    arithmetic — the SAME module constants the Spark side uses), char
+    2..4-gram extraction over every position window, md5_60 hashing to
+    4096 features, the four class-conditional LMs from the 80%% train
+    split, held-out log-joint scores, and the smallest-label-tie-break
+    argmax — exact to ROUND(., 6)."""
+    return _planted_lang_cte() + f"""
+        , g AS (
           SELECT doc_id, y,
                  unnest(list_transform(range(1, len(text) - n + 2),
                         i -> substr(text, CAST(i AS INT), CAST(n AS INT))))
@@ -4807,6 +4898,51 @@ def _langid_oracle_sql() -> str:
         )
         SELECT doc_id, CAST(y AS INT) AS pred, s AS score
         FROM ranked WHERE rn = 1
+    """
+
+
+def _ccnet_buckets_oracle_sql() -> str:
+    """Full DuckDB replay of q_ccnet_perplexity_buckets: the
+    multilingual synthesis (shared CTE with the langid oracle), the
+    corpus-trained Laplace bigram LM and per-doc mean surprisal (the
+    bigram_surprisal replay over synthesized text), then the
+    per-language NTILE(3) as a PLAIN window function — the engine
+    computes it via scalable rank + the NTILE closed form, so the hash
+    match is the equivalence proof."""
+    return _planted_lang_cte() + r"""
+        , toked AS (
+          SELECT doc_id, y,
+                 list_filter(list_transform(
+                   string_split_regex(trim(text), '\s+'), t -> lower(t)),
+                   t -> t <> '') AS toks
+          FROM d
+        ), bg AS (
+          SELECT doc_id, y, toks[i] AS w1, toks[i + 1] AS w2
+          FROM (SELECT doc_id, y, toks, unnest(range(1, len(toks))) AS i
+                FROM toked)
+        ), c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+        c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+        v AS (SELECT COUNT(DISTINCT t) AS v
+              FROM (SELECT unnest(toks) AS t FROM toked)),
+        model AS (
+          SELECT w1, w2, (c12 + 1.0) / (c1 + 1.0 * v) AS p
+          FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+        ), ms AS (
+          SELECT doc_id, ANY_VALUE(y) AS y, COUNT(*) AS n_bigrams,
+                 ROUND(-AVG(ln(p)), 6) AS mean_surprisal
+          FROM bg JOIN model USING (w1, w2)
+          GROUP BY doc_id
+        ), b AS (
+          SELECT *, NTILE(3) OVER (
+            PARTITION BY y ORDER BY mean_surprisal, doc_id
+          ) AS bucket
+          FROM ms
+        )
+        SELECT doc_id, y, n_bigrams, mean_surprisal,
+               CAST(bucket AS INT) AS bucket,
+               CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS tier
+        FROM b
     """
 
 
@@ -7760,6 +7896,8 @@ def oracle_sql() -> dict[str, str]:
     out["unicode_dedup_docs"] = _UNICODE_DEDUP_ORACLE_SQL
     out["multiclass_classifier"] = _multiclass_oracle_sql()
     out["langid_chargram"] = _langid_oracle_sql()
+    out["ccnet_perplexity_buckets"] = _ccnet_buckets_oracle_sql()
+    out["host_cap_docs"] = _HOST_CAP_ORACLE_SQL
     out["html_extract_docs"] = _HTML_EXTRACT_ORACLE_SQL
     out["diverse_sample_fps"] = _fps_oracle_sql(8)
     # the batched variant provably selects the identical sequence —

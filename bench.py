@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "langid_chargram",          # char 2..4-gram NB language ID (langid.py space)
     "diverse_sample_fps_batched",  # multi-pick FPS: ~k/m rounds, same output
     "ann_ivf_grown",            # build-half + generational growth + probe
+    "ccnet_perplexity_buckets",  # per-language LM head/middle/tail cut
+    "host_cap_docs",            # per-host cap via two-phase min-N aggregate
 ]
 
 # Queries added DURING the current round (reset to empty at each round
@@ -175,6 +177,8 @@ CURRENT_ROUND_ADDITIONS = frozenset(
         "langid_chargram",
         "diverse_sample_fps_batched",
         "ann_ivf_grown",
+        "ccnet_perplexity_buckets",
+        "host_cap_docs",
     }
 )
 PREV_ROUND_QUERIES = (

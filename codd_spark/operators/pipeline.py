@@ -686,3 +686,75 @@ def weighted_sample_k(
             F.col("__rn") <= k
         ).drop("__rn")
     return out.drop("__aes")
+
+
+def host_cap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    *,
+    max_per_host: int = 1000,
+    strip_www: bool = True,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Per-host document cap — the crawl-politeness / anti-SEO-farm
+    curation move: keep at most ``max_per_host`` documents per canonical
+    host (lowest ids win, so reruns and grown crawls keep the same
+    pages), dropping the rest. Link farms and auto-generated mirror
+    sites otherwise contribute millions of near-identical pages that no
+    content-level dedup fully removes.
+
+    Returns (id, host, host_rank): one row per KEPT document,
+    host_rank = 1..max_per_host within its host. Documents whose URL is
+    NULL or carries no parseable host are NOT a host: they bypass the
+    cap and pass through with host NULL and host_rank NULL (the same
+    NULL-key contract as ``url_dedup``).
+
+    Scale shape: NO per-host window sort — a 10^9-page host would
+    serialize one task. The cap is an exact two-phase min-N aggregate:
+    per (host, salt) partial top-N via array_sort + slice (each partial
+    is bounded at max_per_host rows), then the per-host merge re-sorts
+    the <= n_salts * max_per_host surviving candidates. min-N composes
+    (top-N of a union == top-N of per-part top-Ns), so the result is
+    exact while every aggregate state stays bounded by config."""
+    if max_per_host < 1:
+        raise ValueError(f"max_per_host must be >= 1, got {max_per_host}")
+    from codd_spark.functions.url import url_host
+
+    host = F.when(
+        F.col(url_col).isNotNull(),
+        F.nullif(url_host(F.col(url_col), strip_www=strip_www), F.lit("")),
+    )
+    based = df.select(F.col(id_col).alias("id"), host.alias("host"))
+    hosted = based.where(F.col("host").isNotNull())
+    partial = (
+        hosted.withColumn("__salt", F.pmod(F.col("id"), F.lit(n_salts)))
+        .groupBy("host", "__salt")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("id")), 1, max_per_host
+            ).alias("ids")
+        )
+    )
+    kept = (
+        partial.groupBy("host")
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("ids"))),
+                1,
+                max_per_host,
+            ).alias("ids")
+        )
+        .select("host", F.posexplode("ids").alias("r0", "id"))
+        .select(
+            F.col("id").alias(id_col),
+            "host",
+            (F.col("r0") + 1).cast("int").alias("host_rank"),
+        )
+    )
+    passthrough = based.where(F.col("host").isNull()).select(
+        F.col("id").alias(id_col),
+        F.lit(None).cast("string").alias("host"),
+        F.lit(None).cast("int").alias("host_rank"),
+    )
+    return kept.unionByName(passthrough)

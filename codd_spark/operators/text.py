@@ -765,6 +765,86 @@ def bigram_surprisal(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    *,
+    k: float = 1.0,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style LM-quality bucketing (Wenzek et al. 2020): score
+    every document with the corpus-trained Laplace bigram LM
+    (``bigram_surprisal``) and split each LANGUAGE's documents into
+    ``n_buckets`` equal tiers by ascending surprisal — CCNet's
+    head/middle/tail cut, where pretraining keeps "head" (the cleanest
+    third) and drops or downsamples "tail". Returns (id, lang,
+    n_bigrams, mean_surprisal, bucket, tier): bucket 1..n_buckets,
+    tier = head/middle/tail when n_buckets == 3 (else NULL). Documents
+    with fewer than two tokens have no bigrams and are absent, matching
+    ``bigram_surprisal``.
+
+    NO single-task window at scale: the per-language NTILE is computed
+    from a scalable global rank (``linkage.global_rank`` — range
+    repartition + per-partition row_number + broadcast offsets) over
+    (lang, surprisal, id), converted to a per-language rank by
+    subtracting broadcast per-language bases, then mapped through the
+    CLOSED FORM of SQL NTILE semantics (first n%b buckets take
+    ceil(n/b) rows). A 10^9-document dominant language never serializes
+    through one window task, yet the result is exactly what
+    ``NTILE(b) OVER (PARTITION BY lang ORDER BY surprisal, id)``
+    computes — which is how the oracle replays it. Determinism: the
+    order key is the ROUNDED surprisal (both engines agree on it) with
+    the id as tiebreak."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    from codd_spark.operators.linkage import global_rank
+
+    ms = bigram_surprisal(df, id_col, text_col, k=k)
+    scored = ms.join(
+        df.select(F.col(id_col), F.col(lang_col).alias("__lang")), on=id_col
+    )
+    ranked = global_rank(
+        scored, ["__lang", "mean_surprisal", id_col], out_col="__g"
+    )
+    per_lang = ranked.groupBy("__lang").agg(
+        F.count("*").alias("__n"), F.min("__g").alias("__base")
+    )
+    r = (
+        ranked.join(F.broadcast(per_lang), on="__lang")
+        .withColumn("__r", F.col("__g") - F.col("__base") + 1)
+    )
+    size = F.floor(F.col("__n") / n_buckets).cast("long")
+    rem = (F.col("__n") % n_buckets).cast("long")
+    big = size + 1
+    cut = rem * big  # ranks <= cut live in the (size+1)-row buckets
+    bucket = F.when(
+        F.col("__r") <= cut, F.floor((F.col("__r") - 1) / big) + 1
+    ).otherwise(
+        rem
+        + F.floor(
+            (F.col("__r") - 1 - cut) / F.greatest(size, F.lit(1))
+        )
+        + 1
+    ).cast("int")
+    out = r.select(
+        F.col(id_col),
+        F.col("__lang").alias(lang_col),
+        "n_bigrams",
+        "mean_surprisal",
+        bucket.alias("bucket"),
+    )
+    tier = (
+        F.when(F.col("bucket") == 1, "head")
+        .when(F.col("bucket") == 2, "middle")
+        .otherwise("tail")
+        if n_buckets == 3
+        else F.lit(None).cast("string")
+    )
+    return out.withColumn("tier", tier)
+
+
 # ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------

@@ -661,3 +661,99 @@ def test_batched_fps_validation_and_small_corpus(spark):
         .collect()
     ]
     assert got == want and len(got) == 6
+
+
+# ---------------------------------------------------------------------------
+# perplexity_buckets + host_cap (round 11)
+# ---------------------------------------------------------------------------
+
+
+def test_perplexity_buckets_closed_form_equals_ntile(spark):
+    """The scale claim: the closed-form NTILE (scalable rank + per-lang
+    bases) equals F.ntile over a window, across uneven language sizes
+    and bucket counts that exercise the remainder logic."""
+    from pyspark.sql.window import Window
+
+    from codd_spark.operators.classify import planted_lang_docs
+    from codd_spark.operators.text import bigram_surprisal, perplexity_buckets
+
+    corpus = planted_lang_docs(
+        spark.range(0, 121).selectExpr("id AS doc_id")  # 121 % 4 != 0
+    )
+    for nb in (2, 3, 5):
+        got = {
+            (r.doc_id, r.bucket)
+            for r in perplexity_buckets(corpus, lang_col="y", n_buckets=nb).collect()
+        }
+        ms = bigram_surprisal(corpus).join(
+            corpus.select("doc_id", "y"), on="doc_id"
+        )
+        w = Window.partitionBy("y").orderBy("mean_surprisal", "doc_id")
+        want = {
+            (r.doc_id, r.bucket)
+            for r in ms.withColumn("bucket", F.ntile(nb).over(w)).collect()
+        }
+        assert got == want, f"n_buckets={nb}"
+
+
+def test_perplexity_buckets_tiers_and_validation(spark):
+    from codd_spark.operators.classify import planted_lang_docs
+    from codd_spark.operators.text import perplexity_buckets
+
+    corpus = planted_lang_docs(spark.range(0, 40).selectExpr("id AS doc_id"))
+    out = perplexity_buckets(corpus, lang_col="y").collect()
+    tiers = {r.bucket: r.tier for r in out}
+    assert tiers == {1: "head", 2: "middle", 3: "tail"}
+    four = perplexity_buckets(corpus, lang_col="y", n_buckets=4).collect()
+    assert all(r.tier is None for r in four)
+    with pytest.raises(ValueError, match="n_buckets"):
+        perplexity_buckets(corpus, lang_col="y", n_buckets=1)
+
+
+def test_host_cap_matches_window_reference_and_nulls(spark):
+    """Two-phase min-N aggregate == per-host window row_number <= N;
+    NULL/unparseable-host docs bypass the cap (NULL-key contract)."""
+    from codd_spark.operators.pipeline import host_cap
+
+    rows = [
+        (i, f"https://site{i % 3}.org/p/{i}") for i in range(30)
+    ] + [(100, None), (101, None), (102, "not a url")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = host_cap(df, max_per_host=4).collect()
+    kept = {(r.doc_id, r.host, r.host_rank) for r in out if r.host is not None}
+    # per host: lowest 4 ids, ranked 1..4
+    want = {
+        (h * 1 + i * 3 + h, f"site{h}.org", i + 1)
+        for h in range(3)
+        for i in range(4)
+    }
+    want = {
+        (sorted(j for j in range(30) if j % 3 == h)[i], f"site{h}.org", i + 1)
+        for h in range(3)
+        for i in range(4)
+    }
+    assert kept == want
+    passthru = {r.doc_id for r in out if r.host is None}
+    assert passthru == {100, 101, 102}
+    assert all(r.host_rank is None for r in out if r.host is None)
+    with pytest.raises(ValueError, match="max_per_host"):
+        host_cap(df, max_per_host=0)
+
+
+def test_host_cap_skewed_host_stays_bounded(spark):
+    """A single dominant host (the 10^9-page scenario in miniature):
+    every per-(host, salt) partial is capped at max_per_host, and the
+    final set is exactly the N lowest ids."""
+    from codd_spark.operators.pipeline import host_cap
+
+    df = spark.createDataFrame(
+        [(i, "https://megafarm.com/x") for i in range(500)]
+        + [(1000, "https://tiny.org/a")],
+        "doc_id long, url string",
+    )
+    out = host_cap(df, max_per_host=7, n_salts=8).collect()
+    mega = sorted(
+        (r.host_rank, r.doc_id) for r in out if r.host == "megafarm.com"
+    )
+    assert mega == [(i + 1, i) for i in range(7)]
+    assert [r.doc_id for r in out if r.host == "tiny.org"] == [1000]

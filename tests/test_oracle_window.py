@@ -427,6 +427,10 @@ ROUND11_ADDITIONS = [
     # grown persisted-IVF index: oracle replays half-corpus training,
     # frozen-centroid growth routing, and the probe over grown lists
     "ann_ivf_grown",
+    # CCNet head/middle/tail cut: closed-form NTILE == the oracle window
+    "ccnet_perplexity_buckets",
+    # per-host cap: two-phase min-N aggregate == per-host ROW_NUMBER
+    "host_cap_docs",
 ]
 
 
