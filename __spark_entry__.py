@@ -3424,6 +3424,40 @@ def q_ann_pq_persisted(spark, sf_dir):
     return _pq_recall_emission(emb, queries_df, pq)
 
 
+def q_ann_pq_grown(spark, sf_dir):
+    """Grown persisted-PQ contract (round 11, VERDICT r10 item 2's PQ
+    half): codebooks train on the EVEN half of the corpus, the odd half
+    appends through the crash-atomic generational add_vectors (encoded
+    under the FROZEN codebooks — similarity.pq_encode, the identical
+    expression the build used), reopen, probe with exact rerank over
+    both generations. PQ codebooks are MLlib KMeans (not
+    SQL-replayable), so like every PQ row the oracle is the exact
+    brute-force top-10 replay with the grown path's recall@10
+    GOLDEN-PINNED per corpus — measured with fixed seeds, invariant
+    across local[4]/[8]/[32]."""
+    from codd_spark.operators.annstore import PersistentANNIndex
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+
+    def build(d):
+        idx = PersistentANNIndex.build_pq(
+            spark, emb.filter("vec_id % 2 = 0"), d,
+            dim=64, m=8, k=16, max_iter=5,
+        )
+        idx.add_vectors(emb.filter("vec_id % 2 = 1"))
+
+    d = _ann_index_fixture("pq_grown", sf_dir, build)
+    pq = (
+        PersistentANNIndex.open(spark, d)
+        .top_k(queries_df, k=10)
+        .select("query_id", "neighbor_id")
+    )
+    return _pq_recall_emission(emb, queries_df, pq)
+
+
 def q_kmeans_clusters(spark, sf_dir):
     """Exact-replay Lloyd's k-means (operators/similarity.py::
     kmeans_quantized): scalar-quantized integer codes, centroid state as
@@ -4466,6 +4500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_grown": q_ann_ivf_grown,
         "ccnet_perplexity_buckets": q_ccnet_perplexity_buckets,
         "host_cap_docs": q_host_cap_docs,
+        "ann_pq_grown": q_ann_pq_grown,
     }
 
 
@@ -7896,6 +7931,19 @@ def oracle_sql() -> dict[str, str]:
     out["unicode_dedup_docs"] = _UNICODE_DEDUP_ORACLE_SQL
     out["multiclass_classifier"] = _multiclass_oracle_sql()
     out["langid_chargram"] = _langid_oracle_sql()
+    # grown-PQ: the same exact-top-10 replay as ann_pq_topk with the
+    # GROWN path's golden recall pins (codebooks trained on the even
+    # half, odd half encoded under them at append time)
+    out["ann_pq_grown"] = out["ann_pq_topk"].replace(
+        """(6000,  0, 0.5), (6000,  1, 0.9), (6000,  2, 0.7),
+                    (6000,  3, 0.8), (6000,  4, 0.7),
+                    (60000, 0, 0.6), (60000, 1, 0.9), (60000, 2, 0.7),
+                    (60000, 3, 0.4), (60000, 4, 0.9)""",
+        """(6000,  0, 0.6), (6000,  1, 0.5), (6000,  2, 0.7),
+                    (6000,  3, 0.4), (6000,  4, 0.9),
+                    (60000, 0, 0.9), (60000, 1, 0.9), (60000, 2, 0.6),
+                    (60000, 3, 0.8), (60000, 4, 1.0)""",
+    )
     out["ccnet_perplexity_buckets"] = _ccnet_buckets_oracle_sql()
     out["host_cap_docs"] = _HOST_CAP_ORACLE_SQL
     out["html_extract_docs"] = _HTML_EXTRACT_ORACLE_SQL

@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "ann_ivf_grown",            # build-half + generational growth + probe
     "ccnet_perplexity_buckets",  # per-language LM head/middle/tail cut
     "host_cap_docs",            # per-host cap via two-phase min-N aggregate
+    "ann_pq_grown",             # frozen-codebook PQ growth + rerank probe
 ]
 
 # Queries added DURING the current round (reset to empty at each round
@@ -179,6 +180,7 @@ CURRENT_ROUND_ADDITIONS = frozenset(
         "ann_ivf_grown",
         "ccnet_perplexity_buckets",
         "host_cap_docs",
+        "ann_pq_grown",
     }
 )
 PREV_ROUND_QUERIES = (

@@ -431,6 +431,8 @@ ROUND11_ADDITIONS = [
     "ccnet_perplexity_buckets",
     # per-host cap: two-phase min-N aggregate == per-host ROW_NUMBER
     "host_cap_docs",
+    # grown persisted-PQ: exact-top-10 replay + grown-path recall pins
+    "ann_pq_grown",
 ]
 
 
