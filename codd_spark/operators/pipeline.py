@@ -711,12 +711,17 @@ def host_cap(
     NULL-key contract as ``url_dedup``).
 
     Scale shape: NO per-host window sort — a 10^9-page host would
-    serialize one task. The cap is an exact two-phase min-N aggregate:
-    per (host, salt) partial top-N via array_sort + slice (each partial
-    is bounded at max_per_host rows), then the per-host merge re-sorts
-    the <= n_salts * max_per_host surviving candidates. min-N composes
-    (top-N of a union == top-N of per-part top-Ns), so the result is
-    exact while every aggregate state stays bounded by config."""
+    serialize one task through one global sort. The cap is an exact
+    two-phase min-N aggregate: per (host, salt) partial top-N via
+    array_sort + slice, then the per-host merge re-sorts the
+    <= n_salts * max_per_host surviving candidates (min-N composes:
+    top-N of a union == top-N of per-part top-Ns). Memory honesty: the
+    LEAF collect_list state is (host ∩ salt)-sized — ``n_salts`` is the
+    knob that divides the hottest host across tasks (size it ~
+    host_size / 10^6 under extreme skew); each partial EMITS only
+    max_per_host ids, so the merge level is bounded by config. Spark
+    has no bounded top-N aggregate without a Python UDAF; this trades
+    one tunable leaf for never paying a single-task host sort."""
     if max_per_host < 1:
         raise ValueError(f"max_per_host must be >= 1, got {max_per_host}")
     from codd_spark.functions.url import url_host
