@@ -4108,6 +4108,33 @@ def q_host_cap_docs(spark, sf_dir):
     return host_cap(urls, max_per_host=40)
 
 
+def q_curate_text_pipeline(spark, sf_dir):
+    """End-to-end TEXT curation flagship (round 11): the chain a crawl
+    runs, composed from this round's operators and replayed WHOLE by
+    one oracle — URL dedup (canonical keeper election over closed-form
+    messy URLs) -> char-gram NB language ID trained in-pipeline on the
+    kept 80% slice -> keep predicted language 0 -> bigram-LM perplexity
+    head/middle/tail within the kept language -> keep head+middle.
+    Inputs are the multilingual synthesis (texts, labels) zipped with
+    the messy-URL synthesis, so every stage — canonicalization, keeper
+    election, gram hashing, all four class LMs, the argmax, the bigram
+    LM over the SURVIVING subset, and the NTILE — is a closed form of
+    doc ids that DuckDB replays end to end. Each stage keeps its
+    audited scale shape (single-aggregate URL dedup, broadcast-bounded
+    NB scoring, scalable-rank NTILE); the composition adds only
+    left-semi joins on ids."""
+    from codd_spark.operators.classify import planted_lang_docs
+    from codd_spark.operators.pipeline import curate_text_pipeline
+
+    ids = read_table(spark, sf_dir, "documents").select("doc_id")
+    corpus = planted_lang_docs(ids).join(
+        _messy_urls(spark, sf_dir), on="doc_id"
+    )
+    return curate_text_pipeline(
+        corpus, train_filter="doc_id % 5 != 4"
+    )
+
+
 def q_html_extract(spark, sf_dir):
     """HTML -> text extraction contract (round 10): the fetch-side step
     before line dedup / quality scoring, as a pure regexp expression
@@ -4501,6 +4528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_perplexity_buckets": q_ccnet_perplexity_buckets,
         "host_cap_docs": q_host_cap_docs,
         "ann_pq_grown": q_ann_pq_grown,
+        "curate_text_pipeline": q_curate_text_pipeline,
     }
 
 
@@ -4979,6 +5007,105 @@ def _ccnet_buckets_oracle_sql() -> str:
                     ELSE 'tail' END AS tier
         FROM b
     """
+
+
+def _curate_text_oracle_sql() -> str:
+    """One oracle for the WHOLE text-curation chain: the multilingual
+    synthesis + the messy-URL synthesis (both shared CTEs), canonical
+    keeper election, the char-gram NB trained on the kept 80% slice and
+    scoring every kept doc, the language filter, the bigram LM over the
+    SURVIVORS only, and NTILE(3) head/middle keep — every intermediate
+    a closed form of doc ids."""
+    url_synth = _URL_SYNTH_CTE.replace("WITH synth AS", ", synth AS")
+    return (
+        _planted_lang_cte()
+        + url_synth
+        + _URL_HOST_CTES
+        + r"""
+        , urlkeep AS (
+          SELECT MIN(doc_id) AS doc_id FROM c GROUP BY canonical_url, host
+        ), kept AS (
+          SELECT d.doc_id, d.y, d.text FROM d JOIN urlkeep USING (doc_id)
+        ), g AS (
+          SELECT doc_id, y,
+                 unnest(list_transform(range(1, len(text) - n + 2),
+                        i -> substr(text, CAST(i AS INT), CAST(n AS INT))))
+                   AS s
+          FROM (SELECT doc_id, y, text, unnest([2, 3, 4]) AS n FROM kept)
+          WHERE len(text) >= n
+        ), fx AS (
+          SELECT doc_id, y,
+                 CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT) % 4096
+                   AS feature,
+                 COUNT(*) AS x
+          FROM g GROUP BY doc_id, y, feature
+        ), per_lf AS (
+          SELECT y, feature, SUM(x) AS c FROM fx
+          WHERE doc_id % 5 <> 4 GROUP BY y, feature
+        ), per_l AS (
+          SELECT y, SUM(c) AS ct FROM per_lf GROUP BY y
+        ), pri AS (
+          SELECT y, COUNT(*) AS n FROM kept
+          WHERE doc_id % 5 <> 4 GROUP BY y
+        ), tot AS (
+          SELECT doc_id, SUM(x) AS tx FROM fx GROUP BY doc_id
+        ), obs AS (
+          SELECT fx.doc_id, per_lf.y,
+                 SUM(fx.x * ln(per_lf.c + 1.0)) AS o
+          FROM fx JOIN per_lf ON fx.feature = per_lf.feature
+          GROUP BY fx.doc_id, per_lf.y
+        ), sc AS (
+          SELECT k.doc_id, pri.y,
+                 ROUND(ln(pri.n)
+                       + COALESCE(tot.tx, 0) * (0 - ln(per_l.ct + 4096.0))
+                       + COALESCE(obs.o, 0), 6) AS s
+          FROM (SELECT doc_id FROM kept) k
+          CROSS JOIN pri
+          JOIN per_l ON per_l.y = pri.y
+          LEFT JOIN tot ON tot.doc_id = k.doc_id
+          LEFT JOIN obs ON obs.doc_id = k.doc_id AND obs.y = pri.y
+        ), pred AS (
+          SELECT doc_id, y AS pred_lang FROM (
+            SELECT doc_id, y, ROW_NUMBER() OVER (
+              PARTITION BY doc_id ORDER BY s DESC, y ASC) AS rn
+            FROM sc
+          ) WHERE rn = 1
+        ), lk AS (
+          SELECT kept.doc_id, kept.text FROM kept
+          JOIN pred USING (doc_id) WHERE pred.pred_lang = 0
+        ), toked AS (
+          SELECT doc_id,
+                 list_filter(list_transform(
+                   string_split_regex(trim(text), '\s+'), t -> lower(t)),
+                   t -> t <> '') AS toks
+          FROM lk
+        ), bg AS (
+          SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+          FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                FROM toked)
+        ), c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+        c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+        v AS (SELECT COUNT(DISTINCT t) AS v
+              FROM (SELECT unnest(toks) AS t FROM toked)),
+        model AS (
+          SELECT w1, w2, (c12 + 1.0) / (c1 + 1.0 * v) AS p
+          FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+        ), ms AS (
+          SELECT doc_id, COUNT(*) AS n_bigrams,
+                 ROUND(-AVG(ln(p)), 6) AS mean_surprisal
+          FROM bg JOIN model USING (w1, w2)
+          GROUP BY doc_id
+        ), bkt AS (
+          SELECT doc_id, mean_surprisal, NTILE(3) OVER (
+            ORDER BY mean_surprisal, doc_id) AS bucket
+          FROM ms
+        )
+        SELECT doc_id, CAST(0 AS INT) AS pred_lang, mean_surprisal,
+               CAST(bucket AS INT) AS bucket,
+               CASE bucket WHEN 1 THEN 'head' ELSE 'middle' END AS tier
+        FROM bkt WHERE bucket <= 2
+    """
+    )
 
 
 def _multiclass_oracle_sql() -> str:
@@ -7946,6 +8073,7 @@ def oracle_sql() -> dict[str, str]:
     )
     out["ccnet_perplexity_buckets"] = _ccnet_buckets_oracle_sql()
     out["host_cap_docs"] = _HOST_CAP_ORACLE_SQL
+    out["curate_text_pipeline"] = _curate_text_oracle_sql()
     out["html_extract_docs"] = _HTML_EXTRACT_ORACLE_SQL
     out["diverse_sample_fps"] = _fps_oracle_sql(8)
     # the batched variant provably selects the identical sequence —

@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "ccnet_perplexity_buckets",  # per-language LM head/middle/tail cut
     "host_cap_docs",            # per-host cap via two-phase min-N aggregate
     "ann_pq_grown",             # frozen-codebook PQ growth + rerank probe
+    "curate_text_pipeline",     # url dedup -> char-gram LID -> perplexity cut
 ]
 
 # Queries added DURING the current round (reset to empty at each round
@@ -181,6 +182,7 @@ CURRENT_ROUND_ADDITIONS = frozenset(
         "ccnet_perplexity_buckets",
         "host_cap_docs",
         "ann_pq_grown",
+        "curate_text_pipeline",
     }
 )
 PREV_ROUND_QUERIES = (

@@ -433,6 +433,9 @@ ROUND11_ADDITIONS = [
     "host_cap_docs",
     # grown persisted-PQ: exact-top-10 replay + grown-path recall pins
     "ann_pq_grown",
+    # end-to-end text curation: ONE oracle replays url dedup -> LID ->
+    # language keep -> survivor-trained bigram LM -> NTILE head/middle
+    "curate_text_pipeline",
 ]
 
 
