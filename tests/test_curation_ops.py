@@ -757,3 +757,23 @@ def test_host_cap_skewed_host_stays_bounded(spark):
     )
     assert mega == [(i + 1, i) for i in range(7)]
     assert [r.doc_id for r in out if r.host == "tiny.org"] == [1000]
+
+
+def test_line_dedup_paragraph_mode(spark):
+    """sep="\\n\\n" turns line dedup into PARAGRAPH dedup (the coarser
+    CCNet variant): repeated whole paragraphs vanish corpus-wide,
+    documents reassemble with the paragraph separator intact."""
+    boiler = "Subscribe now.\nGet our app."
+    rows = [
+        (1, f"unique intro\n\n{boiler}\n\nreal body one"),
+        (2, f"{boiler}\n\nreal body two"),
+        (3, "totally original\n\nnothing shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_lines, r.n_removed)
+        for r in line_dedup(df, min_count=2, sep="\n\n").collect()
+    }
+    assert got[1] == ("unique intro\n\nreal body one", 3, 1)
+    assert got[2] == ("real body two", 2, 1)
+    assert got[3] == ("totally original\n\nnothing shared", 2, 0)
