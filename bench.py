@@ -175,14 +175,8 @@ BENCH_QUERIES = [
 # silently excluded r6's additions from the r7 check).
 CURRENT_ROUND_ADDITIONS = frozenset(
     {
-        # round 11
-        "langid_chargram",
-        "diverse_sample_fps_batched",
-        "ann_ivf_grown",
-        "ccnet_perplexity_buckets",
-        "host_cap_docs",
-        "ann_pq_grown",
-        "curate_text_pipeline",
+        # round 12 (the seven round-11 additions graduated into the
+        # comparable set at round open)
     }
 )
 PREV_ROUND_QUERIES = (
