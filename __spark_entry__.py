@@ -8085,16 +8085,24 @@ def oracle_sql() -> dict[str, str]:
     out["langid_chargram"] = _langid_oracle_sql()
     # grown-PQ: the same exact-top-10 replay as ann_pq_topk with the
     # GROWN path's golden recall pins (codebooks trained on the even
-    # half, odd half encoded under them at append time)
-    out["ann_pq_grown"] = out["ann_pq_topk"].replace(
-        """(6000,  0, 0.5), (6000,  1, 0.9), (6000,  2, 0.7),
+    # half, odd half encoded under them at append time). The
+    # substitution is whitespace-sensitive, so ASSERT it fired — a
+    # reformat of the pin block must fail loudly here, not let the
+    # grown row silently validate against the ungrown pins (ADVICE r11)
+    _pq_ungrown_pins = """(6000,  0, 0.5), (6000,  1, 0.9), (6000,  2, 0.7),
                     (6000,  3, 0.8), (6000,  4, 0.7),
                     (60000, 0, 0.6), (60000, 1, 0.9), (60000, 2, 0.7),
-                    (60000, 3, 0.4), (60000, 4, 0.9)""",
-        """(6000,  0, 0.6), (6000,  1, 0.5), (6000,  2, 0.7),
+                    (60000, 3, 0.4), (60000, 4, 0.9)"""
+    _pq_grown_pins = """(6000,  0, 0.6), (6000,  1, 0.5), (6000,  2, 0.7),
                     (6000,  3, 0.4), (6000,  4, 0.9),
                     (60000, 0, 0.9), (60000, 1, 0.9), (60000, 2, 0.6),
-                    (60000, 3, 0.8), (60000, 4, 1.0)""",
+                    (60000, 3, 0.8), (60000, 4, 1.0)"""
+    assert _pq_ungrown_pins in out["ann_pq_topk"], (
+        "ann_pq_topk's recall-pin block was reformatted; update the "
+        "ann_pq_grown pin substitution to match"
+    )
+    out["ann_pq_grown"] = out["ann_pq_topk"].replace(
+        _pq_ungrown_pins, _pq_grown_pins
     )
     out["ccnet_perplexity_buckets"] = _ccnet_buckets_oracle_sql()
     out["host_cap_docs"] = _HOST_CAP_ORACLE_SQL

@@ -110,13 +110,16 @@ def html_needs_tree_tier(c: Column) -> Column:
     """Routing predicate for the two-tier HTML extractor (VERDICT r10
     item 4): TRUE for pages the regex tier (``html_to_text``) is known
     to degrade on — '>' inside a quoted attribute value (the tag-strip
-    regex cuts the tag short), CDATA sections (not text in HTML, but
-    the regex tier leaves their payload in), and tables (cell text
-    concatenates without separators). Pure RE2-safe expression, so the
-    router costs one scan-speed predicate, and the expensive tree tier
-    only ever sees the pages that need it."""
+    regex cuts the tag short; single- AND double-quoted attributes are
+    both legal HTML, so both quote styles route — ADVICE r11), CDATA
+    sections (not text in HTML, but the regex tier leaves their payload
+    in), and tables (cell text concatenates without separators). Pure
+    RE2-safe expression, so the router costs one scan-speed predicate,
+    and the expensive tree tier only ever sees the pages that need
+    it."""
     return (
         c.rlike(r'(?s)<[A-Za-z][^<>]*"[^"<]*>')
+        | c.rlike(r"(?s)<[A-Za-z][^<>]*'[^'<]*>")
         | c.contains("<![CDATA[")
         | c.rlike(r"(?i)<table[\s>]")
     )

@@ -796,7 +796,13 @@ def perplexity_buckets(
     ``NTILE(b) OVER (PARTITION BY lang ORDER BY surprisal, id)``
     computes — which is how the oracle replays it. Determinism: the
     order key is the ROUNDED surprisal (both engines agree on it) with
-    the id as tiebreak."""
+    the id as tiebreak.
+
+    NULL-language documents (an upstream LID gate that abstained) pass
+    through with NULL bucket/tier instead of silently vanishing — the
+    same NULL-key contract ``url_dedup``/``host_cap`` adopted (ADVICE
+    r11: the per-language join would otherwise drop them with no
+    error)."""
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     from codd_spark.operators.linkage import global_rank
@@ -805,6 +811,15 @@ def perplexity_buckets(
     scored = ms.join(
         df.select(F.col(id_col), F.col(lang_col).alias("__lang")), on=id_col
     )
+    null_lang = scored.where(F.col("__lang").isNull()).select(
+        F.col(id_col),
+        F.col("__lang").alias(lang_col),
+        "n_bigrams",
+        "mean_surprisal",
+        F.lit(None).cast("int").alias("bucket"),
+        F.lit(None).cast("string").alias("tier"),
+    )
+    scored = scored.where(F.col("__lang").isNotNull())
     ranked = global_rank(
         scored, ["__lang", "mean_surprisal", id_col], out_col="__g"
     )
@@ -842,7 +857,7 @@ def perplexity_buckets(
         if n_buckets == 3
         else F.lit(None).cast("string")
     )
-    return out.withColumn("tier", tier)
+    return out.withColumn("tier", tier).unionByName(null_lang)
 
 
 # ---------------------------------------------------------------------------

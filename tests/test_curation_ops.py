@@ -580,6 +580,9 @@ def test_html_routing_sends_only_hard_pages_to_python(spark):
         (2, '<p><a title="a > b">hard</a></p>'),
         (3, "x<![CDATA[y]]><p>z</p>"),
         (4, "<table><tr><td>c</td></tr></table>"),
+        # single-quoted attributes are legal HTML and equally break the
+        # regex tier's tag-strip — they must route too (ADVICE r11)
+        (5, "<p><a title='a > b'>squote</a> text</p>"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, html string")
     flags = {
@@ -588,13 +591,15 @@ def test_html_routing_sends_only_hard_pages_to_python(spark):
             "doc_id", html_needs_tree_tier(F.col("html")).alias("h")
         ).collect()
     }
-    assert flags == {1: False, 2: True, 3: True, 4: True}
+    assert flags == {1: False, 2: True, 3: True, 4: True, 5: True}
     got = {
         r.doc_id: r.text for r in html_extract_routed(df).collect()
     }
     assert got[1] == "easy page" and got[2] == "hard" and got[4] == "c"
     # CDATA dropped whole; no break (both tiers break on CLOSERS only)
     assert got[3] == "xz"
+    # through the tree tier the single-quoted '>' never truncates the tag
+    assert got[5] == "squote text"
 
 
 # ---------------------------------------------------------------------------
@@ -708,6 +713,29 @@ def test_perplexity_buckets_tiers_and_validation(spark):
     assert all(r.tier is None for r in four)
     with pytest.raises(ValueError, match="n_buckets"):
         perplexity_buckets(corpus, lang_col="y", n_buckets=1)
+
+
+def test_perplexity_buckets_null_lang_passthrough(spark):
+    """NULL-language documents (an abstaining LID gate) pass through
+    scored but with NULL bucket/tier — the url_dedup/host_cap NULL-key
+    contract (ADVICE r11: they previously vanished via the inner join
+    on the language key)."""
+    from codd_spark.operators.classify import planted_lang_docs
+    from codd_spark.operators.text import perplexity_buckets
+
+    corpus = planted_lang_docs(
+        spark.range(0, 30).selectExpr("id AS doc_id")
+    ).withColumn("y", F.when(F.col("doc_id") % 5 == 0, None).otherwise(F.col("y")))
+    out = perplexity_buckets(corpus, lang_col="y").collect()
+    assert len(out) == 30  # nothing dropped
+    nulls = [r for r in out if r.y is None]
+    assert len(nulls) == 6
+    for r in nulls:
+        assert r.bucket is None and r.tier is None
+        assert r.mean_surprisal is not None  # still scored by the LM
+    for r in out:
+        if r.y is not None:
+            assert r.bucket in (1, 2, 3) and r.tier is not None
 
 
 def test_host_cap_matches_window_reference_and_nulls(spark):
