@@ -1452,6 +1452,100 @@ def _ann_ivf_grown_oracle_sql(
     )
 
 
+def _incremental_semantic_oracle_sql(
+    threshold: float = 0.45, n_probe: int = 3, n_lists: int = 16,
+    n_iter: int = 5, dim: int = 64, levels: int = 255,
+) -> str:
+    """Full DuckDB replay of q_incremental_semantic_decontam: the
+    sq_kmeans training loop restricted to the even half (the indexed
+    kept corpus), batch-1 routing + probe + threshold drop on the
+    6-dp-ROUNDED cosine, the SURVIVORS' growth routing (n_probe=1 to
+    the nearest float centroid mean — exactly add_vectors), then
+    batch 2 (plus the planted clone of vector 1) probing the GROWN
+    lists. Proves earlier-kept-wins arrival semantics through the
+    persisted index: batch 2's fate depends on batch 1's admissions."""
+    cos = _cos_sql(
+        "CAST(q.embedding AS DOUBLE[])", "CAST(e.embedding AS DOUBLE[])"
+    )
+    route_dist = f"""list_sum(list_transform(range(1, {dim + 1}),
+                   i -> (CAST(q.embedding[i] AS DOUBLE) - c.cv[i])
+                      * (CAST(q.embedding[i] AS DOUBLE) - c.cv[i])))"""
+
+    def _route(src: str, limit: str) -> str:
+        return f"""(
+          SELECT vec_id, list_id FROM (
+            SELECT q.vec_id, r.list_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY {route_dist} ASC, r.list_id ASC
+                   ) AS rn
+            FROM {src} q CROSS JOIN cent c JOIN remap r ON r.c = c.c
+          ) WHERE rn <= {limit}
+        )"""
+
+    def _best(batch: str, route: str, assigned: str) -> str:
+        return f"""(
+          SELECT q.vec_id, MAX(ROUND({cos}, 6)) AS max_sim
+          FROM {batch} q
+          JOIN {route} rt ON rt.vec_id = q.vec_id
+          JOIN {assigned} a ON a.list_id = rt.list_id
+          JOIN embeddings e ON e.vec_id = a.vec_id
+          WHERE e.vec_id <> q.vec_id
+          GROUP BY q.vec_id
+        )"""
+
+    return (
+        _kmeans_assign_ctes(
+            n_lists, n_iter, dim, levels,
+            train_where="WHERE vec_id % 2 = 0",
+        )
+        + f"""
+        , mean_raw AS (
+          SELECT a.c, t.i AS pos, AVG(CAST(e.embedding[t.i] AS DOUBLE)) AS m
+          FROM a{n_iter} a JOIN embeddings e USING (vec_id),
+               (SELECT UNNEST(range(1, {dim + 1})) AS i) t
+          GROUP BY a.c, t.i
+        ), cent AS MATERIALIZED (
+          SELECT c, list(m ORDER BY pos) AS cv FROM mean_raw GROUP BY c
+        ), remap AS (
+          SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c) - 1 AS INT) AS list_id
+          FROM cent
+        ), assigned0 AS MATERIALIZED (
+          SELECT a.vec_id, r.list_id FROM a{n_iter} a JOIN remap r USING (c)
+        ), b1 AS MATERIALIZED (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 1
+        ), b1_route AS {_route("b1", n_probe)}
+        , b1_best AS {_best("b1", "b1_route", "assigned0")}
+        , b1_kept AS MATERIALIZED (
+          SELECT q.vec_id, bb.max_sim
+          FROM b1 q LEFT JOIN b1_best bb USING (vec_id)
+          WHERE bb.max_sim IS NULL OR bb.max_sim < {threshold}
+        ), b1_kept_emb AS (
+          SELECT k.vec_id, e.embedding FROM b1_kept k
+          JOIN embeddings e USING (vec_id)
+        ), grown1 AS {_route("b1_kept_emb", 1)}
+        , assigned1 AS MATERIALIZED (
+          SELECT vec_id, list_id FROM assigned0
+          UNION ALL SELECT vec_id, list_id FROM grown1
+        ), b2 AS MATERIALIZED (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 3
+          UNION ALL
+          SELECT 10000000 + vec_id, embedding FROM embeddings
+          WHERE vec_id = 1
+        ), b2_route AS {_route("b2", n_probe)}
+        , b2_best AS {_best("b2", "b2_route", "assigned1")}
+        , b2_kept AS (
+          SELECT q.vec_id, bb.max_sim
+          FROM b2 q LEFT JOIN b2_best bb USING (vec_id)
+          WHERE bb.max_sim IS NULL OR bb.max_sim < {threshold}
+        )
+        SELECT vec_id, CAST(1 AS INT) AS batch, max_sim FROM b1_kept
+        UNION ALL
+        SELECT vec_id, CAST(2 AS INT) AS batch, max_sim FROM b2_kept
+    """
+    )
+
+
 def _ann_ivf_oracle_sql(
     k: int = 5, n_lists: int = 16, n_probe: int = 3, n_iter: int = 5,
     dim: int = 64, levels: int = 255,
@@ -4068,6 +4162,41 @@ def q_langid_chargram(spark, sf_dir):
     )
 
 
+def q_langid_real_text(spark, sf_dir):
+    """Language ID on REAL text (round 12, VERDICT r11 item 4): the
+    char-gram NB pipeline of langid_chargram scored on a natural-text
+    fixture — forty UDHR sentences (public-domain UN text, ten per
+    language: English/Spanish/French/German, the constant shared
+    verbatim with the oracle in operators/classify.py::UDHR_SENTENCES).
+    Train on the doc_id % 5 != 4 interleaved split (eight sentences
+    per language), score the held-out two per language. The synthetic
+    langid_chargram row keeps full closed-form replayability; THIS row
+    makes the accuracy claim load-bearing on real language data —
+    held-out accuracy pinned EXACTLY at 7/8 in tests/test_classify.py
+    (the one deterministic miss: a short French sentence whose
+    romance-cognate grams land on its near-parallel Spanish training
+    sentence — honest real-data behavior, pinned rather than papered
+    over). The oracle
+    replays the same literals, every char 2..4-gram, all four class
+    LMs, and the argmax. sf-independent by design (the fixture is the
+    corpus)."""
+    from codd_spark.operators.classify import (
+        nb_multiclass_score,
+        nb_multiclass_train,
+        udhr_lang_docs,
+    )
+
+    corpus = udhr_lang_docs(spark)
+    model = nb_multiclass_train(
+        corpus.filter("doc_id % 5 != 4"), "y", n_features=4096,
+        features="char",
+    )
+    return nb_multiclass_score(
+        corpus.filter("doc_id % 5 = 4"), model, n_features=4096,
+        features="char",
+    )
+
+
 def q_ccnet_perplexity_buckets(spark, sf_dir):
     """CCNet LM-quality bucketing contract (round 11; Wenzek et al.
     2020): score every document of the multilingual synthesis with the
@@ -4135,6 +4264,64 @@ def q_curate_text_pipeline(spark, sf_dir):
     )
 
 
+_SEM_DECON_DIRS: dict[str, str] = {}
+
+
+def q_incremental_semantic_decontam(spark, sf_dir):
+    """Semantic ARRIVAL decontamination against a growing persisted ANN
+    index (round 12, VERDICT r11 item 8; annstore.
+    IncrementalSemanticDecontaminator — composes the persisted-index
+    store with the arrival contract of incremental_url_dedup): the kept
+    corpus (even vec_ids) is indexed once; two arrival batches (vec_id
+    % 4 == 1, then % 4 == 3) each probe the index and drop arrivals
+    whose best probed cosine >= 0.45, survivors are admitted as a
+    committed generation so the SECOND batch probes build ∪ batch-1.
+    Batch 2 carries a planted clone (vec_id 10,000,001 = vector 1's
+    embedding verbatim): vector 1 arrives in batch 1, so the clone's
+    fate is decided by the GROWN state — admitted-then-cloned means
+    cos 1.0 against generation 1, dropped-then-cloned means the same
+    corpus hit that dropped the original; either way the clone never
+    survives, and the oracle replays whichever path the data takes.
+    Drop decisions compare the 6-dp-ROUNDED cosine (the cross-engine-
+    pinned value), so engine and oracle agree row for row. Output:
+    (vec_id, batch, max_sim) of every KEPT arrival, max_sim NULL when
+    nothing fell in the probed lists."""
+    import shutil
+    import tempfile
+
+    from codd_spark.operators.annstore import IncrementalSemanticDecontaminator
+
+    # arrival state MUTATES across add_batch calls — a fresh dir per
+    # invocation (retire the previous one to keep /tmp bounded)
+    prev = _SEM_DECON_DIRS.pop(sf_dir, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    d = tempfile.mkdtemp(prefix="codd_semdecon_")
+    _SEM_DECON_DIRS[sf_dir] = d
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    dec = IncrementalSemanticDecontaminator(
+        spark,
+        d,
+        corpus=emb.filter("vec_id % 2 = 0"),
+        threshold=0.45,
+        n_probe=3,
+        n_lists=16,
+    )
+    k1 = dec.add_batch(emb.filter("vec_id % 4 = 1"))
+    clone = emb.filter("vec_id = 1").select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding"
+    )
+    k2 = dec.add_batch(
+        emb.filter("vec_id % 4 = 3").unionByName(clone)
+    )
+    return k1.select(
+        "vec_id", F.lit(1).alias("batch"), "max_sim"
+    ).unionByName(k2.select("vec_id", F.lit(2).alias("batch"), "max_sim"))
+
+
 def q_html_extract(spark, sf_dir):
     """HTML -> text extraction contract (round 10): the fetch-side step
     before line dedup / quality scoring, as a pure regexp expression
@@ -4165,6 +4352,72 @@ def q_html_extract(spark, sf_dir):
         F.lit("<!-- id "), did, F.lit(" --></body></html>"),
     )
     return docs.select("doc_id", html_to_text(page).alias("extracted"))
+
+
+def q_html_extract_routed(spark, sf_dir):
+    """Two-tier ROUTED HTML extraction contract (round 12, VERDICT r11
+    item 3): pages synthesized closed-form per doc_id — 1/5 easy pages
+    built from (sanitized) corpus text that take the codegen regex
+    tier, 4/5 spec-hard pages that defeat tag-strip regexes and route
+    to the ``html.parser`` tree tier: '>' inside a DOUBLE-quoted
+    attribute, '>' inside a SINGLE-quoted attribute (ADVICE r11), a
+    CDATA section whose payload must drop whole, and a table whose
+    cells/rows need separators. The output carries ``via_tree`` (the
+    router's verdict) so the ROUTING FRACTION is hash-pinned, not just
+    the text. Oracle: easy rows replay the regex chain character for
+    character (same CTE shape as html_extract_docs); hard rows' tree
+    output is a CLOSED FORM of doc_id, so DuckDB replays the union
+    exactly — the hash match pins both tiers and the router at once.
+
+    Scale shape (functions/text.py::html_extract_routed): one
+    scan-speed routing predicate, two map-only branches (codegen regex
+    / Arrow-batched tree walk), no shuffle; only the spec-hard sliver
+    pays Python."""
+    from codd_spark.functions.text import (
+        html_extract_routed,
+        html_needs_tree_tier,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    # strip chars that could themselves trip the router or the regex
+    # tier out of the corpus text (the raw-text extraction surface is
+    # html_extract_docs' job; this row pins the ROUTING)
+    clean = F.translate(F.col("text"), "<>\"'", "")
+    m = F.col("doc_id") % 5
+    page = (
+        F.when(m == 1, F.concat(
+            F.lit('<p><a title="a > b">link '), did, F.lit("</a> tail</p>")
+        ))
+        .when(m == 2, F.concat(
+            F.lit("<p><a title='x > y'>anchor "), did, F.lit("</a> rest</p>")
+        ))
+        .when(m == 3, F.concat(
+            F.lit("<p>before "), did,
+            F.lit("</p><![CDATA[ junk <b>hidden</b> ]]><p>after "), did,
+            F.lit("</p>"),
+        ))
+        .when(m == 4, F.concat(
+            F.lit("<table><tr><td>c1 "), did,
+            F.lit("</td><td>c2</td></tr><tr><td>c3</td><td>c4 "), did,
+            F.lit("</td></tr></table>"),
+        ))
+        .otherwise(F.concat(
+            F.lit("<html><head><title>Doc "), did, F.lit("</title>"),
+            F.lit("<script>var page = "), did,
+            F.lit(";</script></head><body><p>"),
+            F.regexp_replace(clean, r"((\S+ ){9}\S+) ", "$1</p><p>"),
+            F.lit("</p><div>footer&nbsp;block</div><!-- id "), did,
+            F.lit(" --></body></html>"),
+        ))
+    )
+    pages = docs.select("doc_id", page.alias("html"))
+    out = html_extract_routed(pages, html_col="html", out_col="extracted")
+    return out.select(
+        "doc_id",
+        html_needs_tree_tier(F.col("html")).alias("via_tree"),
+        "extracted",
+    )
 
 
 def q_diverse_sample(spark, sf_dir):
@@ -4554,6 +4807,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (the eleven round-10 additions moved INTO the scored window
         # r10->r11, and the seven round-11 additions moved in r11->r12 —
         # see the rotation notes at the top of the dict)
+        # --- round-12 additions past the window (oracle-swept + bench) ---
+        "html_extract_routed": q_html_extract_routed,
+        "incremental_semantic_decontam": q_incremental_semantic_decontam,
+        "langid_real_text": q_langid_real_text,
     }
 
 
@@ -4989,6 +5246,75 @@ def _langid_oracle_sql() -> str:
     """
 
 
+def _langid_udhr_oracle_sql() -> str:
+    """Full DuckDB replay of q_langid_real_text: the UDHR fixture as a
+    VALUES literal table (the SAME module constant the Spark side
+    loads), char 2..4-gram extraction, md5_60 hashing to 4096 features,
+    the four class LMs from the doc_id % 5 != 4 split, held-out
+    log-joint scores, and the smallest-label argmax — the
+    _langid_oracle_sql machinery over real text instead of the
+    synthesis."""
+    from codd_spark.operators.classify import UDHR_SENTENCES
+
+    vals = ",\n          ".join(
+        f"({4 * i + y}, {y}, '" + s.replace("'", "''") + "')"
+        for y, sents in sorted(UDHR_SENTENCES.items())
+        for i, s in enumerate(sents)
+    )
+    return f"""
+        WITH d(doc_id, y, text) AS (
+          VALUES
+          {vals}
+        ), g AS (
+          SELECT doc_id, y,
+                 unnest(list_transform(range(1, len(text) - n + 2),
+                        i -> substr(text, CAST(i AS INT), CAST(n AS INT))))
+                   AS s
+          FROM (SELECT doc_id, y, text, unnest([2, 3, 4]) AS n FROM d)
+          WHERE len(text) >= n
+        ), fx AS (
+          SELECT doc_id, y,
+                 CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT) % 4096
+                   AS feature,
+                 COUNT(*) AS x
+          FROM g GROUP BY doc_id, y, feature
+        ), per_lf AS (
+          SELECT y, feature, SUM(x) AS c FROM fx
+          WHERE doc_id % 5 <> 4 GROUP BY y, feature
+        ), per_l AS (
+          SELECT y, SUM(c) AS ct FROM per_lf GROUP BY y
+        ), pri AS (
+          SELECT y, COUNT(*) AS n FROM d WHERE doc_id % 5 <> 4 GROUP BY y
+        ), held AS (
+          SELECT doc_id, SUM(x) AS tx FROM fx
+          WHERE doc_id % 5 = 4 GROUP BY doc_id
+        ), obs AS (
+          SELECT fx.doc_id, per_lf.y,
+                 SUM(fx.x * ln(per_lf.c + 1.0)) AS o
+          FROM fx JOIN per_lf ON fx.feature = per_lf.feature
+          WHERE fx.doc_id % 5 = 4
+          GROUP BY fx.doc_id, per_lf.y
+        ), sc AS (
+          SELECT ids.doc_id, pri.y,
+                 ROUND(ln(pri.n)
+                       + COALESCE(held.tx, 0) * (0 - ln(per_l.ct + 4096.0))
+                       + COALESCE(obs.o, 0), 6) AS s
+          FROM (SELECT doc_id FROM d WHERE doc_id % 5 = 4) ids
+          CROSS JOIN pri
+          JOIN per_l ON per_l.y = pri.y
+          LEFT JOIN held ON held.doc_id = ids.doc_id
+          LEFT JOIN obs ON obs.doc_id = ids.doc_id AND obs.y = pri.y
+        ), ranked AS (
+          SELECT doc_id, y, s,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY s DESC, y ASC) AS rn
+          FROM sc
+        )
+        SELECT doc_id, CAST(y AS INT) AS pred, s AS score
+        FROM ranked WHERE rn = 1
+    """
+
+
 def _ccnet_buckets_oracle_sql() -> str:
     """Full DuckDB replay of q_ccnet_perplexity_buckets: the
     multilingual synthesis (shared CTE with the langid oracle), the
@@ -5251,6 +5577,62 @@ _HTML_EXTRACT_ORACLE_SQL = r"""
     FROM e
 """
 
+
+
+_HTML_EXTRACT_ROUTED_ORACLE_SQL = r"""
+    WITH easy AS (
+      SELECT doc_id,
+        '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+        || '<script>var page = ' || CAST(doc_id AS VARCHAR)
+        || ';</script></head><body><p>'
+        || regexp_replace(
+             replace(replace(replace(replace(text,
+               '<', ''), '>', ''), '"', ''), chr(39), ''),
+             '((\S+ ){9}\S+) ', '\1</p><p>', 'g')
+        || '</p><div>footer&nbsp;block</div><!-- id '
+        || CAST(doc_id AS VARCHAR) || ' --></body></html>' AS h
+      FROM documents WHERE doc_id % 5 = 0
+    ), c AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(h, '(?is)<script[^>]*>.*?</script>', '', 'g'),
+          '(?is)<style[^>]*>.*?</style>', '', 'g'),
+          '(?s)<!--.*?-->', '', 'g'),
+          '(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr)[^>]*>', chr(10), 'g'),
+          '(?s)<[^>]*>', '', 'g') AS t
+      FROM easy
+    ), e AS (
+      SELECT doc_id,
+        replace(replace(replace(replace(replace(replace(t,
+          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+          '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t
+      FROM c
+    ), easy_out AS (
+      SELECT doc_id, FALSE AS via_tree,
+        trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+          '[ ' || chr(9) || chr(13) || ']+', ' ', 'g'),
+          ' ?' || chr(10) || ' ?', chr(10), 'g'),
+          chr(10) || '+', chr(10), 'g'),
+          '^' || chr(10) || '|' || chr(10) || '$', '', 'g')) AS extracted
+      FROM e
+    ), tree_out AS (
+      -- the tree tier's output on the spec-hard synthesis is a closed
+      -- form of doc_id (see q_html_extract_routed): replay it directly
+      SELECT doc_id, TRUE AS via_tree,
+        CASE doc_id % 5
+          WHEN 1 THEN 'link ' || CAST(doc_id AS VARCHAR) || ' tail'
+          WHEN 2 THEN 'anchor ' || CAST(doc_id AS VARCHAR) || ' rest'
+          WHEN 3 THEN 'before ' || CAST(doc_id AS VARCHAR) || chr(10)
+                      || 'after ' || CAST(doc_id AS VARCHAR)
+          WHEN 4 THEN 'c1 ' || CAST(doc_id AS VARCHAR) || ' c2' || chr(10)
+                      || 'c3 c4 ' || CAST(doc_id AS VARCHAR)
+        END AS extracted
+      FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT doc_id, via_tree, extracted FROM easy_out
+    UNION ALL
+    SELECT doc_id, via_tree, extracted FROM tree_out
+"""
 
 
 def _fps_oracle_sql(k: int = 8) -> str:
@@ -8083,6 +8465,7 @@ def oracle_sql() -> dict[str, str]:
     out["unicode_dedup_docs"] = _UNICODE_DEDUP_ORACLE_SQL
     out["multiclass_classifier"] = _multiclass_oracle_sql()
     out["langid_chargram"] = _langid_oracle_sql()
+    out["langid_real_text"] = _langid_udhr_oracle_sql()
     # grown-PQ: the same exact-top-10 replay as ann_pq_topk with the
     # GROWN path's golden recall pins (codebooks trained on the even
     # half, odd half encoded under them at append time). The
@@ -8108,9 +8491,11 @@ def oracle_sql() -> dict[str, str]:
     out["host_cap_docs"] = _HOST_CAP_ORACLE_SQL
     out["curate_text_pipeline"] = _curate_text_oracle_sql()
     out["html_extract_docs"] = _HTML_EXTRACT_ORACLE_SQL
+    out["html_extract_routed"] = _HTML_EXTRACT_ROUTED_ORACLE_SQL
     out["diverse_sample_fps"] = _fps_oracle_sql(8)
     # the batched variant provably selects the identical sequence —
     # sharing the unrolled oracle IS its exactness contract
     out["diverse_sample_fps_batched"] = _fps_oracle_sql(8)
     out["ann_ivf_grown"] = _ann_ivf_grown_oracle_sql()
+    out["incremental_semantic_decontam"] = _incremental_semantic_oracle_sql()
     return out

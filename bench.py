@@ -164,6 +164,10 @@ BENCH_QUERIES = [
     "host_cap_docs",            # per-host cap via two-phase min-N aggregate
     "ann_pq_grown",             # frozen-codebook PQ growth + rerank probe
     "curate_text_pipeline",     # url dedup -> char-gram LID -> perplexity cut
+    # round-12 additions
+    "html_extract_routed",      # scan-speed router + regex/tree tier union
+    "incremental_semantic_decontam",  # arrivals probe a growing ANN index
+    "langid_real_text",         # char-gram LID on the UDHR real-text fixture
 ]
 
 # Queries added DURING the current round (reset to empty at each round
@@ -177,6 +181,9 @@ CURRENT_ROUND_ADDITIONS = frozenset(
     {
         # round 12 (the seven round-11 additions graduated into the
         # comparable set at round open)
+        "html_extract_routed",
+        "incremental_semantic_decontam",
+        "langid_real_text",
     }
 )
 PREV_ROUND_QUERIES = (

@@ -78,26 +78,35 @@ class PersistentANNIndex:
         return out
 
     def _sweep_orphan_gens(self) -> int:
-        """Delete generation dirs ABOVE the committed set: a crash after
-        the staged parquet write but before the manifest commit leaves
-        an orphan directory that no reader sees (reads go through
-        ``self.gens``) — but the NEXT append must not adopt or collide
-        with it. Single-writer contract, same as the dedup state's
-        orphan sweep (``dedup._BucketedMinhashState``)."""
+        """Delete generation dirs OUTSIDE the committed set: a crash
+        after the staged parquet write but before the manifest commit
+        leaves an orphan directory that no reader sees (reads go
+        through ``self.gens``) — but the NEXT append must not adopt or
+        collide with it; and a crash after a :meth:`compact` commit but
+        before its retirement deletes leaves STALE dirs (no longer
+        committed) that must not linger. Single-writer contract, same
+        as the dedup state's orphan sweep
+        (``dedup._BucketedMinhashState``)."""
         import re
 
         committed = set(self.gens)
         swept = 0
         bases = ["lists"] if self.kind == "ivf" else ["codes", "corpus"]
+        names = set(self.fs.listdir(self.state_dir))
         for base in bases:
             prefix = base + "_gen"
-            for name in self.fs.listdir(self.state_dir):
+            for name in names:
                 m = re.fullmatch(re.escape(prefix) + r"(\d+)", name)
                 if m and int(m.group(1)) not in committed:
                     self.fs.delete_recursive(
                         self.fs.join(self.state_dir, name)
                     )
                     swept += 1
+            # generation 0 lives in the un-suffixed base dir; once a
+            # compact retires it, that bare dir is stale too
+            if 0 not in committed and base in names:
+                self.fs.delete_recursive(self.fs.join(self.state_dir, base))
+                swept += 1
         return swept
 
     # -- construction -------------------------------------------------
@@ -333,6 +342,92 @@ class PersistentANNIndex:
         self.gens.append(gen)
         return n
 
+    def compact(self) -> dict:
+        """Rewrite the committed generations as ONE new generation and
+        retire the old directories (VERDICT r11 item 2) — the growth
+        path's file-count bound: a weekly-append crawl index otherwise
+        accumulates generation roots forever (every probe lists and
+        union-reads all of them; hundreds of small parquet roots =
+        listing overhead + small files). Same crash protocol as the
+        dedup state's ``compact()``:
+
+        - the consolidated copy is STAGED as an ordinary next
+          generation (an orphan no reader sees — reads go through the
+          manifest's ``gens``),
+        - row counts are verified EQUAL to the committed window per
+          table (a short-read stages fewer rows; refuse to publish),
+        - the manifest commit with ``gens = [new]`` is the publish
+          point,
+        - the old directories are deleted LAST — a crash anywhere
+          leaves either the old committed window intact (manifest not
+          yet committed; the staged copy is an orphan the next
+          append/compact sweeps) or the new one (stale dirs invisible,
+          swept on the next append/compact).
+
+        IVF generations re-land partitioned by ``list_id`` with one
+        coherent file set per list, so probe-side partition pruning is
+        unchanged. Returns {"generation", "dirs_retired", "rows"}."""
+        self._sweep_orphan_gens()
+        if len(self.gens) == 1:
+            return {"generation": self.gens[0], "dirs_retired": 0, "rows": {}}
+        gen = max(self.gens) + 1
+        if self.kind == "ivf":
+            bases = ["lists"]
+        else:
+            bases = ["codes"] + (
+                ["corpus"] if self.params.get("has_corpus") else []
+            )
+        rows: dict[str, int] = {}
+        staged: list[str] = []
+        try:
+            for base in bases:
+                src = self._read_gens(base)
+                n_old = src.count()
+                dst = self._gen_dir(base, gen)
+                if base == "lists":
+                    (
+                        src.repartition(
+                            max(len(self.model["centroids"]), 1), "list_id"
+                        )
+                        .write.partitionBy("list_id")
+                        .parquet(dst)
+                    )
+                else:
+                    src.write.parquet(dst)
+                staged.append(dst)
+                n_new = self.spark.read.parquet(dst).count()
+                if n_new != n_old:
+                    raise RuntimeError(
+                        f"ANN compaction row mismatch on {base!r} "
+                        f"({n_old} -> {n_new}); manifest not committed — "
+                        "staged generation deleted, index unchanged"
+                    )
+                rows[base] = n_new
+        except BaseException:
+            for dst in staged:
+                try:
+                    self.fs.delete_recursive(dst)
+                except Exception:  # noqa: BLE001 — sweep again next open
+                    pass
+            raise
+        old_gens = list(self.gens)
+        manifest = {
+            "kind": self.kind,
+            "params": self.params,
+            "model": self.model,
+            "gens": [gen],
+        }
+        self.fs.commit_manifest(manifest)  # the publish point
+        self.gens = [gen]
+        retired = 0
+        for base in bases:
+            for g in old_gens:
+                d = self._gen_dir(base, g)
+                if self.fs.exists(d):
+                    self.fs.delete_recursive(d)
+                    retired += 1
+        return {"generation": gen, "dirs_retired": retired, "rows": rows}
+
     # -- search -------------------------------------------------------
 
     def top_k(
@@ -384,3 +479,114 @@ class PersistentANNIndex:
                 rerank_factor=rerank_factor,
             )
         raise ValueError(f"unknown index kind {self.kind!r}")
+
+
+class IncrementalSemanticDecontaminator:
+    """Arrival-order SEMANTIC decontamination against a GROWING
+    persisted ANN index (VERDICT r11 item 8) — the semantic sibling of
+    ``dedup.IncrementalExactDeduplicator``, with "same key" generalized
+    to "cosine >= threshold under the index's probe": each arriving
+    batch of embedded documents probes the index for near-dups against
+    the ACCUMULATED kept corpus; contaminated arrivals (best probed
+    cosine >= ``threshold``) are dropped, survivors are ADMITTED — a
+    crash-atomic ``add_vectors`` generation — so later arrivals see
+    them. Earlier-kept-wins, exactly the exact-key arrival contract.
+
+    The drop decision compares the 6-dp-ROUNDED cosine (the value
+    ``ivf_probe`` emits and every ANN oracle hash-matches) against the
+    threshold, so engine and oracle agree whenever the rounded scores
+    do — a raw-float compare would let a low-bit summation difference
+    flip a borderline admission.
+
+    Scope: CROSS-CORPUS only. Two near-identical vectors arriving in
+    the same batch are both admitted (run a batch-level semantic dedup
+    — ``similarity.embedding_near_duplicates`` / ``semantic_dedup`` —
+    upstream when that matters). This keeps the per-arrival cost at
+    one routed probe + one generational append and makes the semantics
+    exactly replayable without per-batch closure machinery.
+
+    Per-arrival scale shape: the probe reads ONLY the routed list
+    partitions of every committed generation (static pruning — see
+    ``PersistentANNIndex.top_k``), the routed queries broadcast (the
+    corpus side never shuffles), the admission append is map-only
+    routing + one partitioned write. State growth is corpus-linear;
+    call :meth:`compact` periodically to fold generations.
+    """
+
+    def __init__(
+        self,
+        spark,
+        state_dir: str,
+        *,
+        corpus: DataFrame | None = None,
+        threshold: float = 0.92,
+        n_probe: int = 3,
+        n_lists: int = 16,
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+        trainer: str = "sq_kmeans",
+        seed: int = 42,
+    ):
+        if not (0.0 < threshold <= 1.0):
+            raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+        self.spark = spark
+        self.threshold = float(threshold)
+        self.n_probe = n_probe
+        self.id_col, self.emb_col = id_col, emb_col
+        if PersistentANNIndex.exists(state_dir, spark):
+            if corpus is not None:
+                raise ValueError(
+                    f"{state_dir} already holds an index — open it without "
+                    "a corpus, or build into a fresh directory"
+                )
+            self.index = PersistentANNIndex.open(spark, state_dir)
+        else:
+            if corpus is None:
+                raise ValueError(
+                    f"no index at {state_dir} — pass corpus= to build the "
+                    "initial kept corpus"
+                )
+            self.index = PersistentANNIndex.build_ivf(
+                spark,
+                corpus,
+                state_dir,
+                id_col=id_col,
+                emb_col=emb_col,
+                n_lists=n_lists,
+                seed=seed,
+                trainer=trainer,
+            )
+
+    def add_batch(self, batch: DataFrame) -> DataFrame:
+        """Probe-then-admit one arrival: returns the KEPT rows (original
+        columns plus ``max_sim`` — the best probed cosine against the
+        corpus as it stood BEFORE this batch, NULL when no candidate
+        fell in the probed lists) and appends them to the index."""
+        queries = batch.select(
+            F.col(self.id_col).alias("query_id"),
+            F.col(self.emb_col).alias("q_emb"),
+        )
+        best = (
+            self.index.top_k(queries, k=1, n_probe=self.n_probe)
+            .select("query_id", F.col("cos_sim").alias("max_sim"))
+        )
+        kept = (
+            batch.join(
+                best.hint("shuffle_merge"),
+                batch[self.id_col] == best["query_id"],
+                how="left",
+            )
+            .where(
+                F.col("max_sim").isNull()
+                | (F.col("max_sim") < F.lit(self.threshold))
+            )
+            .drop("query_id")
+            .localCheckpoint(eager=True)
+        )
+        self.index.add_vectors(kept.select(self.id_col, self.emb_col))
+        return kept
+
+    def compact(self) -> dict:
+        """Fold the index's committed generations into one (see
+        ``PersistentANNIndex.compact``)."""
+        return self.index.compact()

@@ -617,3 +617,77 @@ def nb_multiclass_load(spark, state_dir: str) -> tuple[DataFrame, dict]:
     """Reload a model persisted by :func:`nb_multiclass_save`; pass the
     returned params through to :func:`nb_multiclass_score`."""
     return _nb_load(spark, state_dir, "nb_multiclass")
+
+
+# Real-text multilingual fixture (VERDICT r11 item 4): excerpts from the
+# Universal Declaration of Human Rights (UN, public domain), ten
+# single-sentence documents per language. The synthetic
+# ``planted_lang_docs`` keeps the contract DuckDB-replayable from pure
+# id arithmetic; THIS fixture makes the char-gram LID accuracy claim
+# load-bearing on natural text in four real languages. Shared verbatim
+# by the Spark query and the SQL oracle (one constant, no drift).
+UDHR_SENTENCES: dict[int, list[str]] = {
+    0: [  # English
+        "All human beings are born free and equal in dignity and rights.",
+        "They are endowed with reason and conscience and should act towards one another in a spirit of brotherhood.",
+        "Everyone has the right to life, liberty and security of person.",
+        "No one shall be held in slavery or servitude.",
+        "No one shall be subjected to torture or to cruel, inhuman or degrading treatment or punishment.",
+        "Everyone has the right to recognition everywhere as a person before the law.",
+        "All are equal before the law and are entitled without any discrimination to equal protection of the law.",
+        "Everyone has the right to an effective remedy by the competent national tribunals.",
+        "No one shall be subjected to arbitrary arrest, detention or exile.",
+        "Everyone has the right to freedom of movement and residence within the borders of each state.",
+    ],
+    1: [  # Spanish
+        "Todos los seres humanos nacen libres e iguales en dignidad y derechos.",
+        "Dotados como estan de razon y conciencia, deben comportarse fraternalmente los unos con los otros.",
+        "Todo individuo tiene derecho a la vida, a la libertad y a la seguridad de su persona.",
+        "Nadie estara sometido a esclavitud ni a servidumbre.",
+        "Nadie sera sometido a torturas ni a penas o tratos crueles, inhumanos o degradantes.",
+        "Todo ser humano tiene derecho, en todas partes, al reconocimiento de su personalidad juridica.",
+        "Todos son iguales ante la ley y tienen, sin distincion, derecho a igual proteccion de la ley.",
+        "Toda persona tiene derecho a un recurso efectivo ante los tribunales nacionales competentes.",
+        "Nadie podra ser arbitrariamente detenido, preso ni desterrado.",
+        "Toda persona tiene derecho a circular libremente y a elegir su residencia en el territorio de un estado.",
+    ],
+    2: [  # French
+        "Tous les etres humains naissent libres et egaux en dignite et en droits.",
+        "Ils sont doues de raison et de conscience et doivent agir les uns envers les autres dans un esprit de fraternite.",
+        "Tout individu a droit a la vie, a la liberte et a la surete de sa personne.",
+        "Nul ne sera tenu en esclavage ni en servitude.",
+        "Nul ne sera soumis a la torture, ni a des peines ou traitements cruels, inhumains ou degradants.",
+        "Chacun a le droit a la reconnaissance en tous lieux de sa personnalite juridique.",
+        "Tous sont egaux devant la loi et ont droit sans distinction a une egale protection de la loi.",
+        "Toute personne a droit a un recours effectif devant les juridictions nationales competentes.",
+        "Nul ne peut etre arbitrairement arrete, detenu ni exile.",
+        "Toute personne a le droit de circuler librement et de choisir sa residence a l'interieur d'un etat.",
+    ],
+    3: [  # German
+        "Alle Menschen sind frei und gleich an Wuerde und Rechten geboren.",
+        "Sie sind mit Vernunft und Gewissen begabt und sollen einander im Geist der Bruederlichkeit begegnen.",
+        "Jeder hat das Recht auf Leben, Freiheit und Sicherheit der Person.",
+        "Niemand darf in Sklaverei oder Leibeigenschaft gehalten werden.",
+        "Niemand darf der Folter oder grausamer, unmenschlicher oder erniedrigender Behandlung oder Strafe unterworfen werden.",
+        "Jeder hat das Recht, ueberall als rechtsfaehig anerkannt zu werden.",
+        "Alle Menschen sind vor dem Gesetz gleich und haben ohne Unterschied Anspruch auf gleichen Schutz durch das Gesetz.",
+        "Jeder hat Anspruch auf einen wirksamen Rechtsbehelf bei den zustaendigen innerstaatlichen Gerichten.",
+        "Niemand darf willkuerlich festgenommen, in Haft gehalten oder des Landes verwiesen werden.",
+        "Jeder hat das Recht, sich innerhalb eines Staates frei zu bewegen und seinen Aufenthaltsort frei zu waehlen.",
+    ],
+}
+
+
+def udhr_lang_docs(spark) -> DataFrame:
+    """(doc_id, y, text) over the real-text UDHR fixture: doc_id =
+    4*i + y interleaves the four languages, so the contract's
+    doc_id % 5 == 4 held-out split leaves two natural-text sentences
+    per language for scoring (eight to train on). ASCII transliteration
+    (estan/egaux/Wuerde) keeps the fixture byte-portable; accents are
+    not what separates these languages under 2..4-char grams."""
+    rows = [
+        (4 * i + y, y, s)
+        for y, sents in sorted(UDHR_SENTENCES.items())
+        for i, s in enumerate(sents)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, y int, text string")

@@ -2963,9 +2963,19 @@ class IncrementalDeduplicator:
             .select(F.col("id_r").alias(self.id_col))
             .distinct()
         )
-        survivors = keepers.join(
-            dropped.hint("shuffle_merge"), on=self.id_col, how="left_anti"
-        ).localCheckpoint(eager=True)
+        # the kept count rides the checkpoint job as an observed metric
+        # (r12, VERDICT r11 item 6): a separate survivors.count() was one
+        # whole Spark action per arrival on an orchestration-floor path
+        from pyspark.sql import Observation
+
+        _kept_obs = Observation()
+        survivors = (
+            keepers.join(
+                dropped.hint("shuffle_merge"), on=self.id_col, how="left_anti"
+            )
+            .observe(_kept_obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
 
         # 3. append survivor state; lineage stays O(batch) per arrival —
         # localCheckpoint in memory mode, a generation-committed parquet
@@ -2979,7 +2989,8 @@ class IncrementalDeduplicator:
             self._append_memory(new_b, new_s)
         _safe_unpersist(bsh)
         _safe_unpersist(bb)
-        self.n_kept += survivors.count()
+        # already materialized by the eager checkpoint — no extra action
+        self.n_kept += _kept_obs.get["n"]
 
         return batch.join(
             survivors.hint("shuffle_merge"), on=self.id_col, how="left_semi"
@@ -3213,15 +3224,22 @@ class IncrementalExactDeduplicator:
             .select("id")
             .distinct()
         )
-        survivors = ks.join(
-            dropped.hint("shuffle_merge"), on="id", how="left_anti"
-        ).localCheckpoint(eager=True)
+        # kept count rides the checkpoint job as an observed metric
+        # (r12 — same action merge as the fuzzy deduplicator)
+        from pyspark.sql import Observation
+
+        _kept_obs = Observation()
+        survivors = (
+            ks.join(dropped.hint("shuffle_merge"), on="id", how="left_anti")
+            .observe(_kept_obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
 
         if self._state is not None:
             self._state.append(*self._state_rows(survivors))
         else:
             self._append_memory(*self._state_rows(survivors))
-        self.n_kept += survivors.count()
+        self.n_kept += _kept_obs.get["n"]
 
         key = self._key_expr()
         kept_keyed = batch.join(

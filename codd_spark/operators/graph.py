@@ -56,9 +56,16 @@ def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
     union-find with path halving: (id, component), component = the
     smallest member id. Arrow both ways (toPandas / createDataFrame), so
     the 2M-row ceiling moves ~32 MB, not Python object graphs."""
-    import pandas as pd
+    return _union_find_pdf(spark, edges.toPandas())
 
-    pdf = edges.toPandas()
+
+def _union_find_pdf(spark, pdf) -> DataFrame:
+    """Union-find over an already-collected (src, dst) pandas frame —
+    split out so the size gate can reuse ONE Arrow collect for both the
+    bound check and the edges (r12: the former ``limit().count()`` gate
+    plus a second full collect cost two jobs per call; arrival-batch
+    dedup pays this once per add_batch)."""
+    import pandas as pd
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -136,12 +143,19 @@ def connected_components(
     # NB: simpleString() yields 'tinyint'/'smallint'/'int'/'bigint' —
     # gate on the DataType classes so byte/short ids take the fast path
     integral_types = (ByteType, ShortType, IntegerType, LongType)
+    pdf = None
     if all(isinstance(f.dataType, integral_types) for f in edges.schema.fields):
-        n_edges = edges.limit(_CC_DRIVER_EDGE_LIMIT + 1).count()
+        # ONE Arrow collect serves as both the size gate and the edge
+        # transfer (r12): limit(LIMIT+1).toPandas() moves <= ~32 MB; if
+        # it came back under the limit we already hold every edge, and
+        # an over-limit graph pays one bounded transfer before taking
+        # the distributed loop it would run anyway.
+        pdf = edges.limit(_CC_DRIVER_EDGE_LIMIT + 1).toPandas()
+        n_edges = len(pdf)
     else:
         n_edges = _CC_DRIVER_EDGE_LIMIT + 1
     if n_edges <= _CC_DRIVER_EDGE_LIMIT:
-        labels = _driver_union_find(pairs.sparkSession, edges)
+        labels = _union_find_pdf(pairs.sparkSession, pdf)
         # match the distributed path's dtype contract: component/id carry
         # the INPUT id type (int32 in → int32 out), not the union-find's
         # internal int64.

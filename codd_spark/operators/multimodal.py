@@ -1216,9 +1216,18 @@ class IncrementalImageDeduplicator:
             .select(F.col("id_r").alias(self.id_col))
             .distinct()
         )
-        survivors = keepers.join(
-            dropped.hint("shuffle_merge"), on=self.id_col, how="left_anti"
-        ).localCheckpoint(eager=True)
+        # kept count rides the checkpoint job as an observed metric
+        # (r12 — same action merge as the text arrival machinery)
+        from pyspark.sql import Observation
+
+        _kept_obs = Observation()
+        survivors = (
+            keepers.join(
+                dropped.hint("shuffle_merge"), on=self.id_col, how="left_anti"
+            )
+            .observe(_kept_obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
 
         # 3. append survivor state
         sid = survivors.withColumnRenamed(self.id_col, "id")
@@ -1230,7 +1239,7 @@ class IncrementalImageDeduplicator:
             self._buckets = self._buckets.union(new_b).localCheckpoint(eager=True)
             self._shingled = self._shingled.union(new_s).localCheckpoint(eager=True)
         _safe_unpersist(sigs)
-        self.n_kept += survivors.count()
+        self.n_kept += _kept_obs.get["n"]
 
         return batch.join(
             survivors.hint("shuffle_merge"), on=self.id_col, how="left_semi"

@@ -291,3 +291,273 @@ def test_annstore_on_viewfs(spark, emb, queries, tmp_path):
     names = os.listdir(local / "ann")
     assert any(n.startswith("manifest-v") for n in names)
     assert "manifest.json" not in names
+
+
+# ---------------------------------------------------------------------------
+# generation compaction (round 12, VERDICT r11 item 2)
+# ---------------------------------------------------------------------------
+
+
+def _grown_ivf(spark, emb, d):
+    """Build on a third of the corpus, append the other two thirds as
+    two generations -> gens [0, 1, 2]."""
+    idx = PersistentANNIndex.build_ivf(
+        spark, emb.filter("vec_id % 3 = 0"), d, n_lists=8, trainer="sq_kmeans"
+    )
+    idx.add_vectors(emb.filter("vec_id % 3 = 1"))
+    idx.add_vectors(emb.filter("vec_id % 3 = 2"))
+    assert idx.gens == [0, 1, 2]
+    return idx
+
+
+def test_ivf_compact_preserves_probes_and_retires_gens(
+    spark, emb, queries, tmp_path
+):
+    """compact() must fold [0,1,2] into one generation with probe
+    output IDENTICAL before/after, retire the old directories
+    (including gen 0's bare dir), survive reopen, and be a no-op when
+    already single-generation."""
+    d = str(tmp_path / "ivfcompact")
+    idx = _grown_ivf(spark, emb, d)
+    want = _rows(idx.top_k(queries, k=5, n_probe=3))
+    n_all = idx._read_gens("lists").count()
+
+    res = idx.compact()
+    assert res["generation"] == 3 and res["rows"] == {"lists": n_all}
+    assert idx.gens == [3]
+    assert _rows(idx.top_k(queries, k=5, n_probe=3)) == want
+    # old roots are gone: the bare build dir and both append gens
+    assert not os.path.exists(os.path.join(d, "lists"))
+    assert not os.path.exists(os.path.join(d, "lists_gen1"))
+    assert not os.path.exists(os.path.join(d, "lists_gen2"))
+    assert os.path.isdir(os.path.join(d, "lists_gen3"))
+
+    reopened = PersistentANNIndex.open(spark, d)
+    assert reopened.gens == [3]
+    assert _rows(reopened.top_k(queries, k=5, n_probe=3)) == want
+    # single-generation compact is a no-op
+    assert reopened.compact() == {
+        "generation": 3, "dirs_retired": 0, "rows": {},
+    }
+    # growth continues past the compacted generation
+    assert reopened.add_vectors(emb.filter("vec_id < 0")) == 0
+    assert reopened.gens == [3, 4]
+
+
+def test_ivf_compact_keeps_list_partition_pruning(spark, emb, queries, tmp_path):
+    """The consolidated generation must re-land partitioned by list_id
+    so the probe's static partition pruning survives compaction."""
+    d = str(tmp_path / "ivfprune")
+    idx = _grown_ivf(spark, emb, d)
+    idx.compact()
+    gen_dir = idx._gen_dir("lists", 3)
+    subdirs = [n for n in os.listdir(gen_dir) if n.startswith("list_id=")]
+    assert subdirs, "compacted generation lost its list_id partitioning"
+    plan = (
+        idx.top_k(queries, k=5, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [list_id" in plan or "list_id#" in plan
+
+
+def test_pq_compact_preserves_probes(spark, emb, queries, tmp_path):
+    """PQ compaction folds codes AND the rerank corpus; probe output is
+    identical before/after and from a fresh reopen."""
+    d = str(tmp_path / "pqcompact")
+    idx = PersistentANNIndex.build_pq(
+        spark, emb.filter("vec_id % 2 = 0"), d, dim=64, m=8, k=16, max_iter=5
+    )
+    idx.add_vectors(emb.filter("vec_id % 2 = 1"))
+    want = _rows(idx.top_k(queries, k=5))
+    n_all = emb.count()
+
+    res = idx.compact()
+    assert res["generation"] == 2
+    assert res["rows"] == {"codes": n_all, "corpus": n_all}
+    assert idx.gens == [2]
+    assert _rows(idx.top_k(queries, k=5)) == want
+    for stale in ("codes", "corpus", "codes_gen1", "corpus_gen1"):
+        assert not os.path.exists(os.path.join(d, stale))
+    reopened = PersistentANNIndex.open(spark, d)
+    assert _rows(reopened.top_k(queries, k=5)) == want
+
+
+def test_ivf_compact_crash_matrix(spark, emb, queries, tmp_path):
+    """Interrupting compact() at either side of the publish point must
+    leave a correct readable index:
+
+    - crash BEFORE the manifest commit -> old generations still served
+      (the staged consolidation is an invisible orphan, swept on the
+      next append/compact);
+    - crash AFTER the commit but before the retirement deletes -> the
+      new generation is served, the stale dirs are invisible and swept
+      by the next append/compact."""
+    d = str(tmp_path / "compactcrash")
+    idx = _grown_ivf(spark, emb, d)
+    want = _rows(idx.top_k(queries, k=5, n_probe=3))
+    n_all = idx._read_gens("lists").count()
+
+    # -- crash before the publish point --------------------------------
+    real_commit = idx.fs.commit_manifest
+    idx.fs.commit_manifest = lambda m: (_ for _ in ()).throw(
+        IOError("simulated crash before manifest commit")
+    )
+    with pytest.raises(IOError):
+        idx.compact()
+    idx.fs.commit_manifest = real_commit
+    reopened = PersistentANNIndex.open(spark, d)
+    assert reopened.gens == [0, 1, 2]  # old window intact
+    assert _rows(reopened.top_k(queries, k=5, n_probe=3)) == want
+
+    # -- crash after the publish point, before retirement --------------
+    # (the pre-stage orphan sweep also deletes — only fail deletes that
+    # happen AFTER the manifest commit published the consolidation)
+    real_delete = reopened.fs.delete_recursive
+
+    def _delete_dies_post_commit(p):
+        if reopened.fs.read_manifest()["gens"] == [3]:
+            raise IOError("simulated crash during retirement")
+        return real_delete(p)
+
+    reopened.fs.delete_recursive = _delete_dies_post_commit
+    with pytest.raises(IOError):
+        reopened.compact()
+    reopened.fs.delete_recursive = real_delete
+    # the commit landed: a fresh reader serves ONLY the consolidation
+    after = PersistentANNIndex.open(spark, d)
+    assert after.gens == [3]
+    assert after._read_gens("lists").count() == n_all
+    assert _rows(after.top_k(queries, k=5, n_probe=3)) == want
+    # stale dirs linger on disk but are invisible...
+    assert os.path.exists(os.path.join(d, "lists"))
+    # ...and the next writer entry point sweeps them
+    after.compact()  # single-gen no-op, but sweeps first
+    assert not os.path.exists(os.path.join(d, "lists"))
+    assert not os.path.exists(os.path.join(d, "lists_gen1"))
+    assert not os.path.exists(os.path.join(d, "lists_gen2"))
+    assert _rows(after.top_k(queries, k=5, n_probe=3)) == want
+
+
+def test_ivf_compact_refuses_short_read(spark, emb, queries, tmp_path):
+    """A consolidation whose staged copy comes back with the wrong row
+    count must refuse to publish: manifest untouched, staged dir
+    deleted, old generations still served."""
+    d = str(tmp_path / "shortread")
+    idx = _grown_ivf(spark, emb, d)
+    want = _rows(idx.top_k(queries, k=5, n_probe=3))
+
+    real_reader = spark.read
+
+    class _ShortReader:
+        """Delegates to the real DataFrameReader but truncates the
+        verification read of the STAGED generation."""
+
+        def parquet(self, path):
+            df = real_reader.parquet(path)
+            return df.limit(3) if "_gen3" in path else df
+
+    import unittest.mock as _mock
+
+    with _mock.patch.object(
+        type(spark), "read", property(lambda s: _ShortReader())
+    ):
+        with pytest.raises(RuntimeError, match="row mismatch"):
+            idx.compact()
+
+    reopened = PersistentANNIndex.open(spark, d)
+    assert reopened.gens == [0, 1, 2]
+    assert not os.path.exists(os.path.join(d, "lists_gen3"))
+    assert _rows(reopened.top_k(queries, k=5, n_probe=3)) == want
+
+
+# ---------------------------------------------------------------------------
+# semantic arrival decontamination (round 12, VERDICT r11 item 8)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_decontam_arrival_contract(spark, emb, tmp_path):
+    """Earlier-kept-wins through the persisted index: an exact clone of
+    an ADMITTED batch-1 vector arriving in batch 2 must be dropped
+    against the grown state (cos 1.0 >= any threshold); ordinary
+    far-from-corpus arrivals pass with max_sim below threshold."""
+    from codd_spark.operators.annstore import IncrementalSemanticDecontaminator
+
+    e2 = emb.select("vec_id", "embedding")
+    d = str(tmp_path / "semdecon")
+    dec = IncrementalSemanticDecontaminator(
+        spark, d, corpus=e2.filter("vec_id % 2 = 0"),
+        threshold=0.45, n_probe=3, n_lists=8,
+    )
+    b1 = e2.filter("vec_id % 4 = 1")
+    k1 = dec.add_batch(b1)
+    kept1 = {r.vec_id for r in k1.select("vec_id").collect()}
+    assert kept1  # something survives at this threshold
+    # the index grew by exactly the survivors
+    assert dec.index.gens == [0, 1]
+
+    some_kept = min(kept1)
+    clone = e2.filter(F.col("vec_id") == some_kept).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding"
+    )
+    k2 = dec.add_batch(e2.filter("vec_id % 4 = 3").unionByName(clone))
+    kept2 = {r.vec_id: r.max_sim for r in k2.collect()}
+    assert some_kept + 10_000_000 not in kept2  # dropped vs generation 1
+    for sim in kept2.values():
+        assert sim is None or sim < 0.45
+    assert dec.index.gens == [0, 1, 2]
+
+
+def test_semantic_decontam_reopen_and_validation(spark, emb, tmp_path):
+    """Reopening the state dir WITHOUT a corpus resumes the index (the
+    arrival machinery's restart contract); passing a corpus over an
+    existing index, omitting it on a fresh dir, or a nonsense threshold
+    all refuse loudly."""
+    from codd_spark.operators.annstore import IncrementalSemanticDecontaminator
+
+    e2 = emb.select("vec_id", "embedding")
+    d = str(tmp_path / "semreopen")
+    dec = IncrementalSemanticDecontaminator(
+        spark, d, corpus=e2.filter("vec_id % 2 = 0"),
+        threshold=0.45, n_probe=3, n_lists=8,
+    )
+    dec.add_batch(e2.filter("vec_id % 4 = 1"))
+
+    resumed = IncrementalSemanticDecontaminator(spark, d, threshold=0.45)
+    assert resumed.index.gens == [0, 1]
+    k2 = resumed.add_batch(e2.filter("vec_id % 4 = 3"))
+    assert k2.count() > 0
+    assert resumed.index.gens == [0, 1, 2]
+
+    with pytest.raises(ValueError, match="already holds an index"):
+        IncrementalSemanticDecontaminator(spark, d, corpus=e2)
+    with pytest.raises(ValueError, match="pass corpus="):
+        IncrementalSemanticDecontaminator(spark, str(tmp_path / "fresh"))
+    with pytest.raises(ValueError, match="threshold"):
+        IncrementalSemanticDecontaminator(
+            spark, str(tmp_path / "fresh2"), corpus=e2, threshold=1.5
+        )
+
+
+def test_semantic_decontam_compact_preserves_decisions(spark, emb, tmp_path):
+    """compact() between arrivals must not change any admission: the
+    folded single generation serves the same probe results."""
+    from codd_spark.operators.annstore import IncrementalSemanticDecontaminator
+
+    e2 = emb.select("vec_id", "embedding")
+    b2 = e2.filter("vec_id % 4 = 3")
+
+    def run(compact_between):
+        d = str(tmp_path / f"semcompact{compact_between}")
+        dec = IncrementalSemanticDecontaminator(
+            spark, d, corpus=e2.filter("vec_id % 2 = 0"),
+            threshold=0.45, n_probe=3, n_lists=8,
+        )
+        dec.add_batch(e2.filter("vec_id % 4 = 1"))
+        if compact_between:
+            dec.compact()
+            assert len(dec.index.gens) == 1
+        return {
+            (r.vec_id, r.max_sim) for r in dec.add_batch(b2).collect()
+        }
+
+    assert run(False) == run(True)

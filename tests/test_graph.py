@@ -386,13 +386,15 @@ def test_cc_tinyint_smallint_ids_take_driver_path(spark, monkeypatch):
     import codd_spark.operators.graph as g
 
     called = {"n": 0}
-    real = g._driver_union_find
+    real = g._union_find_pdf
 
-    def spy(session, edges):
+    def spy(session, pdf):
         called["n"] += 1
-        return real(session, edges)
+        return real(session, pdf)
 
-    monkeypatch.setattr(g, "_driver_union_find", spy)
+    # the gate folds the size check and the edge transfer into ONE
+    # Arrow collect and calls _union_find_pdf directly (r12)
+    monkeypatch.setattr(g, "_union_find_pdf", spy)
     for sql_t, simple in [("TINYINT", "tinyint"), ("SMALLINT", "smallint")]:
         pairs = spark.createDataFrame(
             [(1, 2), (3, 4)], f"id_a {sql_t}, id_b {sql_t}"

@@ -465,6 +465,29 @@ ROUND11_ADDITIONS = [
 ]
 
 
+ROUND12_ADDITIONS = [
+    # two-tier routed HTML extraction: easy pages replay the regex
+    # chain, spec-hard pages (double/single-quoted '>', CDATA, tables)
+    # replay the tree tier's closed-form output; via_tree pins routing
+    "html_extract_routed",
+    # semantic arrival decontamination against a GROWING persisted ANN
+    # index: the oracle replays training, both batch probes, threshold
+    # drops on the rounded cosine, and the survivors' growth routing —
+    # batch 2 (with a planted clone of an admitted batch-1 vector)
+    # probes build ∪ batch-1, pinning earlier-kept-wins through the
+    # persisted index
+    "incremental_semantic_decontam",
+    # char-gram LID scored on REAL text (UDHR sentences, 4 languages,
+    # shared literal fixture); accuracy pinned exactly in test_classify
+    "langid_real_text",
+]
+
+
+@pytest.mark.parametrize("name", ROUND12_ADDITIONS)
+def test_round12_addition_matches_oracle(spark, duck, name):
+    _replay(spark, duck, name)
+
+
 def test_round11_additions_guarded_in_window():
     """All seven round-11 additions must stay inside the scored window
     (they moved there r11 -> r12); FLAGSHIPS carries their replay."""

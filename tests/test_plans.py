@@ -444,3 +444,50 @@ def test_classifier_scoring_broadcasts_model_not_corpus(spark):
     splan = scored._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in splan
     assert "CartesianProduct" not in splan
+
+
+def test_host_cap_no_window_two_phase_aggregate(spark):
+    """host_cap (r11, PLANS.md PICK r12): the per-host cap is an exact
+    two-phase salted min-N AGGREGATE — no Window operator may appear
+    (one window per host would serialize a mega-host through a single
+    sort task); the salted phase must carry map-side partials."""
+    plan = plan_of(spark, "host_cap_docs")
+    assert "Window" not in plan
+    assert "partial_collect_list" in plan
+
+
+def test_ccnet_buckets_every_window_is_scalable_rank(spark):
+    """ccnet_perplexity_buckets (r11, PICK r12): the per-language NTILE
+    rides the scalable global rank — every Window in the plan must be
+    the per-physical-partition row_number (partitioned by __pid), never
+    a language-partitioned or unpartitioned corpus-sized window."""
+    plan = plan_of(spark, "ccnet_perplexity_buckets")
+    n_windows = plan.count("windowspecdefinition(")
+    assert n_windows > 0
+    assert plan.count("windowspecdefinition(__pid") == n_windows, (
+        "a Window not keyed by the physical partition id crept into "
+        "the NTILE path"
+    )
+
+
+def test_curate_pipeline_checkpoints_cut_upstream_lineage(spark):
+    """curate_text_pipeline (r11, PICK r12): eager localCheckpoint at
+    stage boundaries means the FINAL plan reads only checkpointed RDDs
+    — zero FileScan, zero URL-synthesis/canonicalization or gram-hash
+    expressions from upstream stages (each would replay per consumer
+    otherwise; 96 s -> 4.9 s when first enforced)."""
+    plan = plan_of(spark, "curate_text_pipeline")
+    assert "Scan ExistingRDD" in plan
+    assert "FileScan" not in plan
+    assert "utm_source" not in plan  # URL synthesis stayed upstream
+    assert "md5" not in plan         # gram hashing stayed upstream
+
+
+def test_html_routed_two_map_only_branches_no_exchange(spark):
+    """html_extract_routed (r12): router predicate + regex branch +
+    tree branch union — map-only end to end, no shuffle; the tree leg
+    is the only Python (ArrowEvalPython/MapInPandas), the regex leg
+    stays in codegen."""
+    plan = plan_of(spark, "html_extract_routed")
+    assert "Exchange" not in plan
+    assert "Union" in plan

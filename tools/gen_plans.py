@@ -74,6 +74,10 @@ PICK = {
     "diverse_sample_fps_batched": "Batched FPS (r11): one TakeOrderedAndProject(m) candidate collect per ROUND instead of per pick (k=256 runs in 17 rounds); the round's accepted centers fold into a single least() projection over the checkpointed running-min column — job count sub-linear in k, per-round plan identical in shape to the sequential variant.",
     "langid_chargram": "Char-gram language ID (r11): gram extraction is sequence->substr->hash->count, all codegen (one explode, one (id,feature) aggregate with map-side partials); the bounded K*(n_features+1)-row model BROADCASTS; scoring is the multiclass_classifier plan on char features — no corpus-sized shuffle after the counts.",
     "ann_ivf_grown": "Grown persisted IVF (r11): the probe union-reads the build generation and the appended generation as separate partitioned roots — BOTH scans keep their static PartitionFilters IN over the routed list ids, so growth adds directories, never an exchange; append-time routing is a map-only literal-centroid argmin.",
+    "host_cap_docs": "Per-host cap (r11): exact two-phase salted min-N aggregate — NO Window operator anywhere (a 10^9-page host never serializes one sort task); phase 1 collects per-(host,salt) bounded lists with map-side partials, phase 2 merges the <= n_salts lists per host; NULL-url rows bypass via the union's other branch. Two exchanges total, both aggregate-owned.",
+    "ccnet_perplexity_buckets": "CCNet head/middle/tail (r11): the per-language NTILE is a scalable global rank — range repartition + per-PARTITION row_number + broadcast offsets; every Window in the plan is partitioned by __pid (the physical partition id), never by language and never unpartitioned, so a dominant language cannot serialize through one window task. The LM itself is the bigram_surprisal plan (model-sized joins, one fact shuffle).",
+    "curate_text_pipeline": "Composed text curation (r11): URL dedup -> char-gram LID -> perplexity cut with EAGER localCheckpoint at stage boundaries — the final plan reads ONLY checkpointed RDDs (Scan ExistingRDD; zero FileScan, zero upstream synthesis/canonicalization/gram-hash expressions), so no stage's lineage replays per downstream consumer (96 s -> 4.9 s when this was first enforced).",
+    "html_extract_routed": "Two-tier routed HTML extraction (r12): one scan-speed routing predicate splits the corpus into a codegen regex branch and an Arrow-batched tree-walk branch, unioned — two map-only legs, ZERO exchanges; at 100 TB only the spec-hard sliver pays Python.",
 }
 
 
