@@ -231,6 +231,12 @@ MEASURES = {
         "index build is a per-process fixture outside the timer (r10 "
         "and earlier timed build+reopen+probe)"
     ),
+    "incremental_semantic_decontam": (
+        "arrival-only: the initial index build is a per-process "
+        "template copied per run (production probes an index that "
+        "already exists); the timer covers both arrival probes + "
+        "admissions"
+    ),
 }
 
 

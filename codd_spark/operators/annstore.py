@@ -284,12 +284,16 @@ class PersistentANNIndex:
         appends the generation to ``gens`` — is the publish point.
         A crash mid-append leaves an orphan directory no reader sees;
         the next append sweeps it (single-writer contract). One
-        routing/encoding pass: the staged batch is persisted, counted,
-        and written from the same materialization. Returns the number
+        routing/encoding pass: the appended count rides the staging
+        WRITE as an observed metric (r12 — the former persist+count was
+        a whole extra action on the arrival path). Returns the number
         of vectors appended."""
+        from pyspark.sql import Observation
+
         gen = max(self.gens) + 1
         self._sweep_orphan_gens()
         p = self.params
+        _n_obs = Observation()
         if self.kind == "ivf":
             from codd_spark.operators.similarity import route_queries_to_lists
 
@@ -303,9 +307,7 @@ class PersistentANNIndex:
                 F.col(p["id_col"]).alias("neighbor_id"),
                 F.col("_qemb").alias("_emb"),
                 "list_id",
-            )
-            staged = staged.persist()
-            n = staged.count()
+            ).observe(_n_obs, F.count(F.lit(1)).alias("n"))
             (
                 staged.repartition(
                     max(len(self.model["centroids"]), 1), "list_id"
@@ -313,25 +315,36 @@ class PersistentANNIndex:
                 .write.partitionBy("list_id")
                 .parquet(self._gen_dir("lists", gen))
             )
-            staged.unpersist()
+            n = self._observed_n(_n_obs)
         elif self.kind == "pq":
             from codd_spark.operators.similarity import pq_encode
 
-            batch = df.select(
-                p["id_col"], F.col(p["emb_col"])
-            ).persist()
-            n = batch.count()
+            # two consumers when a rerank corpus is stored — persist so
+            # the second write reuses the batch; the count still rides
+            # the first write's observation
+            batch = df.select(p["id_col"], F.col(p["emb_col"]))
+            if p.get("has_corpus"):
+                batch = batch.persist()
             pq_encode(
-                batch,
+                batch.observe(_n_obs, F.count(F.lit(1)).alias("n")),
                 self.model["codebooks"],
                 id_col=p["id_col"],
                 emb_col=p["emb_col"],
             ).write.parquet(self._gen_dir("codes", gen))
+            n = self._observed_n(_n_obs)
             if p.get("has_corpus"):
-                batch.write.parquet(self._gen_dir("corpus", gen))
-            batch.unpersist()
+                if n > 0:
+                    batch.write.parquet(self._gen_dir("corpus", gen))
+                batch.unpersist()
         else:
             raise ValueError(f"unknown index kind {self.kind!r}")
+        if n == 0:
+            # never PUBLISH an empty generation: a file-less parquet
+            # root breaks every later union-read (no schema to infer) —
+            # a latent corruption the r12 observe work surfaced. The
+            # staged dir is an orphan; drop it now, manifest untouched.
+            self._sweep_orphan_gens()
+            return 0
         manifest = {
             "kind": self.kind,
             "params": self.params,
@@ -341,6 +354,16 @@ class PersistentANNIndex:
         self.fs.commit_manifest(manifest)  # the publish point
         self.gens.append(gen)
         return n
+
+    @staticmethod
+    def _observed_n(obs) -> int:
+        """Row count from a write-attached Observation; an EMPTY write
+        can collapse the plan so the observe node never fires (its
+        metrics row fails to materialize) — that case IS zero rows."""
+        try:
+            return int(obs.get["n"])
+        except Exception:  # noqa: BLE001 — only the empty-plan case
+            return 0
 
     def compact(self) -> dict:
         """Rewrite the committed generations as ONE new generation and

@@ -339,9 +339,19 @@ def test_ivf_compact_preserves_probes_and_retires_gens(
     assert reopened.compact() == {
         "generation": 3, "dirs_retired": 0, "rows": {},
     }
-    # growth continues past the compacted generation
+    # an EMPTY append publishes NOTHING (r12: a file-less generation
+    # root would break every later union-read — no schema to infer);
+    # probes keep working and real growth continues afterwards
     assert reopened.add_vectors(emb.filter("vec_id < 0")) == 0
+    assert reopened.gens == [3]
+    assert _rows(reopened.top_k(queries, k=5, n_probe=3)) == want
+    assert reopened.add_vectors(
+        emb.filter("vec_id = 0").select(
+            (F.col("vec_id") + F.lit(5_000_000)).alias("vec_id"), "embedding"
+        )
+    ) == 1
     assert reopened.gens == [3, 4]
+    assert reopened._read_gens("lists").count() == n_all + 1
 
 
 def test_ivf_compact_keeps_list_partition_pruning(spark, emb, queries, tmp_path):
