@@ -315,7 +315,7 @@ class PersistentANNIndex:
                 .write.partitionBy("list_id")
                 .parquet(self._gen_dir("lists", gen))
             )
-            n = self._observed_n(_n_obs)
+            n = self._observed_n(_n_obs, self._gen_dir("lists", gen))
         elif self.kind == "pq":
             from codd_spark.operators.similarity import pq_encode
 
@@ -331,7 +331,7 @@ class PersistentANNIndex:
                 id_col=p["id_col"],
                 emb_col=p["emb_col"],
             ).write.parquet(self._gen_dir("codes", gen))
-            n = self._observed_n(_n_obs)
+            n = self._observed_n(_n_obs, self._gen_dir("codes", gen))
             if p.get("has_corpus"):
                 if n > 0:
                     batch.write.parquet(self._gen_dir("corpus", gen))
@@ -355,15 +355,39 @@ class PersistentANNIndex:
         self.gens.append(gen)
         return n
 
-    @staticmethod
-    def _observed_n(obs) -> int:
-        """Row count from a write-attached Observation; an EMPTY write
+    def _observed_n(self, obs, staged_dir: str) -> int:
+        """Row count from a write-attached Observation. An EMPTY write
         can collapse the plan so the observe node never fires (its
-        metrics row fails to materialize) — that case IS zero rows."""
+        metrics row fails to materialize) — but before deciding "zero",
+        VERIFY that hypothesis against the staged dir: if data files
+        exist, the metric failure is a real error and returning 0 would
+        silently drop an admitted batch — re-raise instead."""
         try:
             return int(obs.get["n"])
-        except Exception:  # noqa: BLE001 — only the empty-plan case
+        except Exception:
+            if self._has_data_files(staged_dir):
+                raise
             return 0
+
+    def _has_data_files(self, d: str) -> bool:
+        """Whether a staged generation dir holds any parquet data files
+        (one partition level deep — the list_id= layout)."""
+        try:
+            names = self.fs.listdir(d)
+        except Exception:  # noqa: BLE001 — dir never created = no data
+            return False
+        for nm in names:
+            if nm.endswith(".parquet"):
+                return True
+            sub = self.fs.join(d, nm)
+            try:
+                if self.fs.is_dir(sub) and any(
+                    x.endswith(".parquet") for x in self.fs.listdir(sub)
+                ):
+                    return True
+            except Exception:  # noqa: BLE001 — raced cleanup
+                continue
+        return False
 
     def compact(self) -> dict:
         """Rewrite the committed generations as ONE new generation and
