@@ -452,12 +452,15 @@ def main():
         # "run the query cold-to-done" (ADVICE r11)
         "measures": MEASURES,
     }
-    # host-regime canary: median warm/pin over never-touched JVM rows
+    # host-regime canary: median warm/pin over never-touched JVM rows.
+    # The pins are sf0.1 timings — at any other SF (e.g. the 10x replica
+    # runs) the ratio measures DATA scale, not host regime, so emit it
+    # only for the sf0.1 scoreboard runs.
     canary_ratios = sorted(
         warm[n] / pin
         for n, pin in REGIME_CANARY_PINS_R11.items()
         if n in warm and warm[n] > 0
-    )
+    ) if abs(sf - 0.1) < 1e-9 else []
     if canary_ratios:
         summary["regime_ratio"] = round(
             canary_ratios[len(canary_ratios) // 2], 3
