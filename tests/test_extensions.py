@@ -509,9 +509,13 @@ def test_minhash_releases_shingle_cache(spark, docs):
     unpersist every RDD the pipeline cached — no gc-timing dependence, and
     the assertion is scoped to the RDDs this call created so other tests'
     persisted state can't flake it."""
+    import gc
+
     from codd_spark.operators.dedup import minhash_near_duplicates
 
     jsc = spark.sparkContext._jsc.sc()
+    gc.collect()  # settle: drop prior tests' dead cache handles FIRST,
+    # or the baseline counts RDDs that this test's own gc releases
     before = jsc.getPersistentRDDs().size()
     out = minhash_near_duplicates(docs, "doc_id", "text", num_hashes=16, bands=4)
     out.count()  # materialize -> shingle projection is cached
@@ -531,6 +535,10 @@ def test_decontaminate_adopts_release(spark, docs):
     from codd_spark.operators.dedup import decontaminate
 
     jsc = spark.sparkContext._jsc.sc()
+    gc.collect()  # settle FIRST: in a full-suite run the baseline was
+    # inflated by prior tests' dead cache handles, which this test's own
+    # gc.collect() then released — making the delta negative even though
+    # decontaminate held its caches correctly (r12 flake)
     before = jsc.getPersistentRDDs().size()
     clean = decontaminate(docs, docs.limit(2), "doc_id", "text",
                           num_hashes=16, bands=4)
