@@ -77,3 +77,67 @@ def test_close_is_idempotent_and_releases(spark, corpus):
     dec.close()
     dec.close()
     assert not dec._buckets.is_cached and not dec._shingled.is_cached
+
+
+def test_streaming_semantic_decontam_equals_batch(spark, tmp_path):
+    """The semantic arrival gate composed with Structured Streaming
+    (round 12): arrivals land as parquet files in a watched directory;
+    each availableNow run (the restart-per-crawl shape — deterministic
+    batch order, unlike a single multi-file trigger) probes the growing
+    persisted ANN index in foreachBatch and admits survivors. The kept
+    sets must equal the batch-mode add_batch sequence exactly —
+    earlier-kept-wins survives the streaming wiring."""
+    from codd_spark.operators.annstore import IncrementalSemanticDecontaminator
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    corpus = emb.filter("vec_id % 2 = 0")
+    b1 = emb.filter("vec_id % 4 = 1")
+    b2 = emb.filter("vec_id % 4 = 3")
+
+    def ids(df):
+        return {r.vec_id for r in df.select("vec_id").collect()}
+
+    # batch-mode reference run
+    ref = IncrementalSemanticDecontaminator(
+        spark, str(tmp_path / "ref"), corpus=corpus,
+        threshold=0.45, n_probe=3, n_lists=8,
+    )
+    want = [ids(ref.add_batch(b1)), ids(ref.add_batch(b2))]
+
+    # streaming run: same gate, arrivals through a file-source stream
+    dec = IncrementalSemanticDecontaminator(
+        spark, str(tmp_path / "stream"), corpus=corpus,
+        threshold=0.45, n_probe=3, n_lists=8,
+    )
+    arrivals = tmp_path / "arrivals"
+    ckpt = str(tmp_path / "ckpt")
+    got = []
+
+    def run_available(expect_batches):
+        def fb(df, epoch_id):
+            if df.isEmpty():
+                return
+            got.append(ids(dec.add_batch(df)))
+
+        q = (
+            spark.readStream.schema(emb.schema)
+            .parquet(str(arrivals))
+            .writeStream.foreachBatch(fb)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert len(got) == expect_batches
+
+    b1.coalesce(1).write.mode("append").parquet(str(arrivals))
+    run_available(1)
+    b2.coalesce(1).write.mode("append").parquet(str(arrivals))
+    run_available(2)  # the source checkpoint replays ONLY the new file
+
+    assert got == want
+    assert dec.index.gens == ref.index.gens
