@@ -573,12 +573,24 @@ class IncrementalSemanticDecontaminator:
         emb_col: str = "embedding",
         trainer: str = "sq_kmeans",
         seed: int = 42,
+        compact_every: int | None = None,
     ):
+        """``compact_every=N`` folds the index's generations whenever an
+        admission leaves N or more committed — the ops knob that keeps a
+        long-lived gate's probe cost and file count flat (measured
+        BASELINE.md: 12 gens probe 1.8x slower than compacted) without
+        the caller scheduling maintenance. Compaction provably preserves
+        every future decision (probe equality is tested)."""
         if not (0.0 < threshold <= 1.0):
             raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+        if compact_every is not None and compact_every < 2:
+            raise ValueError(
+                f"compact_every must be >= 2 generations, got {compact_every}"
+            )
         self.spark = spark
         self.threshold = float(threshold)
         self.n_probe = n_probe
+        self.compact_every = compact_every
         self.id_col, self.emb_col = id_col, emb_col
         if PersistentANNIndex.exists(state_dir, spark):
             if corpus is not None:
@@ -631,6 +643,11 @@ class IncrementalSemanticDecontaminator:
             .localCheckpoint(eager=True)
         )
         self.index.add_vectors(kept.select(self.id_col, self.emb_col))
+        if (
+            self.compact_every is not None
+            and len(self.index.gens) >= self.compact_every
+        ):
+            self.index.compact()
         return kept
 
     def compact(self) -> dict:

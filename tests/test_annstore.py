@@ -571,3 +571,37 @@ def test_semantic_decontam_compact_preserves_decisions(spark, emb, tmp_path):
         }
 
     assert run(False) == run(True)
+
+
+def test_semantic_decontam_auto_compact(spark, emb, tmp_path):
+    """compact_every keeps a long-lived gate's generation count bounded
+    while leaving every admission decision identical to the un-compacted
+    run."""
+    from codd_spark.operators.annstore import IncrementalSemanticDecontaminator
+
+    e2 = emb.select("vec_id", "embedding")
+    batches = [e2.filter(f"vec_id % 5 = {g}") for g in range(1, 5)]
+
+    def run(compact_every):
+        d = str(tmp_path / f"auto{compact_every}")
+        dec = IncrementalSemanticDecontaminator(
+            spark, d, corpus=e2.filter("vec_id % 5 = 0"),
+            threshold=0.45, n_probe=3, n_lists=8,
+            compact_every=compact_every,
+        )
+        out = [
+            frozenset(r.vec_id for r in dec.add_batch(b).collect())
+            for b in batches
+        ]
+        return out, len(dec.index.gens)
+
+    plain, gens_plain = run(None)
+    auto, gens_auto = run(2)
+    assert auto == plain            # decisions identical
+    assert gens_plain == 5          # build + 4 admissions
+    assert gens_auto == 1           # folded after every admission
+    with pytest.raises(ValueError, match="compact_every"):
+        IncrementalSemanticDecontaminator(
+            spark, str(tmp_path / "bad"), corpus=e2,
+            compact_every=1,
+        )
