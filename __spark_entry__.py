@@ -1452,6 +1452,36 @@ def _ann_ivf_grown_oracle_sql(
     )
 
 
+def _curate_embeddings_oracle_sql(threshold: float = 0.45) -> str:
+    """Full DuckDB replay of q_curate_embeddings_pipeline: plant the
+    clones, GROUP BY the raw float list (bitwise equality — the same
+    dedup key the engine groups on), min-id keeper + copy count, exact
+    rounded cosine vs the 5-vector eval set, threshold drop."""
+    cos = _cos_sql(
+        "CAST(k.embedding AS DOUBLE[])", "CAST(e.eval_emb AS DOUBLE[])"
+    )
+    return f"""
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT 1000000 + vec_id, embedding FROM embeddings
+          WHERE vec_id % 10 = 0
+        ), kept AS (
+          SELECT MIN(vec_id) AS vec_id, COUNT(*) AS n_copies, embedding
+          FROM corpus GROUP BY embedding
+        ), ev AS (
+          SELECT embedding AS eval_emb FROM embeddings WHERE vec_id < 5
+        ), sims AS (
+          SELECT k.vec_id, k.n_copies,
+                 MAX(ROUND({cos}, 6)) AS max_eval_sim
+          FROM kept k CROSS JOIN ev e
+          GROUP BY k.vec_id, k.n_copies
+        )
+        SELECT vec_id, n_copies, max_eval_sim FROM sims
+        WHERE max_eval_sim < {threshold}
+    """
+
+
 def _incremental_semantic_oracle_sql(
     threshold: float = 0.45, n_probe: int = 3, n_lists: int = 16,
     n_iter: int = 5, dim: int = 64, levels: int = 255,
@@ -4338,6 +4368,54 @@ def q_incremental_semantic_decontam(spark, sf_dir):
     ).unionByName(k2.select("vec_id", F.lit(2).alias("batch"), "max_sim"))
 
 
+def q_curate_embeddings_pipeline(spark, sf_dir):
+    """Composed EMBEDDINGS curation flagship (round 12) — the chain an
+    embedding corpus runs before indexing, replayed WHOLE by one
+    oracle: (1) exact vector dedup — the corpus is the embeddings table
+    plus planted verbatim clones (vec_id+1,000,000 copies of every
+    vec_id % 10 == 0 row); identical vectors collapse to the min-id
+    keeper with their copy count (group by the RAW float array —
+    bitwise equality, engine-portable, no float formatting); (2)
+    eval-set decontamination — every keeper scores exact cosine against
+    the 5-vector eval set (vec_id < 5; the small side BROADCASTS, the
+    corpus never shuffles for it) and keepers with max rounded sim >=
+    0.45 drop, including the eval members themselves (self-sim 1.0 —
+    contamination by definition). Output: (vec_id, n_copies,
+    max_eval_sim) of the survivors. The threshold compares the
+    6-dp-ROUNDED cosine, the cross-engine-pinned value.
+
+    Scale shape: one vector-keyed aggregate (map-side partials) + one
+    broadcast nested-loop against a bounded eval set + one (vec,
+    n_copies)-keyed max aggregate — no corpus-sized join, no window."""
+    from codd_spark.functions.vector import cosine_similarity
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    clones = emb.filter("vec_id % 10 = 0").select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(clones)
+    kept = corpus.groupBy("embedding").agg(
+        F.min("vec_id").alias("vec_id"), F.count("*").alias("n_copies")
+    )
+    evalset = emb.filter("vec_id < 5").select(
+        F.col("embedding").alias("eval_emb")
+    )
+    sims = kept.join(F.broadcast(evalset)).select(
+        "vec_id",
+        "n_copies",
+        F.round(
+            cosine_similarity(F.col("embedding"), F.col("eval_emb")), 6
+        ).alias("sim"),
+    )
+    return (
+        sims.groupBy("vec_id", "n_copies")
+        .agg(F.max("sim").alias("max_eval_sim"))
+        .where("max_eval_sim < 0.45")
+    )
+
+
 def q_html_extract(spark, sf_dir):
     """HTML -> text extraction contract (round 10): the fetch-side step
     before line dedup / quality scoring, as a pure regexp expression
@@ -4827,6 +4905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_routed": q_html_extract_routed,
         "incremental_semantic_decontam": q_incremental_semantic_decontam,
         "langid_real_text": q_langid_real_text,
+        "curate_embeddings_pipeline": q_curate_embeddings_pipeline,
     }
 
 
@@ -8514,4 +8593,5 @@ def oracle_sql() -> dict[str, str]:
     out["diverse_sample_fps_batched"] = _fps_oracle_sql(8)
     out["ann_ivf_grown"] = _ann_ivf_grown_oracle_sql()
     out["incremental_semantic_decontam"] = _incremental_semantic_oracle_sql()
+    out["curate_embeddings_pipeline"] = _curate_embeddings_oracle_sql()
     return out

@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "html_extract_routed",      # scan-speed router + regex/tree tier union
     "incremental_semantic_decontam",  # arrivals probe a growing ANN index
     "langid_real_text",         # char-gram LID on the UDHR real-text fixture
+    "curate_embeddings_pipeline",  # clone dedup -> eval-cos decontam, one oracle
 ]
 
 # Queries added DURING the current round (reset to empty at each round
@@ -184,6 +185,7 @@ CURRENT_ROUND_ADDITIONS = frozenset(
         "html_extract_routed",
         "incremental_semantic_decontam",
         "langid_real_text",
+        "curate_embeddings_pipeline",
     }
 )
 PREV_ROUND_QUERIES = (

@@ -480,6 +480,10 @@ ROUND12_ADDITIONS = [
     # char-gram LID scored on REAL text (UDHR sentences, 4 languages,
     # shared literal fixture); accuracy pinned exactly in test_classify
     "langid_real_text",
+    # composed embeddings curation: planted-clone exact vector dedup
+    # (group by the raw float array) -> broadcast eval-set cosine
+    # decontamination; one oracle replays both stages
+    "curate_embeddings_pipeline",
 ]
 
 
