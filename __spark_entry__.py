@@ -4294,7 +4294,7 @@ def q_curate_text_pipeline(spark, sf_dir):
     )
 
 
-_SEM_DECON_DIRS: dict[str, str] = {}
+_SEM_DECON_DIRS: dict[tuple[str, str], str] = {}
 
 
 def q_incremental_semantic_decontam(spark, sf_dir):

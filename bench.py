@@ -464,9 +464,16 @@ def main():
         if n in warm and warm[n] > 0
     ) if abs(sf - 0.1) < 1e-9 else []
     if canary_ratios:
-        summary["regime_ratio"] = round(
-            canary_ratios[len(canary_ratios) // 2], 3
+        # true median: average the two middle elements when a canary
+        # errored/missing leaves an even count (the naive upper-median
+        # would bias the drift estimate high)
+        mid = len(canary_ratios) // 2
+        med = (
+            canary_ratios[mid]
+            if len(canary_ratios) % 2
+            else (canary_ratios[mid - 1] + canary_ratios[mid]) / 2
         )
+        summary["regime_ratio"] = round(med, 3)
         summary["regime_ratio_detail"] = {
             n: round(warm[n] / pin, 3)
             for n, pin in sorted(REGIME_CANARY_PINS_R11.items())

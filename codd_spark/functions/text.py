@@ -115,11 +115,22 @@ def html_needs_tree_tier(c: Column) -> Column:
     sections (not text in HTML, but the regex tier leaves their payload
     in), and tables (cell text concatenates without separators). Pure
     RE2-safe expression, so the router costs one scan-speed predicate,
-    and the expensive tree tier only ever sees the pages that need
-    it."""
+    and the expensive tree tier only ever sees the pages that need it.
+
+    Precision matters as much as recall here (r12 self-review): the
+    quoted-attr patterns anchor on ``=`` + opening quote and demand a
+    '>' BEFORE the closing quote — an earlier form let its
+    pre-quote wildcard swallow the whole value, so ANY quoted attribute
+    (i.e. virtually every real page) routed to the Python tier and the
+    "only the spec-hard sliver pays Python" claim held only on
+    attribute-free synthetic corpora. Ordinary ``title="hello"`` /
+    ``title='it&#39;s fine'`` pages now stay on the codegen tier;
+    residual false positives need a quoted value ENDING in '=' followed
+    by more tag text — routing those is a perf non-event (the tree tier
+    is byte-identical on easy pages, tested)."""
     return (
-        c.rlike(r'(?s)<[A-Za-z][^<>]*"[^"<]*>')
-        | c.rlike(r"(?s)<[A-Za-z][^<>]*'[^'<]*>")
+        c.rlike(r'(?s)<[A-Za-z][^<>]*=\s*"[^"]*>')
+        | c.rlike(r"(?s)<[A-Za-z][^<>]*=\s*'[^']*>")
         | c.contains("<![CDATA[")
         | c.rlike(r"(?i)<table[\s>]")
     )

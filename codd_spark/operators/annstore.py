@@ -321,21 +321,25 @@ class PersistentANNIndex:
 
             # two consumers when a rerank corpus is stored — persist so
             # the second write reuses the batch; the count still rides
-            # the first write's observation
+            # the first write's observation. unpersist in finally: a
+            # failed write (or a re-raised metric error) must not pin a
+            # batch-sized cache entry in a long-lived arrival process.
             batch = df.select(p["id_col"], F.col(p["emb_col"]))
             if p.get("has_corpus"):
                 batch = batch.persist()
-            pq_encode(
-                batch.observe(_n_obs, F.count(F.lit(1)).alias("n")),
-                self.model["codebooks"],
-                id_col=p["id_col"],
-                emb_col=p["emb_col"],
-            ).write.parquet(self._gen_dir("codes", gen))
-            n = self._observed_n(_n_obs, self._gen_dir("codes", gen))
-            if p.get("has_corpus"):
-                if n > 0:
+            try:
+                pq_encode(
+                    batch.observe(_n_obs, F.count(F.lit(1)).alias("n")),
+                    self.model["codebooks"],
+                    id_col=p["id_col"],
+                    emb_col=p["emb_col"],
+                ).write.parquet(self._gen_dir("codes", gen))
+                n = self._observed_n(_n_obs, self._gen_dir("codes", gen))
+                if p.get("has_corpus") and n > 0:
                     batch.write.parquet(self._gen_dir("corpus", gen))
-                batch.unpersist()
+            finally:
+                if p.get("has_corpus"):
+                    batch.unpersist()
         else:
             raise ValueError(f"unknown index kind {self.kind!r}")
         if n == 0:
@@ -620,26 +624,41 @@ class IncrementalSemanticDecontaminator:
         """Probe-then-admit one arrival: returns the KEPT rows (original
         columns plus ``max_sim`` — the best probed cosine against the
         corpus as it stood BEFORE this batch, NULL when no candidate
-        fell in the probed lists) and appends them to the index."""
+        fell in the probed lists) and appends them to the index.
+        ``max_sim`` is the one RESERVED output name (an input column of
+        that name is refused — silently shadowing it would corrupt the
+        caller's data); probe-internal columns use ``__sem_``-prefixed
+        names so ordinary caller columns (``query_id`` provenance etc.)
+        pass through untouched."""
+        for reserved in ("max_sim", "__sem_qid", "__sem_max_sim"):
+            if reserved in batch.columns:
+                raise ValueError(
+                    f"batch column {reserved!r} collides with add_batch's "
+                    "reserved output/internal names — rename it upstream"
+                )
         queries = batch.select(
             F.col(self.id_col).alias("query_id"),
             F.col(self.emb_col).alias("q_emb"),
         )
         best = (
             self.index.top_k(queries, k=1, n_probe=self.n_probe)
-            .select("query_id", F.col("cos_sim").alias("max_sim"))
+            .select(
+                F.col("query_id").alias("__sem_qid"),
+                F.col("cos_sim").alias("__sem_max_sim"),
+            )
         )
         kept = (
             batch.join(
                 best.hint("shuffle_merge"),
-                batch[self.id_col] == best["query_id"],
+                batch[self.id_col] == best["__sem_qid"],
                 how="left",
             )
             .where(
-                F.col("max_sim").isNull()
-                | (F.col("max_sim") < F.lit(self.threshold))
+                F.col("__sem_max_sim").isNull()
+                | (F.col("__sem_max_sim") < F.lit(self.threshold))
             )
-            .drop("query_id")
+            .drop("__sem_qid")
+            .withColumnRenamed("__sem_max_sim", "max_sim")
             .localCheckpoint(eager=True)
         )
         self.index.add_vectors(kept.select(self.id_col, self.emb_col))

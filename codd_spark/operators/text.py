@@ -802,7 +802,11 @@ def perplexity_buckets(
     through with NULL bucket/tier instead of silently vanishing — the
     same NULL-key contract ``url_dedup``/``host_cap`` adopted (ADVICE
     r11: the per-language join would otherwise drop them with no
-    error)."""
+    error). One stream, no union: NULL-lang rows ride the same rank +
+    LEFT-join path (a NULL key matches no per-language base row, so
+    the NTILE closed form yields NULL bucket arithmetically) — an
+    earlier union-based passthrough duplicated the whole bigram-LM
+    scoring subtree into a second leg (r12 self-review)."""
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     from codd_spark.operators.linkage import global_rank
@@ -811,23 +815,17 @@ def perplexity_buckets(
     scored = ms.join(
         df.select(F.col(id_col), F.col(lang_col).alias("__lang")), on=id_col
     )
-    null_lang = scored.where(F.col("__lang").isNull()).select(
-        F.col(id_col),
-        F.col("__lang").alias(lang_col),
-        "n_bigrams",
-        "mean_surprisal",
-        F.lit(None).cast("int").alias("bucket"),
-        F.lit(None).cast("string").alias("tier"),
-    )
-    scored = scored.where(F.col("__lang").isNotNull())
     ranked = global_rank(
         scored, ["__lang", "mean_surprisal", id_col], out_col="__g"
     )
     per_lang = ranked.groupBy("__lang").agg(
         F.count("*").alias("__n"), F.min("__g").alias("__base")
-    )
+    ).where(F.col("__lang").isNotNull())
+    # LEFT join: a NULL language key matches no per-language row, so
+    # __n/__base stay NULL and the closed-form arithmetic below yields
+    # the NULL bucket the passthrough contract requires — no union leg
     r = (
-        ranked.join(F.broadcast(per_lang), on="__lang")
+        ranked.join(F.broadcast(per_lang), on="__lang", how="left")
         .withColumn("__r", F.col("__g") - F.col("__base") + 1)
     )
     size = F.floor(F.col("__n") / n_buckets).cast("long")
@@ -851,13 +849,14 @@ def perplexity_buckets(
         bucket.alias("bucket"),
     )
     tier = (
-        F.when(F.col("bucket") == 1, "head")
+        F.when(F.col("bucket").isNull(), F.lit(None).cast("string"))
+        .when(F.col("bucket") == 1, "head")
         .when(F.col("bucket") == 2, "middle")
         .otherwise("tail")
         if n_buckets == 3
         else F.lit(None).cast("string")
     )
-    return out.withColumn("tier", tier).unionByName(null_lang)
+    return out.withColumn("tier", tier)
 
 
 # ---------------------------------------------------------------------------

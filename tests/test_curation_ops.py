@@ -583,6 +583,14 @@ def test_html_routing_sends_only_hard_pages_to_python(spark):
         # single-quoted attributes are legal HTML and equally break the
         # regex tier's tag-strip — they must route too (ADVICE r11)
         (5, "<p><a title='a > b'>squote</a> text</p>"),
+        # PRECISION (r12): ordinary quoted attributes WITHOUT '>' must
+        # NOT route — real pages are full of them, and over-routing
+        # sends the whole corpus through the Python tier
+        (6, '<p><a href="page.html" title="hello">benign dq</a></p>'),
+        (7, "<p><a title='hello'>benign sq</a></p>"),
+        (8, '<p><a title="it\'s fine">apostrophe inside dq</a></p>'),
+        # multi-attribute tag where a LATER attr holds the '>': routes
+        (9, '<p><a href="x" title="a > b">later attr</a></p>'),
     ]
     df = spark.createDataFrame(rows, "doc_id long, html string")
     flags = {
@@ -591,7 +599,10 @@ def test_html_routing_sends_only_hard_pages_to_python(spark):
             "doc_id", html_needs_tree_tier(F.col("html")).alias("h")
         ).collect()
     }
-    assert flags == {1: False, 2: True, 3: True, 4: True, 5: True}
+    assert flags == {
+        1: False, 2: True, 3: True, 4: True, 5: True,
+        6: False, 7: False, 8: False, 9: True,
+    }
     got = {
         r.doc_id: r.text for r in html_extract_routed(df).collect()
     }
