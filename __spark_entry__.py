@@ -4659,8 +4659,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_pq_topk rotated OUT r11->r12 — class coverage kept by the
         # persisted + grown ANN rows below, which exercise the same
         # trainer/encoder/probe machinery; both replay via
-        # ROUND6_UPGRADES in test_oracle_window.py) ---
-        "exact_substr_removal": q_exact_substr_removal,
+        # ROUND6_UPGRADES in test_oracle_window.py. exact_substr_removal
+        # rotated OUT r12->r13 ~ line_dedup_docs (corpus-wide span/line
+        # dedup class stays in-window); it replays via ROUND6_UPGRADES.) ---
         "decontaminate_bloom_stream": q_decontaminate_bloom_stream,
         # --- event-time queries (1 row) ---
         "user_sessions": q_user_sessions,
@@ -4683,9 +4684,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_drift": q_streaming_drift,
         # --- round-9 rows rotated in (6): the three r8 additions that
         # had never been driver-scored plus the three r9 flagships ---
+        # (image_near_dups rotated OUT r12->r13 ~ video_near_dups +
+        # incremental_image_dedup + jpeg_metadata — the multimodal
+        # near-dup/decode family stays in-window; quality_classifier
+        # rotated OUT r12->r13 ~ quality_classifier_persisted, whose
+        # oracle IS the same full NB weight+score replay. Both replay
+        # via ROTATED_OUT in test_oracle_window.py.)
         "salted_skew_join": q_salted_skew_join,
-        "image_near_dups": q_image_near_dups,
-        "quality_classifier": q_quality_classifier,
         "jpeg_metadata": q_jpeg_metadata,
         # --- round-10 rotation: the four r9 additions that had never
         # been driver-scored (all already oracle-green in the full
@@ -4720,7 +4725,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup_docs": q_url_dedup_docs,
         "incremental_url_dedup": q_incremental_url_dedup,
         "unicode_dedup_docs": q_unicode_dedup,
-        "html_extract_docs": q_html_extract,
+        # (html_extract_docs rotated OUT r12->r13 ~ html_extract_routed,
+        # a strict superset: the routed row replays the SAME regex-tier
+        # chain on easy pages PLUS the tree tier on spec-hard pages.
+        # Replays via ROTATED_OUT in test_oracle_window.py.)
         # --- round-12 rotation (VERDICT r11 item 1): IN the seven
         # round-11 additions that had never been driver-scored (all
         # oracle-green in the full sweep every CI run); OUT seven
@@ -4748,7 +4756,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_grown": q_ann_ivf_grown,
         "ann_pq_grown": q_ann_pq_grown,
         "diverse_sample_fps_batched": q_diverse_sample_batched,
+        # --- round-13 rotation (VERDICT r12 item 1): IN the four
+        # round-12 additions that had never been driver-scored (all
+        # oracle-green in the full sweep every CI run; all four
+        # re-verified dtype-exact at sf0.01 before this rotation); OUT
+        # four redundant siblings whose operator class stays covered
+        # in-window — see the inline notes above at their old slots. ---
+        "html_extract_routed": q_html_extract_routed,
+        "langid_real_text": q_langid_real_text,
+        "incremental_semantic_decontam": q_incremental_semantic_decontam,
+        "curate_embeddings_pipeline": q_curate_embeddings_pipeline,
         # ---------------- end of the driver's 50-query window ----------------
+        # rotated out r12->r13 (see the rotation notes above)
+        "exact_substr_removal": q_exact_substr_removal,
+        "image_near_dups": q_image_near_dups,
+        "quality_classifier": q_quality_classifier,
+        "html_extract_docs": q_html_extract,
         # rotated out r11->r12 (see the rotation note above)
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
@@ -4899,13 +4922,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_prices": q_histogram_prices,
         "weighted_sample": q_weighted_sample,
         # (the eleven round-10 additions moved INTO the scored window
-        # r10->r11, and the seven round-11 additions moved in r11->r12 —
-        # see the rotation notes at the top of the dict)
-        # --- round-12 additions past the window (oracle-swept + bench) ---
-        "html_extract_routed": q_html_extract_routed,
-        "incremental_semantic_decontam": q_incremental_semantic_decontam,
-        "langid_real_text": q_langid_real_text,
-        "curate_embeddings_pipeline": q_curate_embeddings_pipeline,
+        # r10->r11, the seven round-11 additions moved in r11->r12, and
+        # the four round-12 additions moved in r12->r13 — see the
+        # rotation notes at the top of the dict)
     }
 
 

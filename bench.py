@@ -180,12 +180,9 @@ BENCH_QUERIES = [
 # silently excluded r6's additions from the r7 check).
 CURRENT_ROUND_ADDITIONS = frozenset(
     {
-        # round 12 (the seven round-11 additions graduated into the
-        # comparable set at round open)
-        "html_extract_routed",
-        "incremental_semantic_decontam",
-        "langid_real_text",
-        "curate_embeddings_pipeline",
+        # round 13 (the four round-12 additions graduated into the
+        # comparable set at round open; entries added here as the round
+        # adds queries)
     }
 )
 PREV_ROUND_QUERIES = (

@@ -143,6 +143,18 @@ ROTATED_OUT = [
     "multiclass_classifier",
     "audio_near_dups",
     "winnowing_pairs",
+    # r12 -> r13 (made room for the four round-12 additions; class
+    # coverage kept in-window: image_near_dups ~ video_near_dups +
+    # incremental_image_dedup + jpeg_metadata (multimodal near-dup /
+    # decode family), quality_classifier ~ quality_classifier_persisted
+    # (whose oracle IS the same full NB weight+score replay),
+    # html_extract_docs ~ html_extract_routed (strict superset: same
+    # regex chain on easy pages + the tree tier on spec-hard pages).
+    # exact_substr_removal also rotated out (~ line_dedup_docs) but
+    # replays via ROUND6_UPGRADES below, not here)
+    "image_near_dups",
+    "quality_classifier",
+    "html_extract_docs",
 ]
 
 FLAGSHIPS = [
@@ -156,18 +168,16 @@ FLAGSHIPS = [
     "kmeans_clusters",
     "bigram_surprisal",
     # rotated into the scored window r6 -> r7 (ann_ivf_topk and
-    # ann_pq_topk rotated back OUT r11 -> r12; they replay via
-    # ROUND6_UPGRADES below)
-    "exact_substr_removal",
+    # ann_pq_topk rotated back OUT r11 -> r12, and exact_substr_removal
+    # back OUT r12 -> r13; all three replay via ROUND6_UPGRADES below)
     "decontaminate_bloom_stream",
     # rotated into the scored window r7 -> r8
     "streaming_scd2",
     "streaming_drift",
     # rotated into the scored window r8 -> r9 (decontaminate_bloom_multi
-    # rotated back OUT r11 -> r12; replays via ROTATED_OUT above)
+    # rotated back OUT r11 -> r12, image_near_dups and quality_classifier
+    # back OUT r12 -> r13; all replay via ROTATED_OUT above)
     "salted_skew_join",
-    "image_near_dups",
-    "quality_classifier",
     "jpeg_metadata",
     # rotated into the scored window r9 -> r10 (audio_near_dups rotated
     # back OUT r11 -> r12; replays via ROTATED_OUT above)
@@ -185,7 +195,8 @@ FLAGSHIPS = [
     "url_dedup_docs",
     "incremental_url_dedup",
     "unicode_dedup_docs",
-    "html_extract_docs",
+    # (html_extract_docs rotated back OUT r12 -> r13; replays via
+    # ROTATED_OUT above)
     # rotated into the scored window r11 -> r12 (the seven round-11
     # additions; they replay HERE — the ROUND11_ADDITIONS list below
     # no longer has its own parametrized replay)
@@ -196,6 +207,13 @@ FLAGSHIPS = [
     "ann_ivf_grown",
     "ann_pq_grown",
     "diverse_sample_fps_batched",
+    # rotated into the scored window r12 -> r13 (the four round-12
+    # additions; they replay HERE — the ROUND12_ADDITIONS list below
+    # no longer has its own parametrized replay)
+    "html_extract_routed",
+    "langid_real_text",
+    "incremental_semantic_decontam",
+    "curate_embeddings_pipeline",
 ]
 
 # round-4 operators registered past the scored window: replay with the
@@ -465,6 +483,9 @@ ROUND11_ADDITIONS = [
 ]
 
 
+# (no parametrized replay for ROUND12_ADDITIONS: all four rotated into
+# the scored window r12 -> r13 and now replay via FLAGSHIPS above — a
+# second replay here would double CI time for no extra signal)
 ROUND12_ADDITIONS = [
     # two-tier routed HTML extraction: easy pages replay the regex
     # chain, spec-hard pages (double/single-quoted '>', CDATA, tables)
@@ -487,15 +508,19 @@ ROUND12_ADDITIONS = [
 ]
 
 
-@pytest.mark.parametrize("name", ROUND12_ADDITIONS)
-def test_round12_addition_matches_oracle(spark, duck, name):
-    _replay(spark, duck, name)
-
-
 def test_round11_additions_guarded_in_window():
     """All seven round-11 additions must stay inside the scored window
     (they moved there r11 -> r12); FLAGSHIPS carries their replay."""
     window = list(entry.queries())[:50]
     for name in ROUND11_ADDITIONS:
+        assert name in window, f"{name} fell back out of the scored window"
+        assert name in FLAGSHIPS, f"{name} lost its FLAGSHIPS replay"
+
+
+def test_round12_additions_guarded_in_window():
+    """All four round-12 additions must stay inside the scored window
+    (they moved there r12 -> r13); FLAGSHIPS carries their replay."""
+    window = list(entry.queries())[:50]
+    for name in ROUND12_ADDITIONS:
         assert name in window, f"{name} fell back out of the scored window"
         assert name in FLAGSHIPS, f"{name} lost its FLAGSHIPS replay"
