@@ -23,6 +23,7 @@ from codd_spark.errors import (
     CoddError,
     InstanceExistsError,
     InstanceNotFoundError,
+    SchemaMismatchError,
     UnsupportedExpressionError,
 )
 from codd_spark.database import Database, ViewRef
@@ -54,6 +55,7 @@ __all__ = [
     "Full",
     "InstanceExistsError",
     "InstanceNotFoundError",
+    "SchemaMismatchError",
     "Intersect",
     "Join",
     "Product",

@@ -25,7 +25,11 @@ from typing import Any, Iterable
 
 from pyspark.sql import DataFrame, Row, SparkSession
 
-from codd_spark.errors import InstanceExistsError, InstanceNotFoundError
+from codd_spark.errors import (
+    InstanceExistsError,
+    InstanceNotFoundError,
+    SchemaMismatchError,
+)
 from codd_spark.plans import ast
 from codd_spark.plans.compile import to_df
 from codd_spark.plans.validate import assert_view_safe, dependencies
@@ -33,9 +37,21 @@ from codd_spark.plans.validate import assert_view_safe, dependencies
 
 @dataclass(frozen=True)
 class ViewRef:
-    """Handle to a stored view (reference: core/src/expression/view.rs:7)."""
+    """Handle to a stored view (reference: core/src/expression/view.rs:7).
+
+    ``token`` stamps the ref with the identity of the view it was minted
+    for, so a ref from one database cannot silently resolve against
+    another database's view that happens to share the integer id (the
+    reference errors on wrong-database evaluation,
+    core/src/database/evaluate.rs:781-787). Clones share tokens for the
+    views that existed at clone time — a pre-clone ref stays valid in
+    both copies — while views minted after the fork get fresh tokens, so
+    post-fork refs are rejected across the boundary even though the
+    integer ids collide by construction. An empty token (hand-built or
+    legacy refs) skips the check."""
 
     id: int
+    token: str = ""
 
     def scan(self) -> ast.ViewScan:
         """Use this view as a scannable relation in a larger expression."""
@@ -45,14 +61,21 @@ class ViewRef:
 class _ViewEntry:
     """Reference: core/src/database.rs:70-91 — view + dependency DAG edges."""
 
-    __slots__ = ("expr", "dep_rels", "dep_views", "dependents", "cached")
+    __slots__ = ("expr", "dep_rels", "dep_views", "dependents", "cached", "token")
 
-    def __init__(self, expr: ast.Expression, dep_rels: set[str], dep_views: set[int]):
+    def __init__(
+        self,
+        expr: ast.Expression,
+        dep_rels: set[str],
+        dep_views: set[int],
+        token: str = "",
+    ):
         self.expr = expr
         self.dep_rels = dep_rels
         self.dep_views = dep_views
         self.dependents: set[int] = set()
         self.cached: DataFrame | None = None
+        self.token = token
 
 
 class _RelationEntry:
@@ -93,6 +116,42 @@ class _RelationEntry:
 # view store (streaming/store.py).
 _COMPACT_EVERY = 64
 _GEN_FILE_LIMIT = 16
+
+
+def check_insert_schema(name: str, base, new) -> None:
+    """Verify an inserted DataFrame binds cleanly to the relation schema.
+
+    Inserts are POSITIONAL (``DataFrame.union`` semantics, matching the
+    reference's typed tuples, core/src/database.rs:203-210), so three
+    silent mis-binds are possible that the reference's static typing
+    rules out: arity drift (Spark errors, but late and cryptically),
+    per-position type drift (Spark position-matches and miscasts), and
+    the worst one — a frame whose columns are the RIGHT names in the
+    WRONG order (Spark would bind name 'b' under column 'a' without a
+    whisper). Raise :class:`SchemaMismatchError` naming the offending
+    column before any rows are appended."""
+    bf, nf = base.fields, new.fields
+    if len(bf) != len(nf):
+        raise SchemaMismatchError(
+            f"insert into {name!r}: expected {len(bf)} columns "
+            f"{[f.name for f in bf]}, got {len(nf)} {[f.name for f in nf]}"
+        )
+    base_names = [f.name.lower() for f in bf]
+    new_names = [f.name.lower() for f in nf]
+    if sorted(base_names) == sorted(new_names) and base_names != new_names:
+        raise SchemaMismatchError(
+            f"insert into {name!r}: columns are the relation's names in a "
+            f"different order ({[f.name for f in nf]} vs "
+            f"{[f.name for f in bf]}) — positional union would mis-bind; "
+            "reorder with .select() first"
+        )
+    for b, n in zip(bf, nf):
+        if b.dataType != n.dataType:
+            raise SchemaMismatchError(
+                f"insert into {name!r}: column {b.name!r} expects "
+                f"{b.dataType.simpleString()}, got {n.dataType.simpleString()} "
+                f"(from inserted column {n.name!r})"
+            )
 
 
 class Database:
@@ -152,6 +211,7 @@ class Database:
         if entry is None:
             raise InstanceNotFoundError(f"relation {name!r} not found")
         if isinstance(rows, DataFrame):
+            check_insert_schema(name, entry.base.schema, rows.schema)
             new_df = rows
         else:
             rows = list(rows)
@@ -262,9 +322,9 @@ class Database:
         for vid in dep_views:
             if vid not in self._views:
                 raise InstanceNotFoundError(f"view #{vid} not found")
-        ref = ViewRef(self._view_counter)
+        ref = ViewRef(self._view_counter, token=uuid.uuid4().hex)
         self._view_counter += 1
-        entry = _ViewEntry(expr, dep_rels, dep_views)
+        entry = _ViewEntry(expr, dep_rels, dep_views, token=ref.token)
         self._views[ref.id] = entry
         for rel in dep_rels:
             self._relations[rel].dependents.add(ref.id)
@@ -277,6 +337,20 @@ class Database:
         entry = self._views.get(vid)
         if entry is None:
             raise InstanceNotFoundError(f"view #{vid} not found")
+        if (
+            isinstance(ref, ViewRef)
+            and ref.token
+            and entry.token
+            and ref.token != entry.token
+        ):
+            # same integer id, different mint: the ref belongs to another
+            # database (or to a view created after a clone fork). The
+            # reference errors here rather than resolving to the
+            # colliding view (core/src/database/evaluate.rs:781-787).
+            raise InstanceNotFoundError(
+                f"view #{vid} was created by a different database "
+                "(ViewRef token mismatch)"
+            )
         if entry.cached is None:
             entry.cached = to_df(entry.expr, self).distinct()
         return entry.cached
@@ -312,7 +386,12 @@ class Database:
             clone_entry.insert_count = entry.insert_count
             other._relations[name] = clone_entry
         for vid, view in self._views.items():
-            clone_view = _ViewEntry(view.expr, set(view.dep_rels), set(view.dep_views))
+            # token is shared: a pre-clone ViewRef stays valid in both
+            # copies (views minted after the fork get fresh tokens, so
+            # post-fork refs cannot cross the boundary)
+            clone_view = _ViewEntry(
+                view.expr, set(view.dep_rels), set(view.dep_views), token=view.token
+            )
             clone_view.dependents = set(view.dependents)
             clone_view.cached = view.cached
             other._views[vid] = clone_view

@@ -24,3 +24,11 @@ class InstanceNotFoundError(CoddError):
 class InstanceExistsError(CoddError):
     """A relation with this name already exists
     (reference: core/src/lib.rs:30-32)."""
+
+
+class SchemaMismatchError(CoddError):
+    """An inserted batch does not match the relation's schema. The
+    reference's ``insert`` is statically typed (core/src/database.rs:203
+    takes tuples of the relation's exact type), so a mis-bound insert
+    cannot compile there; this is the runtime equivalent for the
+    DataFrame path, raised before any rows are appended."""

@@ -361,17 +361,18 @@ class PersistentANNIndex:
 
     def _observed_n(self, obs, staged_dir: str) -> int:
         """Row count from a write-attached Observation. An EMPTY write
-        can collapse the plan so the observe node never fires (its
-        metrics row fails to materialize) — but before deciding "zero",
-        VERIFY that hypothesis against the staged dir: if data files
-        exist, the metric failure is a real error and returning 0 would
+        can collapse the plan so the observe node never fires — and on
+        engines where stock ``Observation.get`` BLOCKS until the first
+        action's metrics arrive (rather than raising, as this Spark
+        does), consulting obs for such a write would hang (ADVICE r12).
+        So gate on the staged dir FIRST: no data files is the
+        verified-zero path and never touches obs. If data files exist,
+        the write action definitely fired, so the metric is available
+        promptly; a failure there is a real error and returning 0 would
         silently drop an admitted batch — re-raise instead."""
-        try:
-            return int(obs.get["n"])
-        except Exception:
-            if self._has_data_files(staged_dir):
-                raise
+        if not self._has_data_files(staged_dir):
             return 0
+        return int(obs.get["n"])
 
     def _has_data_files(self, d: str) -> bool:
         """Whether a staged generation dir holds any parquet data files

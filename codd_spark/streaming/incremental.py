@@ -153,13 +153,14 @@ class _Instance:
 
 
 class _ViewEntry:
-    __slots__ = ("expr", "instance", "dependents", "stabilizing")
+    __slots__ = ("expr", "instance", "dependents", "stabilizing", "token")
 
-    def __init__(self, expr: ast.Expression, instance: _Instance):
+    def __init__(self, expr: ast.Expression, instance: _Instance, token: str = ""):
         self.expr = expr
         self.instance = instance
         self.dependents: set[int] = set()
         self.stabilizing = False
+        self.token = token
 
 
 class _RelEntry:
@@ -202,6 +203,9 @@ class IncrementalDatabase:
         if entry is None:
             raise InstanceNotFoundError(f"relation {name!r} not found")
         if isinstance(rows, DataFrame):
+            from codd_spark.database import check_insert_schema
+
+            check_insert_schema(name, entry.instance.stable.schema, rows.schema)
             df = rows
         else:
             rows = list(rows)
@@ -224,11 +228,13 @@ class IncrementalDatabase:
             if vid not in self._views:
                 raise InstanceNotFoundError(f"view #{vid} not found")
         seed = self._eval(expr, which="stable").distinct()
-        ref = ViewRef(self._view_counter)
+        import uuid as _uuid
+
+        ref = ViewRef(self._view_counter, token=_uuid.uuid4().hex)
         self._view_counter += 1
         inst = self._new_instance(seed.limit(0), "view", ref.id)
         inst.seed_stable(seed)
-        entry = _ViewEntry(expr, inst)
+        entry = _ViewEntry(expr, inst, token=ref.token)
         self._views[ref.id] = entry
         for rel in dep_rels:
             self._relations[rel].dependents.add(ref.id)
@@ -289,7 +295,8 @@ class IncrementalDatabase:
             rel.dependents = set(entry.dependents)
             other._relations[name] = rel
         for vid, view in self._views.items():
-            ve = _ViewEntry(view.expr, view.instance.snapshot())
+            # token shared: pre-clone refs stay valid in both copies
+            ve = _ViewEntry(view.expr, view.instance.snapshot(), token=view.token)
             ve.dependents = set(view.dependents)
             other._views[vid] = ve
         other._view_counter = self._view_counter
@@ -308,6 +315,8 @@ class IncrementalDatabase:
         stack = list(dep_views)
         while stack:
             vid = stack.pop()
+            if vid not in self._views:
+                raise InstanceNotFoundError(f"view #{vid} not found")
             r, v = dependencies(self._views[vid].expr)
             seen_rels |= r
             stack.extend(v)
@@ -346,6 +355,19 @@ class IncrementalDatabase:
             entry = self._views.get(expr.ref.id)
             if entry is None:
                 raise InstanceNotFoundError(f"view #{expr.ref.id} not found")
+            ref = expr.ref
+            if (
+                isinstance(ref, ViewRef)
+                and ref.token
+                and entry.token
+                and ref.token != entry.token
+            ):
+                # wrong-database ref: same integer id, different mint
+                # (reference: core/src/database/evaluate.rs:781-787)
+                raise InstanceNotFoundError(
+                    f"view #{ref.id} was created by a different database "
+                    "(ViewRef token mismatch)"
+                )
             return self._pick(entry.instance, which)
 
         if isinstance(expr, (ast.Empty, ast.Singleton)):
