@@ -4374,8 +4374,14 @@ def q_curate_embeddings_pipeline(spark, sf_dir):
     oracle: (1) exact vector dedup — the corpus is the embeddings table
     plus planted verbatim clones (vec_id+1,000,000 copies of every
     vec_id % 10 == 0 row); identical vectors collapse to the min-id
-    keeper with their copy count (group by the RAW float array —
-    bitwise equality, engine-portable, no float formatting); (2)
+    keeper with their copy count — keyed on the 128-bit
+    ``vector_digest`` of the array (VERDICT r12 item 4), so the
+    exchange ships ~16 B per distinct vector instead of dim x 4 B,
+    while grouping semantics stay bitwise (equal arrays share a
+    digest; two independent xxhash64 lanes make a false merge a
+    ~2^-128 event). The digest is physical only: the oracle keeps
+    grouping by the raw array and outputs are identical
+    (tests/test_pipeline.py pins digest-keyed == array-keyed); (2)
     eval-set decontamination — every keeper scores exact cosine against
     the 5-vector eval set (vec_id < 5; the small side BROADCASTS, the
     corpus never shuffles for it) and keepers with max rounded sim >=
@@ -4384,10 +4390,11 @@ def q_curate_embeddings_pipeline(spark, sf_dir):
     max_eval_sim) of the survivors. The threshold compares the
     6-dp-ROUNDED cosine, the cross-engine-pinned value.
 
-    Scale shape: one vector-keyed aggregate (map-side partials) + one
-    broadcast nested-loop against a bounded eval set + one (vec,
-    n_copies)-keyed max aggregate — no corpus-sized join, no window."""
-    from codd_spark.functions.vector import cosine_similarity
+    Scale shape: one digest-keyed aggregate (map-side partials, ~16 B
+    shuffle key) + one broadcast nested-loop against a bounded eval set
+    + one (vec, n_copies)-keyed max aggregate — no corpus-sized join,
+    no window."""
+    from codd_spark.functions.vector import cosine_similarity, vector_digest
 
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
@@ -4396,8 +4403,14 @@ def q_curate_embeddings_pipeline(spark, sf_dir):
         (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
     )
     corpus = emb.unionByName(clones)
-    kept = corpus.groupBy("embedding").agg(
-        F.min("vec_id").alias("vec_id"), F.count("*").alias("n_copies")
+    kept = (
+        corpus.groupBy(vector_digest(F.col("embedding")).alias("__vd"))
+        .agg(
+            F.min("vec_id").alias("vec_id"),
+            F.count("*").alias("n_copies"),
+            F.first("embedding").alias("embedding"),
+        )
+        .drop("__vd")
     )
     evalset = emb.filter("vec_id < 5").select(
         F.col("embedding").alias("eval_emb")

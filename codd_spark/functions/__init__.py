@@ -1,4 +1,9 @@
-from codd_spark.functions.vector import cosine_similarity, dot, l2_norm
+from codd_spark.functions.vector import (
+    cosine_similarity,
+    dot,
+    l2_norm,
+    vector_digest,
+)
 from codd_spark.functions.url import canonical_url, url_host
 from codd_spark.functions.text import (
     fingerprint_md5,
@@ -23,4 +28,5 @@ __all__ = [
     "tokens",
     "unicode_normalize_udf",
     "url_host",
+    "vector_digest",
 ]
