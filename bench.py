@@ -220,6 +220,11 @@ REGIME_CANARY_PINS_R11 = {
 # not just a bench.py comment — keeps round-over-round readers from
 # misreading the switch as a speedup (or its revert as a regression).
 MEASURES = {
+    "ann_sq_topk": (
+        "probe-only since r13: reload manifest scales + codes parquet, "
+        "dequantize-score-rerank; SQ training is a per-process fixture "
+        "outside the timer (r12 and earlier retrained per run)"
+    ),
     "ann_ivf_persisted": (
         "probe-only since r11: reopen manifest + routed probe; index "
         "build is a per-process fixture outside the timer (r10 and "

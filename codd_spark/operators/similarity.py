@@ -661,6 +661,59 @@ def sq_train_encode(
     return encoded, scales
 
 
+def sq_model_save(
+    spark,
+    encoded: DataFrame,
+    scales: list[tuple[float, float]],
+    state_dir: str,
+    *,
+    levels: int = 255,
+) -> None:
+    """Persist a trained SQ model — codes table + per-dimension scales
+    (VERDICT r12 item 3): train once, probe for months, the same
+    artifact-store discipline as the NB classifier / BPE merges /
+    persisted ANN indexes. The codes go to parquet under ``state_dir``;
+    the scales and ``levels`` ride the statefs manifest (scoring with
+    the wrong scales silently mis-dequantizes every code, so they
+    travel WITH the codes; JSON round-trips Python floats via repr, so
+    the reloaded literals are bit-identical). Any statefs scheme works;
+    the manifest commit is the publish point."""
+    from codd_spark.sources.statefs import resolve_statefs
+
+    fs = resolve_statefs(spark, state_dir)
+    if fs.manifest_exists() and fs.read_manifest().get("kind") != "sq_model":
+        raise ValueError(f"{state_dir} holds non-sq_model state — refusing to adopt")
+    fs.mkdirs()
+    encoded.write.mode("overwrite").parquet(fs.table_location("codes"))
+    fs.commit_manifest(
+        {
+            "kind": "sq_model",
+            "levels": int(levels),
+            "scales": [[lo, hi] for lo, hi in scales],
+        }
+    )
+
+
+def sq_model_load(
+    spark, state_dir: str
+) -> tuple[DataFrame, list[tuple[float, float]], int]:
+    """Reload a model persisted by :func:`sq_model_save`. Returns
+    ``(encoded, scales, levels)`` ready for :func:`sq_top_k` — the
+    probe-only path reads ONLY the bounded manifest plus the codes
+    parquet; no corpus scan, no training aggregate."""
+    from codd_spark.sources.statefs import resolve_statefs
+
+    fs = resolve_statefs(spark, state_dir)
+    if not fs.manifest_exists():
+        raise ValueError(f"no sq_model manifest at {state_dir}")
+    m = fs.read_manifest()
+    if m.get("kind") != "sq_model":
+        raise ValueError(f"{state_dir} holds {m.get('kind')!r} state, not sq_model")
+    encoded = spark.read.parquet(fs.table_location("codes"))
+    scales = [(float(lo), float(hi)) for lo, hi in m["scales"]]
+    return encoded, scales, int(m["levels"])
+
+
 def sq_top_k(
     encoded: DataFrame,
     scales: list[tuple[float, float]],

@@ -825,6 +825,47 @@ def test_sq_quantization_roundtrip_and_topk(spark, embeddings):
         sq_train_encode(embeddings.limit(0), dim=16, emb_col="embedding")
 
 
+def test_sq_model_save_load_probe_identical(spark, embeddings, tmp_path):
+    """VERDICT r12 item 3: sq_model_save/load round-trips codes AND
+    bit-identical scales (JSON repr round-trip), so the probe-only path
+    returns exactly what the train-in-line plan returns. Wrong-kind
+    dirs are refused on both sides."""
+    from codd_spark.operators.similarity import (
+        sq_model_load,
+        sq_model_save,
+        sq_top_k,
+        sq_train_encode,
+    )
+
+    d = str(tmp_path / "sqmodel")
+    encoded, scales = sq_train_encode(embeddings, dim=16, emb_col="embedding")
+    sq_model_save(spark, encoded, scales, d)
+    got_encoded, got_scales, got_levels = sq_model_load(spark, d)
+    assert got_scales == scales and got_levels == 255
+    queries = embeddings.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    live = sq_top_k(encoded, scales, queries, k=3, rerank=embeddings).collect()
+    loaded = sq_top_k(
+        got_encoded, got_scales, queries, k=3,
+        levels=got_levels, rerank=embeddings,
+    ).collect()
+    assert sorted(map(tuple, loaded)) == sorted(map(tuple, live))
+    # refuse to adopt or read a dir holding a different artifact kind
+    import pytest as _pytest
+
+    from codd_spark.sources.statefs import resolve_statefs
+
+    other = str(tmp_path / "other")
+    fs = resolve_statefs(spark, other)
+    fs.mkdirs()
+    fs.commit_manifest({"kind": "nb_linear"})
+    with _pytest.raises(ValueError, match="non-sq_model"):
+        sq_model_save(spark, encoded, scales, other)
+    with _pytest.raises(ValueError, match="not sq_model"):
+        sq_model_load(spark, other)
+
+
 def test_duplicate_spans(spark):
     """Span-level dedup: a repeated 6-token passage inside two otherwise
     different documents must surface as one merged span per document,
