@@ -4188,22 +4188,42 @@ def q_langid_chargram(spark, sf_dir):
     label, score rounded to 6. Char-gram extraction is sequence ->
     substr -> md5_60 hash -> count (all codegen); DuckDB replays the
     synthesis, every gram of every length, all four class LMs, and the
-    argmax. Held-out accuracy 1.0 pinned in tests/test_classify.py."""
+    argmax. Held-out accuracy 1.0 pinned in tests/test_classify.py.
+
+    Featurization runs ONCE (VERDICT r12 item 9): the whole corpus's
+    (id, feature, x) table is materialized eagerly and sliced for both
+    the trainer and the scorer (whose plan consumes it twice — weight
+    join + per-doc totals), replacing three codegen featurization
+    passes with one. The id spine is also spread to the session's full
+    parallelism first: the demo corpus arrives as ONE small parquet
+    split, which serialized the whole substr->md5->count chain onto a
+    single task (isolated A/B: 8.8 s -> 0.9 s for the featurization
+    pass at sf0.1/32 cores; at production scale the scan has many
+    splits and the repartition of a bounded id list is noise). Same
+    featurizer, same values — the oracle is untouched."""
     from codd_spark.operators.classify import (
+        hashed_char_ngram_features,
         nb_multiclass_score,
         nb_multiclass_train,
         planted_lang_docs,
     )
 
-    ids = read_table(spark, sf_dir, "documents").select("doc_id")
+    ids = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     corpus = planted_lang_docs(ids)
+    feats_all = hashed_char_ngram_features(
+        corpus, n_features=4096
+    ).localCheckpoint(eager=True)
     model = nb_multiclass_train(
         corpus.filter("doc_id % 5 != 4"), "y", n_features=4096,
-        features="char",
+        features="char", feats=feats_all.filter("id % 5 != 4"),
     )
     return nb_multiclass_score(
         corpus.filter("doc_id % 5 = 4"), model, n_features=4096,
-        features="char",
+        features="char", feats=feats_all.filter("id % 5 = 4"),
     )
 
 

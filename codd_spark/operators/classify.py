@@ -268,6 +268,7 @@ def nb_multiclass_train(
     alpha: float = 1.0,
     bigrams: bool = True,
     features: str = "word",
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Multiclass multinomial NB — the K-way sibling of
     ``nb_linear_train`` (trained language ID, domain routing, K-way
@@ -291,11 +292,19 @@ def nb_multiclass_train(
     Same exactness contract as the binary trainer: everything except
     the final ln() is integer counting, so a SQL oracle replays the
     learned weights to the rounding digit.
+
+    ``feats`` (optional): a precomputed (id, feature, x) table from the
+    SAME featurizer settings — pass it when one materialized
+    featurization pass feeds both train and score (VERDICT r12 item 9;
+    the feature hash is part of the model, so mismatched settings would
+    silently misroute every feature). May cover a superset of ``df``'s
+    ids: the label join restricts to the training split.
     """
-    feats = _nb_features(
-        df, id_col, text_col, n_features=n_features, bigrams=bigrams,
-        features=features,
-    )
+    if feats is None:
+        feats = _nb_features(
+            df, id_col, text_col, n_features=n_features, bigrams=bigrams,
+            features=features,
+        )
     labels = df.select(
         F.col(id_col).alias("id"), F.col(label_col).cast("int").alias("y")
     )
@@ -343,6 +352,7 @@ def nb_multiclass_score(
     n_features: int = 2048,
     bigrams: bool = True,
     features: str = "word",
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """(id, pred, score): argmax-class prediction under a multiclass NB
     model (``features`` must match what the model was trained with);
@@ -356,11 +366,19 @@ def nb_multiclass_score(
     of x_f * weight'_lf  — one inner join of the doc-feature stream
     against the broadcast model, one (id, label) aggregate, and a
     K-row-per-doc argmax. Empty documents score every class's prior
-    (every input id appears in the output)."""
-    feats = _nb_features(
-        df, id_col, text_col, n_features=n_features, bigrams=bigrams,
-        features=features,
-    )
+    (every input id appears in the output).
+
+    ``feats`` (optional): a precomputed (id, feature, x) table from the
+    SAME featurizer settings, restricted to (or a superset of) ``df``'s
+    ids — the scored-id spine drops extra ids, but restrict the table
+    for efficiency. The plan consumes the feature stream TWICE (weight
+    join + per-doc totals), so pass a checkpointed/persisted table to
+    pay featurization once."""
+    if feats is None:
+        feats = _nb_features(
+            df, id_col, text_col, n_features=n_features, bigrams=bigrams,
+            features=features,
+        )
     consts = model.filter(F.col("feature") == -1).select(
         "label", F.col("weight").alias("bias"), F.col("w_unseen").alias("w0")
     )

@@ -1164,7 +1164,12 @@ def farthest_point_sample(
         "id", "qv", dist2_to(center).alias("mind2")
     )
     for r in range(2, k + 1):
-        state = state.localCheckpoint(eager=True)
+        # LAZY checkpoint: the argmax collect below is a full-partition
+        # TakeOrderedAndProject, so it materializes the checkpoint as a
+        # side effect — ONE job per pick instead of an eager-checkpoint
+        # job plus a collect job (VERDICT r12 item 2: the driver-loop
+        # fixed cost is what this row's wall clock is made of)
+        state = state.localCheckpoint(eager=False)
         top = state.orderBy(F.desc("mind2"), F.asc("id")).limit(1).collect()
         if not top:
             break  # fewer than k vectors: return what exists
@@ -1258,7 +1263,9 @@ def farthest_point_sample_batched(
     )
     rounds = 0
     while len(picked) < k:
-        state = state.localCheckpoint(eager=True)
+        # lazy: the candidate collect materializes the checkpoint in the
+        # same job (see farthest_point_sample)
+        state = state.localCheckpoint(eager=False)
         cands = (
             state.orderBy(F.desc("mind2"), F.asc("id")).limit(m).collect()
         )
