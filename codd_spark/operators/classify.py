@@ -693,18 +693,49 @@ UDHR_SENTENCES: dict[int, list[str]] = {
         "Niemand darf willkuerlich festgenommen, in Haft gehalten oder des Landes verwiesen werden.",
         "Jeder hat das Recht, sich innerhalb eines Staates frei zu bewegen und seinen Aufenthaltsort frei zu waehlen.",
     ],
+    4: [  # Russian (Cyrillic — non-Latin script exercised RAW, no
+        #    transliteration; VERDICT r12 item 8)
+        "Все люди рождаются свободными и равными в своем достоинстве и правах.",
+        "Они наделены разумом и совестью и должны поступать в отношении друг друга в духе братства.",
+        "Каждый человек имеет право на жизнь, на свободу и на личную неприкосновенность.",
+        "Никто не должен содержаться в рабстве или в подневольном состоянии.",
+        "Никто не должен подвергаться пыткам или жестоким, бесчеловечным или унижающим его достоинство обращению и наказанию.",
+        "Каждый человек, где бы он ни находился, имеет право на признание его правосубъектности.",
+        "Все люди равны перед законом и имеют право, без всякого различия, на равную защиту закона.",
+        "Каждый человек имеет право на эффективное восстановление в правах компетентными национальными судами.",
+        "Никто не может быть подвергнут произвольному аресту, задержанию или изгнанию.",
+        "Каждый человек имеет право свободно передвигаться и выбирать себе местожительство в пределах каждого государства.",
+    ],
+    5: [  # Greek (second non-Latin script)
+        "Ολοι οι ανθρωποι γεννιουνται ελευθεροι και ισοι στην αξιοπρεπεια και τα δικαιωματα.",
+        "Ειναι προικισμενοι με λογικη και συνειδηση και οφειλουν να συμπεριφερονται μεταξυ τους με πνευμα αδελφοσυνης.",
+        "Καθε ατομο εχει δικαιωμα στη ζωη, την ελευθερια και την προσωπικη του ασφαλεια.",
+        "Κανεις δεν επιτρεπεται να ζει υπο καθεστως δουλειας, ολικης η μερικης.",
+        "Κανεις δεν επιτρεπεται να υποβαλλεται σε βασανιστηρια ουτε σε ποινη η μεταχειριση σκληρη, απανθρωπη η ταπεινωτικη.",
+        "Καθενας, οπου και αν βρισκεται, εχει δικαιωμα στην αναγνωριση της νομικης του προσωπικοτητας.",
+        "Ολοι ειναι ισοι απεναντι στον νομο και εχουν δικαιωμα σε ιση προστασια του νομου.",
+        "Καθενας εχει δικαιωμα να ασκει αποτελεσματικα ενδικα μεσα στα αρμοδια εθνικα δικαστηρια.",
+        "Κανεις δεν μπορει να συλλαμβανεται, να κρατειται η να εξοριζεται αυθαιρετα.",
+        "Καθενας εχει το δικαιωμα να κυκλοφορει ελευθερα και να εκλεγει τον τοπο της διαμονης του στο εσωτερικο ενος κρατους.",
+    ],
 }
 
 
 def udhr_lang_docs(spark) -> DataFrame:
     """(doc_id, y, text) over the real-text UDHR fixture: doc_id =
-    4*i + y interleaves the four languages, so the contract's
-    doc_id % 5 == 4 held-out split leaves two natural-text sentences
-    per language for scoring (eight to train on). ASCII transliteration
-    (estan/egaux/Wuerde) keeps the fixture byte-portable; accents are
-    not what separates these languages under 2..4-char grams."""
+    K*i + y (K = number of languages) interleaves the languages, so the
+    contract's doc_id % 5 == 4 held-out split leaves two natural-text
+    sentences per language for scoring (eight to train on; K and 5 are
+    coprime for K=4 and K=6, which keeps the split exactly 2-per-y).
+    The four Latin-script languages use ASCII transliteration
+    (estan/egaux/Wuerde) and the Greek fixture is diacritic-stripped —
+    accents are not what separates these languages under 2..4-char
+    grams; the Russian fixture is raw Cyrillic (VERDICT r12 item 8:
+    non-Latin scripts exercised through the SAME hashed char-gram
+    space, no code change needed — that is the point)."""
+    k = len(UDHR_SENTENCES)
     rows = [
-        (4 * i + y, y, s)
+        (k * i + y, y, s)
         for y, sents in sorted(UDHR_SENTENCES.items())
         for i, s in enumerate(sents)
     ]
