@@ -4596,6 +4596,37 @@ def q_diverse_sample_batched(spark, sf_dir):
     return farthest_point_sample_batched(emb, 8, dim=64, m=3)
 
 
+def q_incremental_line_dedup(spark, sf_dir):
+    """Arrival-order LINE dedup through the state machinery (round 13;
+    dedup.IncrementalLineDeduplicator — the streaming form of the
+    CCNet boilerplate killer, completing the incremental family:
+    exact-key, fuzzy, image, semantic, and now line-level). Two crawl
+    dumps (even doc_ids, then odd) of the SAME planted multi-line
+    synthesis line_dedup_docs curates in batch: within a dump, any
+    eligible line repeating >= 4 times drops from every document; any
+    line SEEN by an earlier dump (kept or removed — both are evidence
+    it exists in the published corpus) drops immediately. Documents
+    reassemble from surviving lines in order; earlier dumps are never
+    edited retroactively (they shipped). State holds ONE fixed-width
+    row per distinct seen line hash (128-bit pair — at 100 TB a single
+    64-bit lane would birthday-collide across billions of lines) in
+    the shared bucketed store: crash matrix, compaction, and the
+    zero-Exchange probe side apply unchanged. The oracle replays the
+    synthesis, both dumps' hashing and counting, the cross-dump seen
+    set, removal and reassembly byte-for-byte via the portable md5_60
+    hash."""
+    from codd_spark.operators.dedup import IncrementalLineDeduplicator
+
+    docs = _lined_documents(spark, sf_dir)
+    d = IncrementalLineDeduplicator(spark, min_count=4, hash_fn="md5_60")
+    o1 = d.add_batch(docs.where("doc_id % 2 = 0"))
+    o2 = d.add_batch(docs.where("doc_id % 2 = 1"))
+    cols = ["doc_id", "cleaned_text", "n_lines", "n_removed"]
+    return o1.select(F.lit(1).alias("batch"), *cols).unionByName(
+        o2.select(F.lit(2).alias("batch"), *cols)
+    )
+
+
 def q_incremental_url_dedup(spark, sf_dir):
     """Incremental exact-key dedup through the ARRIVAL machinery
     (round 10; dedup.IncrementalExactDeduplicator — the URL-first pass
@@ -4974,6 +5005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10->r11, the seven round-11 additions moved in r11->r12, and
         # the four round-12 additions moved in r12->r13 — see the
         # rotation notes at the top of the dict)
+        # --- round-13 additions past the window (oracle-swept + bench) ---
+        "incremental_line_dedup": q_incremental_line_dedup,
     }
 
 
@@ -5160,6 +5193,68 @@ _LINE_DEDUP_ORACLE_SQL = r"""
              AS n_removed
     FROM keyed k LEFT JOIN dups d ON k.h = d.h
     GROUP BY k.doc_id
+"""
+
+
+_INCR_LINE_DEDUP_ORACLE_SQL = r"""
+    WITH lined AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'Subscribe to our newsletter!' || chr(10) ELSE '' END
+             || regexp_replace(text, '((\S+ ){7}\S+) ', '\1' || chr(10), 'g')
+             || CASE WHEN doc_id % 4 = 0
+                     THEN chr(10) || '(c) 2024 Example Corp' ELSE '' END
+               AS text
+      FROM documents
+    ), ls AS (
+      SELECT doc_id, string_split(text, chr(10)) AS arr FROM lined
+    ), lines AS (
+      SELECT doc_id, pos, arr[pos] AS line
+      FROM (SELECT doc_id, arr, unnest(range(1, len(arr)+1)) AS pos FROM ls)
+    ), keyed AS (
+      SELECT doc_id, pos, line,
+             CASE WHEN length(trim(line)) >= 1 THEN
+               CAST(CONCAT('0x', substr(md5(
+                 trim(regexp_replace(lower(line), '\s+', ' ', 'g'))
+               ), 1, 15)) AS BIGINT)
+             END AS h
+      FROM lines
+    ), b1 AS (
+      SELECT * FROM keyed WHERE doc_id % 2 = 0
+    ), b2 AS (
+      SELECT * FROM keyed WHERE doc_id % 2 = 1
+    ), drop1 AS (
+      SELECT h FROM b1 WHERE h IS NOT NULL
+      GROUP BY h HAVING COUNT(*) >= 4
+    ), seen1 AS (
+      SELECT DISTINCT h FROM b1 WHERE h IS NOT NULL
+    ), drop2 AS (
+      SELECT h FROM b2 WHERE h IS NOT NULL
+      GROUP BY h HAVING COUNT(*) >= 4
+      UNION
+      SELECT h FROM seen1
+    ), o1 AS (
+      SELECT 1 AS batch, k.doc_id,
+             COALESCE(string_agg(CASE WHEN d.h IS NULL THEN k.line END,
+                                 chr(10) ORDER BY k.pos), '') AS cleaned_text,
+             COUNT(*) AS n_lines,
+             CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed
+      FROM b1 k LEFT JOIN drop1 d ON k.h = d.h
+      GROUP BY k.doc_id
+    ), o2 AS (
+      SELECT 2 AS batch, k.doc_id,
+             COALESCE(string_agg(CASE WHEN d.h IS NULL THEN k.line END,
+                                 chr(10) ORDER BY k.pos), '') AS cleaned_text,
+             COUNT(*) AS n_lines,
+             CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed
+      FROM b2 k LEFT JOIN drop2 d ON k.h = d.h
+      GROUP BY k.doc_id
+    )
+    SELECT batch, doc_id, cleaned_text, n_lines, n_removed FROM o1
+    UNION ALL
+    SELECT batch, doc_id, cleaned_text, n_lines, n_removed FROM o2
 """
 
 
@@ -8621,6 +8716,7 @@ def oracle_sql() -> dict[str, str]:
     # dedup — full replays (portable md5_60 hashes / integer-count LMs /
     # RE2-safe canonicalization regexes shared verbatim across engines)
     out["line_dedup_docs"] = _LINE_DEDUP_ORACLE_SQL
+    out["incremental_line_dedup"] = _INCR_LINE_DEDUP_ORACLE_SQL
     out["dsir_select_docs"] = _dsir_oracle_sql()
     out["url_dedup_docs"] = _URL_DEDUP_ORACLE_SQL
     # arrival-order contract for the exact-key deduplicator: per-batch

@@ -169,6 +169,8 @@ BENCH_QUERIES = [
     "incremental_semantic_decontam",  # arrivals probe a growing ANN index
     "langid_real_text",         # char-gram LID on the UDHR real-text fixture
     "curate_embeddings_pipeline",  # clone dedup -> eval-cos decontam, one oracle
+    # round-13 additions
+    "incremental_line_dedup",   # arrival CCNet line dedup on bucketed state
 ]
 
 # Queries added DURING the current round (reset to empty at each round
@@ -181,8 +183,8 @@ BENCH_QUERIES = [
 CURRENT_ROUND_ADDITIONS = frozenset(
     {
         # round 13 (the four round-12 additions graduated into the
-        # comparable set at round open; entries added here as the round
-        # adds queries)
+        # comparable set at round open)
+        "incremental_line_dedup",
     }
 )
 PREV_ROUND_QUERIES = (

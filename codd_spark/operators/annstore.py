@@ -533,6 +533,14 @@ class PersistentANNIndex:
         raise ValueError(f"unknown index kind {self.kind!r}")
 
 
+# Default generation bound for the semantic gate's auto-compaction: the
+# r12 16-arrival stress read ~18% probe creep at 16 accumulated
+# generations and a 2.6 s fold restoring the floor; folding at 8 keeps
+# worst-case creep under ~10% with the fold cost amortized to a few
+# percent per arrival (r13 64-arrival table in BASELINE.md).
+_DEFAULT_COMPACT_EVERY = 8
+
+
 class IncrementalSemanticDecontaminator:
     """Arrival-order SEMANTIC decontamination against a GROWING
     persisted ANN index (VERDICT r11 item 8) — the semantic sibling of
@@ -578,14 +586,22 @@ class IncrementalSemanticDecontaminator:
         emb_col: str = "embedding",
         trainer: str = "sq_kmeans",
         seed: int = 42,
-        compact_every: int | None = None,
+        compact_every: int | None = _DEFAULT_COMPACT_EVERY,
     ):
         """``compact_every=N`` folds the index's generations whenever an
         admission leaves N or more committed — the ops knob that keeps a
         long-lived gate's probe cost and file count flat (measured
         BASELINE.md: 12 gens probe 1.8x slower than compacted) without
         the caller scheduling maintenance. Compaction provably preserves
-        every future decision (probe equality is tested)."""
+        every future decision (probe equality is tested).
+
+        ON BY DEFAULT at 8 generations since r13 (VERDICT r12 item 7):
+        a long-horizon gate left on defaults must stay flat — the
+        64-arrival stress (BASELINE.md) pins per-arrival wall within
+        ~1.2x of the single-generation floor across the whole run, with
+        the fold cost amortized to a few percent per arrival. Pass
+        ``compact_every=None`` to opt out (caller schedules
+        maintenance)."""
         if not (0.0 < threshold <= 1.0):
             raise ValueError(f"threshold must be in (0, 1], got {threshold}")
         if compact_every is not None and compact_every < 2:

@@ -3676,3 +3676,308 @@ def remove_exact_substrings(
     # dies on return and its finalizer releases the cached side before
     # this result ever materializes)
     return _adopt_release(out, spans)
+
+
+class IncrementalLineDeduplicator:
+    """Arrival-order LINE-level dedup for a growing corpus — the
+    streaming form of :func:`line_dedup` (CCNet / RefinedWeb boilerplate
+    removal across crawl dumps): each arriving batch drops every
+    eligible line occurrence whose normalized form was EITHER seen in
+    any earlier arrival OR repeats >= ``min_count`` times within the
+    batch, then reassembles each document from its surviving lines in
+    original order. This is what document-level dedup cannot express on
+    a continuous crawl: later dumps must not re-publish the template
+    chrome ("subscribe to our newsletter", cookie banners) earlier
+    dumps already carried, even when every document is unique.
+
+    Semantics are the arrival-causal projection of batch
+    :func:`line_dedup` over the concatenated corpus: an occurrence in
+    batch B is removed exactly when the concatenation's count rule
+    would remove it using information available at B's arrival —
+    already-seen lines (count across dumps necessarily >= 2) drop
+    immediately; a line's FIRST dump keeps it unless the dump itself
+    repeats it >= ``min_count`` times. Earlier dumps are never edited
+    retroactively (they shipped). Lines shorter than
+    ``min_line_chars`` after trim never count and never enter state.
+
+    State = one fixed-width row per DISTINCT seen line hash in the same
+    restart-surviving bucketed store as the other incremental
+    deduplicators (``_BucketedMinhashState`` — crash matrix, orphan
+    sweep, ``compact()``, HCFS backends unchanged): bucket row
+    (id=h, band=0, h), second hash riding the shingle table as a
+    1-element array. Keys are a PAIR of 64-bit hashes (128 effective
+    bits — at 100 TB a single 64-bit lane WOULD birthday-collide across
+    billions of distinct lines and silently delete content lines), and
+    the line text itself never enters the state. Every distinct
+    eligible hash a batch carries is recorded (kept or removed — both
+    are "seen"), at most once ever.
+
+    Per-arrival cost is O(batch): one explode, one (h, h2) count
+    aggregate with map-side partials, one probe join against the
+    bucketed state (state side zero-Exchange in persistent mode), one
+    per-doc reassembly aggregate, one anti-join + append of the novel
+    hashes. Reference analog: none — the reference has no text
+    pipeline; this extends SURVEY.md's north-star dedup family.
+
+    ``hash_fn``: "xxhash64" (default; pair via independent seeds) or
+    "md5_60" (portable pair via a salt prefix — the cross-engine
+    contract variant a SQL oracle replays bit-for-bit).
+    """
+
+    def __init__(
+        self,
+        spark,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        *,
+        min_count: int = 2,
+        sep: str = "\n",
+        normalize: bool = True,
+        min_line_chars: int = 1,
+        hash_fn: str = "xxhash64",
+        state_dir: str | None = None,
+        state_buckets: int = 32,
+    ):
+        if min_count < 2:
+            raise ValueError(f"min_count must be >= 2, got {min_count}")
+        if hash_fn not in ("xxhash64", "md5_60"):
+            raise ValueError(
+                f"hash_fn must be 'xxhash64' or 'md5_60', got {hash_fn!r}"
+            )
+        if "\\E" in sep:
+            raise ValueError(r"sep must not contain the sequence \E")
+        self.spark = spark
+        self.id_col, self.text_col = id_col, text_col
+        self.min_count = int(min_count)
+        self.sep = sep
+        self.normalize = bool(normalize)
+        self.min_line_chars = int(min_line_chars)
+        self.hash_fn = hash_fn
+        self.n_seen = 0
+        self.params = dict(
+            min_count=self.min_count,
+            normalize=self.normalize,
+            min_line_chars=self.min_line_chars,
+            hash_fn=hash_fn,
+        )
+        self._state = None
+        if state_dir is not None:
+            resuming = _BucketedMinhashState.exists(state_dir, spark)
+            self._state = _BucketedMinhashState(
+                spark,
+                state_dir,
+                n_buckets=state_buckets,
+                params=self.params,
+                extra=dict(
+                    kind="line_dedup",
+                    id_col=id_col,
+                    text_col=text_col,
+                    sep=sep,
+                    **self.params,
+                ),
+            )
+            if resuming:
+                self.n_seen = self._state.buckets().count()
+            return
+        self._empty_b = spark.createDataFrame([], "id LONG, band INT, h LONG")
+        self._empty_s = spark.createDataFrame([], "id LONG, sh ARRAY<LONG>")
+        self._bucket_parts: list[DataFrame] = []
+        self._shingle_parts: list[DataFrame] = []
+
+    @classmethod
+    def open(cls, spark, state_dir: str) -> "IncrementalLineDeduplicator":
+        """Reopen a persistent state dir after a process restart; the
+        line-keying parameters come from the manifest (dedup under the
+        WRONG normalization would silently diverge from the state)."""
+        if not _BucketedMinhashState.exists(state_dir, spark):
+            raise ValueError(f"no incremental line-dedup state at {state_dir}")
+        st = _BucketedMinhashState(spark, state_dir)
+        e = st.extra
+        if e.get("kind") != "line_dedup":
+            raise ValueError(
+                f"{state_dir} holds {e.get('kind')!r} state, not line_dedup"
+            )
+        return cls(
+            spark,
+            e["id_col"],
+            e["text_col"],
+            min_count=int(e["min_count"]),
+            sep=e.get("sep", "\n"),
+            normalize=bool(e["normalize"]),
+            min_line_chars=int(e["min_line_chars"]),
+            hash_fn=e["hash_fn"],
+            state_dir=state_dir,
+            state_buckets=st.n_buckets,
+        )
+
+    # -- state views (same lazy-union memory fallback as the exact
+    # deduplicator) --
+    @property
+    def _seen_buckets(self) -> DataFrame:
+        if self._state is not None:
+            return self._state.buckets()
+        if not self._bucket_parts:
+            return self._empty_b
+        return functools.reduce(DataFrame.union, self._bucket_parts)
+
+    @property
+    def _seen_shingles(self) -> DataFrame:
+        if self._state is not None:
+            return self._state.shingles()
+        if not self._shingle_parts:
+            return self._empty_s
+        return functools.reduce(DataFrame.union, self._shingle_parts)
+
+    _MEMORY_COMPACT_PARTS = 16
+
+    def _append_memory(self, new_b: DataFrame, new_s: DataFrame) -> None:
+        combined = (
+            new_b.select(
+                F.lit(0).alias("__t"), "id", "band", "h",
+                F.lit(None).cast("array<long>").alias("sh"),
+            )
+            .unionByName(
+                new_s.select(
+                    F.lit(1).alias("__t"), "id",
+                    F.lit(None).cast("int").alias("band"),
+                    F.lit(None).cast("long").alias("h"), "sh",
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+        self._bucket_parts.append(
+            combined.filter("__t = 0").select("id", "band", "h")
+        )
+        self._shingle_parts.append(combined.filter("__t = 1").select("id", "sh"))
+        if len(self._bucket_parts) >= self._MEMORY_COMPACT_PARTS:
+            b, s = self._seen_buckets, self._seen_shingles
+            self._bucket_parts, self._shingle_parts = [], []
+            self._append_memory(b, s)
+
+    def _hash_pair(self, key: Column) -> tuple[Column, Column]:
+        if self.hash_fn == "xxhash64":
+            return F.xxhash64(key), F.xxhash64(F.lit(1), key)
+
+        def md5_60(c):
+            return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+        return md5_60(key), md5_60(F.concat(F.lit("1"), key))
+
+    def add_batch(self, batch: DataFrame, out_col: str = "cleaned_text") -> DataFrame:
+        """Process one arriving dump; returns (id, out_col, n_lines,
+        n_removed) — every input document appears — and records the
+        batch's novel line hashes for future arrivals."""
+        lines = batch.select(
+            F.col(self.id_col).alias("id"),
+            F.posexplode_outer(
+                F.split(F.col(self.text_col), "\\Q" + self.sep + "\\E")
+            ).alias("pos", "__line"),
+        )
+        key = (
+            normalize_ws(F.col("__line")) if self.normalize else F.col("__line")
+        )
+        eligible = F.length(F.trim(F.col("__line"))) >= self.min_line_chars
+        h, h2 = self._hash_pair(key)
+        hashed = lines.select(
+            "id", "pos", "__line",
+            F.when(eligible, h).alias("h"),
+            F.when(eligible, h2).alias("h2"),
+        ).localCheckpoint(eager=True)
+
+        batch_keys = (
+            hashed.where(F.col("h").isNotNull())
+            .groupBy("h", "h2")
+            .agg(F.count("*").alias("__c"))
+        )
+        # probe on (band, h) — the state table's bucket columns, so the
+        # state side reads Bucketed: true with no Exchange (state rows
+        # all carry band 0; the probe side adds the literal)
+        seen = (
+            self._seen_buckets.select(
+                "band", F.col("h"), F.col("id").alias("__sid")
+            )
+            .join(
+                batch_keys.withColumn("band", F.lit(0)).hint("shuffle_merge"),
+                on=["band", "h"],
+            )
+            .join(
+                self._seen_shingles.select(
+                    F.col("id").alias("__sid"),
+                    F.element_at("sh", 1).alias("__h2_seen"),
+                ),
+                on="__sid",
+            )
+            .where(F.col("__h2_seen") == F.col("h2"))
+            .select("h", "h2")
+        )
+        drop_keys = (
+            batch_keys.where(F.col("__c") >= self.min_count)
+            .select("h", "h2")
+            .union(seen)
+            .distinct()
+            .withColumn("__drop", F.lit(True))
+        )
+        flagged = hashed.join(
+            drop_keys.hint("shuffle_merge"), on=["h", "h2"], how="left"
+        )
+        out = (
+            flagged.groupBy("id")
+            .agg(
+                F.count("*").alias("n_lines"),
+                F.sum(
+                    F.when(F.col("__drop").isNotNull(), 1).otherwise(0)
+                ).alias("n_removed"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("__drop").isNull(),
+                                    F.struct(
+                                        F.col("pos"),
+                                        F.col("__line").alias("line"),
+                                    ),
+                                )
+                            )
+                        ),
+                        lambda s: s.getField("line"),
+                    ),
+                    self.sep,
+                ).alias(out_col),
+            )
+            .select(
+                F.col("id").alias(self.id_col),
+                out_col,
+                F.col("n_lines").cast("long").alias("n_lines"),
+                F.col("n_removed").cast("long").alias("n_removed"),
+            )
+        )
+
+        # every distinct eligible hash this batch carries that the state
+        # has not recorded becomes seen (kept AND removed occurrences:
+        # both are evidence the line exists in the published corpus)
+        from pyspark.sql import Observation
+
+        _novel_obs = Observation()
+        novel = (
+            batch_keys.select("h", "h2")
+            .join(seen.hint("shuffle_merge"), on=["h", "h2"], how="left_anti")
+            .observe(_novel_obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        new_b = novel.select(
+            F.col("h").alias("id"), F.lit(0).alias("band"), "h"
+        )
+        new_s = novel.select(F.col("h").alias("id"), F.array("h2").alias("sh"))
+        if self._state is not None:
+            self._state.append(new_b, new_s)
+        else:
+            self._append_memory(new_b, new_s)
+        self.n_seen += _novel_obs.get["n"]
+        return out
+
+    def compact(self) -> dict:
+        """Consolidate persistent state generations (no-op in memory)."""
+        if self._state is None:
+            return {"generation": None, "files_swept": 0}
+        return self._state.compact()

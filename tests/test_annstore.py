@@ -613,3 +613,38 @@ def test_semantic_decontam_auto_compact(spark, emb, tmp_path):
             spark, str(tmp_path / "bad"), corpus=e2,
             compact_every=1,
         )
+
+
+def test_semantic_decontam_compacts_by_default(spark, emb, tmp_path):
+    """VERDICT r12 item 7 knob-default sanity: a gate constructed on
+    DEFAULTS auto-compacts (compact_every=8), so a long-horizon run
+    never accumulates unbounded generations — and the folded run's
+    admission decisions are identical to an explicit opt-out run."""
+    from codd_spark.operators.annstore import (
+        _DEFAULT_COMPACT_EVERY,
+        IncrementalSemanticDecontaminator,
+    )
+
+    assert _DEFAULT_COMPACT_EVERY == 8
+    e2 = emb.select("vec_id", "embedding")
+    batches = [e2.filter(f"vec_id % 10 = {g}") for g in range(1, 10)]
+
+    def run(d, **kw):
+        dec = IncrementalSemanticDecontaminator(
+            spark, str(tmp_path / d), corpus=e2.filter("vec_id % 10 = 0"),
+            threshold=0.45, n_probe=3, n_lists=8, **kw,
+        )
+        gens_seen = []
+        out = []
+        for b in batches:
+            out.append(frozenset(r.vec_id for r in dec.add_batch(b).collect()))
+            gens_seen.append(len(dec.index.gens))
+        return out, gens_seen, dec.compact_every
+
+    out_def, gens_def, knob = run("defaults")
+    assert knob == 8
+    # nine admissions on defaults: the count reaches 8 once and folds
+    assert max(gens_def) <= 8 and gens_def[-1] < 8
+    out_off, gens_off, knob_off = run("optout", compact_every=None)
+    assert knob_off is None and gens_off[-1] == 10  # build + 9, unbounded
+    assert out_def == out_off  # decisions identical either way

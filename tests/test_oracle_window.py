@@ -508,6 +508,20 @@ ROUND12_ADDITIONS = [
 ]
 
 
+ROUND13_ADDITIONS = [
+    # arrival-order CCNet line dedup over two crawl dumps of the
+    # line_dedup_docs synthesis: within-dump >= 4 removal, cross-dump
+    # seen-line removal, per-doc reassembly — oracle replays both dumps
+    # and the seen set via the portable md5_60 hash
+    "incremental_line_dedup",
+]
+
+
+@pytest.mark.parametrize("name", ROUND13_ADDITIONS)
+def test_round13_addition_matches_oracle(spark, duck, name):
+    _replay(spark, duck, name)
+
+
 def test_round11_additions_guarded_in_window():
     """All seven round-11 additions must stay inside the scored window
     (they moved there r11 -> r12); FLAGSHIPS carries their replay."""
