@@ -4465,19 +4465,12 @@ def q_curate_embeddings_pipeline(spark, sf_dir):
     )
 
 
-def q_html_extract(spark, sf_dir):
-    """HTML -> text extraction contract (round 10): the fetch-side step
-    before line dedup / quality scoring, as a pure regexp expression
-    chain (functions/text.py::html_to_text — RE2-safe, codegen, no
-    UDF). Pages are synthesized closed-form from real corpus text
-    (title + script junk + optional heading, paragraphs broken every
-    10 tokens, optional entity-bearing footer, a comment), so the
-    oracle rebuilds the same pages and replays the extraction character
-    for character — script/style/comment removal, block-closer
-    newlines, tag stripping, the fixed entity set, and whitespace
-    normalization all covered on every row."""
-    from codd_spark.functions.text import html_to_text
-
+def _html_pages(spark, sf_dir):
+    """(doc_id, html): pages synthesized closed-form from real corpus
+    text — title + script junk + optional heading, paragraphs broken
+    every 10 tokens, optional entity-bearing footer, a comment — shared
+    by q_html_extract and q_curate_web_pipeline so both oracles rebuild
+    the same pages."""
     docs = read_table(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
     page = F.concat(
@@ -4494,7 +4487,23 @@ def q_html_extract(spark, sf_dir):
         ).otherwise(F.lit("")),
         F.lit("<!-- id "), did, F.lit(" --></body></html>"),
     )
-    return docs.select("doc_id", html_to_text(page).alias("extracted"))
+    return docs.select("doc_id", page.alias("html"))
+
+
+def q_html_extract(spark, sf_dir):
+    """HTML -> text extraction contract (round 10): the fetch-side step
+    before line dedup / quality scoring, as a pure regexp expression
+    chain (functions/text.py::html_to_text — RE2-safe, codegen, no
+    UDF). Pages come from the shared closed-form synthesis
+    (_html_pages), so the oracle rebuilds the same pages and replays
+    the extraction character for character — script/style/comment
+    removal, block-closer newlines, tag stripping, the fixed entity
+    set, and whitespace normalization all covered on every row."""
+    from codd_spark.functions.text import html_to_text
+
+    return _html_pages(spark, sf_dir).select(
+        "doc_id", html_to_text(F.col("html")).alias("extracted")
+    )
 
 
 def q_html_extract_routed(spark, sf_dir):
@@ -4594,6 +4603,37 @@ def q_diverse_sample_batched(spark, sf_dir):
 
     emb = read_table(spark, sf_dir, "embeddings")
     return farthest_point_sample_batched(emb, 8, dim=64, m=3)
+
+
+def q_curate_web_pipeline(spark, sf_dir):
+    """End-to-end WEB curation flagship (round 13): the fetch-side
+    chain BEFORE the text pipeline, composed and replayed WHOLE by one
+    oracle — HTML -> text extraction (the codegen regex chain over the
+    shared closed-form page synthesis) -> corpus-wide CCNet line dedup
+    on the EXTRACTED text (md5_60, >= 3 occurrences drop; the planted
+    heading/footer chrome and the per-10-token paragraph lines the
+    vocabulary organically repeats both die here) -> a >= 25-token
+    length gate on the CLEANED text -> a 40-per-host cap over the
+    survivors (messy-URL synthesis, every 11th URL NULLed to exercise
+    the NULL-host bypass). Every stage is a closed form of doc ids:
+    DuckDB rebuilds the pages, replays the extraction character for
+    character, the line hashing/counting/removal/reassembly, the
+    token-count gate, host canonicalization, and the per-host
+    ROW_NUMBER — whose hash match against the engine's salted
+    two-phase min-N aggregate proves once more that the cap computes
+    window semantics, now composed downstream of two other stages."""
+    from codd_spark.operators.pipeline import curate_web_pipeline
+
+    pages = _html_pages(spark, sf_dir).join(
+        _messy_urls(spark, sf_dir).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 11 != 7, F.col("url")).alias("url"),
+        ),
+        on="doc_id",
+    )
+    return curate_web_pipeline(
+        pages, line_min_count=3, min_tokens=25, max_per_host=40
+    )
 
 
 def q_incremental_line_dedup(spark, sf_dir):
@@ -5007,6 +5047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation notes at the top of the dict)
         # --- round-13 additions past the window (oracle-swept + bench) ---
         "incremental_line_dedup": q_incremental_line_dedup,
+        "curate_web_pipeline": q_curate_web_pipeline,
     }
 
 
@@ -5194,6 +5235,121 @@ _LINE_DEDUP_ORACLE_SQL = r"""
     FROM keyed k LEFT JOIN dups d ON k.h = d.h
     GROUP BY k.doc_id
 """
+
+
+def _curate_web_oracle_sql() -> str:
+    """ONE oracle for the whole web-curation chain (round 13): page
+    synthesis + the html_to_text regex chain (the _HTML_EXTRACT
+    replay, CTEs renamed to coexist with the URL fragments), line
+    hashing/counting/removal/reassembly at min_count=3 via md5_60, the
+    >= 25-token gate on the cleaned text, and host canonicalization +
+    per-host ROW_NUMBER(40) over the SURVIVORS with the NULL-host
+    bypass — every intermediate a closed form of doc ids."""
+    html_chain = r"""
+    WITH hsynth AS (
+      SELECT doc_id,
+        '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+        || '<script>var page = ' || CAST(doc_id AS VARCHAR)
+        || ';</script></head><body>'
+        || CASE WHEN doc_id % 3 = 0
+                THEN '<h1>Section &amp; heading</h1>' ELSE '' END
+        || '<p>' || regexp_replace(text, '((\S+ ){9}\S+) ', '\1</p><p>', 'g')
+        || '</p>'
+        || CASE WHEN doc_id % 4 = 0
+                THEN '<div>footer&nbsp;block</div>' ELSE '' END
+        || '<!-- id ' || CAST(doc_id AS VARCHAR) || ' --></body></html>'
+          AS hpage
+      FROM documents
+    ), hstrip AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(hpage, '(?is)<script[^>]*>.*?</script>', '', 'g'),
+          '(?is)<style[^>]*>.*?</style>', '', 'g'),
+          '(?s)<!--.*?-->', '', 'g'),
+          '(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr)[^>]*>', chr(10), 'g'),
+          '(?s)<[^>]*>', '', 'g') AS t
+      FROM hsynth
+    ), hent AS (
+      SELECT doc_id,
+        replace(replace(replace(replace(replace(replace(t,
+          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+          '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t
+      FROM hstrip
+    ), ext AS (
+      SELECT doc_id,
+        trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+          '[ ' || chr(9) || chr(13) || ']+', ' ', 'g'),
+          ' ?' || chr(10) || ' ?', chr(10), 'g'),
+          chr(10) || '+', chr(10), 'g'),
+          '^' || chr(10) || '|' || chr(10) || '$', '', 'g')) AS extracted
+      FROM hent
+    )"""
+    line_chain = r"""
+    , lx AS (
+      SELECT doc_id, string_split(extracted, chr(10)) AS arr FROM ext
+    ), wlines AS (
+      SELECT doc_id, pos, arr[pos] AS line
+      FROM (SELECT doc_id, arr, unnest(range(1, len(arr)+1)) AS pos FROM lx)
+    ), wkeyed AS (
+      SELECT doc_id, pos, line,
+             CASE WHEN length(trim(line)) >= 1 THEN
+               CAST(CONCAT('0x', substr(md5(
+                 trim(regexp_replace(lower(line), '\s+', ' ', 'g'))
+               ), 1, 15)) AS BIGINT)
+             END AS h
+      FROM wlines
+    ), wdups AS (
+      SELECT h FROM wkeyed WHERE h IS NOT NULL
+      GROUP BY h HAVING COUNT(*) >= 3
+    ), wclean AS (
+      SELECT k.doc_id,
+             COALESCE(string_agg(CASE WHEN d.h IS NULL THEN k.line END,
+                                 chr(10) ORDER BY k.pos), '') AS cleaned_text,
+             COUNT(*) AS n_lines,
+             CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed
+      FROM wkeyed k LEFT JOIN wdups d ON k.h = d.h
+      GROUP BY k.doc_id
+    ), gkeep AS (
+      SELECT doc_id, cleaned_text, n_lines, n_removed,
+             CAST(len(list_filter(
+               string_split_regex(trim(cleaned_text), '\s+'),
+               t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM wclean
+      WHERE CAST(len(list_filter(
+              string_split_regex(trim(cleaned_text), '\s+'),
+              t -> t <> '')) AS BIGINT) >= 25
+    )"""
+    url_side = (
+        _URL_SYNTH_CTE.replace("WITH synth AS", ", synth0 AS")
+        + """
+    , synth AS (
+      SELECT doc_id, CASE WHEN doc_id % 11 <> 7 THEN url END AS url
+      FROM synth0
+    )"""
+        + _URL_HOST_CTES
+        + """
+    , hosted AS (
+      SELECT doc_id, nullif(host, '') AS host FROM h
+      WHERE u IS NOT NULL AND nullif(host, '') IS NOT NULL
+    ), capped AS (
+      SELECT doc_id, host,
+             CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id)
+                  AS INT) AS host_rank
+      FROM hosted JOIN gkeep USING (doc_id)
+    )
+    SELECT g.doc_id, cp.host, cp.host_rank,
+           g.cleaned_text, g.n_lines, g.n_removed, g.n_tokens
+    FROM gkeep g JOIN capped cp USING (doc_id) WHERE cp.host_rank <= 40
+    UNION ALL
+    SELECT g.doc_id, CAST(NULL AS VARCHAR) AS host,
+           CAST(NULL AS INT) AS host_rank,
+           g.cleaned_text, g.n_lines, g.n_removed, g.n_tokens
+    FROM gkeep g LEFT JOIN hosted hh ON hh.doc_id = g.doc_id
+    WHERE hh.doc_id IS NULL
+"""
+    )
+    return html_chain + line_chain + url_side
 
 
 _INCR_LINE_DEDUP_ORACLE_SQL = r"""
@@ -8717,6 +8873,7 @@ def oracle_sql() -> dict[str, str]:
     # RE2-safe canonicalization regexes shared verbatim across engines)
     out["line_dedup_docs"] = _LINE_DEDUP_ORACLE_SQL
     out["incremental_line_dedup"] = _INCR_LINE_DEDUP_ORACLE_SQL
+    out["curate_web_pipeline"] = _curate_web_oracle_sql()
     out["dsir_select_docs"] = _dsir_oracle_sql()
     out["url_dedup_docs"] = _URL_DEDUP_ORACLE_SQL
     # arrival-order contract for the exact-key deduplicator: per-batch

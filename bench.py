@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "curate_embeddings_pipeline",  # clone dedup -> eval-cos decontam, one oracle
     # round-13 additions
     "incremental_line_dedup",   # arrival CCNet line dedup on bucketed state
+    "curate_web_pipeline",      # html extract -> line dedup -> gate -> host cap
 ]
 
 # Queries added DURING the current round (reset to empty at each round
@@ -185,6 +186,7 @@ CURRENT_ROUND_ADDITIONS = frozenset(
         # round 13 (the four round-12 additions graduated into the
         # comparable set at round open)
         "incremental_line_dedup",
+        "curate_web_pipeline",
     }
 )
 PREV_ROUND_QUERIES = (

@@ -765,6 +765,82 @@ def host_cap(
     return kept.unionByName(passthrough)
 
 
+def curate_web_pipeline(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    url_col: str = "url",
+    *,
+    line_min_count: int = 4,
+    min_tokens: int = 20,
+    max_per_host: int = 50,
+    n_salts: int = 32,
+) -> DataFrame:
+    """End-to-end WEB curation (round 13) — the fetch-side chain a
+    crawl runs BEFORE the text pipeline, composed from audited
+    building blocks and replayable whole:
+
+    1. **Extract** (``text.html_to_text``): raw HTML -> text, the
+       codegen regex chain (script/style/comment kill, block-closer
+       newlines, tag strip, entity decode, whitespace normalize).
+    2. **Line dedup** (``dedup.line_dedup``, md5_60): corpus-wide
+       CCNet boilerplate removal over the EXTRACTED text — lines
+       repeating >= ``line_min_count`` drop from every page, pages
+       reassemble in order.
+    3. **Length gate**: pages with fewer than ``min_tokens``
+       whitespace tokens AFTER cleaning drop (navigation shells whose
+       content was all chrome die here, not in the tokenizer).
+    4. **Host cap** (``host_cap``): at most ``max_per_host`` surviving
+       pages per canonical host, lowest ids win; NULL/unparseable-host
+       pages bypass (the NULL-key contract).
+
+    Returns (id, host, host_rank, cleaned_text, n_lines, n_removed,
+    n_tokens) for the surviving pages. The composition is semi-joins on
+    ids over stages that each keep their audited scale shape (regex
+    chain is map-only; line dedup is one count aggregate + reassembly;
+    the cap is the salted two-phase min-N aggregate — no per-host
+    window). Stage boundaries are MATERIALIZED (eager localCheckpoint)
+    because downstream stages re-read their input (line_dedup's count
+    and reassembly both consume the extraction; the cap and the final
+    join both consume the gate) — the curate_text_pipeline lesson.
+    """
+    from codd_spark.functions.text import html_to_text
+    from codd_spark.operators.dedup import line_dedup
+
+    extracted = df.select(
+        F.col(id_col), html_to_text(F.col(html_col)).alias("text")
+    ).localCheckpoint(eager=True)
+    deduped = line_dedup(
+        extracted, id_col, "text",
+        min_count=line_min_count, hash_fn="md5_60",
+    )
+    # token count of the CLEANED text; empty-filtered so an all-chrome
+    # page counts 0 (split("") yields [""] otherwise)
+    n_tokens = F.size(
+        F.filter(
+            F.split(F.trim(F.col("cleaned_text")), r"\s+"),
+            lambda t: t != "",
+        )
+    )
+    gated = (
+        deduped.withColumn("n_tokens", n_tokens.cast("long"))
+        .where(F.col("n_tokens") >= min_tokens)
+        .localCheckpoint(eager=True)
+    )
+    capped = host_cap(
+        df.select(id_col, url_col).join(
+            gated.select(id_col).hint("shuffle_merge"),
+            on=id_col, how="left_semi",
+        ),
+        id_col, url_col,
+        max_per_host=max_per_host, n_salts=n_salts,
+    )
+    return capped.join(gated.hint("shuffle_merge"), on=id_col).select(
+        id_col, "host", "host_rank",
+        "cleaned_text", "n_lines", "n_removed", "n_tokens",
+    )
+
+
 def curate_text_pipeline(
     df: DataFrame,
     id_col: str = "doc_id",

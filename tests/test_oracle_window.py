@@ -514,6 +514,9 @@ ROUND13_ADDITIONS = [
     # seen-line removal, per-doc reassembly — oracle replays both dumps
     # and the seen set via the portable md5_60 hash
     "incremental_line_dedup",
+    # composed web curation: html extraction -> corpus line dedup ->
+    # token gate -> per-host cap, ONE oracle replaying all four stages
+    "curate_web_pipeline",
 ]
 
 
