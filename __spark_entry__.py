@@ -4667,6 +4667,65 @@ def q_incremental_line_dedup(spark, sf_dir):
     )
 
 
+def q_streaming_line_dedup(spark, sf_dir):
+    """STREAMING arrival line dedup (round 13): the SAME two crawl
+    dumps as incremental_line_dedup, arriving as parquet files in a
+    watched directory and driven through Structured Streaming
+    (availableNow + source checkpoint, so the second run replays ONLY
+    the new file) with the generic
+    streaming/structured.py::incremental_dedup_batch_fn adapter over
+    the SAME IncrementalLineDeduplicator. It shares
+    incremental_line_dedup's oracle verbatim — the driver hash match IS
+    the stream==batch equivalence proof, the same discipline as
+    decontaminate_bloom_stream vs decontaminate_bloom."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from codd_spark.operators.dedup import IncrementalLineDeduplicator
+    from codd_spark.streaming.structured import incremental_dedup_batch_fn
+
+    docs = _lined_documents(spark, sf_dir)
+    base = _tempfile.mkdtemp(prefix="codd_line_stream_")
+    arrivals = _os.path.join(base, "arrivals")
+    out_dir = _os.path.join(base, "out")
+    ckpt = _os.path.join(base, "ckpt")
+
+    dd = IncrementalLineDeduplicator(spark, min_count=4, hash_fn="md5_60")
+    batch_no = [0]
+
+    def sink(kept_df, epoch_id):
+        # availableNow can fire an empty trailing epoch; it must not
+        # consume a dump number (kept is already checkpointed — cheap)
+        if kept_df.isEmpty():
+            return
+        batch_no[0] += 1
+        kept_df.select(
+            F.lit(batch_no[0]).alias("batch"),
+            "doc_id", "cleaned_text", "n_lines", "n_removed",
+        ).write.mode("append").parquet(out_dir)
+
+    def run_available():
+        q = (
+            spark.readStream.schema(docs.schema)
+            .parquet(arrivals)
+            .writeStream.foreachBatch(incremental_dedup_batch_fn(dd, sink))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    docs.where("doc_id % 2 = 0").coalesce(1).write.mode("append").parquet(arrivals)
+    run_available()
+    docs.where("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(arrivals)
+    run_available()
+
+    result = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    _shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 def q_incremental_url_dedup(spark, sf_dir):
     """Incremental exact-key dedup through the ARRIVAL machinery
     (round 10; dedup.IncrementalExactDeduplicator — the URL-first pass
@@ -5048,6 +5107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-13 additions past the window (oracle-swept + bench) ---
         "incremental_line_dedup": q_incremental_line_dedup,
         "curate_web_pipeline": q_curate_web_pipeline,
+        "streaming_line_dedup": q_streaming_line_dedup,
     }
 
 
@@ -8874,6 +8934,9 @@ def oracle_sql() -> dict[str, str]:
     out["line_dedup_docs"] = _LINE_DEDUP_ORACLE_SQL
     out["incremental_line_dedup"] = _INCR_LINE_DEDUP_ORACLE_SQL
     out["curate_web_pipeline"] = _curate_web_oracle_sql()
+    # the streaming twin shares the batch oracle VERBATIM: the driver
+    # hash match IS the stream==batch equivalence proof
+    out["streaming_line_dedup"] = _INCR_LINE_DEDUP_ORACLE_SQL
     out["dsir_select_docs"] = _dsir_oracle_sql()
     out["url_dedup_docs"] = _URL_DEDUP_ORACLE_SQL
     # arrival-order contract for the exact-key deduplicator: per-batch

@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     # round-13 additions
     "incremental_line_dedup",   # arrival CCNet line dedup on bucketed state
     "curate_web_pipeline",      # html extract -> line dedup -> gate -> host cap
+    "streaming_line_dedup",     # the arrival line-dedup as a real stream
 ]
 
 # Queries added DURING the current round (reset to empty at each round
@@ -187,6 +188,7 @@ CURRENT_ROUND_ADDITIONS = frozenset(
         # comparable set at round open)
         "incremental_line_dedup",
         "curate_web_pipeline",
+        "streaming_line_dedup",
     }
 )
 PREV_ROUND_QUERIES = (

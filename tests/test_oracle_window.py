@@ -517,6 +517,10 @@ ROUND13_ADDITIONS = [
     # composed web curation: html extraction -> corpus line dedup ->
     # token gate -> per-host cap, ONE oracle replaying all four stages
     "curate_web_pipeline",
+    # the streaming twin of incremental_line_dedup (availableNow file
+    # arrivals through the generic foreachBatch adapter) — shares the
+    # batch oracle verbatim: the hash match IS stream==batch
+    "streaming_line_dedup",
 ]
 
 
