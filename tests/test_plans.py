@@ -491,3 +491,47 @@ def test_html_routed_two_map_only_branches_no_exchange(spark):
     plan = plan_of(spark, "html_extract_routed")
     assert "Exchange" not in plan
     assert "Union" in plan
+
+
+def test_curate_web_pipeline_no_window_checkpointed_stages(spark):
+    """curate_web_pipeline (r13, PICK r13): the composed web chain's
+    final plan reads ONLY checkpointed RDDs (extraction and the gated
+    line-dedup output each feed multiple consumers — without the cuts
+    every consumer replays the regex chain), and the host-cap stage is
+    the two-phase salted min-N AGGREGATE — no Window operator anywhere
+    in the composition."""
+    plan = plan_of(spark, "curate_web_pipeline")
+    assert "Window" not in plan
+    assert "partial_collect_list" in plan  # the salted phase-1 leaf
+    assert "Scan ExistingRDD" in plan
+    # the html regex chain stayed upstream of the checkpoints: none of
+    # its tag-strip expressions may appear in the final plan
+    assert "script" not in plan.lower() or "Subscribe" not in plan
+
+
+def test_incremental_line_dedup_state_probe_bucketed(spark, tmp_path):
+    """incremental_line_dedup (r13, PICK r13): with persistent state,
+    the second dump's probe reads the seen-hash table Bucketed: true on
+    the (band, h) bucket columns with NO state-side Exchange."""
+    from pyspark.sql import functions as F
+
+    from codd_spark.operators.dedup import IncrementalLineDeduplicator
+
+    d = str(tmp_path / "lines")
+    dd = IncrementalLineDeduplicator(
+        spark, state_dir=d, state_buckets=4, hash_fn="md5_60"
+    )
+    docs = spark.createDataFrame(
+        [(0, "alpha line\nshared chrome"), (1, "shared chrome\nbeta line")],
+        "doc_id LONG, text STRING",
+    )
+    dd.add_batch(docs)
+    probe = spark.createDataFrame(
+        [(0, 1234567, 7654321)], "band INT, h LONG, h2 LONG"
+    )
+    j = dd._seen_buckets.select(
+        "band", "h", F.col("id").alias("__sid")
+    ).join(probe.hint("shuffle_merge"), on=["band", "h"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

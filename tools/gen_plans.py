@@ -78,6 +78,8 @@ PICK = {
     "ccnet_perplexity_buckets": "CCNet head/middle/tail (r11): the per-language NTILE is a scalable global rank — range repartition + per-PARTITION row_number + broadcast offsets; every Window in the plan is partitioned by __pid (the physical partition id), never by language and never unpartitioned, so a dominant language cannot serialize through one window task. The LM itself is the bigram_surprisal plan (model-sized joins, one fact shuffle).",
     "curate_text_pipeline": "Composed text curation (r11): URL dedup -> char-gram LID -> perplexity cut with EAGER localCheckpoint at stage boundaries — the final plan reads ONLY checkpointed RDDs (Scan ExistingRDD; zero FileScan, zero upstream synthesis/canonicalization/gram-hash expressions), so no stage's lineage replays per downstream consumer (96 s -> 4.9 s when this was first enforced).",
     "html_extract_routed": "Two-tier routed HTML extraction (r12): one scan-speed routing predicate splits the corpus into a codegen regex branch and an Arrow-batched tree-walk branch, unioned — two map-only legs, ZERO exchanges; at 100 TB only the spec-hard sliver pays Python.",
+    "curate_web_pipeline": "Composed web curation (r13): html extraction (map-only codegen) -> corpus line dedup -> token gate -> salted per-host cap, with EAGER localCheckpoint at stage boundaries — the post-gate plan reads ONLY checkpointed RDDs, NO Window operator anywhere (the cap is the two-phase min-N aggregate), and the extraction expressions appear exactly once.",
+    "incremental_line_dedup": "Arrival line dedup (r13): per dump, one explode + one (h,h2) count aggregate with map-side partials + ONE probe join against the seen-hash state on the bucket columns (persistent state side reads Bucketed: true, zero Exchange) + the per-doc reassembly aggregate; state append ships only the dump's NOVEL distinct hashes.",
 }
 
 
