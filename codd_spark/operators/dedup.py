@@ -2857,7 +2857,7 @@ class IncrementalDeduplicator:
             .unionByName(
                 new_s.select(
                     F.lit(1).alias("__t"),
-                    "id",
+                    F.col("id"),
                     F.lit(None).cast("int").alias("band"),
                     F.lit(None).cast("long").alias("h"),
                     "sh",
@@ -2865,12 +2865,19 @@ class IncrementalDeduplicator:
             )
             .localCheckpoint(eager=True)
         )
-        self._bucket_parts.append(
-            combined.filter("__t = 0").select("id", "band", "h")
+        self._append_parts(
+            combined.filter("__t = 0").select("id", "band", "h"),
+            combined.filter("__t = 1").select("id", "sh"),
         )
-        self._shingle_parts.append(
-            combined.filter("__t = 1").select("id", "sh")
-        )
+
+    def _append_parts(self, bucket_part: DataFrame, shingle_part: DataFrame) -> None:
+        """Record one arrival's ALREADY-MATERIALIZED state delta (narrow
+        projections of a checkpointed DataFrame — no further action is
+        needed or taken here; r13 optimization round) and consolidate
+        the lazy-union views every ``_MEMORY_COMPACT_PARTS`` arrivals to
+        bound plan depth."""
+        self._bucket_parts.append(bucket_part)
+        self._shingle_parts.append(shingle_part)
         if len(self._bucket_parts) >= self._MEMORY_COMPACT_PARTS:
             b, s = self._kept_buckets, self._kept_shingles
             self._bucket_parts, self._shingle_parts = [], []
@@ -2965,7 +2972,13 @@ class IncrementalDeduplicator:
         )
         # the kept count rides the checkpoint job as an observed metric
         # (r12, VERDICT r11 item 6): a separate survivors.count() was one
-        # whole Spark action per arrival on an orchestration-floor path
+        # whole Spark action per arrival on an orchestration-floor path.
+        # (r13 optimization round note: fusing this checkpoint with the
+        # state append into ONE tagged-union job was tried and A/B'd
+        # SLOWER — 9.1 -> 16.0 s isolated on the one-batch row — the
+        # fused DAG re-evaluates the guarded-bucket window and the
+        # probe/verify joins more than the two-job shape does; the
+        # two-job shape stays.)
         from pyspark.sql import Observation
 
         _kept_obs = Observation()
@@ -2990,7 +3003,7 @@ class IncrementalDeduplicator:
         _safe_unpersist(bsh)
         _safe_unpersist(bb)
         # already materialized by the eager checkpoint — no extra action
-        self.n_kept += _kept_obs.get["n"]
+        self.n_kept += int(_kept_obs.get["n"])
 
         return batch.join(
             survivors.hint("shuffle_merge"), on=self.id_col, how="left_semi"
@@ -3163,12 +3176,18 @@ class IncrementalExactDeduplicator:
             )
             .localCheckpoint(eager=True)
         )
-        self._bucket_parts.append(
-            combined.filter("__t = 0").select("id", "band", "h")
+        self._append_parts(
+            combined.filter("__t = 0").select("id", "band", "h"),
+            combined.filter("__t = 1").select("id", "sh"),
         )
-        self._shingle_parts.append(
-            combined.filter("__t = 1").select("id", "sh")
-        )
+
+    def _append_parts(self, bucket_part: DataFrame, shingle_part: DataFrame) -> None:
+        """Record one arrival's already-materialized state delta (narrow
+        projections of the checkpointed survivors — zero extra actions;
+        r13 optimization round) and consolidate every
+        ``_MEMORY_COMPACT_PARTS`` arrivals."""
+        self._bucket_parts.append(bucket_part)
+        self._shingle_parts.append(shingle_part)
         if len(self._bucket_parts) >= self._MEMORY_COMPACT_PARTS:
             b, s = self._kept_buckets, self._kept_shingles
             self._bucket_parts, self._shingle_parts = [], []
@@ -3206,7 +3225,11 @@ class IncrementalExactDeduplicator:
         columns — batch keepers minus already-kept keys, plus every
         NULL-key row) and appends the survivors' keys for future
         arrivals."""
-        ks = self._prep(batch).localCheckpoint(eager=True)
+        # lazy checkpoint (r13 optimization round): ks materializes (and
+        # its lineage cuts) inside the survivors checkpoint job below —
+        # the r12 eager checkpoint here was a whole extra Spark action
+        # per arrival on a two-aggregate O(batch) path
+        ks = self._prep(batch).localCheckpoint(eager=False)
 
         # probe the kept corpus: bucketed state side, O(batch) probe side
         cand = self._kept_buckets.select(
@@ -3238,8 +3261,12 @@ class IncrementalExactDeduplicator:
         if self._state is not None:
             self._state.append(*self._state_rows(survivors))
         else:
-            self._append_memory(*self._state_rows(survivors))
-        self.n_kept += _kept_obs.get["n"]
+            # the state rows are narrow projections of the CHECKPOINTED
+            # survivors — append them directly, no second checkpoint
+            # (r13 optimization round: was _append_memory, one more
+            # eager action per arrival)
+            self._append_parts(*self._state_rows(survivors))
+        self.n_kept += int(_kept_obs.get["n"])
 
         key = self._key_expr()
         kept_keyed = batch.join(
@@ -3845,10 +3872,18 @@ class IncrementalLineDeduplicator:
             )
             .localCheckpoint(eager=True)
         )
-        self._bucket_parts.append(
-            combined.filter("__t = 0").select("id", "band", "h")
+        self._append_parts(
+            combined.filter("__t = 0").select("id", "band", "h"),
+            combined.filter("__t = 1").select("id", "sh"),
         )
-        self._shingle_parts.append(combined.filter("__t = 1").select("id", "sh"))
+
+    def _append_parts(self, bucket_part: DataFrame, shingle_part: DataFrame) -> None:
+        """Record one dump's already-materialized state delta (narrow
+        projections of the checkpointed novel-key table — zero extra
+        actions; r13 optimization round) and consolidate every
+        ``_MEMORY_COMPACT_PARTS`` dumps."""
+        self._bucket_parts.append(bucket_part)
+        self._shingle_parts.append(shingle_part)
         if len(self._bucket_parts) >= self._MEMORY_COMPACT_PARTS:
             b, s = self._seen_buckets, self._seen_shingles
             self._bucket_parts, self._shingle_parts = [], []
@@ -3878,11 +3913,16 @@ class IncrementalLineDeduplicator:
         )
         eligible = F.length(F.trim(F.col("__line"))) >= self.min_line_chars
         h, h2 = self._hash_pair(key)
+        # lazy checkpoint (r13 optimization round): hashed materializes
+        # (and its lineage cuts) inside the novel-keys checkpoint job —
+        # the eager checkpoint here was a whole extra action per dump;
+        # the caller's later consumption of ``out`` reads the same
+        # checkpointed blocks
         hashed = lines.select(
             "id", "pos", "__line",
             F.when(eligible, h).alias("h"),
             F.when(eligible, h2).alias("h2"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
 
         batch_keys = (
             hashed.where(F.col("h").isNotNull())
@@ -3972,8 +4012,10 @@ class IncrementalLineDeduplicator:
         if self._state is not None:
             self._state.append(new_b, new_s)
         else:
-            self._append_memory(new_b, new_s)
-        self.n_seen += _novel_obs.get["n"]
+            # narrow projections of the CHECKPOINTED novel table — no
+            # second checkpoint (r13 optimization round)
+            self._append_parts(new_b, new_s)
+        self.n_seen += int(_novel_obs.get["n"])
         return out
 
     def compact(self) -> dict:

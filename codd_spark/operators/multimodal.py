@@ -1050,15 +1050,21 @@ class IncrementalImageDeduplicator:
                 sigs.unpersist()
                 self.n_kept = self._state.shingles().count()
             return
-        empty_b = spark.createDataFrame([], "id LONG, band INT, h LONG")
-        empty_s = spark.createDataFrame([], "id LONG, sh ARRAY<LONG>")
-        self._buckets, self._shingled = empty_b, empty_s
+        self._empty_b = spark.createDataFrame([], "id LONG, band INT, h LONG")
+        self._empty_s = spark.createDataFrame([], "id LONG, sh ARRAY<LONG>")
+        # in-memory state lives as a LIST of checkpointed delta parts
+        # (one per arrival, both tables riding ONE checkpoint — the same
+        # tagged-union layout as the text twin's _append_memory; r13
+        # optimization round: the r12 path re-unioned and re-checkpointed
+        # BOTH full state tables every arrival, two jobs each recopying
+        # the entire accumulated corpus state)
+        self._bucket_parts: list[DataFrame] = []
+        self._shingle_parts: list[DataFrame] = []
         if seed is not None:
             sb, ss, sigs = self._prep(seed)
-            self._buckets = self._guard(sb).localCheckpoint(eager=True)
-            self._shingled = ss.localCheckpoint(eager=True)
+            self._append_memory(self._guard(sb), ss)
             sigs.unpersist()
-            self.n_kept = self._shingled.count()
+            self.n_kept = self._kept_sigs.count()
 
     @classmethod
     def open(cls, spark, state_dir: str) -> "IncrementalImageDeduplicator":
@@ -1082,11 +1088,66 @@ class IncrementalImageDeduplicator:
 
     @property
     def _kept_buckets(self) -> DataFrame:
-        return self._state.buckets() if self._state is not None else self._buckets
+        if self._state is not None:
+            return self._state.buckets()
+        if not self._bucket_parts:
+            return self._empty_b
+        import functools
+
+        return functools.reduce(DataFrame.union, self._bucket_parts)
 
     @property
     def _kept_sigs(self) -> DataFrame:
-        return self._state.shingles() if self._state is not None else self._shingled
+        if self._state is not None:
+            return self._state.shingles()
+        if not self._shingle_parts:
+            return self._empty_s
+        import functools
+
+        return functools.reduce(DataFrame.union, self._shingle_parts)
+
+    # consolidate cached parts once the lazy union grows this many legs
+    # (same bound as the text twin)
+    _MEMORY_COMPACT_PARTS = 16
+
+    def _append_memory(self, new_b: DataFrame, new_s: DataFrame) -> None:
+        """Append one arrival's state delta with a SINGLE eager
+        localCheckpoint — both tables ride one tagged union (the text
+        twin's r9 layout, applied to the image twin in the r13
+        optimization round)."""
+        combined = (
+            new_b.select(
+                F.lit(0).alias("__t"),
+                "id",
+                "band",
+                "h",
+                F.lit(None).cast("array<long>").alias("sh"),
+            )
+            .unionByName(
+                new_s.select(
+                    F.lit(1).alias("__t"),
+                    F.col("id"),
+                    F.lit(None).cast("int").alias("band"),
+                    F.lit(None).cast("long").alias("h"),
+                    "sh",
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+        self._append_parts(
+            combined.filter("__t = 0").select("id", "band", "h"),
+            combined.filter("__t = 1").select("id", "sh"),
+        )
+
+    def _append_parts(self, bucket_part: DataFrame, shingle_part: DataFrame) -> None:
+        """Record one arrival's already-materialized state delta and
+        consolidate every ``_MEMORY_COMPACT_PARTS`` arrivals."""
+        self._bucket_parts.append(bucket_part)
+        self._shingle_parts.append(shingle_part)
+        if len(self._bucket_parts) >= self._MEMORY_COMPACT_PARTS:
+            b, s = self._kept_buckets, self._kept_sigs
+            self._bucket_parts, self._shingle_parts = [], []
+            self._append_memory(b, s)
 
     def _prep(self, batch: DataFrame):
         """(chunk buckets, [sig] rows, persisted sig projection) for one
@@ -1217,7 +1278,11 @@ class IncrementalImageDeduplicator:
             .distinct()
         )
         # kept count rides the checkpoint job as an observed metric
-        # (r12 — same action merge as the text arrival machinery)
+        # (r12 — same action merge as the text arrival machinery).
+        # (r13 optimization round note: fusing this checkpoint with the
+        # state append into one tagged-union job A/B'd SLOWER here, as
+        # on the text twin — the two-job shape stays; the r13 win on
+        # this path is the parts-list state append below.)
         from pyspark.sql import Observation
 
         _kept_obs = Observation()
@@ -1229,17 +1294,19 @@ class IncrementalImageDeduplicator:
             .localCheckpoint(eager=True)
         )
 
-        # 3. append survivor state
+        # 3. append survivor state — ONE tagged-union checkpoint per
+        # arrival (r13 optimization round; the r12 path re-unioned and
+        # re-checkpointed BOTH full state tables, two jobs recopying the
+        # entire accumulated corpus state per arrival)
         sid = survivors.withColumnRenamed(self.id_col, "id")
         new_b = kb.join(sid.hint("shuffle_merge"), on="id", how="left_semi")
         new_s = bsh.join(sid.hint("shuffle_merge"), on="id", how="left_semi")
         if self._state is not None:
             self._state.append(new_b, new_s)
         else:
-            self._buckets = self._buckets.union(new_b).localCheckpoint(eager=True)
-            self._shingled = self._shingled.union(new_s).localCheckpoint(eager=True)
+            self._append_memory(new_b, new_s)
         _safe_unpersist(sigs)
-        self.n_kept += _kept_obs.get["n"]
+        self.n_kept += int(_kept_obs.get["n"])
 
         return batch.join(
             survivors.hint("shuffle_merge"), on=self.id_col, how="left_semi"
@@ -1286,46 +1353,107 @@ def curate_media(
     exact dedup on the payload hash, then perceptual near-dup removal
     (min-id keeper per Hamming closure over ``image_near_duplicates``).
 
-    Stage shapes: ONE Arrow decode pass produces both the dimension
-    features and (via the shared codec path) the perceptual hash; exact
-    dedup is a fingerprint groupBy; near-dup removal reuses the
-    chunk-pigeonhole miner + connected components with the min-id
-    election, so everything after the decode moves small rows.
+    Stage shapes (r13 optimization round, guide §8 "decide with small
+    rows, move big rows once"): ONE Arrow pass over the payloads
+    produces EVERY decision input — header dimensions, payload sha1,
+    and (when the perceptual stage is on) the perceptual hash from a
+    single full decode; the r12 path decoded the corpus TWICE (a full
+    decode in the feature pass whose mean_pixel was then discarded, and
+    a second full decode inside ``image_near_duplicates``) and carried
+    ``payload`` through the gate/dedup joins. Every gate, the exact
+    fingerprint groupBy, the chunk-pigeonhole near-dup miner and the
+    connected-components keeper election now run on the 40-byte
+    decision rows alone; payloads are touched exactly twice — the
+    decode pass and one final semi-join that selects the surviving
+    rows. When the perceptual stage is OFF, no full pixel decode
+    happens at all (dimensions are O(header), sha1 is a byte hash).
     ``near_dup_hamming=None`` skips the perceptual stage (the remaining
     pipeline is fully SQL-checkable; the closure stage is too, on
     closed-form corpora)."""
+    from codd_spark.operators.dedup import hamming_banded_pairs
     from codd_spark.operators.graph import dedup_clusters
 
-    feats = decode_image_features(df, decode=decode).select(
-        F.col("media_id").alias(id_col), "width", "height", "sha1"
+    if decode not in ("fake", "real"):
+        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
+    if method not in ("dhash", "phash"):
+        raise ValueError(f"method must be 'dhash' or 'phash', got {method!r}")
+    with_sig = near_dup_hamming is not None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from codd_spark.functions import codecs
+
+        kernel = imaging.dhash64 if method == "dhash" else imaging.phash64
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "width", "height", "sha1", "sig")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload or b"")
+                if decode == "real":
+                    w, h, _ch = codecs.image_info(payload)
+                    if with_sig:
+                        sig = kernel(codecs.decode_image(payload))
+                    else:
+                        sig = 0
+                else:
+                    w, h = _fake_dims(payload)
+                    if with_sig:
+                        hh = hashlib.sha1(payload).digest()
+                        arr = np.frombuffer((hh * 4)[:72], dtype=np.uint8).reshape(8, 9)
+                        sig = kernel(arr)
+                    else:
+                        sig = 0
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sha1"].append(hashlib.sha1(payload).hexdigest())
+                rows["sig"].append(sig)
+            out = pd.DataFrame(rows)
+            out["media_id"] = out["media_id"].astype("int64")
+            out["sig"] = out["sig"].astype("int64")
+            yield out
+
+    feats_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("sha1", StringType()),
+            StructField("sig", LongType()),
+        ]
     )
-    # feats is corpus-derived (one row per payload) — plain join, let
-    # AQE pick the strategy
-    kept = df.join(feats, on=id_col).filter(
+    # lazy checkpoint: the decision table materializes inside whichever
+    # job touches it first and every later reference (gates, exact
+    # winners, pair miner, keeper election) reads the same blocks — the
+    # payloads are never decoded twice, and the blocks are GC-reclaimed
+    # with the returned DataFrame
+    feats = (
+        df.select("media_id", "payload")
+        .mapInPandas(run, schema=feats_schema)
+        .withColumnRenamed("media_id", id_col)
+        .localCheckpoint(eager=False)
+    )
+    gated = feats.filter(
         (F.col("width") >= min_width) & (F.col("height") >= min_height)
     )
     if max_aspect is not None:
-        kept = kept.filter(
+        gated = gated.filter(
             F.greatest("width", "height").cast("double")
             / F.least("width", "height")
             <= max_aspect
         )
     if exact_dedup:
         # deterministic keeper = min id per exact payload hash
-        winners = kept.groupBy("sha1").agg(F.min(id_col).alias(id_col))
-        kept = kept.join(winners, on=["sha1", id_col])
-    kept = kept.drop("width", "height", "sha1")
+        winners = gated.groupBy("sha1").agg(F.min(id_col).alias(id_col))
+        gated = gated.join(winners, on=["sha1", id_col])
     if near_dup_hamming is not None:
-        pairs = image_near_duplicates(
-            kept.select(F.col(id_col).alias("media_id"), "payload"),
-            method=method,
-            decode=decode,
+        pairs = hamming_banded_pairs(
+            gated.select(F.col(id_col).alias("id"), "sig"),
             max_hamming=near_dup_hamming,
+            n_chunks=4,
             max_bucket_size=max_bucket_size,
         )
         keepers = (
             dedup_clusters(
-                kept.select(F.col(id_col).alias("media_id")),
+                gated.select(F.col(id_col).alias("media_id")),
                 pairs,
                 "media_id",
                 "id_a",
@@ -1334,5 +1462,6 @@ def curate_media(
             .filter("is_keeper")
             .select(F.col("media_id").alias(id_col))
         )
-        kept = kept.join(keepers.hint("shuffle_merge"), on=id_col, how="left_semi")
-    return kept
+    else:
+        keepers = gated.select(id_col)
+    return df.join(keepers.hint("shuffle_merge"), on=id_col, how="left_semi")
