@@ -2396,18 +2396,22 @@ def q_events_resample_stream(spark, sf_dir):
     import uuid as _uuid
 
     from codd_spark.streaming.stateful import streaming_resample
+    from codd_spark.streaming.structured import stateful_stream_partitions
 
     sdf = _events_stream(spark, sf_dir).filter("user_id < 20")
     out = streaming_resample(sdf, "ts", "value", key_col="user_id", unit="hour")
     name = f"events_resample_stream_{_uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # input-sized state partitions (r13 optimization round — see
+    # q_events_hourly_stream)
+    with stateful_stream_partitions(spark, _events_input_bytes(sf_dir)):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "user_id",
         F.unix_timestamp(F.col("bucket").cast("timestamp"))
@@ -2501,20 +2505,24 @@ def q_streaming_scd2(spark, sf_dir):
     import uuid as _uuid
 
     from codd_spark.streaming.stateful import streaming_scd2
+    from codd_spark.streaming.structured import stateful_stream_partitions
 
     sdf = _events_stream(spark, sf_dir).filter("user_id < 20")
     out = streaming_scd2(
         sdf, "user_id", ["event_type"], "ts", tiebreak_cols=["event_id"]
     )
     name = f"streaming_scd2_{_uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # input-sized state partitions (r13 optimization round — see
+    # q_events_hourly_stream)
+    with stateful_stream_partitions(spark, _events_input_bytes(sf_dir)):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "user_id",
         "event_type",
@@ -2539,18 +2547,22 @@ def q_streaming_drift(spark, sf_dir):
     import uuid as _uuid
 
     from codd_spark.streaming.stateful import streaming_drift
+    from codd_spark.streaming.structured import stateful_stream_partitions
 
     sdf = _events_stream(spark, sf_dir).filter("user_id < 20")
     out = streaming_drift(sdf, "ts", "value", key_col="user_id", unit="day")
     name = f"streaming_drift_{_uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # input-sized state partitions (r13 optimization round — see
+    # q_events_hourly_stream)
+    with stateful_stream_partitions(spark, _events_input_bytes(sf_dir)):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "user_id", "bucket_epoch", "n_prev", "n_cur", "ks"
     )
@@ -2770,6 +2782,17 @@ def q_incremental_agg_view(spark, sf_dir):
     )
 
 
+def _events_input_bytes(sf_dir):
+    """Byte size of the events source feeding the streaming rows — input
+    for the scale-adaptive stateful-stream partition rule (stateful
+    streaming exchanges get no AQE coalescing, so the partition count is
+    derived from input size instead; streaming/structured.py::
+    stateful_stream_partitions)."""
+    from codd_spark.streaming.structured import local_input_bytes
+
+    return local_input_bytes(f"{sf_dir}/events.parquet")
+
+
 def _events_stream(spark, sf_dir):
     """Streaming source over the events table, robust to both layouts:
     a single events.parquet FILE (driver testdata — stream the parent dir
@@ -2859,14 +2882,21 @@ def q_click_purchase_stream_join(spark, sf_dir):
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
     )
     name = f"click_purchase_stream_{_uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # input-sized state partitions (r13 optimization round — see
+    # q_events_hourly_stream; both join sides stream the same source, so
+    # size on 2x the events bytes)
+    from codd_spark.streaming.structured import stateful_stream_partitions
+
+    _eb = _events_input_bytes(sf_dir)
+    with stateful_stream_partitions(spark, None if _eb is None else 2 * _eb):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -3066,20 +3096,26 @@ def q_events_hourly_stream(spark, sf_dir):
     Kafka sink instead of memory."""
     import uuid as _uuid
 
+    from codd_spark.streaming.structured import stateful_stream_partitions
+
     sdf = _events_stream(spark, sf_dir)
     agg = sdf.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
         F.count("*").alias("cnt"),
         F.sum(F.col("value").cast("decimal(25,10)")).cast("double").alias("sum_value"),
     )
     name = f"events_hourly_stream_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state partitions sized from the input (r13 optimization round):
+    # stateful exchanges are AQE-exempt and each state partition costs
+    # ~0.6 s of store overhead per micro-batch
+    with stateful_stream_partitions(spark, _events_input_bytes(sf_dir)):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         F.unix_timestamp(F.col("w.start")).cast("bigint").alias("hour_epoch"),
         "event_type",
