@@ -42,6 +42,24 @@ def _safe_unpersist(df: DataFrame) -> None:
         pass
 
 
+def _eager_cache(df: DataFrame) -> DataFrame:
+    """persist() + materialize NOW (one cheap count job).
+
+    A lazily persisted plan consumed by several shuffle subtrees is NOT
+    computed once: AQE submits every ready leaf stage concurrently, and
+    each one that finds the cache unpopulated evaluates the full child
+    plan itself (stage-level profile, r13 optimization round: the
+    120-hash shingle pipeline executed 3x inside one action — the OPH
+    aggregate and both exact-verify join sides raced; set-similarity's
+    ordered-token cache raced 4 ways). Paying one up-front count job
+    pins exactly one evaluation; every subsequent stage reads the cache.
+    The count also runs the plan at full scan parallelism, which the
+    coalesced single-stage evaluations did not."""
+    df = df.persist()
+    df.count()
+    return df
+
+
 def _attach_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Give ``result`` an explicit, deterministic cache lifecycle.
 
@@ -181,9 +199,27 @@ def _ngrams_of_attr(toks: Column, n: int) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard similarity of two array-set columns."""
+    """Exact Jaccard similarity of two array-set columns. Accepts arrays
+    WITH duplicates (array_union/array_intersect both dedup), so it is
+    safe for raw n-gram transforms; pipelines whose arrays are already
+    distinct should use :func:`jaccard_distinct` (half the per-pair
+    hash-set work)."""
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(0.0)
+
+
+def jaccard_distinct(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two DISTINCT-element array columns: the union
+    size is |A| + |B| - |A∩B| by inclusion-exclusion, so only the
+    intersection builds a hash set — array_union (a second O(|A|+|B|)
+    set build per pair) drops out of the verify hot loop (r13: the
+    exact-verify stage was the single largest CPU block in the fuzzy
+    dedup family). IDENTICAL output to :func:`jaccard` whenever both
+    inputs are duplicate-free — which the hashed-shingle projections
+    guarantee by construction (array_distinct upstream)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
     return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(0.0)
 
 
@@ -378,20 +414,29 @@ def minhash_near_duplicates(
     normed = df.repartition(parallelism, F.col(id_col)).select(
         F.col(id_col).alias("id"), normalize_ws(F.col(text_col)).alias("__t")
     )
-    # Persist the hashed-shingle projection: it feeds BOTH the signature
-    # path and the exact-Jaccard verification join; without this the
-    # shingling (the most expensive stage) runs twice. Shingles are stored
-    # as xxhash64 longs, never as strings (see _hashed_shingles_of_attr).
-    # At true corpus scale swap the persist for a write to a bucketed
-    # table (see sinks).
-    shingled = normed.select(
-        "id", _hashed_shingles_of_attr(F.col("__t"), shingle_k).alias("sh")
-    ).persist()
+    # Persist the hashed-shingle projection EAGERLY: it feeds the OPH
+    # signature aggregate, the id grid, and BOTH exact-Jaccard verify
+    # join sides — four AQE leaf stages that would otherwise each
+    # re-evaluate the shingling before any of them populates the lazy
+    # cache (profiled r13: the shingle stage executed 3x per action).
+    # Shingles are stored as xxhash64 longs, never as strings (see
+    # _hashed_shingles_of_attr). At true corpus scale swap the persist
+    # for a write to a bucketed table (see sinks).
+    shingled = _eager_cache(
+        normed.select(
+            "id", _hashed_shingles_of_attr(F.col("__t"), shingle_k).alias("sh")
+        )
+    )
     exploded = shingled.select("id", F.explode(F.col("sh")).alias("h64")).select(
         "id", F.pmod(F.col("h64"), F.lit(_P)).alias("h")
     )
     if sig_method == "oph":
-        sigs = _oph_signatures(exploded, num_hashes, shingled.select("id"))
+        # the OPH grid needs one row per doc id — take it from the cheap
+        # pre-shingle projection (id column only; the normalize/shingle
+        # expressions prune away), not from the cached ARRAY table: a
+        # columnar array<long> cache is expensive to scan, and this was
+        # one of its four readers (r13 stage profile)
+        sigs = _oph_signatures(exploded, num_hashes, normed.select("id"))
     elif sig_method == "kmin":
         coeffs = _coeffs(num_hashes, seed)
         sig_df = exploded.groupBy("id").agg(
@@ -443,7 +488,7 @@ def minhash_near_duplicates(
             sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")).hint("shuffle_merge"),
             on="id_b",
         )
-        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .withColumn("jaccard", F.round(jaccard_distinct(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -571,9 +616,14 @@ def shared_key_overlap_pairs(
     ``release_cache()``/finalizer."""
     from pyspark.sql.window import Window as _W
 
-    ex = rows.select(
-        F.col(rows.columns[0]).alias("id"), F.col(rows.columns[1]).alias("fp")
-    ).persist()
+    # eager: the bucket-guard window and the per-id size aggregate are
+    # concurrent AQE leaf consumers — a lazy cache would let both re-run
+    # the caller's (expensive) fingerprint pipeline (see _eager_cache)
+    ex = _eager_cache(
+        rows.select(
+            F.col(rows.columns[0]).alias("id"), F.col(rows.columns[1]).alias("fp")
+        )
+    )
     sizes = ex.groupBy("id").agg(F.count("*").alias("nf"))
     guarded = (
         ex.withColumn("bsz", F.count("*").over(_W.partitionBy("fp")))
@@ -797,7 +847,7 @@ def set_similarity_join(
         # prefix). The robust default for natural-language corpora.
         tok = sets.select("id", F.explode("toks").alias("tok"))
         dfreq = tok.groupBy("tok").agg(F.count("*").alias("dfc"))
-        ordered = (
+        ordered = _eager_cache(
             tok.hint("shuffle_merge")
             .join(dfreq, "tok")
             .groupBy("id")
@@ -807,7 +857,6 @@ def set_similarity_join(
                 F.transform("ord", lambda s: s["tok"]).alias("toks"),
                 F.size("ord").alias("sz"),
             )
-            .persist()
         )
     elif order == "hash":
         # hash canonical order: any global total order keeps the prefix
@@ -816,9 +865,14 @@ def set_similarity_join(
         # pure projection (no stats pass, two fewer shuffles); the right
         # choice when document frequency is near-uniform, where
         # rarest-first buys nothing.
-        ordered = sets.select(
-            "id", F.array_sort("toks").alias("toks"), F.size("toks").alias("sz")
-        ).persist()
+        # eager: the index/probe prefix explodes and both verify join
+        # sides are four AQE leaf consumers — a lazy cache would let each
+        # re-run the tokenize+hash+sort pipeline (see _eager_cache)
+        ordered = _eager_cache(
+            sets.select(
+                "id", F.array_sort("toks").alias("toks"), F.size("toks").alias("sz")
+            )
+        )
     else:
         raise ValueError(f"order must be 'df' or 'hash', got {order!r}")
     # Asymmetric PPJoin prefixes: every candidate pair is oriented
@@ -937,13 +991,20 @@ def _minhash_prep(
     normed = df.repartition(parallelism, F.col(id_col)).select(
         F.col(id_col).alias("id"), normalize_ws(F.col(text_col)).alias("__t")
     )
-    shingled = normed.select(
-        "id", _hashed_shingles_of_attr(F.col("__t"), shingle_k).alias("sh")
-    ).persist()
+    # eager (r13): the signature aggregate, the OPH id grid and the
+    # callers' verify joins are concurrent AQE leaf stages — a lazy
+    # cache lets each re-run the shingling (see _eager_cache)
+    shingled = _eager_cache(
+        normed.select(
+            "id", _hashed_shingles_of_attr(F.col("__t"), shingle_k).alias("sh")
+        )
+    )
     exploded = shingled.select("id", F.explode(F.col("sh")).alias("h64")).select(
         "id", F.pmod(F.col("h64"), F.lit(_P)).alias("h")
     )
-    sigs = _oph_signatures(exploded, num_hashes, shingled.select("id"))
+    # grid ids from the cheap pre-shingle projection, not the array cache
+    # (same move as minhash_near_duplicates — one fewer cache reader)
+    sigs = _oph_signatures(exploded, num_hashes, normed.select("id"))
     buckets = sigs.select(
         "id", F.explode(_band_structs(F.col("sig"), bands, r)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.h").alias("h"))
@@ -995,14 +1056,13 @@ def cross_near_duplicates(
         tagged, "__xid", "__txt",
         num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
     )
-    # persist the guarded buckets: BOTH side-branches below read them, and
-    # without the cache the whole signature pipeline would execute twice
-    sized = (
+    # persist the guarded buckets EAGERLY: BOTH side-branches below read
+    # them concurrently, and a lazy cache would let each run the whole
+    # signature+guard pipeline itself (see _eager_cache)
+    sized = _eager_cache(
         buckets.withColumn(
             "bsz", F.count("*").over(Window.partitionBy("band", "h"))
-        )
-        .filter(F.col("bsz") <= max_bucket_size)
-        .persist()
+        ).filter(F.col("bsz") <= max_bucket_size)
     )
     lb = sized.filter(F.col("id") % 2 == 0).select(
         "band", "h", (F.col("id") / 2).cast("long").alias("id_l")
@@ -1024,7 +1084,7 @@ def cross_near_duplicates(
     verified = (
         cand.join(lsh_side.hint("shuffle_merge"), on="id_l")
         .join(rsh_side.hint("shuffle_merge"), on="id_r")
-        .withColumn("jaccard", F.round(jaccard(F.col("sh_l"), F.col("sh_r")), 6))
+        .withColumn("jaccard", F.round(jaccard_distinct(F.col("sh_l"), F.col("sh_r")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_l", "id_r", "jaccard")
     )
@@ -1207,22 +1267,33 @@ def duplicate_spans(
     """
     from codd_spark.functions.text import tokens
 
-    toked = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks"))
+    # repartition by id first + cache the window stream eagerly (r13):
+    # the per-position window hashing (concat_ws over a k-token slice +
+    # xxhash64, the operator's dominant CPU) otherwise runs at the
+    # input's split count — single-task for a one-file corpus — and runs
+    # TWICE, because both the repeated-hash aggregate and the flag join
+    # consume `wins` as concurrent AQE leaf stages.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toked = df.repartition(par, F.col(id_col)).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
+    )
     n_wins = F.size(F.col("__toks")) - (k - 1)
     # guard: sequence(1, 0) would generate a DESCENDING [1, 0] — docs
     # shorter than one window must contribute no rows, not partial hashes
     positions = F.when(n_wins >= 1, F.sequence(F.lit(1), n_wins)).otherwise(
         F.array().cast("array<int>")
     )
-    wins = toked.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                positions,
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("__toks"), i, k))),
-            )
-        ).alias("pos0", "h"),
-    ).select("id", (F.col("pos0") + 1).alias("pos"), "h")
+    wins = _eager_cache(
+        toked.select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    positions,
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("__toks"), i, k))),
+                )
+            ).alias("pos0", "h"),
+        ).select("id", (F.col("pos0") + 1).alias("pos"), "h")
+    )
 
     repeated = (
         wins.groupBy("h").agg(F.count("*").alias("__c")).filter(F.col("__c") >= min_count)
@@ -1253,7 +1324,9 @@ def duplicate_spans(
             F.col("id").alias(id_col), "span_start", "span_end", "n_windows"
         )
     )
-    return spans
+    # the cached window stream must be released once the caller is done
+    # (same contract as every cached dedup pipeline)
+    return _attach_release(spans, wins)
 
 
 def remove_spans(
@@ -2616,7 +2689,7 @@ class IncrementalDecontaminator:
                 ).hint("shuffle_merge"),
                 on="id_r",
             )
-            .withColumn("jaccard", F.round(jaccard(F.col("sh_l"), F.col("sh_r")), 6))
+            .withColumn("jaccard", F.round(jaccard_distinct(F.col("sh_l"), F.col("sh_r")), 6))
             .filter(F.col("jaccard") >= self.threshold)
             .select("id_l", "id_r", "jaccard")
         )
@@ -2908,7 +2981,7 @@ class IncrementalDeduplicator:
             # same rounded comparison as minhash_near_duplicates, so the
             # one-batch case matches fuzzy_dedup pair-for-pair
             .filter(
-                F.round(jaccard(F.col("sh_l"), F.col("sh_r")), 6) >= self.threshold
+                F.round(jaccard_distinct(F.col("sh_l"), F.col("sh_r")), 6) >= self.threshold
             )
             .select("id_l", "id_r")
         )
@@ -2919,11 +2992,12 @@ class IncrementalDeduplicator:
         from codd_spark.operators.graph import dedup_clusters
 
         bb_raw, bsh = _minhash_prep(batch, self.id_col, self.text_col, **self.params)
-        # persist the guarded buckets: the within-batch self-join reads
-        # them twice and the keeper/cross/state stages read them again —
-        # without the cache the whole 120-hash signature pipeline
-        # re-executes per consumer (measured ~1.9x per-arrival cost)
-        bb = self._guard(bb_raw).persist()
+        # persist the guarded buckets EAGERLY: the within-batch self-join
+        # reads them twice and the keeper/cross/state stages read them
+        # again — concurrent AQE leaf stages over a lazy cache would each
+        # re-execute the 120-hash signature pipeline (measured ~1.9x
+        # per-arrival cost lazily-persisted, worse unpersisted)
+        bb = _eager_cache(self._guard(bb_raw))
 
         # 1. within-batch closure -> min-id keeper per cluster
         cand_in = (
@@ -3480,7 +3554,17 @@ def exact_substring_spans(
     L = int(min_len)
     if L < 2:
         raise ValueError(f"min_len must be >= 2 (got {min_len})")
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
+    # repartition by id first (r13): both window-hash passes (the bare
+    # phase-1 hash stream and the candidate position stream) explode one
+    # xxhash per CHARACTER of the corpus — the operator's dominant CPU —
+    # and a one-file input would serialize each pass onto a single task
+    # (profiled: 2 x 3.5 s single-task stages at sf0.1). The exchange
+    # carries only (id, text); both passes hang off the SAME repartition
+    # node, so the shuffle is written once and reused.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__txt")
+    ).repartition(par, F.col("id"))
     txt = F.col("__txt")
     # sequence(0, len-L) would DESCEND for docs shorter than one window —
     # they must contribute no rows

@@ -118,10 +118,27 @@ def connected_components(
     # Checkpoint BEFORE deriving labels: the edge list's lineage is the
     # whole upstream pair miner (e.g. the full MinHash pipeline), and a
     # labels chain rooted at the UNcheckpointed edges would re-run that
-    # miner once more in round 1 (measured: fuzzy_dedup 21 -> 9 s warm)
+    # miner once more in round 1 (measured: fuzzy_dedup 21 -> 9 s warm).
+    # Both directions come from ONE explode over a single read of
+    # ``pairs`` — not a union of two selects — so the upstream miner is
+    # evaluated once by construction: the union's two legs were separate
+    # AQE leaf stages that each re-ran the (lazily cached) verify tail
+    # before either populated its cache (profiled r13: two ~35 s-CPU
+    # evaluations of the exact-Jaccard verify inside one action).
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.src", "__e.dst")
         .distinct()
         .localCheckpoint(eager=False)
     )

@@ -137,7 +137,12 @@ def winnowing_fingerprints(
     # normalize_ws ONCE per document, every per-row expression reads
     # attributes — and costs ONE corpus-linear exchange: the groupBy
     # reuses the window's id partitioning.
-    normed = df.select(
+    # repartition by id BEFORE the per-position hashing — same move as
+    # _winnowing_fp_rows (r13): the window needs hashpartitioning(id)
+    # anyway, so the exchange carries (id, text) instead of exploded
+    # gram rows and the k-gram hashing runs at full parallelism.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    normed = df.repartition(par, F.col(id_col)).select(
         F.col(id_col).alias("id"), normalize_ws(F.col(text_col)).alias("t")
     )
     n_grams = F.greatest(F.length("t") - (k - 1), F.lit(1))
@@ -187,7 +192,16 @@ def _winnowing_fp_rows(
         def h(c):
             return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
-    normed = df.select(
+    # repartition by id BEFORE the per-position k-gram hashing (r13): the
+    # sliding-min window needs hashpartitioning(id) anyway, so putting
+    # the exchange first (a) carries (id, text) bytes instead of the
+    # ~10x larger exploded (id, ng, i, kh) gram rows, and (b) runs the
+    # per-position md5/xxhash — the operator's dominant CPU — at full
+    # parallelism instead of at the input's split count (profiled r13:
+    # a one-file corpus serialized 5 s of hashing onto ONE task). Same
+    # two-exchange plan at any scale; strictly fewer shuffled bytes.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    normed = df.repartition(par, F.col(id_col)).select(
         F.col(id_col).alias("id"), normalize_ws(F.col(text_col)).alias("t")
     )
     n_grams = F.greatest(F.length("t") - (k - 1), F.lit(1))

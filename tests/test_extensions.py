@@ -504,19 +504,39 @@ def test_repetition_stats(spark):
     assert r3["dup_2gram_frac"] == 0.0 and r3["dup_3gram_frac"] == 0.0
 
 
+def _settled_persistent_rdd_count(jsc) -> int:
+    """Persistent-RDD count after the ASYNC cleanup settles: a python
+    gc.collect() only queues py4j finalizers — the JVM ContextCleaner
+    unpersists dead RDDs on its own thread afterwards, so a count read
+    immediately after gc can include entries that vanish mid-test (the
+    r13 full-suite flake: baseline 14 stale entries swept during the
+    query under test, turning the 'caches alive' delta negative). Poll
+    until two consecutive reads agree."""
+    import gc
+    import time
+
+    gc.collect()
+    prev = jsc.getPersistentRDDs().size()
+    for _ in range(25):
+        time.sleep(0.2)
+        cur = jsc.getPersistentRDDs().size()
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
+
+
 def test_minhash_releases_shingle_cache(spark, docs):
     """Explicit cache lifecycle: release_cache() must deterministically
     unpersist every RDD the pipeline cached — no gc-timing dependence, and
     the assertion is scoped to the RDDs this call created so other tests'
     persisted state can't flake it."""
-    import gc
-
     from codd_spark.operators.dedup import minhash_near_duplicates
 
     jsc = spark.sparkContext._jsc.sc()
-    gc.collect()  # settle: drop prior tests' dead cache handles FIRST,
-    # or the baseline counts RDDs that this test's own gc releases
-    before = jsc.getPersistentRDDs().size()
+    # settle prior tests' dead cache handles (incl. the JVM-side async
+    # sweep) FIRST, or the baseline counts RDDs that vanish mid-test
+    before = _settled_persistent_rdd_count(jsc)
     out = minhash_near_duplicates(docs, "doc_id", "text", num_hashes=16, bands=4)
     out.count()  # materialize -> shingle projection is cached
     assert jsc.getPersistentRDDs().size() > before
@@ -535,11 +555,11 @@ def test_decontaminate_adopts_release(spark, docs):
     from codd_spark.operators.dedup import decontaminate
 
     jsc = spark.sparkContext._jsc.sc()
-    gc.collect()  # settle FIRST: in a full-suite run the baseline was
-    # inflated by prior tests' dead cache handles, which this test's own
-    # gc.collect() then released — making the delta negative even though
-    # decontaminate held its caches correctly (r12 flake)
-    before = jsc.getPersistentRDDs().size()
+    # settle FIRST (incl. the JVM ContextCleaner's async sweep): in a
+    # full-suite run the baseline was inflated by prior tests' dead cache
+    # handles being swept DURING clean.count(), making the delta negative
+    # even though decontaminate held its caches correctly (r12+r13 flake)
+    before = _settled_persistent_rdd_count(jsc)
     clean = decontaminate(docs, docs.limit(2), "doc_id", "text",
                           num_hashes=16, bands=4)
     gc.collect()  # the intermediate pairs object is gone — caches must survive
