@@ -4283,19 +4283,26 @@ def q_langid_real_text(spark, sf_dir):
     every char 2..4-gram, all six class LMs, and the argmax.
     sf-independent by design (the fixture is the corpus)."""
     from codd_spark.operators.classify import (
+        hashed_char_ngram_features,
         nb_multiclass_score,
         nb_multiclass_train,
         udhr_lang_docs,
     )
 
     corpus = udhr_lang_docs(spark)
+    # featurize ONCE and slice (the langid_chargram featurize-once move,
+    # r13): train and score otherwise each run their own char-gram pass,
+    # and the score plan consumes its pass twice
+    feats_all = hashed_char_ngram_features(
+        corpus, n_features=4096
+    ).localCheckpoint(eager=True)
     model = nb_multiclass_train(
         corpus.filter("doc_id % 5 != 4"), "y", n_features=4096,
-        features="char",
+        features="char", feats=feats_all.filter("id % 5 != 4"),
     )
     return nb_multiclass_score(
         corpus.filter("doc_id % 5 = 4"), model, n_features=4096,
-        features="char",
+        features="char", feats=feats_all.filter("id % 5 = 4"),
     )
 
 

@@ -54,6 +54,15 @@ class PersistentANNIndex:
         # committed data generations: 0 = the build; each add_vectors
         # publishes one more. Pre-r11 manifests carry no key -> [0].
         self.gens = list(manifest.get("gens", [0]))
+        # reader-plan cache, keyed on (table, committed-generation set):
+        # generation dirs are immutable once committed, so the DataFrame
+        # (a plan + file listing, not data) can be reused across probes —
+        # every arrival's top_k otherwise pays one parquet footer/schema
+        # job PER GENERATION PER TABLE (r13: the semantic-gate row was
+        # job-count-bound, ~23 driver round-trips per run). An append or
+        # compact changes ``gens`` and therefore the key, so stale plans
+        # are never consulted.
+        self._gen_df_cache: dict = {}
 
     # -- generation layout ---------------------------------------------
 
@@ -68,13 +77,19 @@ class PersistentANNIndex:
         """Union-read the COMMITTED generations of one table. Each
         generation dir is read as its own root (IVF dirs are
         list_id-partitioned; per-root reads keep partition pruning
-        static — no ambiguous multi-basePath discovery)."""
+        static — no ambiguous multi-basePath discovery). The assembled
+        plan is cached per (table, generation set) — see __init__."""
+        key = (base, tuple(self.gens))
+        cached = self._gen_df_cache.get(key)
+        if cached is not None:
+            return cached
         dfs = [
             self.spark.read.parquet(self._gen_dir(base, g)) for g in self.gens
         ]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
+        self._gen_df_cache[key] = out
         return out
 
     def _sweep_orphan_gens(self) -> int:

@@ -138,7 +138,12 @@ def nb_linear_train(
             F.log(F.col("ct0") + F.lit(aD)) - F.log(F.col("ct1") + F.lit(aD))
         ).alias("w_unseen"),
     )
-    return w.unionByName(consts)
+    # materialize the model NOW (bounded at n_features + 1 rows): the
+    # scorer broadcasts the weights and the consts as SEPARATE broadcast
+    # relations (three in the binary scorer), and each broadcast build of
+    # a lazy model plan re-runs the whole training — featurization
+    # included (r13 stage profile: 2-3 training evaluations per score)
+    return w.unionByName(consts).localCheckpoint(eager=True)
 
 
 def nb_linear_score(
@@ -340,7 +345,10 @@ def nb_multiclass_train(
             F.lit(None).cast("double").alias("w_unseen"),
         )
     )
-    return w.unionByName(consts)
+    # bounded model, materialized now — the scorer's two broadcast
+    # builds (weights, consts) would otherwise each re-run the training
+    # (see nb_linear_train)
+    return w.unionByName(consts).localCheckpoint(eager=True)
 
 
 def nb_multiclass_score(

@@ -198,15 +198,39 @@ def _ngrams_of_attr(toks: Column, n: int) -> Column:
     )
 
 
+def let1(value: Column, body) -> Column:
+    """Single-evaluation let-binding: evaluate ``value`` ONCE, then
+    compute ``body(bound_value)`` — via a one-element higher-order
+    transform, whose lambda variable is bound to the already-computed
+    element. Why this exists (r13): Catalyst freely inlines
+    deterministic column aliases when it pushes a filter into a join
+    condition (and when it collapses projects), so an expression like
+    ``when(union > 0, inter / union) >= t`` lands in the SortMergeJoin
+    condition with ``array_intersect`` spelled out THREE times — three
+    O(|A|+|B|) hash-set builds per candidate pair (read straight off
+    the executed plan). A lambda variable cannot be inlined, so the
+    binding survives every rewrite and the expensive subexpression is
+    computed exactly once wherever the predicate ends up."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two array-set columns. Accepts arrays
     WITH duplicates (array_union/array_intersect both dedup), so it is
     safe for raw n-gram transforms; pipelines whose arrays are already
     distinct should use :func:`jaccard_distinct` (half the per-pair
-    hash-set work)."""
-    inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
-    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(0.0)
+    hash-set work). Both set builds are let-bound (:func:`let1`), so a
+    filter over this value costs exactly one intersect + one union per
+    row no matter where the optimizer moves it."""
+    return let1(
+        F.size(F.array_intersect(a, b)),
+        lambda inter: let1(
+            F.size(F.array_union(a, b)),
+            lambda union: F.when(
+                union > 0, inter.cast("double") / union.cast("double")
+            ).otherwise(0.0),
+        ),
+    )
 
 
 def jaccard_distinct(a: Column, b: Column) -> Column:
@@ -215,12 +239,20 @@ def jaccard_distinct(a: Column, b: Column) -> Column:
     intersection builds a hash set — array_union (a second O(|A|+|B|)
     set build per pair) drops out of the verify hot loop (r13: the
     exact-verify stage was the single largest CPU block in the fuzzy
-    dedup family). IDENTICAL output to :func:`jaccard` whenever both
-    inputs are duplicate-free — which the hashed-shingle projections
-    guarantee by construction (array_distinct upstream)."""
-    inter = F.size(F.array_intersect(a, b))
-    union = F.size(a) + F.size(b) - inter
-    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(0.0)
+    dedup family), and the intersection itself is let-bound
+    (:func:`let1`) so predicate pushdown cannot re-inline it into a
+    multi-evaluation join condition. IDENTICAL output to
+    :func:`jaccard` whenever both inputs are duplicate-free — which the
+    hashed-shingle projections guarantee by construction
+    (array_distinct upstream)."""
+    sa, sb = F.size(a), F.size(b)
+    return let1(
+        F.size(F.array_intersect(a, b)),
+        lambda inter: F.when(
+            sa + sb - inter > 0,
+            inter.cast("double") / (sa + sb - inter).cast("double"),
+        ).otherwise(0.0),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -952,9 +984,17 @@ def set_similarity_join(
     tb = ordered.select(
         F.col("id").alias("id_b"), F.col("toks").alias("toks_b"), F.col("sz").alias("vsz_b")
     )
-    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
-    union = F.col("vsz_a") + F.col("vsz_b") - inter
-    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(0.0)
+    # let-bound intersection (see let1): the >= threshold filter below is
+    # pushed into the verify join's condition, where an inlined alias
+    # would re-evaluate array_intersect three times per candidate pair
+    jac = let1(
+        F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))),
+        lambda inter: F.when(
+            F.col("vsz_a") + F.col("vsz_b") - inter > 0,
+            inter.cast("double")
+            / (F.col("vsz_a") + F.col("vsz_b") - inter).cast("double"),
+        ).otherwise(0.0),
+    )
     out = (
         cands.hint("shuffle_merge")
         .join(ta, "id_a")

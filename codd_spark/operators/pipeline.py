@@ -878,6 +878,7 @@ def curate_text_pipeline(
     ``nb_multiclass_load`` instead — the in-pipeline training keeps the
     contract engine-replayable end to end)."""
     from codd_spark.operators.classify import (
+        hashed_char_ngram_features,
         nb_multiclass_score,
         nb_multiclass_train,
     )
@@ -887,22 +888,38 @@ def curate_text_pipeline(
     kept_urls = url_dedup(df, id_col, url_col).select(id_col)
     # stage boundaries are MATERIALIZED (eager localCheckpoint): each
     # downstream stage reads its input several times (NB train + score
-    # both featurize `kept`; the bigram LM's three aggregates and the
-    # rank all re-read `lang_kept`), and without the cut every read
-    # replays the whole upstream chain — measured 6x the pipeline cost
-    # at sf0.1. Checkpoints are O(surviving corpus) rows, GC-managed.
+    # both consume the feature table; the bigram LM's three aggregates
+    # and the rank all re-read `lang_kept`), and without the cut every
+    # read replays the whole upstream chain — measured 6x the pipeline
+    # cost at sf0.1. Checkpoints are O(surviving corpus) rows,
+    # GC-managed.
     kept = df.join(
         kept_urls.hint("shuffle_merge"), on=id_col, how="left_semi"
+    ).localCheckpoint(eager=True)
+
+    # featurize ONCE (r13 — the langid_chargram featurize-once move,
+    # VERDICT r12 item 9, applied to the composed pipeline): the char
+    # 2..4-gram pass is the pipeline's dominant CPU and used to run
+    # twice (train + score each featurized `kept`). One materialized
+    # (id, feature, x) table feeds both; the trainer's label join
+    # restricts it to the training split. The spine is spread to full
+    # parallelism first — `kept` is a post-join checkpoint that AQE has
+    # typically coalesced to a handful of partitions, which would
+    # serialize the substr->md5->count chain.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    feats_all = hashed_char_ngram_features(
+        kept.repartition(par, F.col(id_col)), id_col, text_col,
+        n_features=lang_model_features,
     ).localCheckpoint(eager=True)
 
     train = kept.filter(train_filter) if train_filter else kept
     model = nb_multiclass_train(
         train, "y", id_col, text_col,
-        n_features=lang_model_features, features="char",
+        n_features=lang_model_features, features="char", feats=feats_all,
     )
     scored = nb_multiclass_score(
         kept, model, id_col, text_col,
-        n_features=lang_model_features, features="char",
+        n_features=lang_model_features, features="char", feats=feats_all,
     ).select(id_col, F.col("pred").alias("pred_lang"))
     lang_kept = (
         kept.join(scored, on=id_col)

@@ -922,44 +922,76 @@ def pq_top_k(
     """Asymmetric-distance (ADC) approximate top-k over PQ codes.
 
     The distance lookup table — d(query_subvector, centroid) for every
-    (subspace, code) — is computed ONCE per query as a projection on the
-    (small, broadcast) query side. The corpus join then costs m
-    array-lookups + adds per pair instead of a dim-length dot product:
-    per-pair work drops from O(dim) to O(m), on a corpus table 32×
-    smaller than the raw embeddings. Pass ``rerank`` (the original
-    embedding table) to exact-rerank the top rerank_factor·k ADC
-    candidates per query — recovers most quantization-loss recall for one
-    extra (candidates-only) join.
+    (subspace, code) — is computed ONCE per query as DATA, not as an
+    expression tree: the codebooks become a tiny broadcast DataFrame of
+    (subspace j, code c, centroid) rows, each query cross-joins it
+    (m·k_cb rows per query), one small distance expression scores every
+    row, and a per-query aggregate reassembles the m×k_cb table sorted
+    by (j, c). Per-element arithmetic — zip_with of the query's
+    j-th slice against the centroid, (x−y)² folded left from 0.0 — is
+    identical to evaluating one aggregate per centroid inline, so the
+    LUT values are bitwise unchanged; what changes is the PLAN: the old
+    inline form built m·k_cb aggregate subtrees (128 at the default
+    8×16), thousands of py4j calls and a plan the analyzer chewed on
+    for seconds per run (guide §7.3 "gigantic expression trees in
+    loops"), and it grew with k_cb — this form is constant-size at any
+    codebook size. The corpus join then costs m array-lookups + adds
+    per pair instead of a dim-length dot product: per-pair work drops
+    from O(dim) to O(m), on a corpus table 32× smaller than the raw
+    embeddings. Pass ``rerank`` (the original embedding table) to
+    exact-rerank the top rerank_factor·k ADC candidates per query —
+    recovers most quantization-loss recall for one extra
+    (candidates-only) join.
     """
     m = len(codebooks)
+    k_cb = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    if any(len(b) != k_cb or any(len(c) != sub for c in b) for b in codebooks):
+        raise ValueError("pq_top_k: ragged codebooks (uniform m x k x sub expected)")
 
-    def lut_for(q: Column) -> Column:
-        subs = []
-        for j, book in enumerate(codebooks):
-            sub = len(book[0])
-            qsub = F.slice(q, j * sub + 1, sub)
-            subs.append(
-                F.array(
-                    *[
-                        F.aggregate(
-                            F.zip_with(
-                                qsub,
-                                _lit_vec(c),
-                                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                            ),
-                            F.lit(0.0),
-                            lambda acc, v: acc + v,
-                        )
-                        for c in book
-                    ]
-                )
-            )
-        return F.array(*subs)
-
-    qlut = queries.select(
-        F.col(query_id_col),
-        F.col(query_emb_col).alias("_qemb"),
-        lut_for(F.col(query_emb_col)).alias("_lut"),
+    spark = queries.sparkSession
+    cbdf = spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in book[c]])
+            for j, book in enumerate(codebooks)
+            for c in range(k_cb)
+        ],
+        "j INT, c INT, _cent ARRAY<DOUBLE>",
+    )
+    d_expr = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("_q"), F.col("j") * sub + 1, sub),
+            F.col("_cent"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # (j, c) is unique per row, so the struct sort is deterministic and
+    # the flat array lands in row-major (j, c) order; slicing it back
+    # into m chunks reproduces lut[j][c] exactly
+    qlut = (
+        queries.select(
+            F.col(query_id_col), F.col(query_emb_col).alias("_q")
+        )
+        .crossJoin(F.broadcast(cbdf))
+        .select(F.col(query_id_col), "_q", "j", "c", d_expr.alias("_d"))
+        .groupBy(query_id_col)
+        .agg(
+            F.first("_q").alias("_qemb"),  # all rows of a query carry it
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "c", "_d"))),
+                lambda s: s["_d"],
+            ).alias("_flat"),
+        )
+        .select(
+            F.col(query_id_col),
+            "_qemb",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.slice("_flat", j * k_cb + 1, k_cb),
+            ).alias("_lut"),
+        )
     )
     joined = encoded.join(
         F.broadcast(qlut), F.col(id_col) != F.col(query_id_col)
