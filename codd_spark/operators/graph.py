@@ -391,6 +391,12 @@ def triangle_counts(
     with the graph, so both joins are pinned shuffle — never a
     driver-sized broadcast). Each triangle is produced exactly once.
     """
+    # canonical edges, EAGERLY checkpointed (r13): e is consumed by the
+    # degree aggregate, the orientation joins and the closing-edge join —
+    # concurrent AQE leaf stages that would each re-run the caller's pair
+    # miner over a lazily-marked checkpoint (the same race as the
+    # connected-components edge list). Degrees come from ONE explode over
+    # a single read of e, not a two-leg union, for the same reason.
     e = (
         pairs.select(
             F.least(F.col(id_a), F.col(id_b)).alias("a"),
@@ -398,11 +404,10 @@ def triangle_counts(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     deg = (
-        e.select(F.col("a").alias("id"))
-        .union(e.select(F.col("b").alias("id")))
+        e.select(F.explode(F.array("a", "b")).alias("id"))
         .groupBy("id")
         .agg(F.count("*").alias("degree"))
         .localCheckpoint(eager=False)

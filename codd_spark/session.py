@@ -41,6 +41,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE coalesce INSIDE cached plans (off by default): the
+        # engine's multi-consumer caches (shingle projections, guarded
+        # bucket tables) otherwise materialize at the static
+        # shuffle-partition count and EVERY cache consumer pays that many
+        # tasks per scan — profiled r13: a 150-doc arrival batch ran
+        # 64-task stages with ~100 ms of total CPU, ~10 s of pure task
+        # churn per add_batch. Scale-adaptive by construction (AQE sizes
+        # cached partitions from actual bytes at any scale); results are
+        # partitioning-independent.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
