@@ -502,6 +502,19 @@ def main():
     # The printed line MUST stay short (<~400 bytes): the driver's tail
     # capture truncated BENCH_r03/r04's head because the line embedded the
     # full per-query dict. Per-query detail lives in BENCH_SUMMARY.json.
+    # Per-query warm seconds ALSO go to stdout (r14, VERDICT r13 item 5:
+    # the driver's per-query/geomean machinery found nothing to parse —
+    # BENCH_SUMMARY.json alone was not enough). A SEPARATE line, printed
+    # BEFORE the short headline line: the headline stays last and short,
+    # so a bounded tail capture can truncate only the per-query line
+    # (parse of a head-truncated line fails harmlessly; the headline
+    # survives — the r03 truncation lesson kept intact).
+    print(json.dumps({
+        "metric": "per_query_warm_sec",
+        "unit": "sec",
+        "sf": sf,
+        "queries": {n: round(v, 3) for n, v in sorted(warm.items())},
+    }))
     compact = {
         "metric": "total_headline_query_sec",
         "value": summary["value"],

@@ -182,7 +182,13 @@ class Database:
         StructType). Reference: core/src/database.rs:189-200."""
         if name in self._relations:
             raise InstanceExistsError(f"relation {name!r} already exists")
-        self._relations[name] = _RelationEntry(self.spark.createDataFrame([], schema=schema))
+        # emptyRDD: a [] literal parallelizes into defaultParallelism
+        # EMPTY partitions that every consumer scans as tasks (r14)
+        self._relations[name] = _RelationEntry(
+            self.spark.createDataFrame(
+                self.spark.sparkContext.emptyRDD(), schema=schema
+            )
+        )
 
     def register(self, name: str, df: DataFrame, replace: bool = False) -> None:
         """Bind an existing DataFrame (e.g. a parquet scan) as a relation."""

@@ -668,6 +668,16 @@ class IncrementalSemanticDecontaminator:
                     f"batch column {reserved!r} collides with add_batch's "
                     "reserved output/internal names — rename it upstream"
                 )
+        from codd_spark.operators.dedup import arrival_shuffle_partitions
+
+        # per-arrival actions (probe checkpoint + admission write) run
+        # at batch-sized shuffle partitions (guide §2 — see
+        # arrival_shuffle_partitions); the routed-list scan and the
+        # generational append keep their own explicit partitioning
+        with arrival_shuffle_partitions(self.spark, batch):
+            return self._add_batch_inner(batch)
+
+    def _add_batch_inner(self, batch: DataFrame) -> DataFrame:
         queries = batch.select(
             F.col(self.id_col).alias("query_id"),
             F.col(self.emb_col).alias("q_emb"),
@@ -691,7 +701,11 @@ class IncrementalSemanticDecontaminator:
             )
             .drop("__sem_qid")
             .withColumnRenamed("__sem_max_sim", "max_sim")
-            .localCheckpoint(eager=True)
+            # LAZY: the probe materializes (and its lineage cuts) inside
+            # the admission write below — the eager checkpoint here was
+            # one whole extra Spark action per arrival (r14, the same
+            # merge as the r13 incremental-dedup checkpoint fold)
+            .localCheckpoint(eager=False)
         )
         self.index.add_vectors(kept.select(self.id_col, self.emb_col))
         if (

@@ -81,6 +81,7 @@ def nb_linear_train(
     n_features: int = 2048,
     alpha: float = 1.0,
     bigrams: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """Train the NB log-ratio linear model on a labeled corpus
     (``label_col`` in {0, 1}). Returns the MODEL as a DataFrame —
@@ -142,8 +143,11 @@ def nb_linear_train(
     # scorer broadcasts the weights and the consts as SEPARATE broadcast
     # relations (three in the binary scorer), and each broadcast build of
     # a lazy model plan re-runs the whole training — featurization
-    # included (r13 stage profile: 2-3 training evaluations per score)
-    return w.unionByName(consts).localCheckpoint(eager=True)
+    # included (r13 stage profile: 2-3 training evaluations per score).
+    # materialize=False returns the LAZY training plan — the seam plan
+    # tests use to assert the aggregate shape the checkpoint hides.
+    model = w.unionByName(consts)
+    return model.localCheckpoint(eager=True) if materialize else model
 
 
 def nb_linear_score(

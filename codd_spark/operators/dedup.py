@@ -22,6 +22,7 @@ are computed in one projection pass per document.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import random
 import weakref
@@ -31,6 +32,68 @@ from pyspark.sql.window import Window
 
 from codd_spark.functions.text import normalize_ws, tokens
 from codd_spark.sources.statefs import resolve_statefs as _resolve_statefs
+
+
+@contextlib.contextmanager
+def arrival_shuffle_partitions(
+    spark, *plans: DataFrame, target_bytes: int = 64 << 20
+):
+    """Scope ``spark.sql.shuffle.partitions`` to the ARRIVAL batch's
+    size for the Spark actions run inside the block — the batch-path
+    twin of ``streaming.structured.stateful_stream_partitions`` (guide
+    §2 scale-adaptive partitioning): an incremental ``add_batch`` runs
+    several small jobs whose post-shuffle stages AQE coalesces only down
+    to the session's default parallelism (``parallelismFirst``), so a
+    150-document arrival pays dozens of near-empty 32-task stages of
+    pure scheduling churn per action (profiled r14: task run ~300 ms,
+    task CPU ~3 ms, 160 s summed task time for 22 s of CPU on the
+    two-batch bench row).
+
+    The partition count derives from Catalyst's byte ESTIMATE of the
+    batch plans (``optimizedPlan().stats().sizeInBytes`` — no job is
+    triggered): ``ceil(bytes / target_bytes)`` clamped to [1, session
+    setting]. At cluster scale a terabyte arrival clamps to the session
+    knob unchanged (derive-from-input-size, not a local-mode constant);
+    an unknown/failed estimate leaves the session setting untouched.
+    Explicit ``repartition(n, col)`` calls inside the scope (the
+    full-parallelism hashing stages) are unaffected — only the default
+    shuffle-partition count moves. The conf is restored on exit; the
+    LAZY result a caller returns out of the block executes later under
+    the session setting, which is exactly the contract: arrival-state
+    maintenance is small-batch-sized, the caller's downstream plan is
+    corpus-sized."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    try:
+        est = 0
+        for p in plans:
+            est += int(
+                p._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        n = max(1, min(int(old), (est + target_bytes - 1) // target_bytes))
+    except Exception:  # noqa: BLE001 — unknown size: leave the conf alone
+        yield None
+        return
+    if n >= int(old):
+        yield None
+        return
+    aqe_key = "spark.sql.adaptive.enabled"
+    old_aqe = spark.conf.get(aqe_key)
+    spark.conf.set(key, str(n))
+    if n == 1:
+        # with ONE shuffle partition there is nothing for AQE to
+        # optimize — no partitions to coalesce, no skew to split — but
+        # it still costs one sub-job plus a re-optimization pass per
+        # exchange (profiled r14: the arrival rows' remaining wall was
+        # inter-job driver gaps, ~90 ms x ~30 AQE stage-jobs per
+        # arrival). Larger batches (n > 1) keep AQE: skew handling is
+        # load-bearing at real arrival sizes.
+        spark.conf.set(aqe_key, "false")
+    try:
+        yield n
+    finally:
+        spark.conf.set(key, old)
+        spark.conf.set(aqe_key, old_aqe)
 
 
 def _safe_unpersist(df: DataFrame) -> None:
@@ -252,6 +315,32 @@ def jaccard_distinct(a: Column, b: Column) -> Column:
             sa + sb - inter > 0,
             inter.cast("double") / (sa + sb - inter).cast("double"),
         ).otherwise(0.0),
+    )
+
+
+def verified_jaccard(a: Column, b: Column, threshold: float) -> Column:
+    """``round(jaccard_distinct(a, b), 6)`` with the size-companion
+    band of the prefix filter (VERDICT r13 item 7, guide §2.2/§3 —
+    filter before the expensive work) short-circuiting the intersect:
+    for distinct sets J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so a pair
+    whose size ratio is below the threshold band cannot verify and
+    returns 0.0 WITHOUT building the per-pair hash set (``when``
+    branches evaluate lazily, so the guard runs first no matter how the
+    optimizer orders pushed conjuncts). Under the caller's
+    ``>= threshold`` filter the output is IDENTICAL to the unbanded
+    value: a kept pair needs round(J, 6) >= t, i.e. J >= t - 5e-7,
+    hence min/max >= t - 5e-7 > t - 1e-6 = the band; a banded-out pair
+    has J <= min/max < t - 1e-6, hence round(J, 6) < t either way.
+    ONLY for filter-at-threshold sites: banded-out rows report 0.0,
+    not their true (sub-threshold) jaccard."""
+    if threshold <= 0.0:
+        return F.round(jaccard_distinct(a, b), 6)
+    sa, sb = F.size(a), F.size(b)
+    feasible = F.least(sa, sb).cast("double") >= F.lit(
+        threshold - 1e-6
+    ) * F.greatest(sa, sb).cast("double")
+    return F.when(feasible, F.round(jaccard_distinct(a, b), 6)).otherwise(
+        F.lit(0.0)
     )
 
 
@@ -520,7 +609,7 @@ def minhash_near_duplicates(
             sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")).hint("shuffle_merge"),
             on="id_b",
         )
-        .withColumn("jaccard", F.round(jaccard_distinct(F.col("sh_a"), F.col("sh_b")), 6))
+        .withColumn("jaccard", verified_jaccard(F.col("sh_a"), F.col("sh_b"), threshold))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -1020,12 +1109,22 @@ def _minhash_prep(
     num_hashes: int,
     bands: int,
     shingle_k: int,
+    cache_partitions: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(banded buckets, persisted hashed-shingle projection) for one table —
     the per-side half of the MinHash pipeline, factored out so SELF-join
     (near-dup mining) and CROSS-join (decontamination) share one
     implementation and, critically, one hash family: signatures from two
-    tables are only comparable because every constant here is identical."""
+    tables are only comparable because every constant here is identical.
+
+    ``cache_partitions`` (arrival paths): land the shingle CACHE behind
+    a batch-sized exchange — the hashing still computes at full
+    parallelism, but the cached relation holds that many partitions
+    instead of defaultParallelism, so the ~6 consumer stages that scan
+    it per ``add_batch`` stop paying a 32-near-empty-task scan each
+    (profiled r14). Corpus callers leave it None: their cache IS meant
+    to be scanned at full parallelism, and the extra exchange of the
+    shingle arrays would cost real shuffle bytes."""
     r = num_hashes // bands
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     normed = df.repartition(parallelism, F.col(id_col)).select(
@@ -1034,11 +1133,12 @@ def _minhash_prep(
     # eager (r13): the signature aggregate, the OPH id grid and the
     # callers' verify joins are concurrent AQE leaf stages — a lazy
     # cache lets each re-run the shingling (see _eager_cache)
-    shingled = _eager_cache(
-        normed.select(
-            "id", _hashed_shingles_of_attr(F.col("__t"), shingle_k).alias("sh")
-        )
+    hashed = normed.select(
+        "id", _hashed_shingles_of_attr(F.col("__t"), shingle_k).alias("sh")
     )
+    if cache_partitions is not None and cache_partitions > 0:
+        hashed = hashed.repartition(cache_partitions, F.col("id"))
+    shingled = _eager_cache(hashed)
     exploded = shingled.select("id", F.explode(F.col("sh")).alias("h64")).select(
         "id", F.pmod(F.col("h64"), F.lit(_P)).alias("h")
     )
@@ -1124,7 +1224,7 @@ def cross_near_duplicates(
     verified = (
         cand.join(lsh_side.hint("shuffle_merge"), on="id_l")
         .join(rsh_side.hint("shuffle_merge"), on="id_r")
-        .withColumn("jaccard", F.round(jaccard_distinct(F.col("sh_l"), F.col("sh_r")), 6))
+        .withColumn("jaccard", verified_jaccard(F.col("sh_l"), F.col("sh_r"), threshold))
         .filter(F.col("jaccard") >= threshold)
         .select("id_l", "id_r", "jaccard")
     )
@@ -2729,7 +2829,7 @@ class IncrementalDecontaminator:
                 ).hint("shuffle_merge"),
                 on="id_r",
             )
-            .withColumn("jaccard", F.round(jaccard_distinct(F.col("sh_l"), F.col("sh_r")), 6))
+            .withColumn("jaccard", verified_jaccard(F.col("sh_l"), F.col("sh_r"), self.threshold))
             .filter(F.col("jaccard") >= self.threshold)
             .select("id_l", "id_r", "jaccard")
         )
@@ -2890,8 +2990,12 @@ class IncrementalDeduplicator:
                 _safe_unpersist(ss)
                 self.n_kept = self._state.shingles().count()
             return
-        self._empty_b = spark.createDataFrame([], "id LONG, band INT, h LONG")
-        self._empty_s = spark.createDataFrame([], "id LONG, sh ARRAY<LONG>")
+        # emptyRDD (0 partitions): createDataFrame([]) parallelizes into
+        # defaultParallelism EMPTY partitions, and every state consumer
+        # then scans them 32-near-empty-tasks wide per stage (r14)
+        _e = spark.sparkContext.emptyRDD()
+        self._empty_b = spark.createDataFrame(_e, "id LONG, band INT, h LONG")
+        self._empty_s = spark.createDataFrame(_e, "id LONG, sh ARRAY<LONG>")
         # in-memory state lives as a LIST of eagerly-checkpointed delta
         # parts (one per arrival, both tables riding ONE checkpoint —
         # see _append_memory); the kept-corpus views are lazy unions
@@ -3021,7 +3125,8 @@ class IncrementalDeduplicator:
             # same rounded comparison as minhash_near_duplicates, so the
             # one-batch case matches fuzzy_dedup pair-for-pair
             .filter(
-                F.round(jaccard_distinct(F.col("sh_l"), F.col("sh_r")), 6) >= self.threshold
+                verified_jaccard(F.col("sh_l"), F.col("sh_r"), self.threshold)
+                >= self.threshold
             )
             .select("id_l", "id_r")
         )
@@ -3029,9 +3134,28 @@ class IncrementalDeduplicator:
     def add_batch(self, batch: DataFrame) -> DataFrame:
         """Process one arriving batch; returns the KEPT rows (original
         columns) and appends their MinHash state for future arrivals."""
+        # every per-arrival action runs at batch-sized shuffle
+        # partitions (guide §2 — see arrival_shuffle_partitions); the
+        # lazy result returned to the caller executes under the session
+        # setting
+        with arrival_shuffle_partitions(batch.sparkSession, batch) as n:
+            survivors = self._add_batch_inner(batch, n)
+        return batch.join(
+            survivors.hint("shuffle_merge"), on=self.id_col, how="left_semi"
+        )
+
+    def _add_batch_inner(
+        self, batch: DataFrame, cache_partitions: int | None = None
+    ) -> DataFrame:
         from codd_spark.operators.graph import dedup_clusters
 
-        bb_raw, bsh = _minhash_prep(batch, self.id_col, self.text_col, **self.params)
+        bb_raw, bsh = _minhash_prep(
+            batch,
+            self.id_col,
+            self.text_col,
+            cache_partitions=cache_partitions,
+            **self.params,
+        )
         # persist the guarded buckets EAGERLY: the within-batch self-join
         # reads them twice and the keeper/cross/state stages read them
         # again — concurrent AQE leaf stages over a lazy cache would each
@@ -3118,10 +3242,7 @@ class IncrementalDeduplicator:
         _safe_unpersist(bb)
         # already materialized by the eager checkpoint — no extra action
         self.n_kept += int(_kept_obs.get["n"])
-
-        return batch.join(
-            survivors.hint("shuffle_merge"), on=self.id_col, how="left_semi"
-        )
+        return survivors
 
     def compact(self) -> dict:
         """Consolidate persistent state generations into one directory
@@ -3219,8 +3340,12 @@ class IncrementalExactDeduplicator:
                 self._state.append(*self._state_rows(ks))
                 self.n_kept = self._state.shingles().count()
             return
-        self._empty_b = spark.createDataFrame([], "id LONG, band INT, h LONG")
-        self._empty_s = spark.createDataFrame([], "id LONG, sh ARRAY<LONG>")
+        # emptyRDD (0 partitions): createDataFrame([]) parallelizes into
+        # defaultParallelism EMPTY partitions, and every state consumer
+        # then scans them 32-near-empty-tasks wide per stage (r14)
+        _e = spark.sparkContext.emptyRDD()
+        self._empty_b = spark.createDataFrame(_e, "id LONG, band INT, h LONG")
+        self._empty_s = spark.createDataFrame(_e, "id LONG, sh ARRAY<LONG>")
         self._bucket_parts: list[DataFrame] = []
         self._shingle_parts: list[DataFrame] = []
         if seed is not None:
@@ -3339,6 +3464,22 @@ class IncrementalExactDeduplicator:
         columns — batch keepers minus already-kept keys, plus every
         NULL-key row) and appends the survivors' keys for future
         arrivals."""
+        # per-arrival actions run at batch-sized shuffle partitions
+        # (guide §2 — see arrival_shuffle_partitions)
+        with arrival_shuffle_partitions(batch.sparkSession, batch):
+            survivors = self._add_batch_inner(batch)
+        key = self._key_expr()
+        kept_keyed = batch.join(
+            survivors.select(F.col("id").alias(self.id_col)).hint(
+                "shuffle_merge"
+            ),
+            on=self.id_col,
+            how="left_semi",
+        )
+        null_rows = batch.where(key.isNull())
+        return kept_keyed.unionByName(null_rows)
+
+    def _add_batch_inner(self, batch: DataFrame) -> DataFrame:
         # lazy checkpoint (r13 optimization round): ks materializes (and
         # its lineage cuts) inside the survivors checkpoint job below —
         # the r12 eager checkpoint here was a whole extra Spark action
@@ -3381,17 +3522,7 @@ class IncrementalExactDeduplicator:
             # eager action per arrival)
             self._append_parts(*self._state_rows(survivors))
         self.n_kept += int(_kept_obs.get["n"])
-
-        key = self._key_expr()
-        kept_keyed = batch.join(
-            survivors.select(F.col("id").alias(self.id_col)).hint(
-                "shuffle_merge"
-            ),
-            on=self.id_col,
-            how="left_semi",
-        )
-        null_rows = batch.where(key.isNull())
-        return kept_keyed.unionByName(null_rows)
+        return survivors
 
     def compact(self) -> dict:
         """Consolidate persistent state generations (no-op in memory)."""
@@ -3930,8 +4061,12 @@ class IncrementalLineDeduplicator:
             if resuming:
                 self.n_seen = self._state.buckets().count()
             return
-        self._empty_b = spark.createDataFrame([], "id LONG, band INT, h LONG")
-        self._empty_s = spark.createDataFrame([], "id LONG, sh ARRAY<LONG>")
+        # emptyRDD (0 partitions): createDataFrame([]) parallelizes into
+        # defaultParallelism EMPTY partitions, and every state consumer
+        # then scans them 32-near-empty-tasks wide per stage (r14)
+        _e = spark.sparkContext.emptyRDD()
+        self._empty_b = spark.createDataFrame(_e, "id LONG, band INT, h LONG")
+        self._empty_s = spark.createDataFrame(_e, "id LONG, sh ARRAY<LONG>")
         self._bucket_parts: list[DataFrame] = []
         self._shingle_parts: list[DataFrame] = []
 
@@ -4026,6 +4161,13 @@ class IncrementalLineDeduplicator:
         """Process one arriving dump; returns (id, out_col, n_lines,
         n_removed) — every input document appears — and records the
         batch's novel line hashes for future arrivals."""
+        # per-arrival actions run at batch-sized shuffle partitions
+        # (guide §2 — see arrival_shuffle_partitions); the lazy ``out``
+        # the caller consumes executes under the session setting
+        with arrival_shuffle_partitions(batch.sparkSession, batch):
+            return self._add_batch_inner(batch, out_col)
+
+    def _add_batch_inner(self, batch: DataFrame, out_col: str) -> DataFrame:
         lines = batch.select(
             F.col(self.id_col).alias("id"),
             F.posexplode_outer(

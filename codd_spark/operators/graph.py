@@ -88,14 +88,24 @@ def _union_find_pdf(spark, pdf) -> DataFrame:
         if x < comp_min.get(r, x + 1):
             comp_min[r] = x
     if not roots:
-        return spark.createDataFrame([], "id LONG, component LONG")
+        return spark.createDataFrame(
+            spark.sparkContext.emptyRDD(), "id LONG, component LONG"
+        )
     out = pd.DataFrame(
         {
             "id": list(roots),
             "component": [comp_min[r] for r in roots.values()],
         }
     )
-    return spark.createDataFrame(out.astype("int64"))
+    # createDataFrame(pandas) slices into defaultParallelism Arrow
+    # batches — 32 near-empty partitions for a 150-row label table that
+    # EVERY downstream consumer stage then re-scans 32-tasks-wide
+    # (profiled r14: ~10 such 32-task churn stages per arrival in the
+    # incremental dedup rows). Coalesce to ~1M labels per partition —
+    # the driver already held the whole edge list, so label volume is
+    # bounded by the same _CC_DRIVER_EDGE_LIMIT transfer.
+    n_parts = max(1, len(out) // 1_000_000)
+    return spark.createDataFrame(out.astype("int64")).coalesce(n_parts)
 
 
 def connected_components(

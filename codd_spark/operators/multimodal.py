@@ -1050,8 +1050,10 @@ class IncrementalImageDeduplicator:
                 sigs.unpersist()
                 self.n_kept = self._state.shingles().count()
             return
-        self._empty_b = spark.createDataFrame([], "id LONG, band INT, h LONG")
-        self._empty_s = spark.createDataFrame([], "id LONG, sh ARRAY<LONG>")
+        # emptyRDD (0 partitions) — see the text twin (r14)
+        _e = spark.sparkContext.emptyRDD()
+        self._empty_b = spark.createDataFrame(_e, "id LONG, band INT, h LONG")
+        self._empty_s = spark.createDataFrame(_e, "id LONG, sh ARRAY<LONG>")
         # in-memory state lives as a LIST of checkpointed delta parts
         # (one per arrival, both tables riding ONE checkpoint — the same
         # tagged-union layout as the text twin's _append_memory; r13
@@ -1226,6 +1228,17 @@ class IncrementalImageDeduplicator:
         """Process one arriving media batch; returns the KEPT rows
         (original columns) and appends their hash state for future
         arrivals."""
+        from codd_spark.operators.dedup import arrival_shuffle_partitions
+
+        # per-arrival actions run at batch-sized shuffle partitions
+        # (guide §2 — see arrival_shuffle_partitions)
+        with arrival_shuffle_partitions(batch.sparkSession, batch):
+            survivors = self._add_batch_inner(batch)
+        return batch.join(
+            survivors.hint("shuffle_merge"), on=self.id_col, how="left_semi"
+        )
+
+    def _add_batch_inner(self, batch: DataFrame) -> DataFrame:
         from codd_spark.operators.dedup import _safe_unpersist
         from codd_spark.operators.graph import dedup_clusters
 
@@ -1307,10 +1320,7 @@ class IncrementalImageDeduplicator:
             self._append_memory(new_b, new_s)
         _safe_unpersist(sigs)
         self.n_kept += int(_kept_obs.get["n"])
-
-        return batch.join(
-            survivors.hint("shuffle_merge"), on=self.id_col, how="left_semi"
-        )
+        return survivors
 
     def compact(self) -> dict:
         """Consolidate persistent-state generations (see

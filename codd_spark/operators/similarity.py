@@ -381,10 +381,26 @@ def ivf_probe(
         query_emb_col=query_emb_col,
     )
     if prune_lists:
-        probed = sorted(
-            r.list_id for r in qx.select("list_id").distinct().collect()
-        )
+        # ONE bounded collect serves BOTH the pruning literal and the
+        # probe's broadcast side (r14, VERDICT r13 item 3): the former
+        # list_id-only collect ran the routing once for the literal and
+        # then a SECOND time inside the broadcast build of the probe
+        # job. The routed rows are bounded by design (the probe
+        # broadcasts them anyway — same driver-memory class); they are
+        # re-created as a 1-partition local relation so downstream
+        # stages do not scan defaultParallelism near-empty slices, and
+        # values round-trip exactly (doubles through py4j are lossless,
+        # and the broadcast arithmetic consumes the same values it
+        # would have computed).
+        spark = queries.sparkSession
+        rows = qx.collect()
+        probed = sorted({r["list_id"] for r in rows})
         assigned = assigned.filter(F.col("list_id").isin(probed))
+        qx = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1) if rows
+            else spark.sparkContext.emptyRDD(),
+            qx.schema,
+        )
 
     joined = assigned.join(F.broadcast(qx), on="list_id").filter(
         F.col("neighbor_id") != F.col(query_id_col)

@@ -80,7 +80,9 @@ def to_df(expr: ast.Expression, db: "Database") -> DataFrame:
         return db.view_df(expr.ref)
 
     if isinstance(expr, ast.Empty):
-        return db.spark.createDataFrame([], schema=expr.schema)
+        return db.spark.createDataFrame(
+            db.spark.sparkContext.emptyRDD(), schema=expr.schema
+        )  # 0 partitions, not defaultParallelism empties (r14)
 
     if isinstance(expr, ast.Singleton):
         row = expr.row

@@ -185,7 +185,9 @@ class IncrementalDatabase:
     def add_relation(self, name: str, schema) -> None:
         if name in self._relations:
             raise InstanceExistsError(f"relation {name!r} already exists")
-        empty = self.spark.createDataFrame([], schema=schema)
+        empty = self.spark.createDataFrame(
+            self.spark.sparkContext.emptyRDD(), schema=schema
+        )  # 0 partitions, not defaultParallelism empties (r14)
         self._relations[name] = _RelEntry(self._new_instance(empty, "rel", name))
         self._on_relation_added(name, empty)
 

@@ -504,22 +504,30 @@ def test_repetition_stats(spark):
     assert r3["dup_2gram_frac"] == 0.0 and r3["dup_3gram_frac"] == 0.0
 
 
-def _settled_persistent_rdd_count(jsc) -> int:
-    """Persistent-RDD count after the ASYNC cleanup settles: a python
+def _persistent_rdd_ids(spark) -> set[int]:
+    """The ids of the RDDs currently registered as persistent."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def _settled_persistent_rdd_ids(spark) -> set[int]:
+    """Persistent-RDD id set after the ASYNC cleanup settles: a python
     gc.collect() only queues py4j finalizers — the JVM ContextCleaner
-    unpersists dead RDDs on its own thread afterwards, so a count read
+    unpersists dead RDDs on its own thread afterwards, so a read
     immediately after gc can include entries that vanish mid-test (the
-    r13 full-suite flake: baseline 14 stale entries swept during the
-    query under test, turning the 'caches alive' delta negative). Poll
-    until two consecutive reads agree."""
+    r13 full-suite flake: baseline stale entries swept DURING the query
+    under test made the count-delta assertions go negative; r14 rebased
+    the assertions on the ID SET the call under test creates, which a
+    concurrent sweep of other tests' ids cannot touch). Poll until two
+    consecutive reads agree."""
     import gc
     import time
 
     gc.collect()
-    prev = jsc.getPersistentRDDs().size()
+    prev = _persistent_rdd_ids(spark)
     for _ in range(25):
         time.sleep(0.2)
-        cur = jsc.getPersistentRDDs().size()
+        cur = _persistent_rdd_ids(spark)
         if cur == prev:
             return cur
         prev = cur
@@ -533,15 +541,16 @@ def test_minhash_releases_shingle_cache(spark, docs):
     persisted state can't flake it."""
     from codd_spark.operators.dedup import minhash_near_duplicates
 
-    jsc = spark.sparkContext._jsc.sc()
     # settle prior tests' dead cache handles (incl. the JVM-side async
-    # sweep) FIRST, or the baseline counts RDDs that vanish mid-test
-    before = _settled_persistent_rdd_count(jsc)
+    # sweep) FIRST, then scope every assertion to the ids THIS call
+    # creates — a late sweep of older ids can no longer flake the test
+    before = _settled_persistent_rdd_ids(spark)
     out = minhash_near_duplicates(docs, "doc_id", "text", num_hashes=16, bands=4)
     out.count()  # materialize -> shingle projection is cached
-    assert jsc.getPersistentRDDs().size() > before
+    new_ids = _persistent_rdd_ids(spark) - before
+    assert new_ids  # this call's caches are alive
     out.release_cache()
-    assert jsc.getPersistentRDDs().size() <= before
+    assert not (_persistent_rdd_ids(spark) & new_ids)
     out.release_cache()  # idempotent
 
 
@@ -554,19 +563,19 @@ def test_decontaminate_adopts_release(spark, docs):
 
     from codd_spark.operators.dedup import decontaminate
 
-    jsc = spark.sparkContext._jsc.sc()
-    # settle FIRST (incl. the JVM ContextCleaner's async sweep): in a
-    # full-suite run the baseline was inflated by prior tests' dead cache
-    # handles being swept DURING clean.count(), making the delta negative
-    # even though decontaminate held its caches correctly (r12+r13 flake)
-    before = _settled_persistent_rdd_count(jsc)
+    # settle FIRST (incl. the JVM ContextCleaner's async sweep), then
+    # scope the assertions to the ids THIS call creates: in a full-suite
+    # run prior tests' dead cache handles being swept DURING
+    # clean.count() flaked the old count-delta form (r12-r14 flake)
+    before = _settled_persistent_rdd_ids(spark)
     clean = decontaminate(docs, docs.limit(2), "doc_id", "text",
                           num_hashes=16, bands=4)
     gc.collect()  # the intermediate pairs object is gone — caches must survive
     clean.count()
-    assert jsc.getPersistentRDDs().size() > before
+    new_ids = _persistent_rdd_ids(spark) - before
+    assert new_ids  # this call's caches are alive
     clean.release_cache()
-    assert jsc.getPersistentRDDs().size() <= before
+    assert not (_persistent_rdd_ids(spark) & new_ids)
 
 
 def test_ivf_routing_strategies_agree(spark):

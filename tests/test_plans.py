@@ -436,9 +436,14 @@ def test_classifier_scoring_broadcasts_model_not_corpus(spark):
     )
 
     corpus = planted_label_docs(spark.range(0, 120).selectExpr("id AS doc_id"))
-    model = nb_linear_train(corpus, "y", n_features=256)
-    mplan = model._jdf.queryExecution().executedPlan().toString()
+    # the returned model is an eagerly-materialized checkpoint (r13 —
+    # its executed plan is Scan ExistingRDD); the training-shape
+    # assertion inspects the LAZY plan via materialize=False
+    lazy_model = nb_linear_train(corpus, "y", n_features=256, materialize=False)
+    lazy_model.collect()
+    mplan = lazy_model._jdf.queryExecution().executedPlan().toString()
     assert "partial_sum" in mplan  # map-side combine on the count
+    model = nb_linear_train(corpus, "y", n_features=256)
     scored = nb_linear_score(corpus, model, n_features=256)
     scored.collect()
     splan = scored._jdf.queryExecution().executedPlan().toString()

@@ -3,7 +3,7 @@
 Runs the named __spark_entry__.queries() rows alone in a fresh session
 with the SAME methodology as bench.py (noop sink, cold pass + N warm
 samples, gc+clearCache between runs), prints per-query cold/warm/min,
-and optionally writes .explain("formatted") to plans/r13/<q>_<tag>.txt.
+and optionally writes .explain("formatted") to plans/r14/<q>_<tag>.txt.
 
 Usage:
   python tools/isolate_query.py [--sf DIR] [--n N] [--explain TAG] q1 [q2 ...]
@@ -35,7 +35,7 @@ def main():
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--n", type=int, default=3, help="warm samples")
     ap.add_argument("--explain", default=None,
-                    help="write plans/r13/<q>_<TAG>.txt explain files")
+                    help="write plans/r14/<q>_<TAG>.txt explain files")
     args = ap.parse_args()
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -68,12 +68,12 @@ def main():
             continue
         spark.sparkContext.setJobDescription(f"isolate:{name}")
         if args.explain:
-            os.makedirs("/root/repo/plans/r13", exist_ok=True)
+            os.makedirs("/root/repo/plans/r14", exist_ok=True)
             try:
                 plan = qs[name](spark, args.sf)._jdf.queryExecution().explainString(
                     spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
                 )
-                with open(f"/root/repo/plans/r13/{name}_{args.explain}.txt", "w") as f:
+                with open(f"/root/repo/plans/r14/{name}_{args.explain}.txt", "w") as f:
                     f.write(plan)
             except Exception as e:  # noqa: BLE001
                 print(f"explain failed for {name}: {e}")

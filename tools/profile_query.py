@@ -115,6 +115,38 @@ def main():
         rows.sort(key=lambda r: -r["task_time_ms"])
         print(f"\n=== {name}: wall {wall:.2f}s, {len(job_ids)} jobs, "
               f"{len(rows)} stages ===")
+        # job timeline: per-job wall (submission -> completion) plus the
+        # DRIVER GAP since the previous job's completion — orchestration-
+        # bound rows (arrival paths) spend their time in these gaps
+        # (planning/analysis/collect) and in many small jobs, which stage
+        # task_time cannot show (r14 optimization round).
+        from datetime import datetime
+
+        def ts(x):
+            return datetime.strptime(x[:23], "%Y-%m-%dT%H:%M:%S.%f")
+
+        tl = sorted(
+            (
+                (ts(j["submissionTime"]), ts(j["completionTime"]), jid,
+                 j.get("name", "")[:70])
+                for jid, j in job_ids.items()
+                if j.get("submissionTime") and j.get("completionTime")
+            ),
+        )
+        if tl:
+            prev_end = None
+            gap_total = 0.0
+            run_total = 0.0
+            for sub, end, jid, jname in tl:
+                gap = (sub - prev_end).total_seconds() if prev_end else 0.0
+                gap_total += max(gap, 0.0)
+                dur = (end - sub).total_seconds()
+                run_total += dur
+                print(f"  job{jid:>4} gap{gap*1000:>7.0f}ms "
+                      f"run{dur*1000:>7.0f}ms  {jname}")
+                prev_end = max(end, prev_end) if prev_end else end
+            print(f"  job-timeline: run {run_total:.2f}s + inter-job gaps "
+                  f"{gap_total:.2f}s over {len(tl)} jobs (wall {wall:.2f}s)")
         total_task_ms = sum(r["task_time_ms"] for r in rows)
         print(f"sum task_time {total_task_ms/1000:.2f}s  "
               f"sum cpu {sum(r['cpu_ms'] for r in rows)/1000:.2f}s")
